@@ -1,0 +1,97 @@
+package graft.analysis
+
+import scala.collection.mutable.ArrayBuffer
+
+/** An analyzed token: filtered term + position (for phrase queries) +
+  * offsets. `position` already reflects stop-word gaps (removed stopwords
+  * still advance positions — reference behavior:
+  * /root/reference/src/Lucene.Net.Analysis.Common/Analysis/Util/
+  * FilteringTokenFilter.cs:37-60). */
+final case class Token(term: String, position: Int, startOff: Int, endOff: Int)
+
+/** Per-document field-invert state, mirroring what the reference's
+  * DocInverterPerField accumulates for norms (reference:
+  * /root/reference/src/Lucene.Net/Index/DocInverterPerField.cs:139-199):
+  * `length` = tokens emitted post-filters, `numOverlap` = tokens with
+  * position increment 0 (none here — no synonym filters). BM25 doc length
+  * = length - numOverlap (BM25Similarity.cs:163-167). */
+final case class AnalyzedDoc(tokens: Array[Token], length: Int, numOverlap: Int) {
+  def bm25DocLen: Int = length - numOverlap
+}
+
+/** StandardAnalyzer-equivalent chain: UAX#29 tokenize → length filter
+  * (tokens >255 chars dropped, position still advances — reference:
+  * StandardTokenizer.cs:234-239, StandardAnalyzer.cs:51) → per-codepoint
+  * lowercase (LowerCaseFilter.cs:54 — NOT String.toLowerCase, which applies
+  * locale/1:N mappings) → stop filter preserving position increments.
+  *
+  * `stopWords` may vary per language (north-star "per-lang stop filtering");
+  * the default is the classic 33-word English list
+  * (reference: Analysis/Core/StopAnalyzer.cs:48-51).
+  */
+final class Analyzer(val stopWords: Set[String], val maxTokenLength: Int = 255)
+    extends Serializable {
+
+  def analyze(text: String): AnalyzedDoc = {
+    val raw = UAX29Tokenizer.tokenize(text)
+    val out = new ArrayBuffer[Token](raw.length)
+    var pos = -1
+    var length = 0
+    var idx = 0
+    while (idx < raw.length) {
+      val t = raw(idx)
+      pos += 1 // every raw token advances the position, even if dropped below
+      if (t.term.length <= maxTokenLength) {
+        val lowered = Analyzer.lowerCase(t.term)
+        if (!stopWords.contains(lowered)) {
+          out += Token(lowered, pos, t.startOff, t.endOff)
+          length += 1
+        }
+      }
+      idx += 1
+    }
+    AnalyzedDoc(out.toArray, length, numOverlap = 0)
+  }
+
+  /** Analyze query text exactly like index text (index/query token parity —
+    * reference: Util/QueryBuilder.cs:73-105). */
+  def analyzeTerms(text: String): Array[String] = analyze(text).tokens.map(_.term)
+}
+
+object Analyzer {
+  /** The classic English stop set (reference: StopAnalyzer.cs:48-51). */
+  val EnglishStopWords: Set[String] = Set(
+    "a", "an", "and", "are", "as", "at", "be", "but", "by",
+    "for", "if", "in", "into", "is", "it",
+    "no", "not", "of", "on", "or", "such",
+    "that", "the", "their", "then", "there", "these",
+    "they", "this", "to", "was", "will", "with")
+
+  /** Default analyzer = StandardAnalyzer(Version.LUCENE_48) equivalent. */
+  val standard: Analyzer = new Analyzer(EnglishStopWords)
+
+  /** No stopwords (StandardAnalyzer(CharArraySet.EMPTY_SET) equivalent). */
+  val noStop: Analyzer = new Analyzer(Set.empty)
+
+  /** Per-language stop lists: the engine indexes a polyglot source-code
+    * corpus; every language currently uses the English list (code
+    * comments/identifiers are English-dominant), but the map is the
+    * extension point the north star names. */
+  val perLang: Map[String, Set[String]] =
+    Map.empty.withDefaultValue(EnglishStopWords)
+
+  def forLang(lang: String): Analyzer = new Analyzer(perLang(lang))
+
+  /** Per-codepoint Character.toLowerCase — reference LowerCaseFilter.cs:54. */
+  def lowerCase(s: String): String = {
+    var i = 0
+    val n = s.length
+    val sb = new java.lang.StringBuilder(n)
+    while (i < n) {
+      val cp = s.codePointAt(i)
+      sb.appendCodePoint(Character.toLowerCase(cp))
+      i += Character.charCount(cp)
+    }
+    sb.toString
+  }
+}

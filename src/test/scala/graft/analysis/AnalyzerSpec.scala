@@ -1,0 +1,153 @@
+package graft.analysis
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Golden tokenization vectors lifted from the reference's
+  * TestStandardAnalyzer (reference: /root/reference/src/
+  * Lucene.Net.Tests.Analysis.Common/Analysis/Core/TestStandardAnalyzer.cs).
+  * The rebuilt analyzer must match exactly. */
+class AnalyzerSpec extends AnyFunSuite {
+
+  private def toks(s: String): Seq[String] =
+    UAX29Tokenizer.tokenize(s).map(_.term).toSeq
+
+  test("alphanumerics (B2B, 2B)") {
+    assert(toks("B2B") == Seq("B2B"))
+    assert(toks("2B") == Seq("2B"))
+  }
+
+  test("delimiters - / ,") {
+    assert(toks("some-dashed-phrase") == Seq("some", "dashed", "phrase"))
+    assert(toks("dogs,chase,cats") == Seq("dogs", "chase", "cats"))
+    assert(toks("ac/dc") == Seq("ac", "dc"))
+  }
+
+  test("internal apostrophes") {
+    assert(toks("O'Reilly") == Seq("O'Reilly"))
+    assert(toks("you're") == Seq("you're"))
+    assert(toks("she's") == Seq("she's"))
+    assert(toks("Jim's") == Seq("Jim's"))
+    assert(toks("don't") == Seq("don't"))
+    assert(toks("O'Reilly's") == Seq("O'Reilly's"))
+  }
+
+  test("numerics, serials, IPs") {
+    assert(toks("21.35") == Seq("21.35"))
+    assert(toks("R2D2 C3PO") == Seq("R2D2", "C3PO"))
+    assert(toks("216.239.63.104") == Seq("216.239.63.104"))
+  }
+
+  test("text with numbers, offsets, types") {
+    val ts = UAX29Tokenizer.tokenize("David has 5000 bones")
+    assert(ts.map(_.term).toSeq == Seq("David", "has", "5000", "bones"))
+    assert(ts.map(_.startOff).toSeq == Seq(0, 6, 10, 15))
+    assert(ts.map(_.endOff).toSeq == Seq(5, 9, 14, 20))
+    assert(ts.map(_.tpe).toSeq == Seq("<ALPHANUM>", "<ALPHANUM>", "<NUM>", "<ALPHANUM>"))
+  }
+
+  test("various text") {
+    assert(toks("C embedded developers wanted") == Seq("C", "embedded", "developers", "wanted"))
+    assert(toks("foo bar FOO BAR") == Seq("foo", "bar", "FOO", "BAR"))
+    assert(toks("foo      bar .  FOO <> BAR") == Seq("foo", "bar", "FOO", "BAR"))
+    assert(toks("\"QUOTED\" word") == Seq("QUOTED", "word"))
+  }
+
+  test("empty / punctuation-only") {
+    assert(toks("") == Seq.empty)
+    assert(toks(".") == Seq.empty)
+    assert(toks(" ") == Seq.empty)
+  }
+
+  test("mid-letter / mid-num / mid-numlet splits (TestMid)") {
+    assert(toks("A:B") == Seq("A:B"))
+    assert(toks("A::B") == Seq("A", "B"))
+    assert(toks("1.2") == Seq("1.2"))
+    assert(toks("A.B") == Seq("A.B"))
+    assert(toks("1..2") == Seq("1", "2"))
+    assert(toks("A..B") == Seq("A", "B"))
+    assert(toks("1,2") == Seq("1,2"))
+    assert(toks("1,,2") == Seq("1", "2"))
+    assert(toks("A.:B") == Seq("A", "B"))
+    assert(toks("A:.B") == Seq("A", "B"))
+    assert(toks("1,.2") == Seq("1", "2"))
+    assert(toks("1.,2") == Seq("1", "2"))
+    assert(toks("A:B_A:B") == Seq("A:B_A:B"))
+    assert(toks("A:B_A::B") == Seq("A:B_A", "B"))
+    assert(toks("1.2_1.2") == Seq("1.2_1.2"))
+    assert(toks("A.B_A.B") == Seq("A.B_A.B"))
+    assert(toks("1.2_1..2") == Seq("1.2_1", "2"))
+    assert(toks("A.B_A..B") == Seq("A.B_A", "B"))
+    assert(toks("1,2_1,2") == Seq("1,2_1,2"))
+    assert(toks("1,2_1,,2") == Seq("1,2_1", "2"))
+    assert(toks("C_A.:B") == Seq("C_A", "B"))
+    assert(toks("C_A:.B") == Seq("C_A", "B"))
+    assert(toks("3_1,.2") == Seq("3_1", "2"))
+    assert(toks("3_1.,2") == Seq("3_1", "2"))
+  }
+
+  test("CJK: ideographs single, fullwidth runs, hiragana/katakana/hangul") {
+    assert(toks("我是中国人。 １２３４ Ｔｅｓｔｓ ") ==
+      Seq("我", "是", "中", "国", "人", "１２３４", "Ｔｅｓｔｓ"))
+    val jp = UAX29Tokenizer.tokenize("仮名遣い カタカナ")
+    assert(jp.map(_.term).toSeq == Seq("仮", "名", "遣", "い", "カタカナ"))
+    assert(jp.map(_.tpe).toSeq == Seq("<IDEOGRAPHIC>", "<IDEOGRAPHIC>",
+      "<IDEOGRAPHIC>", "<HIRAGANA>", "<KATAKANA>"))
+    val kr = UAX29Tokenizer.tokenize("훈민정음")
+    assert(kr.map(_.term).toSeq == Seq("훈민정음"))
+    assert(kr.map(_.tpe).toSeq == Seq("<HANGUL>"))
+    assert(toks("안녕하세요 한글입니다") == Seq("안녕하세요", "한글입니다"))
+  }
+
+  test("supplementary ideographs") {
+    val ts = UAX29Tokenizer.tokenize("𩬅艱鍟䇹愯瀛")
+    assert(ts.map(_.term).toSeq == Seq("𩬅", "艱", "鍟", "䇹", "愯", "瀛"))
+    assert(ts.forall(_.tpe == "<IDEOGRAPHIC>"))
+  }
+
+  test("combining marks attach (WB4)") {
+    assert(toks("moͤchte") == Seq("moͤchte"))
+    assert(toks("ざ") == Seq("ざ"))
+    assert(toks("ザ") == Seq("ザ"))
+    assert(toks("壹゙") == Seq("壹゙"))
+    assert(toks("아゙") == Seq("아゙"))
+  }
+
+  test("southeast asian runs") {
+    assert(toks("การที่ได้ต้องแสดงว่างานดี. แล้วเธอจะไปไหน? ๑๒๓๔") ==
+      Seq("การที่ได้ต้องแสดงว่างานดี", "แล้วเธอจะไปไหน", "๑๒๓๔"))
+    assert(toks("ສາທາລະນະລັດ ປະຊາທິປະໄຕ ປະຊາຊົນລາວ") ==
+      Seq("ສາທາລະນະລັດ", "ປະຊາທິປະໄຕ", "ປະຊາຊົນລາວ"))
+  }
+
+  test("tibetan splits on tsheg") {
+    assert(toks("སྣོན་མཛོད་དང་ལས་") == Seq("སྣོན", "མཛོད", "དང", "ལས"))
+  }
+
+  test("analyzer chain: lowercase, stops removed, positions advance over stops") {
+    val a = Analyzer.standard
+    val d = a.analyze("The Quick Brown FOX")
+    assert(d.tokens.map(_.term).toSeq == Seq("quick", "brown", "fox"))
+    // "the" occupied position 0; survivors keep their original positions
+    assert(d.tokens.map(_.position).toSeq == Seq(1, 2, 3))
+    assert(d.length == 3 && d.bm25DocLen == 3)
+  }
+
+  test("analyzer chain: >255-char tokens dropped but advance position") {
+    val long = "x" * 300
+    val a = Analyzer.noStop
+    val d = a.analyze(s"alpha $long beta")
+    assert(d.tokens.map(_.term).toSeq == Seq("alpha", "beta"))
+    assert(d.tokens.map(_.position).toSeq == Seq(0, 2))
+    assert(d.length == 2)
+  }
+
+  test("lowercase is per-codepoint (no locale 1:N mappings)") {
+    assert(Analyzer.lowerCase("İstanbul").length == "İstanbul".length)
+    assert(Analyzer.lowerCase("ABC") == "abc")
+  }
+
+  test("code-like content tokenizes as expected") {
+    assert(toks("def f0(x0: Int) = x0 + one") ==
+      Seq("def", "f0", "x0", "Int", "x0", "one"))
+  }
+}
