@@ -1,0 +1,277 @@
+package graft.build
+
+import graft.analysis.Analyzer
+import graft.bm25.BM25
+import graft.corpus.SourceFile
+import graft.postings.PostingsCodec
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import java.util.zip.CRC32
+import scala.collection.mutable
+
+/** Spark-native inverted-index builder (SURVEY.md §3.1 restated for Spark).
+  *
+  * Pipeline (3 shuffles total, tokenization happens exactly once):
+  *
+  *   1. `docs` stage — deterministic docIds: global
+  *      `repartitionByRange(repo, path, commit)` + within-partition sort,
+  *      then a per-partition-count offset pass assigns dense ascending ids
+  *      (the corpus-order contract that fixes the score tie-break, reference:
+  *      Search/HitQueue.cs:82-91). Written as the stored-fields table.
+  *
+  *   2. `flush` stage — ONE mapPartitions pass per docs split (≙ a
+  *      DocumentsWriterPerThread building an in-RAM segment, reference:
+  *      Index/DocumentsWriterPerThread.cs:290-368): analyze each doc,
+  *      accumulate term → (docIds, tfs, norms) in a hash (≙ TermsHash),
+  *      flush encoded posting blocks when the RAM budget trips (≙
+  *      FlushByRamOrCountsPolicy) and at end of partition. DocIds within a
+  *      split are ascending and splits own disjoint docId ranges, so
+  *      per-partition posting blocks for the same term are globally
+  *      mergeable BY CONCATENATION — the reference's SegmentMerger becomes a
+  *      logical no-op because blocks are self-contained. Doc-stat rows ride
+  *      along in the same output (union schema, partitioned by kind), so
+  *      tokenize cost is paid once.
+  *
+  *   3. `postings` stage — `repartitionByRange(term, firstDocId)` +
+  *      within-partition sort of the block rows, written term-sorted so
+  *      parquet min/max stats prune files/row-groups at query time (≙ the
+  *      BlockTree term index). Range-partitioning on the COMPOSITE key is
+  *      the hot-term skew defusal the north rule calls "salting": a Zipfian
+  *      term's blocks spread over many partitions, split at firstDocId
+  *      boundaries, no single reducer ever sees a whole hot list.
+  *
+  *   4. `term_dict` + `collection_stats` — tiny map-side-combined aggs over
+  *      block rows / doc stats.
+  *
+  * Every stage appends per-partition lineage rows to `manifest/` after its
+  * output is durably written (two-phase: data first, manifest last —
+  * ≙ segments_N commit, reference: Index/SegmentInfos.cs:49-69,146-147).
+  * `build(resume = true)` skips stages whose manifest rows exist, giving
+  * checkpoint-resume at stage granularity with per-partition evidence.
+  */
+object IndexBuilder {
+
+  /** Max buffered postings per flush segment inside one task (≙ the 16 MB
+    * DWPT RAM budget, reference: Index/IndexWriterConfig.cs:93 — postings
+    * dominate DWPT RAM; 2M entries ≈ 16-48 MB). */
+  val FlushPostingsBudget: Int = 2 * 1000 * 1000
+
+  // ---------------------------------------------------------------- stages
+
+  def stageDone(spark: SparkSession, dir: String, stage: String): Boolean = {
+    val manifestPath = new org.apache.hadoop.fs.Path(IndexPaths.manifest(dir))
+    val fs = manifestPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(manifestPath)) return false
+    import spark.implicits._
+    spark.read.parquet(IndexPaths.manifest(dir))
+      .where($"stage" === stage).limit(1).count() > 0
+  }
+
+  private def commitStage(spark: SparkSession, dir: String, rows: Seq[ManifestRow]): Unit = {
+    import spark.implicits._
+    spark.createDataset(rows).repartition(1).write.mode(SaveMode.Append)
+      .parquet(IndexPaths.manifest(dir))
+  }
+
+  /** Stage 1: deterministic docIds + stored-fields table. */
+  def buildDocs(spark: SparkSession, corpus: Dataset[SourceFile], dir: String,
+                numPartitions: Int): Unit = {
+    import spark.implicits._
+    val sorted = corpus
+      .repartitionByRange(numPartitions, $"repo", $"path", $"commit")
+      .sortWithinPartitions($"repo", $"path", $"commit")
+    // zipWithIndex: one light count job + one map pass; the RDD hop is the
+    // documented Dataset gap (SURVEY.md §7 "no RDD unless forced").
+    val withIds = sorted.rdd.zipWithIndex()
+    val docs = spark.createDataset(withIds.map { case (f, id) =>
+      DocRow(id, f.repo, f.path, f.commit, f.lang, f.content, f.sha256)
+    })
+    docs.write.mode(SaveMode.Overwrite).parquet(IndexPaths.docs(dir))
+    val stats = spark.read.parquet(IndexPaths.docs(dir))
+      .groupBy(spark_partition_id().as("pid"))
+      .agg(count("*").as("rows"), sum(length($"content")).as("bytes"))
+      .collect()
+    val now = System.currentTimeMillis()
+    commitStage(spark, dir, stats.map(r => ManifestRow("docs", r.getInt(0),
+      null, null, r.getLong(1), r.getLong(1), r.getLong(2), 0L, now)).toSeq)
+  }
+
+  /** Stage 2: the tokenize-once segment flush (postings blocks + docstats). */
+  def buildFlush(spark: SparkSession, dir: String): Unit = {
+    import spark.implicits._
+    val docs = spark.read.parquet(IndexPaths.docs(dir)).as[DocRow]
+    val flush = docs.mapPartitions { it =>
+      val segId = TaskContext.getPartitionId()
+      new FlushIterator(it, segId)
+    }
+    flush.write.mode(SaveMode.Overwrite).partitionBy("kind")
+      .parquet(IndexPaths.flush(dir))
+    val f = spark.read.parquet(IndexPaths.flush(dir))
+    val tStats = f.where($"kind" === "t").groupBy($"segId")
+      .agg(min($"term").as("tmin"), max($"term").as("tmax"),
+        sum($"numDocs").as("docCount"), count("*").as("rows"),
+        sum(length($"bytes")).as("bytes"), sum(crc32(col("bytes"))).as("crc"))
+      .collect()
+    val now = System.currentTimeMillis()
+    commitStage(spark, dir, tStats.map(r => ManifestRow("flush", r.getInt(0),
+      r.getString(1), r.getString(2), r.getLong(3), r.getLong(4), r.getLong(5),
+      r.getLong(6), now)).toSeq)
+  }
+
+  /** Stage 3: global term-sorted postings table (the "merge"). */
+  def buildPostings(spark: SparkSession, dir: String, numPartitions: Int): Unit = {
+    import spark.implicits._
+    val blocks = spark.read.parquet(IndexPaths.flush(dir))
+      .where($"kind" === "t")
+      .select($"term", $"firstDocId", $"lastDocId", $"numDocs", $"maxTf",
+        $"maxNorm", $"sumTf", $"segId", $"bytes").as[PostingRow]
+    blocks
+      .repartitionByRange(numPartitions, $"term", $"firstDocId")
+      .sortWithinPartitions($"term", $"firstDocId")
+      .write.mode(SaveMode.Overwrite).parquet(IndexPaths.postings(dir))
+    val p = spark.read.parquet(IndexPaths.postings(dir))
+    val stats = p.groupBy(spark_partition_id().as("pid"))
+      .agg(min($"term").as("tmin"), max($"term").as("tmax"),
+        sum($"numDocs").as("docCount"), count("*").as("rows"),
+        sum(length($"bytes")).as("bytes"), sum(crc32(col("bytes"))).as("crc"))
+      .collect()
+    val now = System.currentTimeMillis()
+    commitStage(spark, dir, stats.map(r => ManifestRow("postings", r.getInt(0),
+      r.getString(1), r.getString(2), r.getLong(3), r.getLong(4), r.getLong(5),
+      r.getLong(6), now)).toSeq)
+  }
+
+  /** Stage 4: docstats + term_dict + collection_stats. */
+  def buildStats(spark: SparkSession, dir: String, numPartitions: Int): Unit = {
+    import spark.implicits._
+    val ds = spark.read.parquet(IndexPaths.flush(dir)).where($"kind" === "d")
+      .select($"docId", $"repo", $"path", $"commit", $"lang", $"sha256",
+        $"tokenCount", $"norm").as[DocStatRow]
+    ds.repartitionByRange(numPartitions, $"docId").sortWithinPartitions($"docId")
+      .write.mode(SaveMode.Overwrite).parquet(IndexPaths.docstats(dir))
+
+    val dict = spark.read.parquet(IndexPaths.postings(dir))
+      .groupBy($"term")
+      .agg(sum($"numDocs").as("df"), sum($"sumTf").as("totalTf"),
+        max($"maxTf").as("maxTf"), max($"maxNorm").as("maxNorm"))
+      .repartitionByRange(math.max(1, numPartitions / 8), $"term")
+      .sortWithinPartitions($"term")
+    dict.write.mode(SaveMode.Overwrite).parquet(IndexPaths.termDict(dir))
+
+    val docAgg = spark.read.parquet(IndexPaths.docstats(dir))
+      .agg(count("*").as("maxDoc"), sum($"tokenCount").as("sumTtf")).collect()(0)
+    val dictAgg = spark.read.parquet(IndexPaths.termDict(dir))
+      .agg(coalesce(sum($"df"), lit(0L)).as("sumDocFreq")).collect()(0)
+    val cs = CollectionStatsRow(
+      maxDoc = docAgg.getLong(0),
+      docCount = docAgg.getLong(0),
+      sumTotalTermFreq = if (docAgg.isNullAt(1)) 0L else docAgg.getLong(1),
+      sumDocFreq = dictAgg.getLong(0))
+    spark.createDataset(Seq(cs)).repartition(1)
+      .write.mode(SaveMode.Overwrite).parquet(IndexPaths.collectionStats(dir))
+    val now = System.currentTimeMillis()
+    commitStage(spark, dir, Seq(ManifestRow("stats", 0, null, null,
+      cs.maxDoc, cs.maxDoc, 0L, 0L, now)))
+  }
+
+  /** Full build. `resume = true` skips stages already committed to the
+    * manifest (kill the job at any point; re-running completes the rest —
+    * the segments_N checkpoint contract). */
+  def build(spark: SparkSession, corpus: Dataset[SourceFile], dir: String,
+            numPartitions: Int = 32, resume: Boolean = false): Unit = {
+    if (!resume) {
+      val path = new org.apache.hadoop.fs.Path(dir)
+      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(path)) fs.delete(path, true)
+    }
+    if (!resume || !stageDone(spark, dir, "docs"))
+      buildDocs(spark, corpus, dir, numPartitions)
+    if (!resume || !stageDone(spark, dir, "flush"))
+      buildFlush(spark, dir)
+    if (!resume || !stageDone(spark, dir, "postings"))
+      buildPostings(spark, dir, numPartitions)
+    if (!resume || !stageDone(spark, dir, "stats"))
+      buildStats(spark, dir, numPartitions)
+  }
+}
+
+/** The per-partition segment builder: streaming DWPT analog. Consumes
+  * docId-ascending rows, maintains term → postings buffers, emits FlushRow
+  * blocks on budget trips and at exhaustion; doc-stat rows are emitted
+  * inline as soon as each doc is analyzed. */
+private final class FlushIterator(docs: Iterator[DocRow], segId: Int)
+    extends Iterator[FlushRow] {
+
+  private final class Buf {
+    val docIds = new mutable.ArrayBuffer[Long](4)
+    val tfs = new mutable.ArrayBuffer[Int](4)
+    val norms = new mutable.ArrayBuffer[Int](4)
+  }
+
+  private val terms = mutable.HashMap.empty[String, Buf]
+  private var nBuffered = 0
+  private val out = mutable.Queue.empty[FlushRow]
+
+  private def emptyT = FlushRow("t", null, -1L, -1L, -1, -1, -1, -1L, segId,
+    null, -1L, null, null, null, null, null, -1, -1)
+  private def emptyD = FlushRow("d", null, -1L, -1L, -1, -1, -1, -1L, segId,
+    null, -1L, null, null, null, null, null, -1, -1)
+
+  private def flushSegment(): Unit = {
+    // deterministic term order (≙ TermsHashPerField.SortPostings, reference:
+    // Index/TermsHashPerField.cs:125)
+    val sortedTerms = terms.keys.toArray
+    java.util.Arrays.sort(sortedTerms, Ordering[String])
+    sortedTerms.foreach { t =>
+      val b = terms(t)
+      val tfArr = b.tfs.toArray
+      val blocks = PostingsCodec.encodeBlocks(b.docIds.toArray, tfArr, b.norms.toArray)
+      var off = 0
+      blocks.foreach { blk =>
+        var s = 0L
+        var i = 0
+        while (i < blk.numDocs) { s += tfArr(off + i); i += 1 }
+        out.enqueue(emptyT.copy(term = t, firstDocId = blk.firstDocId,
+          lastDocId = blk.lastDocId, numDocs = blk.numDocs, maxTf = blk.maxTf,
+          maxNorm = blk.maxNorm, sumTf = s, bytes = blk.bytes))
+        off += blk.numDocs
+      }
+    }
+    terms.clear()
+    nBuffered = 0
+  }
+
+  private val analyzerCache = mutable.HashMap.empty[String, Analyzer]
+
+  private def analyzeDoc(d: DocRow): Unit = {
+    val analyzer = analyzerCache.getOrElseUpdate(d.lang, Analyzer.forLang(d.lang))
+    val analyzed = analyzer.analyze(d.content)
+    val dl = analyzed.bm25DocLen
+    val normByte = BM25.encodeNorm(dl) & 0xff
+    // per-doc tf accumulation (≙ FreqProxTermsWriterPerField NewTerm/AddTerm)
+    val tfMap = mutable.HashMap.empty[String, Int]
+    analyzed.tokens.foreach(t => tfMap.update(t.term, tfMap.getOrElse(t.term, 0) + 1))
+    tfMap.foreach { case (term, tf) =>
+      val buf = terms.getOrElseUpdate(term, new Buf)
+      buf.docIds += d.docId; buf.tfs += tf; buf.norms += normByte
+      nBuffered += 1
+    }
+    out.enqueue(emptyD.copy(docId = d.docId, repo = d.repo, path = d.path,
+      commit = d.commit, lang = d.lang, sha256 = d.sha256,
+      tokenCount = dl, norm = normByte))
+    if (nBuffered >= IndexBuilder.FlushPostingsBudget) flushSegment()
+  }
+
+  override def hasNext: Boolean = {
+    while (out.isEmpty && docs.hasNext) analyzeDoc(docs.next())
+    if (out.isEmpty && terms.nonEmpty) flushSegment()
+    out.nonEmpty
+  }
+
+  override def next(): FlushRow = {
+    if (!hasNext) throw new NoSuchElementException
+    out.dequeue()
+  }
+}

@@ -1,0 +1,99 @@
+package graft.build
+
+/** Schemas of the five index tables (SURVEY.md §7 step 3).
+  * An index directory contains:
+  *   docs/              docId-ordered stored fields (≙ the reference's
+  *                      compressed row store, Codecs/Compressing)
+  *   docstats/          per-doc stats sidecar (norm byte ≙ .nvd/.nvm)
+  *   postings/          term-sorted posting blocks (≙ .doc, Lucene41)
+  *   term_dict/         per-term stats (≙ BlockTree .tim/.tip)
+  *   collection_stats/  one row (≙ per-segment FieldInfos/stats)
+  *   manifest/          per-stage, per-partition lineage rows (≙ segments_N,
+  *                      reference: Index/SegmentInfos.cs:49-69)
+  */
+final case class DocRow(
+    docId: Long,
+    repo: String,
+    path: String,
+    commit: String,
+    lang: String,
+    content: String,
+    sha256: String)
+
+final case class DocStatRow(
+    docId: Long,
+    repo: String,
+    path: String,
+    commit: String,
+    lang: String,
+    sha256: String,
+    tokenCount: Int, // BM25 doc length (post-stop tokens, = Length - NumOverlap)
+    norm: Int)       // unsigned byte315(1/sqrt(tokenCount)), 0..255
+
+final case class PostingRow(
+    term: String,
+    firstDocId: Long,
+    lastDocId: Long,
+    numDocs: Int,
+    maxTf: Int,
+    maxNorm: Int, // unsigned; cache[maxNorm] = min cache entry in block
+    sumTf: Long,
+    segId: Int,   // build partition that produced the block (lineage)
+    bytes: Array[Byte])
+
+/** Union row emitted by the single tokenize pass (segment flush): kind 't'
+  * carries a posting block, kind 'd' a doc-stat row. Written once,
+  * partitioned by kind — one tokenize pass feeds both tables. */
+final case class FlushRow(
+    kind: String,
+    term: String,
+    firstDocId: Long,
+    lastDocId: Long,
+    numDocs: Int,
+    maxTf: Int,
+    maxNorm: Int,
+    sumTf: Long,
+    segId: Int,
+    bytes: Array[Byte],
+    docId: Long,
+    repo: String,
+    path: String,
+    commit: String,
+    lang: String,
+    sha256: String,
+    tokenCount: Int,
+    norm: Int)
+
+final case class TermDictRow(
+    term: String,
+    df: Long,
+    totalTf: Long,
+    maxTf: Int,
+    maxNorm: Int) // term-level score upper-bound inputs for WAND
+
+final case class CollectionStatsRow(
+    maxDoc: Long,
+    docCount: Long,
+    sumTotalTermFreq: Long,
+    sumDocFreq: Long)
+
+final case class ManifestRow(
+    stage: String,
+    partitionId: Int,
+    termMin: String,
+    termMax: String,
+    docCount: Long,
+    rows: Long,
+    bytes: Long,
+    checksum: Long, // order-independent sum of per-row crc32s
+    committedAtMs: Long)
+
+object IndexPaths {
+  def docs(dir: String) = s"$dir/docs"
+  def flush(dir: String) = s"$dir/flush"
+  def postings(dir: String) = s"$dir/postings"
+  def docstats(dir: String) = s"$dir/docstats"
+  def termDict(dir: String) = s"$dir/term_dict"
+  def collectionStats(dir: String) = s"$dir/collection_stats"
+  def manifest(dir: String) = s"$dir/manifest"
+}

@@ -3,14 +3,21 @@ package graft.postings
 import java.io.ByteArrayOutputStream
 import scala.collection.mutable.ArrayBuffer
 
-/** One encoded posting block: up to 128 (docId, tf) pairs, self-contained
-  * (decodes independently of sibling blocks — unlike the reference's
-  * file-sequential format, so Spark partitions/tasks can decode any block
-  * without neighbors). The per-block metadata doubles as block-max WAND
-  * data (maxTf) and as a skip structure (firstDocId/lastDocId prune blocks
+/** One encoded posting block: up to 128 (docId, tf, normByte) triples,
+  * self-contained (decodes independently of sibling blocks — unlike the
+  * reference's file-sequential format, so Spark partitions/tasks can decode
+  * any block without its neighbors). The per-block metadata doubles as
+  * block-max WAND data (maxTf + maxNorm bound the block's best BM25
+  * contribution) and as a skip structure (firstDocId/lastDocId prune blocks
   * in doc-range intersections) — replacing the reference's multi-level skip
   * lists (reference: /root/reference/src/Lucene.Net/Codecs/Lucene41/
   * Lucene41SkipWriter.cs:25-42).
+  *
+  * The norm byte is denormalized into each posting (the reference reads it
+  * from a per-doc sidecar at score time — NormsConsumerPerField.cs); paying
+  * ~1 packed byte per posting at build removes the docId join against the
+  * doc-stats table from the query path entirely, which at 10^12 docs is the
+  * difference between a map-only scoring scan and a giant shuffle.
   */
 final case class EncodedBlock(
     blockId: Int,
@@ -18,6 +25,7 @@ final case class EncodedBlock(
     firstDocId: Long,
     lastDocId: Long,
     maxTf: Int,
+    maxNorm: Int, // unsigned byte value 0..255 with the highest NORM_TABLE rank
     bytes: Array[Byte])
 
 /** Posting-list block codec following the reference's Lucene41 scheme
@@ -26,11 +34,11 @@ final case class EncodedBlock(
   *
   *  - full blocks of 128 postings: doc-gap deltas FOR-bit-packed (bit width
   *    = width of the block max; all-equal block → width marker + one VLong,
-  *    the ForUtil all-same special case at ForUtil.cs:35), then tfs packed
-  *    the same way;
+  *    the ForUtil all-same special case at ForUtil.cs:35), then tfs, then
+  *    norm bytes packed the same way;
   *  - tail (<128 postings): VLong-encoded with freq folding —
   *    `(delta<<1)|1` when tf==1 else `delta<<1` followed by VInt(tf)
-  *    (Lucene41PostingsWriter.cs:474-483).
+  *    (Lucene41PostingsWriter.cs:474-483) — then one raw norm byte each.
   *
   * DocIds are Long (the reference is int32-bound per segment; at 10^12 docs
   * a 64-bit doc space is required).
@@ -132,10 +140,11 @@ object PostingsCodec {
     out
   }
 
-  /** Encode one term's postings (docIds strictly ascending, tfs >= 1)
-    * into independent blocks. */
-  def encodeBlocks(docIds: Array[Long], tfs: Array[Int]): Seq[EncodedBlock] = {
-    require(docIds.length == tfs.length, "docIds/tfs length mismatch")
+  /** Encode one term's postings (docIds strictly ascending, tfs >= 1,
+    * norms unsigned byte values 0..255) into independent blocks. */
+  def encodeBlocks(docIds: Array[Long], tfs: Array[Int], norms: Array[Int]): Seq[EncodedBlock] = {
+    require(docIds.length == tfs.length && docIds.length == norms.length,
+      "docIds/tfs/norms length mismatch")
     val blocks = new ArrayBuffer[EncodedBlock]()
     var start = 0
     var blockId = 0
@@ -144,6 +153,7 @@ object PostingsCodec {
       val first = docIds(start)
       val last = docIds(start + len - 1)
       var maxTf = 0
+      var maxNorm = 0
       val gaps = new Array[Long](len)
       var prev = first
       var i = 0
@@ -152,6 +162,7 @@ object PostingsCodec {
         gaps(i) = d - prev
         prev = d
         if (tfs(start + i) > maxTf) maxTf = tfs(start + i)
+        if (norms(start + i) > maxNorm) maxNorm = norms(start + i)
         i += 1
       }
       val out = new ByteArrayOutputStream(len * 2)
@@ -162,6 +173,7 @@ object PostingsCodec {
         // all-equal 0-bit case.
         packFor(out, gaps.drop(1))
         packFor(out, Array.tabulate(len)(j => tfs(start + j).toLong))
+        packFor(out, Array.tabulate(len)(j => norms(start + j).toLong))
       } else {
         out.write(KindVInt.toInt)
         var j = 0
@@ -169,31 +181,36 @@ object PostingsCodec {
           val tf = tfs(start + j)
           if (tf == 1) writeVLong(out, (gaps(j) << 1) | 1)
           else { writeVLong(out, gaps(j) << 1); writeVLong(out, tf.toLong) }
+          out.write(norms(start + j))
           j += 1
         }
       }
-      blocks += EncodedBlock(blockId, len, first, last, maxTf, out.toByteArray)
+      blocks += EncodedBlock(blockId, len, first, last, maxTf, maxNorm, out.toByteArray)
       start += len
       blockId += 1
     }
     blocks.toSeq
   }
 
-  /** Decode a block back to (docIds, tfs). */
-  def decodeBlock(firstDocId: Long, numDocs: Int, bytes: Array[Byte]): (Array[Long], Array[Int]) = {
+  /** Decode a block back to (docIds, tfs, norms). */
+  def decodeBlock(firstDocId: Long, numDocs: Int, bytes: Array[Byte])
+      : (Array[Long], Array[Int], Array[Int]) = {
     val r = new Reader(bytes)
     val kind = r.readByte()
     val docIds = new Array[Long](numDocs)
     val tfs = new Array[Int](numDocs)
+    val norms = new Array[Int](numDocs)
     if (kind == KindFor) {
       val gaps = unpackFor(r, numDocs - 1)
       val tfl = unpackFor(r, numDocs)
+      val nrm = unpackFor(r, numDocs)
       var prev = firstDocId
       var i = 0
       while (i < numDocs) {
         if (i > 0) prev += gaps(i - 1)
         docIds(i) = prev
         tfs(i) = tfl(i).toInt
+        norms(i) = nrm(i).toInt
         i += 1
       }
     } else {
@@ -204,9 +221,10 @@ object PostingsCodec {
         prev += code >>> 1
         docIds(i) = prev
         tfs(i) = if ((code & 1) == 1) 1 else r.readVLong().toInt
+        norms(i) = r.readByte()
         i += 1
       }
     }
-    (docIds, tfs)
+    (docIds, tfs, norms)
   }
 }

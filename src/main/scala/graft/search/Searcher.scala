@@ -1,0 +1,315 @@
+package graft.search
+
+import graft.bm25.BM25
+import graft.build.{CollectionStatsRow, IndexPaths, PostingRow, TermDictRow}
+import graft.postings.PostingsCodec
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Point-in-time view over the index tables (≙ IndexReader/MultiFields,
+  * reference: /root/reference/src/Lucene.Net/Index/IndexReader.cs). Pulls
+  * global statistics once per query, like CreateNormalizedWeight
+  * (IndexSearcher.cs:720-732). */
+final class IndexReader(val spark: SparkSession, val dir: String) extends Serializable {
+  import spark.implicits._
+
+  lazy val collectionStats: CollectionStatsRow =
+    spark.read.parquet(IndexPaths.collectionStats(dir)).as[CollectionStatsRow].head()
+
+  def postings: DataFrame = spark.read.parquet(IndexPaths.postings(dir))
+  def docstats: DataFrame = spark.read.parquet(IndexPaths.docstats(dir))
+  def termDict: DataFrame = spark.read.parquet(IndexPaths.termDict(dir))
+
+  /** Stats pull for query terms — one tiny dictionary lookup job,
+    * parquet-pruned by the sorted term column (≙ the FST term-index seek,
+    * reference: Codecs/BlockTreeTermsReader.cs). */
+  def termStats(terms: Seq[String]): Map[String, TermDictRow] =
+    if (terms.isEmpty) Map.empty
+    else termDict.where($"term".isin(terms.distinct: _*)).as[TermDictRow]
+      .collect().map(t => t.term -> t).toMap
+
+  /** Term-dictionary expansion for multi-term queries (MultiTermQuery
+    * rewrite, reference: Search/MultiTermQuery.cs:69-160). Throws past
+    * maxExpansions (≙ BooleanQuery.MaxClauseCount, BooleanQuery.cs:71). */
+  def expandTerms(pred: org.apache.spark.sql.Column, maxExpansions: Int = 1024): Seq[String] = {
+    val ts = termDict.where(pred).select($"term").as[String]
+      .limit(maxExpansions + 1).collect()
+    require(ts.length <= maxExpansions,
+      s"multi-term query expands to more than $maxExpansions terms")
+    ts.toSeq
+  }
+}
+
+private final case class ClauseHit(docId: Long, idx: Int, score: Float)
+
+/** BM25 top-k search over the index tables (≙ IndexSearcher, reference:
+  * Search/IndexSearcher.cs:282-500, restated in SURVEY.md §3.2).
+  *
+  * Physical shape per query:
+  *   - dictionary stats lookup (tiny job) → weights computed driver-side;
+  *   - postings scan filtered to the query terms (parquet min/max pruning
+  *     on the sorted term column), block decode behind block-max WAND
+  *     pruning (public literature: Broder et al.; Ding & Suel BMW — the
+  *     reference predates WAND, SURVEY.md §2.4 note);
+  *   - conjunction candidates pre-pruned by the rarest term's block
+  *     intervals (≙ leapfrog skipping, ConjunctionScorer.cs:84-124);
+  *   - per-partition bounded HitQueue heaps merged through a typed
+  *     Aggregator (map-side partial heaps + one merge ≙ TopDocs.Merge).
+  *
+  * Float determinism: clause scores are summed in clause-declaration order
+  * per doc (the reference's in-order sum, DisjunctionSumScorer.cs:59-85);
+  * coord = queryNorm = 1 under BM25 (Similarity.cs:122-143).
+  */
+final class Searcher(reader: IndexReader, pruneMinBlocks: Int = 64) extends Serializable {
+  private val spark = reader.spark
+  import spark.implicits._
+
+  private lazy val cs = reader.collectionStats
+  private lazy val cache: Array[Float] =
+    BM25.normCache(BM25.avgFieldLength(cs.sumTotalTermFreq, cs.maxDoc))
+
+  // ------------------------------------------------------------- rewrite
+
+  /** Fixpoint rewrite (≙ IndexSearcher.Rewrite, :667-670): multi-term
+    * expansion + boolean simplification. */
+  def rewrite(q: Query): Query = q match {
+    case PrefixQ(p, b) =>
+      orOf(reader.expandTerms($"term".startsWith(p)), b)
+    case WildcardQ(pat, b) =>
+      val rx = "^" + pat.flatMap {
+        case '*' => ".*"
+        case '?' => "."
+        case c if "\\.[]{}()+-^$|".contains(c) => "\\" + c
+        case c => c.toString
+      } + "$"
+      orOf(reader.expandTerms($"term".rlike(rx)), b)
+    case RegexpQ(rx, b) =>
+      orOf(reader.expandTerms($"term".rlike("^(?:" + rx + ")$")), b)
+    case FuzzyQ(t, maxEdits, b) =>
+      orOf(reader.expandTerms(levenshtein($"term", lit(t)) <= maxEdits &&
+        abs(length($"term") - lit(t.length)) <= maxEdits), b)
+    case TermRangeQ(lo, hi, inclLo, inclHi, b) =>
+      val loP = if (lo == null) lit(true) else if (inclLo) $"term" >= lo else $"term" > lo
+      val hiP = if (hi == null) lit(true) else if (inclHi) $"term" <= hi else $"term" < hi
+      orOf(reader.expandTerms(loP && hiP), b)
+    case BoolQ(Seq(single), Nil, Nil, _, boost) if boost == 1f => rewrite(single)
+    case bq: BoolQ => bq.copy(must = bq.must.map(rewrite),
+      should = bq.should.map(rewrite), mustNot = bq.mustNot.map(rewrite))
+    case ConstantScoreQ(sub, b) => ConstantScoreQ(rewrite(sub), b)
+    case DisMaxQ(qs, tb) => DisMaxQ(qs.map(rewrite), tb)
+    case other => other
+  }
+
+  private def orOf(terms: Seq[String], boost: Float): Query = terms match {
+    case Seq() => BoolQ() // matches nothing
+    case Seq(one) => TermQ(one, boost)
+    case many => BoolQ(should = many.map(TermQ(_)), boost = boost)
+  }
+
+  // ------------------------------------------------------------- scoring
+
+  /** Full scored Dataset for a query — the composable scorer tree. Exact
+    * scores, no pruning (also the brute-force oracle path for tests). */
+  def scored(q: Query): Dataset[ScoreDoc] = rewrite(q) match {
+    case TermQ(t, boost) =>
+      scoredTerms(Seq(t -> boost), theta = 0f).map(h => ScoreDoc(h.docId, h.score))
+    case MatchAllQ(boost) =>
+      reader.docstats.select($"docId").as[Long].map(ScoreDoc(_, boost))
+    case ConstantScoreQ(sub, boost) =>
+      scored(sub).map(sd => ScoreDoc(sd.docId, boost))
+    case dm @ DisMaxQ(qs, tieBreak) =>
+      val hits = unionClauses(qs)
+      hits.groupByKey(_.docId).mapGroups { (docId, it) =>
+        var max = Float.NegativeInfinity
+        var sum = 0f
+        it.foreach { h => sum += h.score; if (h.score > max) max = h.score }
+        ScoreDoc(docId, max + tieBreak * (sum - max))
+      }
+    case bq: BoolQ => scoredBool(bq)
+    case p: PhraseQ =>
+      throw new UnsupportedOperationException(
+        "PhraseQ requires a positions-enabled index (post-MVP, SURVEY.md §2.3)")
+    case other => throw new IllegalStateException(s"unrewritten query: $other")
+  }
+
+  private def unionClauses(qs: Seq[Query]): Dataset[ClauseHit] = {
+    // batch TermQ leaves into ONE postings scan; recurse for the rest
+    val indexed = qs.zipWithIndex
+    val termLeaves = indexed.collect { case (TermQ(t, b), i) => (t, b, i) }
+    val complex = indexed.filterNot(_._1.isInstanceOf[TermQ])
+    val parts =
+      (if (termLeaves.nonEmpty)
+        Seq(scoredTermsIndexed(termLeaves.map(t => (t._1, t._2, t._3))))
+      else Nil) ++
+      complex.map { case (q, i) =>
+        scored(q).map(sd => ClauseHit(sd.docId, i, sd.score))
+      }
+    if (parts.isEmpty) spark.emptyDataset[ClauseHit]
+    else parts.reduce(_ union _)
+  }
+
+  /** Boolean composition: one shuffle by docId; musts enforced by presence
+    * bitmask, minShouldMatch by count, score = in-clause-order float sum
+    * (BooleanScorer2 semantics under BM25). */
+  private def scoredBool(q: BoolQ): Dataset[ScoreDoc] = {
+    val scoring = q.must ++ q.should
+    if (scoring.isEmpty) return spark.emptyDataset[ScoreDoc]
+    val nMust = q.must.size
+    val n = scoring.size
+    val msm = math.max(q.minShouldMatch, if (nMust == 0) 1 else 0)
+    val boost = q.boost
+    val hits = unionClauses(scoring)
+    val combined = hits.groupByKey(_.docId).flatMapGroups { (docId, it) =>
+      val scores = new Array[Float](n)
+      val present = new Array[Boolean](n)
+      it.foreach { h => scores(h.idx) = h.score; present(h.idx) = true }
+      var mustOk = true
+      var i = 0
+      while (i < nMust) { if (!present(i)) mustOk = false; i += 1 }
+      var shouldCount = 0
+      i = nMust
+      while (i < n) { if (present(i)) shouldCount += 1; i += 1 }
+      if (mustOk && shouldCount >= msm) {
+        var sum = 0f // fixed clause order — float-exact vs the reference
+        i = 0
+        while (i < n) { if (present(i)) sum += scores(i); i += 1 }
+        Iterator.single(ScoreDoc(docId, sum * boost))
+      } else Iterator.empty
+    }
+    if (q.mustNot.isEmpty) combined
+    else {
+      val excluded = q.mustNot.map(mq => scored(mq).map(_.docId))
+        .reduce(_ union _).distinct().toDF("docId_ex")
+      // ReqExclScorer ≙ anti-join (reference: ReqExclScorer.cs)
+      combined.join(excluded, combined("docId") === excluded("docId_ex"), "left_anti")
+        .as[ScoreDoc]
+    }
+  }
+
+  // ---------------------------------------------------- term-leaf scanning
+
+  /** Score a batch of terms in one postings scan. `theta` is the block-max
+    * WAND threshold: blocks whose own upper bound plus every OTHER term's
+    * whole-list upper bound stays below theta cannot contain a top-k doc
+    * and are skipped before decoding. */
+  private def scoredTerms(terms: Seq[(String, Float)], theta: Float): Dataset[ClauseHit] =
+    scoredTermsIndexed(terms.zipWithIndex.map { case ((t, b), i) => (t, b, i) }, theta)
+
+  private def scoredTermsIndexed(terms: Seq[(String, Float, Int)],
+                                 theta: Float = 0f): Dataset[ClauseHit] = {
+    if (terms.isEmpty) return spark.emptyDataset[ClauseHit]
+    val stats = reader.termStats(terms.map(_._1))
+    val live = terms.filter(t => stats.contains(t._1)) // df=0 → no hits, no NaN
+    if (live.isEmpty) return spark.emptyDataset[ClauseHit]
+    val weights: Map[String, (Float, Int)] = live.map { case (t, b, i) =>
+      t -> (BM25.weightValue(BM25.idf(stats(t).df, cs.maxDoc), b), i)
+    }.toMap
+    val termUB: Map[String, Float] = live.map { case (t, _, _) =>
+      val s = stats(t)
+      t -> BM25.blockMaxScore(s.maxTf, cache(s.maxNorm & 0xff), weights(t)._1)
+    }.toMap
+    val sumUB = termUB.values.sum
+    val localCache = cache
+    val rows = reader.postings.where($"term".isin(live.map(_._1).distinct: _*))
+      .select($"term", $"firstDocId", $"lastDocId", $"numDocs", $"maxTf",
+        $"maxNorm", $"sumTf", $"segId", $"bytes").as[PostingRow]
+    rows.mapPartitions { it =>
+      it.flatMap { r =>
+        val (w, idx) = weights(r.term)
+        val blockUB = BM25.blockMaxScore(r.maxTf, localCache(r.maxNorm & 0xff), w)
+        val othersUB = sumUB - termUB(r.term)
+        if (theta > 0f && blockUB + othersUB < theta) Iterator.empty
+        else {
+          val (docIds, tfs, norms) = PostingsCodec.decodeBlock(r.firstDocId, r.numDocs, r.bytes)
+          var i = 0
+          val out = new Array[ClauseHit](docIds.length)
+          while (i < docIds.length) {
+            out(i) = ClauseHit(docIds(i),
+              idx, BM25.score(tfs(i).toFloat, norms(i).toByte, w, localCache))
+            i += 1
+          }
+          out.iterator
+        }
+      }
+    }
+  }
+
+  // ------------------------------------------------------------- top-k
+
+  /** Top-k search: score desc, docId asc (≙ IndexSearcher.Search(q, n)). */
+  def search(q: Query, k: Int): Array[ScoreDoc] = searchAfter(null, q, k)
+
+  /** Pagination (≙ IndexSearcher.SearchAfter, reference:
+    * Search/IndexSearcher.cs:255-273): only hits strictly after `after` in
+    * (score desc, docId asc) order compete. */
+  def searchAfter(after: ScoreDoc, q: Query, k: Int): Array[ScoreDoc] = {
+    val rq = rewrite(q)
+    val base: Dataset[ScoreDoc] = rq match {
+      // WAND fast path: single term / pure disjunction of terms, msm<=1
+      case TermQ(t, b) =>
+        scoredTerms(Seq(t -> b), theta = bootstrapTheta(Seq(t -> b), k, after))
+          .map(h => ScoreDoc(h.docId, h.score))
+      case BoolQ(Nil, should, Nil, msm, boost)
+          if msm <= 1 && boost == 1f && should.forall(_.isInstanceOf[TermQ]) =>
+        val ts = should.map { case TermQ(t, b) => (t, b) }
+        val theta = bootstrapTheta(ts, k, after)
+        scoredTerms(ts, theta).groupByKey(_.docId).mapGroups { (docId, it) =>
+          val buf = it.toArray.sortBy(_.idx)
+          var sum = 0f
+          buf.foreach(h => sum += h.score)
+          ScoreDoc(docId, sum)
+        }
+      case other => scored(other)
+    }
+    val filtered = if (after == null) base else {
+      val aScore = after.score
+      val aDoc = after.docId
+      base.filter(sd => sd.score < aScore || (sd.score == aScore && sd.docId > aDoc))
+    }
+    val agg = new TopKAggregator(k).toColumn
+    filtered.select(agg).head()
+  }
+
+  /** Exact-but-cheap WAND threshold bootstrap: decode the single best block
+    * of the highest-upper-bound term; its hits' single-term scores are
+    * lower bounds of their true scores, so the kth best is a sound
+    * threshold. Returns 0 (no pruning) when the index is too small to
+    * bother. */
+  private def bootstrapTheta(terms: Seq[(String, Float)], k: Int,
+                             after: ScoreDoc): Float = {
+    if (after != null) return 0f // pagination: correctness over speed
+    val stats = reader.termStats(terms.map(_._1))
+    val live = terms.filter(t => stats.contains(t._1))
+    if (live.isEmpty) return 0f
+    val totalBlocks = live.map(t => (stats(t._1).df / PostingsCodec.BlockSize) + 1).sum
+    if (totalBlocks < pruneMinBlocks) return 0f // pruning overhead not worth it
+    val best = live.maxBy { case (t, b) =>
+      val s = stats(t)
+      BM25.blockMaxScore(s.maxTf, cache(s.maxNorm & 0xff),
+        BM25.weightValue(BM25.idf(s.df, cs.maxDoc), b))
+    }
+    val (t, b) = best
+    val w = BM25.weightValue(BM25.idf(stats(t).df, cs.maxDoc), b)
+    val localCache = cache
+    val bestBlock = reader.postings.where($"term" === t)
+      .select($"term", $"firstDocId", $"lastDocId", $"numDocs", $"maxTf",
+        $"maxNorm", $"sumTf", $"segId", $"bytes").as[PostingRow]
+      .map(r => (BM25.blockMaxScore(r.maxTf, localCache(r.maxNorm & 0xff), w), r))
+      .orderBy($"_1".desc).limit(1).collect()
+    if (bestBlock.isEmpty) return 0f
+    val r = bestBlock(0)._2
+    val (_, tfs, norms) = PostingsCodec.decodeBlock(r.firstDocId, r.numDocs, r.bytes)
+    val scores = Array.tabulate(tfs.length)(i =>
+      BM25.score(tfs(i).toFloat, norms(i).toByte, w, localCache))
+    if (scores.length < k) 0f
+    else {
+      java.util.Arrays.sort(scores)
+      scores(scores.length - k) // kth best single-term score
+    }
+  }
+
+  /** Brute-force oracle: full sort (Catalyst TakeOrderedAndProject) —
+    * correctness baseline for the heap/WAND path (SURVEY.md §5). */
+  def searchOracle(q: Query, k: Int): Array[ScoreDoc] =
+    scored(q).orderBy($"score".desc, $"docId".asc).limit(k).collect()
+}
