@@ -1,13 +1,24 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.ops.VerifyQueries
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  * The real library surface lives in graft.build (index builder),
+  * graft.search (BM25 engine), graft.ops (verification + pipeline ops). */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship: build the inverted index over the sf0.001 documents table
+    * and run a BM25 top-k term query through the engine. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    VerifyQueries.qTermTopk(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    VerifyQueries.queries
+
+  /** DuckDB-runnable oracle SQL per query (same tables, same column
+    * names); non-SQL-expressible ops are intentionally absent (driver
+    * falls back to a rows-only check). */
+  def oracleSql: Map[String, String] = VerifyQueries.oracles
 }

@@ -29,11 +29,12 @@ final case class AnalyzedDoc(tokens: Array[Token], length: Int, numOverlap: Int)
   * the default is the classic 33-word English list
   * (reference: Analysis/Core/StopAnalyzer.cs:48-51).
   */
-final class Analyzer(val stopWords: Set[String], val maxTokenLength: Int = 255)
+final class Analyzer(val stopWords: Set[String], val maxTokenLength: Int = 255,
+    val tokenizer: String => Array[RawToken] = UAX29Tokenizer.tokenize)
     extends Serializable {
 
   def analyze(text: String): AnalyzedDoc = {
-    val raw = UAX29Tokenizer.tokenize(text)
+    val raw = tokenizer(text)
     val out = new ArrayBuffer[Token](raw.length)
     var pos = -1
     var length = 0
@@ -81,6 +82,25 @@ object Analyzer {
     Map.empty.withDefaultValue(EnglishStopWords)
 
   def forLang(lang: String): Analyzer = new Analyzer(perLang(lang))
+
+  /** SQL-replicable tokenization: `[a-z0-9_]+` runs over the lowercased
+    * text — exactly `regexp_extract_all(lower(text), '[a-z0-9_]+')` in
+    * ANSI-ish SQL. Used for the driver's DuckDB-oracled queries, where the
+    * oracle must reproduce token boundaries; the UAX#29 analyzer remains
+    * the reference-parity default. */
+  object RegexTokenizer extends (String => Array[RawToken]) with Serializable {
+    private val pattern = java.util.regex.Pattern.compile("[a-z0-9_]+")
+    def apply(text: String): Array[RawToken] = {
+      val lowered = text.toLowerCase(java.util.Locale.ROOT)
+      val m = pattern.matcher(lowered)
+      val out = new scala.collection.mutable.ArrayBuffer[RawToken]()
+      while (m.find()) out += RawToken(m.group(), m.start(), m.end(), "<ALPHANUM>")
+      out.toArray
+    }
+  }
+
+  /** Analyzer for DuckDB-oracled queries: regex tokens, no stopwords. */
+  val sqlParity: Analyzer = new Analyzer(Set.empty, Int.MaxValue, RegexTokenizer)
 
   /** Per-codepoint Character.toLowerCase — reference LowerCaseFilter.cs:54. */
   def lowerCase(s: String): String = {

@@ -99,12 +99,13 @@ object IndexBuilder {
   }
 
   /** Stage 2: the tokenize-once segment flush (postings blocks + docstats). */
-  def buildFlush(spark: SparkSession, dir: String): Unit = {
+  def buildFlush(spark: SparkSession, dir: String,
+                 analyzerFor: String => Analyzer = Analyzer.forLang): Unit = {
     import spark.implicits._
     val docs = spark.read.parquet(IndexPaths.docs(dir)).as[DocRow]
     val flush = docs.mapPartitions { it =>
       val segId = TaskContext.getPartitionId()
-      new FlushIterator(it, segId)
+      new FlushIterator(it, segId, analyzerFor)
     }
     flush.write.mode(SaveMode.Overwrite).partitionBy("kind")
       .parquet(IndexPaths.flush(dir))
@@ -180,7 +181,8 @@ object IndexBuilder {
     * manifest (kill the job at any point; re-running completes the rest —
     * the segments_N checkpoint contract). */
   def build(spark: SparkSession, corpus: Dataset[SourceFile], dir: String,
-            numPartitions: Int = 32, resume: Boolean = false): Unit = {
+            numPartitions: Int = 32, resume: Boolean = false,
+            analyzerFor: String => Analyzer = Analyzer.forLang): Unit = {
     if (!resume) {
       val path = new org.apache.hadoop.fs.Path(dir)
       val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -189,7 +191,7 @@ object IndexBuilder {
     if (!resume || !stageDone(spark, dir, "docs"))
       buildDocs(spark, corpus, dir, numPartitions)
     if (!resume || !stageDone(spark, dir, "flush"))
-      buildFlush(spark, dir)
+      buildFlush(spark, dir, analyzerFor)
     if (!resume || !stageDone(spark, dir, "postings"))
       buildPostings(spark, dir, numPartitions)
     if (!resume || !stageDone(spark, dir, "stats"))
@@ -201,8 +203,8 @@ object IndexBuilder {
   * docId-ascending rows, maintains term → postings buffers, emits FlushRow
   * blocks on budget trips and at exhaustion; doc-stat rows are emitted
   * inline as soon as each doc is analyzed. */
-private final class FlushIterator(docs: Iterator[DocRow], segId: Int)
-    extends Iterator[FlushRow] {
+private final class FlushIterator(docs: Iterator[DocRow], segId: Int,
+    analyzerFor: String => Analyzer) extends Iterator[FlushRow] {
 
   private final class Buf {
     val docIds = new mutable.ArrayBuffer[Long](4)
@@ -244,9 +246,18 @@ private final class FlushIterator(docs: Iterator[DocRow], segId: Int)
   }
 
   private val analyzerCache = mutable.HashMap.empty[String, Analyzer]
+  private var lastDocId = Long.MinValue
 
   private def analyzeDoc(d: DocRow): Unit = {
-    val analyzer = analyzerCache.getOrElseUpdate(d.lang, Analyzer.forLang(d.lang))
+    // One read split may pack several parquet files (Spark coalesces small
+    // files); each file is docId-ascending but the concatenation may jump
+    // backward at a file boundary. Posting buffers require ascending
+    // docIds, so cut a segment at every regression — blocks stay
+    // self-contained and disjoint, so downstream merge-by-concat still
+    // holds (mirrors a DWPT flush on the reference's doc-order contract).
+    if (d.docId <= lastDocId && terms.nonEmpty) flushSegment()
+    lastDocId = d.docId
+    val analyzer = analyzerCache.getOrElseUpdate(d.lang, analyzerFor(d.lang))
     val analyzed = analyzer.analyze(d.content)
     val dl = analyzed.bm25DocLen
     val normByte = BM25.encodeNorm(dl) & 0xff

@@ -1,0 +1,138 @@
+package graft.ops
+
+import graft.analysis.Analyzer
+import graft.build.{IndexBuilder, IndexPaths, PostingRow, CollectionStatsRow}
+import graft.corpus.SourceFile
+import graft.postings.PostingsCodec
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Engine index over the driver's `documents` testdata table, used by the
+  * DuckDB-oracled verification queries.
+  *
+  * The documents table is mapped into the corpus shape with
+  * `path = zero-padded doc_id`, so the engine's deterministic docId
+  * assignment (global sort by repo/path/commit) reproduces `doc_id`
+  * exactly — query outputs expose original ids without a join.
+  *
+  * Tokenization for these queries is the SQL-replicable regex analyzer
+  * (Analyzer.sqlParity): `regexp_extract_all(lower(text), '[a-z0-9_]+')`
+  * on both sides. Scoring for oracle parity is double-precision BM25 over
+  * exact doc lengths (the float/byte315 reference path is covered by the
+  * ScalaTest goldens instead, where bit-exactness is asserted against
+  * closed-form math).
+  */
+object DocIndex {
+  /** bump when the on-disk index format changes (invalidates caches) */
+  private val FormatVersion = 3
+
+  private def cacheDir(sfDir: String): String = {
+    val key = sfDir.replaceAll("[^a-zA-Z0-9.]", "_")
+    s"/tmp/graft-index-v$FormatVersion-$key"
+  }
+
+  def documentsAsCorpus(spark: SparkSession, sfDir: String) = {
+    import spark.implicits._
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(
+        lit("c").as("repo"),
+        format_string("%010d", $"doc_id").as("path"),
+        lit("0" * 40).as("commit"),
+        $"lang",
+        $"text".as("content"),
+        sha2($"text", 256).as("sha256"))
+      .as[SourceFile]
+  }
+
+  /** Build (or reuse) the index for a scale-factor dir; returns index dir. */
+  def ensure(spark: SparkSession, sfDir: String): String = synchronized {
+    val dir = cacheDir(sfDir)
+    if (!IndexBuilder.stageDone(spark, dir, "stats")) {
+      IndexBuilder.build(spark, documentsAsCorpus(spark, sfDir), dir,
+        numPartitions = 8, resume = true, analyzerFor = _ => Analyzer.sqlParity)
+    }
+    dir
+  }
+
+  def collectionStats(spark: SparkSession, dir: String): CollectionStatsRow = {
+    import spark.implicits._
+    spark.read.parquet(IndexPaths.collectionStats(dir)).as[CollectionStatsRow].head()
+  }
+
+  /** Decoded hits (doc_id, term, tf) for a set of terms — one pruned
+    * postings scan + block decode. */
+  def hits(spark: SparkSession, dir: String, terms: Seq[String]): DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(IndexPaths.postings(dir))
+      .where($"term".isin(terms.distinct: _*))
+      .select($"term", $"firstDocId", $"lastDocId", $"numDocs", $"maxTf",
+        $"maxNorm", $"sumTf", $"segId", $"bytes").as[PostingRow]
+      .flatMap { r =>
+        val (docIds, tfs, _) = PostingsCodec.decodeBlock(r.firstDocId, r.numDocs, r.bytes)
+        docIds.indices.map(i => (docIds(i), r.term, tfs(i).toLong))
+      }.toDF("doc_id", "term", "tf")
+  }
+
+  /** Double-precision BM25 score column, structured EXACTLY like the oracle
+    * SQL expression so both engines compute bit-identical doubles:
+    * ln(1 + (N - df + 0.5)/(df + 0.5)) * 2.2 * tf
+    *   / (tf + 1.2*(0.25 + 0.75*(dl/avgdl))) */
+  def bm25d(tf: Column, df: Column, dl: Column, maxDoc: Long, avgdl: Double): Column =
+    log(lit(1.0) + (lit(maxDoc.toDouble) - df + lit(0.5)) / (df + lit(0.5))) *
+      lit(2.2) * tf / (tf + lit(1.2) * (lit(0.25) + lit(0.75) * (dl / lit(avgdl))))
+
+  /** Scored hits (doc_id, term, tf, dl, score) for terms — engine tables
+    * only: postings decode + term_dict df + docstats doc length. */
+  def scoredHits(spark: SparkSession, sfDir: String, terms: Seq[String]): DataFrame = {
+    import spark.implicits._
+    val dir = ensure(spark, sfDir)
+    val cs = collectionStats(spark, dir)
+    val avgdl = cs.sumTotalTermFreq * 1.0 / cs.maxDoc
+    val h = hits(spark, dir, terms)
+    val dict = spark.read.parquet(IndexPaths.termDict(dir))
+      .where($"term".isin(terms.distinct: _*)).select($"term", $"df")
+    val dl = spark.read.parquet(IndexPaths.docstats(dir))
+      .select($"docId".as("doc_id"), $"tokenCount".cast("long").as("dl"))
+    h.join(broadcast(dict), Seq("term"))
+      .join(dl, Seq("doc_id")) // docstats join: exact dl for double scoring
+      .withColumn("score",
+        bm25d($"tf".cast("double"), $"df".cast("double"), $"dl".cast("double"),
+          cs.maxDoc, avgdl))
+  }
+
+  // ----------------------------------------------------------- oracle SQL
+
+  /** Shared DuckDB CTE prefix: tokenize documents + tf/dl/df/stats. All
+    * constants in e-notation so DuckDB keeps the math in DOUBLE (its bare
+    * decimals are DECIMAL-typed and would diverge). */
+  val OracleCtes: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term
+      |  FROM documents
+      |), tf AS (
+      |  SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term
+      |), dl AS (
+      |  SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id
+      |), stats AS (
+      |  SELECT (SELECT count(*) FROM documents) AS maxdoc,
+      |         (SELECT count(*) FROM tok) AS sumttf
+      |), df AS (
+      |  SELECT term, count(*) AS df FROM tf GROUP BY term
+      |)""".stripMargin
+
+  /** The oracle score expression (same shape as [[bm25d]]). */
+  val OracleScore: String =
+    "ln(1.0e0 + (stats.maxdoc * 1.0e0 - df.df + 0.5e0) / (df.df + 0.5e0))" +
+      " * 2.2e0 * tf.tf / (tf.tf + 1.2e0 * (0.25e0 + 0.75e0 *" +
+      " (dl.dl / (stats.sumttf * 1.0e0 / stats.maxdoc))))"
+
+  /** Scored-hits oracle subquery for a term list. */
+  def oracleScored(terms: Seq[String]): String = {
+    val inList = terms.map(t => s"'$t'").mkString(", ")
+    s"""$OracleCtes, scored AS (
+       |  SELECT tf.doc_id, tf.term, tf.tf, dl.dl, $OracleScore AS score
+       |  FROM tf JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN stats
+       |  WHERE tf.term IN ($inList)
+       |)""".stripMargin
+  }
+}

@@ -1,0 +1,375 @@
+package graft.ops
+
+import graft.build.IndexPaths
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The driver-facing verification queries (SparkEntry.queries) and their
+  * DuckDB oracle SQL. Every SQL-oracled query runs through the ENGINE's
+  * index tables (postings decode, term_dict, docstats, collection_stats) —
+  * the oracle recomputes the same answer relationally from the raw
+  * documents parquet. Column names and value types match exactly; floats
+  * are double-precision with identical expression shape on both sides and
+  * rounded to 6 decimals.
+  */
+object VerifyQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  import DocIndex.{ensure, scoredHits, hits, collectionStats, OracleCtes, oracleScored}
+
+  // ----------------------------------------------------------- search ops
+
+  /** TermQuery top-k (TermScorer analog). */
+  def qTermTopk(spark: SparkSession, sf: String): DataFrame = {
+    scoredHits(spark, sf, Seq("merge"))
+      .select(col("doc_id"), round(col("score"), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id")).limit(20)
+  }
+  val oTermTopk: String =
+    s"""${oracleScored(Seq("merge"))}
+       |SELECT doc_id, round(score, 6) AS score FROM scored
+       |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+
+  /** BooleanQuery SHOULD: union + per-doc sum (DisjunctionSumScorer). */
+  def qBoolShould(spark: SparkSession, sf: String): DataFrame = {
+    scoredHits(spark, sf, Seq("merge", "vector"))
+      .groupBy(col("doc_id")).agg(sum(col("score")).as("s"))
+      .select(col("doc_id"), round(col("s"), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id")).limit(20)
+  }
+  val oBoolShould: String =
+    s"""${oracleScored(Seq("merge", "vector"))}
+       |SELECT doc_id, round(sum(score), 6) AS score FROM scored
+       |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+
+  /** BooleanQuery MUST: docId equi-join (ConjunctionScorer) — int output. */
+  def qBoolMust(spark: SparkSession, sf: String): DataFrame = {
+    val dir = ensure(spark, sf)
+    val h = hits(spark, dir, Seq("merge", "vector"))
+    val a = h.where(col("term") === "merge").select(col("doc_id"), col("tf").as("tf_a"))
+    val b = h.where(col("term") === "vector").select(col("doc_id"), col("tf").as("tf_b"))
+    a.join(b, Seq("doc_id")).orderBy(col("doc_id"))
+  }
+  val oBoolMust: String =
+    s"""$OracleCtes
+       |SELECT a.doc_id, a.tf AS tf_a, b.tf AS tf_b
+       |FROM tf a JOIN tf b USING (doc_id)
+       |WHERE a.term = 'merge' AND b.term = 'vector' ORDER BY doc_id""".stripMargin
+
+  /** MUST_NOT: anti-join (ReqExclScorer). */
+  def qBoolMustNot(spark: SparkSession, sf: String): DataFrame = {
+    val dir = ensure(spark, sf)
+    val h = hits(spark, dir, Seq("merge", "vector"))
+    val a = h.where(col("term") === "merge").select("doc_id")
+    val b = h.where(col("term") === "vector").select("doc_id")
+    a.join(b, Seq("doc_id"), "left_anti").orderBy(col("doc_id"))
+  }
+  val oBoolMustNot: String =
+    s"""$OracleCtes
+       |SELECT doc_id FROM tf WHERE term = 'merge' AND doc_id NOT IN
+       |  (SELECT doc_id FROM tf WHERE term = 'vector')
+       |ORDER BY doc_id""".stripMargin
+
+  /** minShouldMatch >= 2 of 3 (MinShouldMatchSumScorer). */
+  def qMinShouldMatch(spark: SparkSession, sf: String): DataFrame = {
+    val dir = ensure(spark, sf)
+    hits(spark, dir, Seq("merge", "vector", "filter"))
+      .groupBy(col("doc_id")).agg(countDistinct(col("term")).as("matched"))
+      .where(col("matched") >= 2).orderBy(col("doc_id"))
+  }
+  val oMinShouldMatch: String =
+    s"""$OracleCtes
+       |SELECT doc_id, count(DISTINCT term) AS matched FROM tf
+       |WHERE term IN ('merge', 'vector', 'filter')
+       |GROUP BY doc_id HAVING count(DISTINCT term) >= 2 ORDER BY doc_id""".stripMargin
+
+  /** DisjunctionMax: per-doc max over clauses. */
+  def qDisMax(spark: SparkSession, sf: String): DataFrame = {
+    scoredHits(spark, sf, Seq("merge", "vector"))
+      .groupBy(col("doc_id")).agg(max(col("score")).as("m"))
+      .select(col("doc_id"), round(col("m"), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id")).limit(20)
+  }
+  val oDisMax: String =
+    s"""${oracleScored(Seq("merge", "vector"))}
+       |SELECT doc_id, round(max(score), 6) AS score FROM scored
+       |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+
+  /** SearchAfter pagination: page 2 (rows 21-40). */
+  def qSearchAfter(spark: SparkSession, sf: String): DataFrame = {
+    val w = Window.orderBy(col("score").desc, col("doc_id"))
+    scoredHits(spark, sf, Seq("merge"))
+      .select(col("doc_id"), round(col("score"), 6).as("score"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") > 20 && col("rn") <= 40).drop("rn")
+  }
+  val oSearchAfter: String =
+    s"""${oracleScored(Seq("merge"))}
+       |SELECT doc_id, round(score, 6) AS score FROM scored
+       |ORDER BY score DESC, doc_id LIMIT 20 OFFSET 20""".stripMargin
+
+  /** PrefixQuery expansion: dictionary scan (term, df). */
+  def qPrefixDf(spark: SparkSession, sf: String): DataFrame = {
+    val dir = ensure(spark, sf)
+    spark.read.parquet(IndexPaths.termDict(dir))
+      .where(col("term").startsWith("sc"))
+      .select(col("term"), col("df")).orderBy(col("term"))
+  }
+  val oPrefixDf: String =
+    s"""$OracleCtes
+       |SELECT term, count(*) AS df FROM tf WHERE term LIKE 'sc%'
+       |GROUP BY term ORDER BY term""".stripMargin
+
+  /** FuzzyQuery expansion: edit distance <= 1 (Levenshtein automaton
+    * analog — both engines' levenshtein is plain edit distance). */
+  def qFuzzyDf(spark: SparkSession, sf: String): DataFrame = {
+    val dir = ensure(spark, sf)
+    spark.read.parquet(IndexPaths.termDict(dir))
+      .where(levenshtein(col("term"), lit("merge")) <= 1)
+      .select(col("term"), col("df")).orderBy(col("term"))
+  }
+  val oFuzzyDf: String =
+    s"""$OracleCtes
+       |SELECT term, count(*) AS df FROM tf WHERE levenshtein(term, 'merge') <= 1
+       |GROUP BY term ORDER BY term""".stripMargin
+
+  /** TermRangeQuery: dictionary range scan. */
+  def qRangeDf(spark: SparkSession, sf: String): DataFrame = {
+    val dir = ensure(spark, sf)
+    spark.read.parquet(IndexPaths.termDict(dir))
+      .where(col("term") >= "s" && col("term") < "t")
+      .select(col("term"), col("df")).orderBy(col("term"))
+  }
+  val oRangeDf: String =
+    s"""$OracleCtes
+       |SELECT term, count(*) AS df FROM tf WHERE term >= 's' AND term < 't'
+       |GROUP BY term ORDER BY term""".stripMargin
+
+  /** WildcardQuery: dictionary regex scan. */
+  def qWildcardDf(spark: SparkSession, sf: String): DataFrame = {
+    val dir = ensure(spark, sf)
+    spark.read.parquet(IndexPaths.termDict(dir))
+      .where(col("term").rlike("^s.an$"))
+      .select(col("term"), col("df")).orderBy(col("term"))
+  }
+  val oWildcardDf: String =
+    s"""$OracleCtes
+       |SELECT term, count(*) AS df FROM tf WHERE regexp_matches(term, '^s.an$$')
+       |GROUP BY term ORDER BY term""".stripMargin
+
+  /** Doc-length stats (norms source): the whole docstats table. */
+  def qDocLengths(spark: SparkSession, sf: String): DataFrame = {
+    val dir = ensure(spark, sf)
+    spark.read.parquet(IndexPaths.docstats(dir))
+      .select(col("docId").as("doc_id"), col("tokenCount").cast("long").as("dl"))
+      .orderBy(col("doc_id"))
+  }
+  val oDocLengths: String =
+    s"""$OracleCtes
+       |SELECT doc_id, dl FROM dl ORDER BY doc_id""".stripMargin
+
+  /** Collection stats (CollectionStatistics analog). */
+  def qCollectionStats(spark: SparkSession, sf: String): DataFrame = {
+    import spark.implicits._
+    val dir = ensure(spark, sf)
+    val cs = collectionStats(spark, dir)
+    Seq((cs.maxDoc, cs.sumTotalTermFreq)).toDF("maxdoc", "sumttf")
+  }
+  val oCollectionStats: String =
+    s"""$OracleCtes
+       |SELECT maxdoc, sumttf FROM stats""".stripMargin
+
+  /** Term dictionary: top-20 by df (facet/common-terms input). */
+  def qDictTopDf(spark: SparkSession, sf: String): DataFrame = {
+    val dir = ensure(spark, sf)
+    spark.read.parquet(IndexPaths.termDict(dir))
+      .select(col("term"), col("df"), col("totalTf").as("ttf"))
+      .orderBy(col("df").desc, col("term")).limit(20)
+  }
+  val oDictTopDf: String =
+    s"""$OracleCtes
+       |SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS ttf FROM tf
+       |GROUP BY term ORDER BY df DESC, term LIMIT 20""".stripMargin
+
+  /** Facets: hits of a term counted per lang (FacetsCollector analog). */
+  def qFacetLang(spark: SparkSession, sf: String): DataFrame = {
+    val dir = ensure(spark, sf)
+    val h = hits(spark, dir, Seq("merge")).select("doc_id")
+    val langs = spark.read.parquet(IndexPaths.docstats(dir))
+      .select(col("docId").as("doc_id"), col("lang"))
+    h.join(broadcast(langs), Seq("doc_id"))
+      .groupBy(col("lang")).agg(count("*").as("hits")).orderBy(col("lang"))
+  }
+  val oFacetLang: String =
+    s"""$OracleCtes
+       |SELECT d.lang, count(*) AS hits FROM tf JOIN documents d USING (doc_id)
+       |WHERE tf.term = 'merge' GROUP BY d.lang ORDER BY d.lang""".stripMargin
+
+  /** Range facets: doc-length histogram, bucket width 50. */
+  def qFacetDlHist(spark: SparkSession, sf: String): DataFrame = {
+    val dir = ensure(spark, sf)
+    spark.read.parquet(IndexPaths.docstats(dir))
+      .select((col("tokenCount").cast("long") / 50).cast("long").as("bucket"))
+      .groupBy(col("bucket")).agg(count("*").as("docs")).orderBy(col("bucket"))
+  }
+  val oFacetDlHist: String =
+    s"""$OracleCtes
+       |SELECT dl // 50 AS bucket, count(*) AS docs FROM dl
+       |GROUP BY bucket ORDER BY bucket""".stripMargin
+
+  /** Grouping: top-2 docs per lang by score (two-pass grouping collector). */
+  def qGroupTop2(spark: SparkSession, sf: String): DataFrame = {
+    val dir = ensure(spark, sf)
+    val langs = spark.read.parquet(IndexPaths.docstats(dir))
+      .select(col("docId").as("doc_id"), col("lang"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("score").desc, col("doc_id"))
+    scoredHits(spark, sf, Seq("merge")).join(broadcast(langs), Seq("doc_id"))
+      .withColumn("rn", row_number().over(w)).where(col("rn") <= 2)
+      .select(col("lang"), col("doc_id"), col("rn")).orderBy(col("lang"), col("rn"))
+  }
+  val oGroupTop2: String =
+    s"""${oracleScored(Seq("merge"))}
+       |SELECT lang, doc_id, rn FROM (
+       |  SELECT d.lang, s.doc_id,
+       |    row_number() OVER (PARTITION BY d.lang ORDER BY s.score DESC, s.doc_id) AS rn
+       |  FROM scored s JOIN documents d USING (doc_id))
+       |WHERE rn <= 2 ORDER BY lang, rn""".stripMargin
+
+  /** MoreLikeThis: top-5 tf·idf terms of one doc → the OR-query seeds. */
+  def qMltTerms(spark: SparkSession, sf: String): DataFrame = {
+    val dir = ensure(spark, sf)
+    val cs = collectionStats(spark, dir)
+    // decode this doc's tf vector from flush-partition postings via docstats?
+    // postings are term-major; per-doc tf comes from an index scan filtered
+    // by docId range — cheap here because block metadata prunes.
+    import spark.implicits._
+    val docId = 7L
+    val p = spark.read.parquet(IndexPaths.postings(dir))
+      .where(col("firstDocId") <= docId && col("lastDocId") >= docId)
+      .as[graft.build.PostingRow]
+      .flatMap { r =>
+        val (ids, tfs, _) = graft.postings.PostingsCodec.decodeBlock(r.firstDocId, r.numDocs, r.bytes)
+        val i = java.util.Arrays.binarySearch(ids, docId)
+        if (i >= 0) Iterator.single((r.term, tfs(i).toLong)) else Iterator.empty
+      }.toDF("term", "tf")
+    val dict = spark.read.parquet(IndexPaths.termDict(dir)).select(col("term"), col("df"))
+    p.join(broadcast(dict), Seq("term"))
+      .withColumn("w", round(col("tf") * log(lit(cs.maxDoc.toDouble) / col("df")), 6))
+      .select(col("term"), col("w"))
+      .orderBy(col("w").desc, col("term")).limit(5)
+  }
+  val oMltTerms: String =
+    s"""$OracleCtes
+       |SELECT term, round(tf * ln(stats.maxdoc * 1.0e0 / df.df), 6) AS w
+       |FROM tf JOIN df USING (term) CROSS JOIN stats
+       |WHERE doc_id = 7 ORDER BY w DESC, term LIMIT 5""".stripMargin
+
+  // ------------------------------------------------------- relational ops
+
+  /** Query-time semi-join (JoinUtil analog) on TPC-H tables. */
+  def qJoinSemi(spark: SparkSession, sf: String): DataFrame = {
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    val cust = spark.read.parquet(s"$sf/customer.parquet")
+      .where(col("c_mktsegment") === "BUILDING")
+    orders.join(broadcast(cust), orders("o_custkey") === cust("c_custkey"), "left_semi")
+      .groupBy(col("o_orderpriority")).agg(count("*").as("n"))
+      .orderBy(col("o_orderpriority"))
+  }
+  val oJoinSemi: String =
+    """SELECT o_orderpriority, count(*) AS n FROM orders
+      |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** Anti-join (customers without orders). */
+  def qJoinAnti(spark: SparkSession, sf: String): DataFrame = {
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    val cust = spark.read.parquet(s"$sf/customer.parquet")
+    cust.join(orders, cust("c_custkey") === orders("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment")).agg(count("*").as("n"))
+      .orderBy(col("c_mktsegment"))
+  }
+  val oJoinAnti: String =
+    """SELECT c_mktsegment, count(*) AS n FROM customer
+      |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  /** Grouped aggregation (TPC-H Q1 shape). */
+  def qAggQ1(spark: SparkSession, sf: String): DataFrame = {
+    spark.read.parquet(s"$sf/lineitem.parquet")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count("*").as("n"),
+        round(sum(col("l_quantity")), 3).as("sum_qty"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 3).as("revenue"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+  val oAggQ1: String =
+    """SELECT l_returnflag, l_linestatus, count(*) AS n,
+      |  round(sum(l_quantity), 3) AS sum_qty,
+      |  round(sum(l_extendedprice * (1.0e0 - l_discount)), 3) AS revenue
+      |FROM lineitem GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** Windowed event aggregation (streaming-shaped, run as batch). */
+  def qEventsWindow(spark: SparkSession, sf: String): DataFrame = {
+    spark.read.parquet(s"$sf/events.parquet")
+      .groupBy(date_trunc("minute", col("ts")).as("m"), col("event_type"))
+      .agg(count("*").as("n"), round(sum(col("value")), 3).as("v"))
+      .orderBy(col("m"), col("event_type"))
+  }
+  val oEventsWindow: String =
+    """SELECT date_trunc('minute', ts) AS m, event_type, count(*) AS n,
+      |  round(sum(value), 3) AS v
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ----------------------------------------------------------- registry
+
+  val queries: Map[String, Q] = Map(
+    "q_term_topk" -> qTermTopk _,
+    "q_bool_should" -> qBoolShould _,
+    "q_bool_must" -> qBoolMust _,
+    "q_bool_mustnot" -> qBoolMustNot _,
+    "q_min_should_match" -> qMinShouldMatch _,
+    "q_dismax" -> qDisMax _,
+    "q_searchafter" -> qSearchAfter _,
+    "q_prefix_df" -> qPrefixDf _,
+    "q_fuzzy_df" -> qFuzzyDf _,
+    "q_range_df" -> qRangeDf _,
+    "q_wildcard_df" -> qWildcardDf _,
+    "q_doc_lengths" -> qDocLengths _,
+    "q_collection_stats" -> qCollectionStats _,
+    "q_dict_topdf" -> qDictTopDf _,
+    "q_facet_lang" -> qFacetLang _,
+    "q_facet_dl_hist" -> qFacetDlHist _,
+    "q_group_top2" -> qGroupTop2 _,
+    "q_mlt_terms" -> qMltTerms _,
+    "q_join_semi" -> qJoinSemi _,
+    "q_join_anti" -> qJoinAnti _,
+    "q_agg_q1" -> qAggQ1 _,
+    "q_events_window" -> qEventsWindow _)
+
+  val oracles: Map[String, String] = Map(
+    "q_term_topk" -> oTermTopk,
+    "q_bool_should" -> oBoolShould,
+    "q_bool_must" -> oBoolMust,
+    "q_bool_mustnot" -> oBoolMustNot,
+    "q_min_should_match" -> oMinShouldMatch,
+    "q_dismax" -> oDisMax,
+    "q_searchafter" -> oSearchAfter,
+    "q_prefix_df" -> oPrefixDf,
+    "q_fuzzy_df" -> oFuzzyDf,
+    "q_range_df" -> oRangeDf,
+    "q_wildcard_df" -> oWildcardDf,
+    "q_doc_lengths" -> oDocLengths,
+    "q_collection_stats" -> oCollectionStats,
+    "q_dict_topdf" -> oDictTopDf,
+    "q_facet_lang" -> oFacetLang,
+    "q_facet_dl_hist" -> oFacetDlHist,
+    "q_group_top2" -> oGroupTop2,
+    "q_mlt_terms" -> oMltTerms,
+    "q_join_semi" -> oJoinSemi,
+    "q_join_anti" -> oJoinAnti,
+    "q_agg_q1" -> oAggQ1,
+    "q_events_window" -> oEventsWindow)
+}

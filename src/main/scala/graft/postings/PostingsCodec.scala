@@ -159,6 +159,8 @@ object PostingsCodec {
       var i = 0
       while (i < len) {
         val d = docIds(start + i)
+        require(if (i == 0) d == prev else d > prev,
+          s"docIds must be strictly ascending (got $d after $prev)")
         gaps(i) = d - prev
         prev = d
         if (tfs(start + i) > maxTf) maxTf = tfs(start + i)
