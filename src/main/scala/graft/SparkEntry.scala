@@ -13,12 +13,14 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     VerifyQueries.qTermTopk(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2 (engine ops in
+    * VerifyQueries, training-data pipeline ops in PipelineQueries). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    VerifyQueries.queries
+    VerifyQueries.queries ++ ops.PipelineQueries.queries
 
   /** DuckDB-runnable oracle SQL per query (same tables, same column
     * names); non-SQL-expressible ops are intentionally absent (driver
     * falls back to a rows-only check). */
-  def oracleSql: Map[String, String] = VerifyQueries.oracles
+  def oracleSql: Map[String, String] =
+    VerifyQueries.oracles ++ ops.PipelineQueries.oracles
 }

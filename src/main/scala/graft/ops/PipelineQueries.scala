@@ -1,0 +1,355 @@
+package graft.ops
+
+import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver-facing verification queries for the training-data pipeline ops
+  * (dedup / similarity / text analysis / multimodal), each with a DuckDB
+  * oracle that recomputes the same answer from the raw `documents` /
+  * `embeddings` parquet. Hashing in the oracled paths is dictionary-based
+  * (see Dedup parity note) so both engines agree bit-for-bit; the
+  * xxhash64 production variants are exercised by ScalaTest instead. */
+object PipelineQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def docs(spark: SparkSession, sf: String): DataFrame =
+    spark.read.parquet(s"$sf/documents.parquet")
+  private def vecs(spark: SparkSession, sf: String): DataFrame =
+    spark.read.parquet(s"$sf/embeddings.parquet")
+
+  /** Shared tokenization CTE (same regex as the Spark side). */
+  private val TokCte =
+    """WITH tok AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS ts
+      |  FROM documents
+      |)""".stripMargin
+
+  // ----------------------------------------------------------- dedup
+
+  def qDedupExact(spark: SparkSession, sf: String): DataFrame =
+    Dedup.exactGroups(docs(spark, sf)).orderBy(col("h"))
+  val oDedupExact: String =
+    """SELECT md5(text) AS h, count(*) AS n, min(doc_id) AS keeper
+      |FROM documents GROUP BY md5(text) ORDER BY h""".stripMargin
+
+  def qDedupMinhash(spark: SparkSession, sf: String): DataFrame =
+    Dedup.minhashNearDups(docs(spark, sf), minJaccard = 0.35)
+      .select(col("a"), col("b"), round(col("jac"), 6).as("jac"))
+      .orderBy(col("a"), col("b"))
+  val oDedupMinhash: String = {
+    val sigCols = (0 until 16).map { k =>
+      s"min((sid*${Dedup.MinHashA(k)}+${Dedup.MinHashB(k)})%${Dedup.MinHashP}) AS h$k"
+    }.mkString(", ")
+    val bandSelects = (0 until 4).map { b =>
+      val cols = (0 until 4).map(r => s"h${b * 4 + r}").mkString(", ")
+      s"SELECT doc_id, $b AS band, concat_ws(',', $cols) AS key FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""$TokCte, sh AS (
+       |  SELECT doc_id, CASE WHEN len(ts) >= 3 THEN
+       |    list_distinct([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] FOR i IN range(1, len(ts)-1)])
+       |    ELSE [] END AS shingles FROM tok
+       |), ds AS (
+       |  SELECT doc_id, unnest(shingles) AS s FROM sh
+       |), dict AS (
+       |  SELECT s, CAST(dense_rank() OVER (ORDER BY s) AS BIGINT) AS sid
+       |  FROM (SELECT DISTINCT s FROM ds)
+       |), dsi AS (
+       |  SELECT doc_id, sid FROM ds JOIN dict USING (s)
+       |), sig AS (
+       |  SELECT doc_id, $sigCols FROM dsi GROUP BY doc_id
+       |), buckets AS (
+       |  $bandSelects
+       |), cand AS (
+       |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM buckets x
+       |  JOIN buckets y ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+       |), sizes AS (
+       |  SELECT doc_id, count(*) AS sz FROM ds GROUP BY doc_id
+       |), com AS (
+       |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS common FROM ds x
+       |  JOIN ds y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2
+       |)
+       |SELECT c.a AS a, c.b AS b,
+       |  round(com.common * 1.0e0 / (sa.sz + sb.sz - com.common), 6) AS jac
+       |FROM cand c JOIN com ON com.a = c.a AND com.b = c.b
+       |JOIN sizes sa ON sa.doc_id = c.a JOIN sizes sb ON sb.doc_id = c.b
+       |WHERE com.common * 1.0e0 / (sa.sz + sb.sz - com.common) >= 0.35e0
+       |ORDER BY 1, 2""".stripMargin
+  }
+
+  def qDedupSimhash(spark: SparkSession, sf: String): DataFrame =
+    Dedup.simhash(docs(spark, sf)).orderBy(col("doc_id"))
+  val oDedupSimhash: String =
+    s"""$TokCte, t AS (
+       |  SELECT doc_id, unnest(ts) AS t FROM tok
+       |), tf AS (
+       |  SELECT doc_id, t, count(*) AS tf FROM t GROUP BY 1, 2
+       |), dict AS (
+       |  SELECT t, CAST(dense_rank() OVER (ORDER BY t) AS BIGINT) AS tid
+       |  FROM (SELECT DISTINCT t FROM t)
+       |), m AS (
+       |  SELECT doc_id, tf, (tid * 2654435761) % 4294967296 AS m
+       |  FROM tf JOIN dict USING (t)
+       |), bits AS (
+       |  SELECT doc_id, bb.b AS b, tf * (((m >> CAST(bb.b AS INT)) & 1) * 2 - 1) AS c
+       |  FROM m, (SELECT unnest(range(32)) AS b) bb
+       |), s AS (
+       |  SELECT doc_id, b, sum(c) AS s FROM bits GROUP BY 1, 2
+       |)
+       |SELECT doc_id, CAST(sum(CASE WHEN s > 0
+       |  THEN CAST(1 AS BIGINT) << CAST(b AS INT) ELSE 0 END) AS BIGINT) AS simhash
+       |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  def qDedupNgram(spark: SparkSession, sf: String): DataFrame =
+    Dedup.ngramJaccardPairs(docs(spark, sf), w = 3, minJaccard = 0.35)
+      .select(col("a"), col("b"), round(col("jac"), 6).as("jac"))
+      .orderBy(col("a"), col("b"))
+  val oDedupNgram: String =
+    s"""$TokCte, sh AS (
+       |  SELECT doc_id, CASE WHEN len(ts) >= 3 THEN
+       |    list_distinct([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] FOR i IN range(1, len(ts)-1)])
+       |    ELSE [] END AS shingles FROM tok
+       |), ds AS (
+       |  SELECT doc_id, unnest(shingles) AS s FROM sh
+       |), sizes AS (
+       |  SELECT doc_id, count(*) AS sz FROM ds GROUP BY doc_id
+       |), com AS (
+       |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS common FROM ds x
+       |  JOIN ds y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2
+       |)
+       |SELECT com.a, com.b,
+       |  round(com.common * 1.0e0 / (sa.sz + sb.sz - com.common), 6) AS jac
+       |FROM com JOIN sizes sa ON sa.doc_id = com.a JOIN sizes sb ON sb.doc_id = com.b
+       |WHERE com.common * 1.0e0 / (sa.sz + sb.sz - com.common) >= 0.35e0
+       |ORDER BY a, b""".stripMargin
+
+  /** Embedding-cosine near-dup: top-20 pairs by cosine. */
+  def qDedupEmbedding(spark: SparkSession, sf: String): DataFrame =
+    Similarity.cosinePairs(vecs(spark, sf), topN = 20)
+  private val DimsCte =
+    s"dims AS (SELECT CAST(unnest(range(1, ${Similarity.Dims + 1})) AS INT) AS i)"
+  private val NormsCte =
+    """norms AS (
+      |  SELECT vec_id, sqrt(sum(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))) AS nrm
+      |  FROM embeddings, dims GROUP BY vec_id
+      |)""".stripMargin
+  val oDedupEmbedding: String =
+    s"""WITH $DimsCte, $NormsCte, prod AS (
+       |  SELECT x.vec_id AS a, y.vec_id AS b,
+       |    sum(CAST(x.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE)) AS dot
+       |  FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id, dims
+       |  GROUP BY 1, 2
+       |)
+       |SELECT p.a, p.b, round(p.dot / (na.nrm * nb.nrm), 6) AS cos
+       |FROM prod p JOIN norms na ON na.vec_id = p.a JOIN norms nb ON nb.vec_id = p.b
+       |ORDER BY cos DESC, a, b LIMIT 20""".stripMargin
+
+  // ------------------------------------------------------ similarity search
+
+  private def queryVec(spark: SparkSession, sf: String): Seq[Float] =
+    vecs(spark, sf).where(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0)
+
+  /** Brute-force cosine top-20 for the vec_id=0 query vector. */
+  def qAnnBrute(spark: SparkSession, sf: String): DataFrame = {
+    val q = queryVec(spark, sf)
+    vecs(spark, sf)
+      .select(col("vec_id"),
+        round(Similarity.cosine(col("embedding"),
+          typedLit(q.map(_.toDouble))), 6).as("cos"))
+      .where(col("vec_id") =!= 0)
+      .orderBy(col("cos").desc, col("vec_id")).limit(20)
+  }
+  val oAnnBrute: String =
+    s"""WITH $DimsCte, $NormsCte, q AS (
+       |  SELECT embedding AS qv FROM embeddings WHERE vec_id = 0
+       |), dots AS (
+       |  SELECT e.vec_id, sum(CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)) AS dot
+       |  FROM embeddings e, q, dims WHERE e.vec_id <> 0 GROUP BY e.vec_id
+       |)
+       |SELECT d.vec_id AS vec_id, round(d.dot / (n.nrm * (SELECT nrm FROM norms WHERE vec_id = 0)), 6) AS cos
+       |FROM dots d JOIN norms n ON n.vec_id = d.vec_id
+       |ORDER BY cos DESC, 1 LIMIT 20""".stripMargin
+
+  /** Sign-LSH bucketed top-10: prune to the query vector's bucket. */
+  def qAnnLsh(spark: SparkSession, sf: String): DataFrame = {
+    val q = queryVec(spark, sf)
+    val qd = typedLit(q.map(_.toDouble))
+    vecs(spark, sf)
+      .withColumn("bucket", Similarity.lshBucket(col("embedding")))
+      .where(col("bucket") === Similarity.lshBucket(qd) && col("vec_id") =!= 0)
+      .select(col("vec_id"), col("bucket"),
+        round(Similarity.cosine(col("embedding"), qd), 6).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id")).limit(10)
+  }
+  val oAnnLsh: String =
+    s"""WITH $DimsCte, $NormsCte, planes AS (
+       |  SELECT CAST(unnest(range(${Similarity.NumPlanes})) AS INT) AS b
+       |), signs AS (
+       |  SELECT b, i, CASE WHEN (i*37 + b*61) % 5 < 2 THEN 1.0e0 ELSE -1.0e0 END AS sgn
+       |  FROM planes, dims
+       |), bdots AS (
+       |  SELECT e.vec_id, s.b, sum(CAST(e.embedding[s.i] AS DOUBLE) * s.sgn) AS d
+       |  FROM embeddings e, signs s GROUP BY 1, 2
+       |), buckets AS (
+       |  SELECT vec_id, CAST(sum(CASE WHEN d >= 0
+       |    THEN CAST(1 AS BIGINT) << CAST(b AS INT) ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM bdots GROUP BY vec_id
+       |), q AS (
+       |  SELECT e.embedding AS qv, b.bucket AS qb FROM embeddings e
+       |  JOIN buckets b ON b.vec_id = e.vec_id WHERE e.vec_id = 0
+       |), dots AS (
+       |  SELECT e.vec_id, sum(CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)) AS dot
+       |  FROM embeddings e, q, dims WHERE e.vec_id <> 0 GROUP BY e.vec_id
+       |)
+       |SELECT d.vec_id AS vec_id, b.bucket AS bucket,
+       |  round(d.dot / (n.nrm * (SELECT nrm FROM norms WHERE vec_id = 0)), 6) AS cos
+       |FROM dots d JOIN norms n ON n.vec_id = d.vec_id
+       |JOIN buckets b ON b.vec_id = d.vec_id
+       |WHERE b.bucket = (SELECT qb FROM q)
+       |ORDER BY cos DESC, 1 LIMIT 10""".stripMargin
+
+  // --------------------------------------------------------- text analysis
+
+  def qLangId(spark: SparkSession, sf: String): DataFrame =
+    TextAnalysis.langId(docs(spark, sf)).orderBy(col("doc_id"))
+  val oLangId: String = {
+    val ratioCols = TextAnalysis.LangMarkers.toSeq.sortBy(_._1).map { case (lang, ms) =>
+      val lst = ms.map(m => s"'$m'").mkString(", ")
+      s"""CASE WHEN len(ts) > 0 THEN round(
+         |    len(list_filter(ts, x -> list_contains([$lst], x))) * 1.0e0 / len(ts), 6)
+         |  ELSE 0.0e0 END AS r_$lang""".stripMargin
+    }.mkString(",\n  ")
+    val langs = TextAnalysis.LangMarkers.keys.toSeq.sorted
+    val maxExpr = s"greatest(${langs.map(l => s"r_$l").mkString(", ")})"
+    val caseArms = langs.map(l => s"WHEN r_$l = $maxExpr THEN '$l'").mkString(" ")
+    s"""$TokCte, r AS (
+       |  SELECT t.doc_id, d.lang, $ratioCols
+       |  FROM tok t JOIN documents d USING (doc_id)
+       |)
+       |SELECT doc_id, lang, ${langs.map(l => s"r_$l").mkString(", ")},
+       |  CASE WHEN $maxExpr > 0 THEN (CASE $caseArms END) ELSE 'und' END AS predicted
+       |FROM r ORDER BY doc_id""".stripMargin
+  }
+
+  def qQuality(spark: SparkSession, sf: String): DataFrame =
+    TextAnalysis.qualityScore(docs(spark, sf)).orderBy(col("doc_id"))
+  val oQuality: String = {
+    val stops = TextAnalysis.EnglishStops.map(s => s"'$s'").mkString(", ")
+    s"""$TokCte, f AS (
+       |  SELECT t.doc_id,
+       |    len(ts) AS n_tok,
+       |    CAST(length(d.text) AS DOUBLE) AS n_char,
+       |    CASE WHEN len(ts) > 0 THEN
+       |      list_sum([CAST(length(x) AS DOUBLE) FOR x IN ts]) / (len(ts) * 1.0e0)
+       |      ELSE 0.0e0 END AS mean_tok_len,
+       |    CASE WHEN len(ts) > 0 THEN
+       |      len(list_filter(ts, x -> list_contains([$stops], x))) * 1.0e0 / len(ts)
+       |      ELSE 0.0e0 END AS stop_ratio,
+       |    CASE WHEN length(d.text) > 0 THEN
+       |      len(regexp_extract_all(d.text, '[.,;:!?]')) * 1.0e0 / length(d.text)
+       |      ELSE 0.0e0 END AS punct_ratio,
+       |    CASE WHEN length(d.text) > 0 THEN
+       |      len(regexp_extract_all(d.text, '[0-9]')) * 1.0e0 / length(d.text)
+       |      ELSE 0.0e0 END AS digit_ratio
+       |  FROM tok t JOIN documents d USING (doc_id)
+       |)
+       |SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tokens,
+       |  round(mean_tok_len, 6) AS mean_tok_len,
+       |  round(stop_ratio, 6) AS stop_ratio,
+       |  round(punct_ratio, 6) AS punct_ratio,
+       |  round(digit_ratio, 6) AS digit_ratio,
+       |  round(CASE WHEN n_tok < 5 THEN 0.0e0 ELSE
+       |    0.4e0 * least(stop_ratio * 4, 1.0e0) +
+       |    0.3e0 * (CASE WHEN mean_tok_len >= 3 AND mean_tok_len <= 10 THEN 1.0e0 ELSE 0.0e0 END) +
+       |    0.2e0 * (1.0e0 - least(digit_ratio * 10, 1.0e0)) +
+       |    0.1e0 * least(punct_ratio * 20, 1.0e0) END, 6) AS quality
+       |FROM f ORDER BY doc_id""".stripMargin
+  }
+
+  def qTokenCounts(spark: SparkSession, sf: String): DataFrame =
+    TextAnalysis.tokenCounts(docs(spark, sf)).orderBy(col("doc_id"))
+  val oTokenCounts: String =
+    """SELECT doc_id,
+      |  CAST(len(regexp_extract_all(text, '[^ \t\n\r]+')) AS BIGINT) AS ws_tokens,
+      |  CAST(len(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS BIGINT) AS word_tokens,
+      |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 \t\n\r]')) AS BIGINT) AS bpeish_tokens
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  def qFingerprint(spark: SparkSession, sf: String): DataFrame =
+    TextAnalysis.fingerprints(docs(spark, sf)).orderBy(col("doc_id"))
+  val oFingerprint: String =
+    s"""$TokCte, pos AS (
+       |  SELECT doc_id, CAST(generate_subscripts(ts, 1) AS BIGINT) AS p, unnest(ts) AS t
+       |  FROM tok
+       |), dict AS (
+       |  SELECT t, CAST(dense_rank() OVER (ORDER BY t) AS BIGINT) AS tid
+       |  FROM (SELECT DISTINCT t FROM pos)
+       |)
+       |SELECT doc_id, CAST(sum(p * ((tid * 131 + 7) % 1000003)) AS BIGINT) AS fingerprint
+       |FROM pos JOIN dict USING (t) GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------ multimodal
+
+  def qMultimodalMeta(spark: SparkSession, sf: String): DataFrame =
+    Multimodal.assetMeta(Multimodal.assets(docs(spark, sf))).orderBy(col("doc_id"))
+  val oMultimodalMeta: String =
+    """WITH a AS (
+      |  SELECT doc_id,
+      |    ['image','audio','video','text'][CAST(doc_id % 4 + 1 AS INT)] AS modality,
+      |    CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+      |    lower(hex(encode(text))) AS hx
+      |  FROM documents
+      |)
+      |SELECT doc_id, modality, byte_len,
+      |  substring(hx, 1, 16) AS magic,
+      |  substring(hx, 1, 2)
+      |    || substring(hx, CAST((byte_len // 4) * 2 AS INT) + 1, 2)
+      |    || substring(hx, CAST((byte_len // 2) * 2 AS INT) + 1, 2)
+      |    || substring(hx, CAST((byte_len * 3 // 4) * 2 AS INT) + 1, 2) AS sample
+      |FROM a ORDER BY doc_id""".stripMargin
+
+  /** Batched stub feature extraction — no SQL oracle (mapPartitions
+    * plumbing; driver records the rows-only check). */
+  def qMultimodalStats(spark: SparkSession, sf: String): DataFrame =
+    Multimodal.modalityStats(spark, docs(spark, sf))
+
+  /** Production-hash MinHash LSH (xxhash64) — no SQL oracle (Spark-only
+    * hash); correctness vs the parity path is asserted in ScalaTest. */
+  def qDedupMinhashProd(spark: SparkSession, sf: String): DataFrame =
+    Dedup.minhashNearDupsProd(docs(spark, sf), minJaccard = 0.35)
+      .select(col("a"), col("b"), round(col("jac"), 6).as("jac"))
+      .orderBy(col("a"), col("b"))
+
+  // ------------------------------------------------------------- registry
+
+  val queries: Map[String, Q] = Map(
+    "q_dedup_exact" -> qDedupExact _,
+    "q_dedup_minhash" -> qDedupMinhash _,
+    "q_dedup_minhash_prod" -> qDedupMinhashProd _,
+    "q_dedup_simhash" -> qDedupSimhash _,
+    "q_dedup_ngram" -> qDedupNgram _,
+    "q_dedup_embedding" -> qDedupEmbedding _,
+    "q_ann_brute" -> qAnnBrute _,
+    "q_ann_lsh" -> qAnnLsh _,
+    "q_lang_id" -> qLangId _,
+    "q_quality" -> qQuality _,
+    "q_token_counts" -> qTokenCounts _,
+    "q_fingerprint" -> qFingerprint _,
+    "q_multimodal_meta" -> qMultimodalMeta _,
+    "q_multimodal_stats" -> qMultimodalStats _)
+
+  val oracles: Map[String, String] = Map(
+    "q_dedup_exact" -> oDedupExact,
+    "q_dedup_minhash" -> oDedupMinhash,
+    "q_dedup_simhash" -> oDedupSimhash,
+    "q_dedup_ngram" -> oDedupNgram,
+    "q_dedup_embedding" -> oDedupEmbedding,
+    "q_ann_brute" -> oAnnBrute,
+    "q_ann_lsh" -> oAnnLsh,
+    "q_lang_id" -> oLangId,
+    "q_quality" -> oQuality,
+    "q_token_counts" -> oTokenCounts,
+    "q_fingerprint" -> oFingerprint,
+    "q_multimodal_meta" -> oMultimodalMeta)
+}

@@ -1,0 +1,198 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Large-scale training-data deduplication over a `documents`-shaped table
+  * (`doc_id: long, text: string, ...`).
+  *
+  * Two hashing modes coexist, same algorithms:
+  *
+  *   - '''production''': shingles/tokens are hashed with `xxhash64`
+  *     (codegen'd Catalyst expression, no global state) — the path you run
+  *     at 10^12 docs; nothing in it needs a driver-side pass or a global
+  *     sort.
+  *   - '''parity''': shingles/tokens are first mapped to dense ids through
+  *     a dictionary (`dense_rank` over the distinct set — the same
+  *     structure as the engine's term dictionary) and then through integer
+  *     affine hashes. Every step is plain integer SQL, so an independent
+  *     engine (the DuckDB oracle) reproduces results bit-for-bit. The
+  *     dictionary is shingle-cardinality-sized (term-dict scale, not
+  *     corpus scale); at 100 TB it would be built with the same
+  *     range-partitioned sort the index's term_dict already uses.
+  *
+  * MinHash/LSH per Broder (1997) and Leskovec-Rajaraman-Ullman ch. 3;
+  * SimHash per Charikar (2002). Reference has no dedup surface — these are
+  * the pipeline ops a training-data corpus needs on top of it.
+  */
+object Dedup {
+
+  /** Oracle-parity tokenizer: `[a-z0-9_]+` over lowercased text (the same
+    * regex the engine's `Analyzer.sqlParity` uses). */
+  def tokensCol(textCol: String): Column =
+    expr(s"regexp_extract_all(lower($textCol), '[a-z0-9_]+', 0)")
+
+  /** Distinct w-token shingles, space-joined, document order. */
+  def shinglesCol(ts: String, w: Int): Column = {
+    val mk = (0 until w).map(j => s"$ts[i+$j]").mkString("concat_ws(' ', ", ", ", ")")
+    expr(
+      s"CASE WHEN size($ts) >= $w THEN " +
+        s"array_distinct(transform(sequence(0, size($ts)-$w), i -> $mk)) " +
+        "ELSE cast(array() AS array<string>) END")
+  }
+
+  // ------------------------------------------------------------ exact
+
+  /** Exact dedup: hash-groupBy on content. Emits one row per distinct
+    * content hash with the group size and the keeper (min doc_id) — a
+    * map-side-combinable aggregation, no skew risk (hash keys are
+    * uniform). Filter `n > 1` for the duplicate groups. */
+  def exactGroups(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(col("text")).as("h"))
+      .agg(count("*").as("n"), min(col("doc_id")).as("keeper"))
+
+  // ---------------------------------------------------------- minhash/LSH
+
+  /** Affine-hash coefficients for the K minhash functions (fixed, public). */
+  val MinHashA: Array[Long] = Array(7, 31, 59, 83, 107, 131, 163, 191,
+    223, 251, 283, 311, 347, 379, 409, 439)
+  val MinHashB: Array[Long] = Array(3, 11, 19, 29, 37, 43, 53, 61,
+    71, 79, 89, 97, 101, 109, 113, 127)
+  val MinHashP: Long = 1000003L // prime > any dictionary id at test scale
+  val NumBands = 4
+  val RowsPerBand = 4 // K = 16
+
+  /** (doc_id, shingle) pairs, shingles distinct per doc. */
+  def docShingles(docs: DataFrame, w: Int = 3): DataFrame =
+    docs.select(col("doc_id"), tokensCol("text").as("ts"))
+      .select(col("doc_id"), explode(shinglesCol("ts", w)).as("s"))
+
+  /** Parity path: shingle dictionary (dense ids by shingle order). At
+    * scale this is the engine's term_dict build (range-partition + sort);
+    * here a window suffices. */
+  def shingleDict(ds: DataFrame): DataFrame =
+    ds.select(col("s")).distinct()
+      .withColumn("sid", dense_rank().over(Window.orderBy(col("s"))).cast("long"))
+
+  /** MinHash signatures: K min-hash columns h0..h15 per doc (parity path:
+    * affine hashes of dictionary ids). One shuffle: groupBy(doc_id) with
+    * map-side partial mins. */
+  def minhashSignatures(ds: DataFrame, dict: DataFrame): DataFrame = {
+    val withIds = ds.join(dict, "s").select(col("doc_id"), col("sid"))
+    val aggs = (0 until NumBands * RowsPerBand).map { k =>
+      min((col("sid") * MinHashA(k) + MinHashB(k)) % MinHashP).as(s"h$k")
+    }
+    withIds.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH band buckets: (doc_id, band, key). Docs sharing a bucket in any
+    * band are candidate near-duplicates. */
+  def lshBuckets(sigs: DataFrame): DataFrame = {
+    val perBand = (0 until NumBands).map { b =>
+      val cols = (0 until RowsPerBand).map(r => col(s"h${b * RowsPerBand + r}"))
+      sigs.select(col("doc_id"), lit(b).as("band"),
+        concat_ws(",", cols: _*).as("key"))
+    }
+    perBand.reduce(_ union _)
+  }
+
+  /** Candidate pairs (a < b) sharing any LSH bucket. The bucket join is
+    * the scale move: instead of all-pairs O(n^2), only docs agreeing on a
+    * full band collide. Hot buckets (giant duplicate clusters) are the
+    * skew risk — AQE skew-join handles the join; the group explosion is
+    * bounded by cluster size, which is what dedup is looking for anyway. */
+  def candidatePairs(buckets: DataFrame): DataFrame = {
+    val a = buckets.select(col("band"), col("key"), col("doc_id").as("a"))
+    val b = buckets.select(col("band"), col("key"), col("doc_id").as("b"))
+    a.join(b, Seq("band", "key")).where(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+  }
+
+  /** Exact shingle-set Jaccard for given pairs. */
+  def pairJaccard(pairs: DataFrame, ds: DataFrame): DataFrame = {
+    val sizes = ds.groupBy(col("doc_id")).agg(count("*").as("sz"))
+    val common = ds.select(col("doc_id").as("a"), col("s"))
+      .join(ds.select(col("doc_id").as("b"), col("s")), "s")
+      .where(col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count("*").as("common"))
+    pairs.join(common, Seq("a", "b"))
+      .join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("sz", "na"), "a")
+      .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("sz", "nb"), "b")
+      .select(col("a"), col("b"),
+        (col("common").cast("double") /
+          (col("na") + col("nb") - col("common")).cast("double")).as("jac"))
+  }
+
+  /** Full parity MinHash-LSH near-dup pipeline: doc pairs with
+    * LSH-candidate status AND exact Jaccard >= minJaccard. */
+  def minhashNearDups(docs: DataFrame, minJaccard: Double = 0.35): DataFrame = {
+    val ds = docShingles(docs)
+    val dict = shingleDict(ds)
+    val sigs = minhashSignatures(ds, dict)
+    val cands = candidatePairs(lshBuckets(sigs))
+    pairJaccard(cands, ds).where(col("jac") >= minJaccard)
+  }
+
+  /** Production-path signatures: xxhash64 straight on the shingle string —
+    * no dictionary, no window, embarrassingly parallel. Same banding. */
+  def minhashSignaturesProd(ds: DataFrame): DataFrame = {
+    val aggs = (0 until NumBands * RowsPerBand).map { k =>
+      min(pmod(xxhash64(col("s"), lit(k)), lit(MinHashP))).as(s"h$k")
+    }
+    ds.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  def minhashNearDupsProd(docs: DataFrame, minJaccard: Double = 0.35): DataFrame = {
+    val ds = docShingles(docs)
+    val cands = candidatePairs(lshBuckets(minhashSignaturesProd(ds)))
+    pairJaccard(cands, ds).where(col("jac") >= minJaccard)
+  }
+
+  // ------------------------------------------------------------- simhash
+
+  /** 32-bit SimHash per doc (parity path): token dictionary ids mixed by a
+    * Knuth multiplicative constant; bit b of the signature is the sign of
+    * the tf-weighted sum of (2*bit_b(mix)-1) over the doc's tokens. */
+  def simhash(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), explode(tokensCol("text")).as("t"))
+    val tf = toks.groupBy(col("doc_id"), col("t")).agg(count("*").as("tf"))
+    val dict = toks.select(col("t")).distinct()
+      .withColumn("tid", dense_rank().over(Window.orderBy(col("t"))).cast("long"))
+    val mixed = tf.join(dict, "t")
+      .select(col("doc_id"), col("tf"), ((col("tid") * 2654435761L) % 4294967296L).as("m"))
+    val bits = mixed
+      .crossJoin(broadcast(mixed.sparkSession.range(32).toDF("b"))) // b: 0..31
+      .select(col("doc_id"), col("b"),
+        (col("tf") * (expr("shiftright(m, cast(b AS int)) & 1") * 2 - 1)).as("c"))
+    bits.groupBy(col("doc_id"), col("b")).agg(sum(col("c")).as("s"))
+      .select(col("doc_id"),
+        when(col("s") > 0, expr("shiftleft(1L, cast(b AS int))")).otherwise(lit(0L)).as("bv"))
+      .groupBy(col("doc_id")).agg(sum(col("bv")).as("simhash"))
+  }
+
+  /** Top near pairs by SimHash Hamming distance (ascending). All-pairs is
+    * fine at verification scale; at corpus scale the standard trick is to
+    * join on rotated/permuted signature prefixes instead (same bucket idea
+    * as LSH), which this API composes with. */
+  def simhashPairs(sh: DataFrame, maxHamming: Int): DataFrame = {
+    val a = sh.select(col("doc_id").as("a"), col("simhash").as("ha"))
+    val b = sh.select(col("doc_id").as("b"), col("simhash").as("hb"))
+    a.crossJoin(b).where(col("a") < col("b"))
+      .select(col("a"), col("b"), expr("bit_count(ha ^ hb)").cast("long").as("hamming"))
+      .where(col("hamming") <= maxHamming)
+  }
+
+  // ----------------------------------------------------- n-gram jaccard
+
+  /** Direct n-gram Jaccard near-dups: candidates = pairs sharing >= 1
+    * shingle (inverted-shingle join — exactly the engine's posting-list
+    * idea applied to shingles), scored by exact Jaccard. */
+  def ngramJaccardPairs(docs: DataFrame, w: Int = 3, minJaccard: Double = 0.35): DataFrame = {
+    val ds = docShingles(docs, w)
+    val cands = ds.select(col("doc_id").as("a"), col("s"))
+      .join(ds.select(col("doc_id").as("b"), col("s")), "s")
+      .where(col("a") < col("b")).select(col("a"), col("b")).distinct()
+    pairJaccard(cands, ds).where(col("jac") >= minJaccard)
+  }
+}

@@ -1,0 +1,111 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators a training-data pipeline runs over every
+  * document: language-ID heuristic, quality scoring, token counting,
+  * document fingerprinting. All pure Catalyst expressions (codegen'd,
+  * shuffle-free per-doc map work) except the fingerprint dictionary,
+  * which is term_dict-shaped (see Dedup parity note). */
+object TextAnalysis {
+
+  /** The classic English stopword list the engine's analyzer uses
+    * (reference: Lucene.Net Analysis/Core/StopAnalyzer.cs:48-51). */
+  val EnglishStops: Seq[String] = Seq("a", "an", "and", "are", "as", "at",
+    "be", "but", "by", "for", "if", "in", "into", "is", "it", "no", "not",
+    "of", "on", "or", "such", "that", "the", "their", "then", "there",
+    "these", "they", "this", "to", "was", "will", "with")
+
+  private def ts: Column = Dedup.tokensCol("text")
+
+  /** Language-ID heuristic: function-word hit ratios per candidate
+    * language over the token stream (the classic n-gram/function-word
+    * profile method, dictionary kept tiny and broadcastable). Candidate
+    * marker sets are fixed public fixtures. */
+  val LangMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "for", "with"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "los", "por", "con"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "en", "un", "du", "que"),
+    "de" -> Seq("der", "die", "und", "den", "von", "zu", "das", "mit", "sich", "des"))
+
+  /** Per-doc language scores + argmax prediction ("und" = undetermined
+    * when no marker hits). Deterministic tie-break: higher ratio wins,
+    * then lexicographic language code. */
+  def langId(docs: DataFrame): DataFrame = {
+    val n = size(ts).cast("double")
+    val ratios = LangMarkers.toSeq.sortBy(_._1).map { case (lang, markers) =>
+      val hits = size(filter(ts, t => t.isInCollection(markers))).cast("double")
+      (lang, when(n > 0, hits / n).otherwise(lit(0.0)))
+    }
+    val scored = ratios.foldLeft(docs.select(col("doc_id"), col("lang"), col("text"))) {
+      case (df, (lang, c)) => df.withColumn(s"r_$lang", round(c, 6))
+    }
+    val maxR = greatest(ratios.map { case (lang, _) => col(s"r_$lang") }: _*)
+    // argmax; ties pick the lexicographically first language code
+    val best = ratios.foldRight(lit(null).cast("string"): Column) {
+      case ((lang, _), els) => when(col(s"r_$lang") === maxR, lit(lang)).otherwise(els)
+    }
+    scored
+      .withColumn("predicted", when(maxR > 0, best).otherwise(lit("und")))
+      .drop("text")
+  }
+
+  /** Quality-score features + composite score per doc:
+    * token count, mean token length, stopword ratio, punctuation ratio,
+    * digit ratio. Composite = heuristic in [0,1], monotone in
+    * "natural-language-ness". All ratios double, rounded to 6. */
+  def qualityScore(docs: DataFrame): DataFrame = {
+    val nTok = size(ts)
+    val nChar = length(col("text")).cast("double")
+    val meanTokLen = when(nTok > 0,
+      aggregate(ts, lit(0.0), (acc, t) => acc + length(t).cast("double")) / nTok.cast("double"))
+      .otherwise(lit(0.0))
+    val stopHits = size(filter(ts, t => t.isInCollection(EnglishStops)))
+    val stopRatio = when(nTok > 0, stopHits.cast("double") / nTok.cast("double")).otherwise(lit(0.0))
+    val punct = size(expr("regexp_extract_all(text, '[.,;:!?]', 0)"))
+    val punctRatio = when(nChar > 0, punct.cast("double") / nChar).otherwise(lit(0.0))
+    val digits = size(expr("regexp_extract_all(text, '[0-9]', 0)"))
+    val digitRatio = when(nChar > 0, digits.cast("double") / nChar).otherwise(lit(0.0))
+    val score =
+      when(nTok < 5, lit(0.0)).otherwise(
+        lit(0.4) * least(stopRatio * 4, lit(1.0)) +
+          lit(0.3) * when(meanTokLen >= 3 && meanTokLen <= 10, 1.0).otherwise(0.0) +
+          lit(0.2) * (lit(1.0) - least(digitRatio * 10, lit(1.0))) +
+          lit(0.1) * least(punctRatio * 20, lit(1.0)))
+    docs.select(col("doc_id"), nTok.cast("long").as("n_tokens"),
+      round(meanTokLen, 6).as("mean_tok_len"),
+      round(stopRatio, 6).as("stop_ratio"),
+      round(punctRatio, 6).as("punct_ratio"),
+      round(digitRatio, 6).as("digit_ratio"),
+      round(score, 6).as("quality"))
+  }
+
+  /** Token counting three ways per doc: whitespace-split, word-regex
+    * (the analyzer's `[a-z0-9_]+`), and a BPE-ish sub-word regex
+    * (letter-runs / digit-runs / single other symbol) — the pre-tokenizer
+    * shape GPT-style BPE vocabularies use. */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      size(expr("regexp_extract_all(text, '[^ \\t\\n\\r]+', 0)")).cast("long").as("ws_tokens"),
+      size(ts).cast("long").as("word_tokens"),
+      size(expr("regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 \\t\\n\\r]', 0)"))
+        .cast("long").as("bpeish_tokens"))
+
+  /** Document fingerprint: position-weighted polynomial hash over the
+    * token stream (rolling-hash family). Parity path: token ids from a
+    * dense dictionary, contribution of the token at 1-based position p is
+    * `p * ((tid*131 + 7) mod 1000003)`, summed as int64 (no overflow at
+    * sane doc lengths). Docs sharing a fingerprint are ordered-content
+    * duplicates under the tokenizer. */
+  def fingerprints(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), posexplode(ts).as(Seq("p0", "t")))
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("p"), col("t"))
+    val dict = toks.select(col("t")).distinct()
+      .withColumn("tid", dense_rank().over(Window.orderBy(col("t"))).cast("long"))
+    toks.join(dict, "t")
+      .select(col("doc_id"), (col("p") * ((col("tid") * 131 + 7) % 1000003)).as("c"))
+      .groupBy(col("doc_id")).agg(sum(col("c")).as("fingerprint"))
+  }
+}

@@ -1,0 +1,194 @@
+package graft.pipeline
+
+import graft.SparkTestSession
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Training-data pipeline ops: dedup (exact / MinHash-LSH / SimHash /
+  * n-gram Jaccard / embedding-cosine), ANN search, text analysis,
+  * multimodal plumbing. Fixture-based; the DuckDB-oracle parity of the
+  * same ops is covered by the driver gate (SparkEntry.queries). */
+class PipelineSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  /** Fixture: 8 base docs; doc 100 is an exact copy of doc 0; doc 101 is a
+    * near-copy of doc 1 (one token changed); doc 102 is unrelated. */
+  private lazy val docs: DataFrame = {
+    val base = Seq(
+      0L -> "the quick brown fox jumps over the lazy dog again and again",
+      1L -> "spark builds inverted index postings with delta encoded blocks",
+      2L -> "bm25 scoring ranks documents by term frequency and length",
+      3L -> "merge segments into a global dictionary with salted keys",
+      4L -> "checkpoint resume skips committed partitions via the manifest",
+      5L -> "tokenize lowercase stop filter then count token frequencies",
+      6L -> "range partition the term keys to defuse zipfian skew",
+      7L -> "broadcast tiny dimension tables instead of shuffling them")
+    val dup = Seq(
+      100L -> base(0)._2,
+      101L -> "spark builds inverted index postings with gamma encoded blocks",
+      102L -> "zzz yyy xxx www vvv uuu ttt sss rrr qqq ppp ooo")
+    (base ++ dup).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("fix"))
+      .withColumn("n_chars", length($"text").cast("long"))
+  }
+
+  test("exact dedup: hash groups collapse identical content, keeper = min id") {
+    val groups = Dedup.exactGroups(docs).where($"n" > 1).collect()
+    assert(groups.length === 1)
+    assert(groups(0).getAs[Long]("n") === 2)
+    assert(groups(0).getAs[Long]("keeper") === 0L)
+  }
+
+  test("minhash LSH finds the exact duplicate and the near duplicate") {
+    val pairs = Dedup.minhashNearDups(docs, minJaccard = 0.3)
+      .select($"a", $"b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 100L)), "exact copy must collide in every band")
+    assert(pairs.contains((1L, 101L)), "near copy (1 token changed) should collide")
+    assert(!pairs.exists(p => p._1 == 102L || p._2 == 102L), "unrelated doc must not pair")
+  }
+
+  test("minhash production (xxhash64) path agrees with the parity path") {
+    val parity = Dedup.minhashNearDups(docs, 0.3)
+      .select($"a", $"b", round($"jac", 6).as("j")).as[(Long, Long, Double)]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    val prod = Dedup.minhashNearDupsProd(docs, 0.3)
+      .select($"a", $"b", round($"jac", 6).as("j")).as[(Long, Long, Double)]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    // an exact copy collides in every band under ANY hash family; border
+    // pairs may differ between families (probabilistic recall), but any
+    // pair both report must carry the same exact Jaccard
+    assert(parity.contains((0L, 100L)) && prod.contains((0L, 100L)))
+    assert(parity((0L, 100L)) === 1.0 && prod((0L, 100L)) === 1.0)
+    parity.keySet.intersect(prod.keySet).foreach { k =>
+      assert(parity(k) === prod(k))
+    }
+  }
+
+  test("exact-copy pair has jaccard 1.0; near-copy strictly below") {
+    val jac = Dedup.ngramJaccardPairs(docs, 3, 0.3)
+      .select($"a", $"b", $"jac").as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(jac((0L, 100L)) === 1.0)
+    assert(jac((1L, 101L)) > 0.3 && jac((1L, 101L)) < 1.0)
+  }
+
+  test("simhash: identical docs get identical signatures; near-dup is close, unrelated far") {
+    val sh = Dedup.simhash(docs).as[(Long, Long)].collect().toMap
+    assert(sh(0L) === sh(100L))
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(sh(1L), sh(101L)) < hamming(sh(1L), sh(102L)))
+  }
+
+  test("simhashPairs surfaces the duplicate at hamming 0") {
+    val pairs = Dedup.simhashPairs(Dedup.simhash(docs), maxHamming = 0)
+      .as[(Long, Long, Long)].collect()
+    assert(pairs.exists(p => p._1 == 0L && p._2 == 100L && p._3 == 0L))
+  }
+
+  // --------------------------------------------------------- similarity
+
+  /** 20 deterministic unit-ish vectors; vec 10 = vec 0 scaled (cos = 1). */
+  private lazy val vecs: DataFrame = {
+    def v(seed: Int): Seq[Float] =
+      (0 until Similarity.Dims).map(i => math.sin(seed * 31 + i * 7).toFloat)
+    ((0 until 10).map(s => (s.toLong, v(s))) :+ (10L, v(0).map(_ * 2f)))
+      .toDF("vec_id", "embedding")
+  }
+
+  test("brute-force ANN: scaled copy of the query vector ranks first with cos 1") {
+    val q = vecs.where($"vec_id" === 0).select($"embedding")
+      .as[Seq[Float]].head()
+    val top = Similarity.bruteForceTopK(vecs.where($"vec_id" =!= 0), q, 3).collect()
+    assert(top(0).getAs[Long]("vec_id") === 10L)
+    assert(math.abs(top(0).getAs[Double]("cos") - 1.0) < 1e-9)
+  }
+
+  test("LSH bucket assignment is scale-invariant and query's bucket contains its copy") {
+    val b = vecs.select($"vec_id", Similarity.lshBucket($"embedding").as("bucket"))
+      .as[(Long, Long)].collect().toMap
+    assert(b(0L) === b(10L), "sign-LSH is scale-invariant")
+    val q = vecs.where($"vec_id" === 0).select($"embedding").as[Seq[Float]].head()
+    val top = Similarity.lshTopK(vecs.where($"vec_id" =!= 0), q, 5).collect()
+    assert(top.map(_.getAs[Long]("vec_id")).contains(10L))
+  }
+
+  test("bucketed cosine pairs find the near-identical pair") {
+    val pairs = Similarity.cosinePairsBucketed(vecs, minCos = 0.99)
+      .select($"a", $"b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 10L)))
+  }
+
+  // ------------------------------------------------------- text analysis
+
+  test("token counts: three tokenizations on a known string") {
+    val d = Seq((1L, "Hello world, 42 foo_bar!")).toDF("doc_id", "text")
+    val r = TextAnalysis.tokenCounts(d).head()
+    assert(r.getAs[Long]("ws_tokens") === 4) // Hello | world, | 42 | foo_bar!
+    assert(r.getAs[Long]("word_tokens") === 4) // hello world 42 foo_bar
+    // hello | world | , | 42 | foo | _ | bar | !
+    assert(r.getAs[Long]("bpeish_tokens") === 8)
+  }
+
+  test("quality score: natural text scores above junk") {
+    val d = Seq(
+      (1L, "the quick brown fox is a good dog and it will run to the park."),
+      (2L, "000 111 222 333 444 555 666 777 888 999 000 111")).toDF("doc_id", "text")
+    val q = TextAnalysis.qualityScore(d).collect().map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[Double]("quality")).toMap
+    assert(q(1L) > q(2L))
+    assert(q.values.forall(v => v >= 0.0 && v <= 1.0))
+  }
+
+  test("fingerprints: equal token sequences collide, reordering does not") {
+    val d = Seq(
+      (1L, "alpha beta gamma"), (2L, "alpha beta gamma"),
+      (3L, "gamma beta alpha")).toDF("doc_id", "text")
+    val fp = TextAnalysis.fingerprints(d).as[(Long, Long)].collect().toMap
+    assert(fp(1L) === fp(2L))
+    assert(fp(1L) !== fp(3L))
+  }
+
+  test("langId: marker-dense text is classified, markerless text is 'und'") {
+    val d = Seq(
+      (1L, "the cat and the dog of the house", "en"),
+      (2L, "el perro y la casa de la luna que", "es"),
+      (3L, "zzz qqq www", "xx")).toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.langId(d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("predicted")).toMap
+    assert(out(1L) === "en")
+    assert(out(2L) === "es")
+    assert(out(3L) === "und")
+  }
+
+  // ---------------------------------------------------------- multimodal
+
+  test("multimodal: asset schema, meta extraction, batched stub features") {
+    val assets = Multimodal.assets(docs)
+    assert(assets.schema.fieldNames.toSeq ===
+      Seq("doc_id", "modality", "bytes", "byte_len", "meta_lang"))
+    assert(assets.schema("bytes").dataType.typeName === "binary")
+
+    val meta = Multimodal.assetMeta(assets)
+    val m0 = meta.where($"doc_id" === 0).head()
+    // payload is UTF-8 of the text; magic = first 8 bytes hex
+    assert(m0.getAs[String]("magic") === "746865207175696375".take(16))
+    assert(m0.getAs[String]("sample").length === 8)
+
+    val feats = Multimodal.extractFeatures(spark, assets).collect()
+    assert(feats.length === docs.count())
+    assert(feats.forall(_.features.length === Multimodal.FeatureDims))
+    // deterministic: same payload → same features (doc 0 vs its copy 100)
+    val byId = feats.map(f => f.doc_id -> f).toMap
+    assert(byId(0L).features.toSeq === byId(100L).features.toSeq)
+    assert(byId(0L).n_frames === byId(100L).n_frames)
+  }
+
+  test("multimodal: modality stats aggregate is stable") {
+    val stats = Multimodal.modalityStats(spark, docs).collect()
+    assert(stats.map(_.getAs[String]("modality")).toSeq ===
+      stats.map(_.getAs[String]("modality")).toSeq.sorted)
+    assert(stats.map(_.getAs[Long]("n")).sum === docs.count())
+  }
+}
