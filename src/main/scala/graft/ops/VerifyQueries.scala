@@ -109,6 +109,28 @@ object VerifyQueries {
        |SELECT doc_id, round(score, 6) AS score FROM scored
        |ORDER BY score DESC, doc_id LIMIT 20 OFFSET 20""".stripMargin
 
+  /** PhraseQuery (ExactPhraseScorer analog): index-pruned candidates +
+    * position verification; output = per-doc phrase frequency. */
+  def qPhrase(spark: SparkSession, sf: String): DataFrame = {
+    val dir = ensure(spark, sf)
+    val reader = new graft.search.IndexReader(spark, dir)
+    val searcher = new graft.search.Searcher(reader,
+      analyzerFor = _ => graft.analysis.Analyzer.sqlParity)
+    searcher.phraseFreqs(Seq("table", "hash"), slop = 0)
+      .toDF("doc_id", "ptf", "norm")
+      .select(col("doc_id"), col("ptf").cast("long").as("ptf"))
+      .orderBy(col("doc_id"))
+  }
+  val oPhrase: String =
+    s"""$OracleCtes, pos AS (
+       |  SELECT doc_id, CAST(generate_subscripts(ts, 1) AS BIGINT) AS p, unnest(ts) AS t
+       |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS ts FROM documents)
+       |)
+       |SELECT a.doc_id AS doc_id, CAST(count(*) AS BIGINT) AS ptf
+       |FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+       |WHERE a.t = 'table' AND b.t = 'hash'
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** PrefixQuery expansion: dictionary scan (term, df). */
   def qPrefixDf(spark: SparkSession, sf: String): DataFrame = {
     val dir = ensure(spark, sf)
@@ -327,6 +349,7 @@ object VerifyQueries {
 
   val queries: Map[String, Q] = Map(
     "q_term_topk" -> qTermTopk _,
+    "q_phrase" -> qPhrase _,
     "q_bool_should" -> qBoolShould _,
     "q_bool_must" -> qBoolMust _,
     "q_bool_mustnot" -> qBoolMustNot _,
@@ -351,6 +374,7 @@ object VerifyQueries {
 
   val oracles: Map[String, String] = Map(
     "q_term_topk" -> oTermTopk,
+    "q_phrase" -> oPhrase,
     "q_bool_should" -> oBoolShould,
     "q_bool_must" -> oBoolMust,
     "q_bool_mustnot" -> oBoolMustNot,

@@ -19,6 +19,9 @@ final class IndexReader(val spark: SparkSession, val dir: String) extends Serial
   def postings: DataFrame = spark.read.parquet(IndexPaths.postings(dir))
   def docstats: DataFrame = spark.read.parquet(IndexPaths.docstats(dir))
   def termDict: DataFrame = spark.read.parquet(IndexPaths.termDict(dir))
+  /** Stored fields (≙ the compressed row store) — phrase verification
+    * re-reads candidate docs' content from here. */
+  def docsTable: DataFrame = spark.read.parquet(IndexPaths.docs(dir))
 
   /** Stats pull for query terms — one tiny dictionary lookup job,
     * parquet-pruned by the sorted term column (≙ the FST term-index seek,
@@ -60,7 +63,9 @@ private final case class ClauseHit(docId: Long, idx: Int, score: Float)
   * per doc (the reference's in-order sum, DisjunctionSumScorer.cs:59-85);
   * coord = queryNorm = 1 under BM25 (Similarity.cs:122-143).
   */
-final class Searcher(reader: IndexReader, pruneMinBlocks: Int = 64) extends Serializable {
+final class Searcher(reader: IndexReader, pruneMinBlocks: Int = 64,
+    analyzerFor: String => graft.analysis.Analyzer = graft.analysis.Analyzer.forLang)
+    extends Serializable {
   private val spark = reader.spark
   import spark.implicits._
 
@@ -126,11 +131,104 @@ final class Searcher(reader: IndexReader, pruneMinBlocks: Int = 64) extends Seri
         ScoreDoc(docId, max + tieBreak * (sum - max))
       }
     case bq: BoolQ => scoredBool(bq)
-    case p: PhraseQ =>
-      throw new UnsupportedOperationException(
-        "PhraseQ requires a positions-enabled index (post-MVP, SURVEY.md §2.3)")
+    case PhraseQ(terms, slop, boost) => scoredPhrase(terms, slop, boost)
     case other => throw new IllegalStateException(s"unrewritten query: $other")
   }
+
+  // ------------------------------------------------------------- phrase
+
+  /** Phrase scoring without a positions index — the FilteredQuery
+    * QUERY_FIRST strategy (reference: Search/FilteredQuery.cs:536-575)
+    * restated for Spark: the inverted index prunes to docs containing ALL
+    * phrase terms (a docId conjunction join, usually a vanishing fraction
+    * of the corpus), then ONLY those docs' stored content is re-analyzed
+    * to verify positions and count phrase occurrences. At 100 TB the
+    * candidate set after an AND of 2+ terms is small enough that
+    * re-analysis is cheaper than carrying (and shuffling) a positions
+    * column on every posting.
+    *
+    * Scoring matches the reference's ExactPhraseScorer: phraseFreq plays
+    * tf in BM25, weight = Σ idf over phrase terms (BM25Similarity.cs:
+    * 210-225), same norm byte as term scoring. Single-term phrases
+    * rewrite to TermQuery (PhraseQuery.cs:175). slop > 0 uses an ordered
+    * window match (span width - (n-1) <= slop), a documented
+    * simplification of SloppyPhraseScorer's reorder semantics. */
+  private def scoredPhrase(terms: Seq[String], slop: Int, boost: Float): Dataset[ScoreDoc] = {
+    require(terms.nonEmpty, "empty phrase")
+    if (terms.size == 1) return scored(TermQ(terms.head, boost))
+    val stats = reader.termStats(terms.distinct)
+    if (!terms.forall(stats.contains)) return spark.emptyDataset[ScoreDoc]
+    // idf sum over phrase terms in query order, duplicates included
+    val weight = BM25.weightValue(
+      terms.map(t => BM25.idf(stats(t).df, cs.maxDoc)).sum, boost)
+    val localCache = cache
+    phraseFreqs(terms, slop).map { case (docId, freq, norm) =>
+      ScoreDoc(docId, BM25.score(freq.toFloat, norm.toByte, weight, localCache))
+    }
+  }
+
+  /** (docId, phraseFreq, normByte) for docs containing the phrase —
+    * the verification surface of the phrase machinery. */
+  def phraseFreqs(terms: Seq[String], slop: Int = 0): Dataset[(Long, Int, Int)] = {
+    val distinct = terms.distinct
+    val stats = reader.termStats(distinct)
+    if (!distinct.forall(stats.contains)) return spark.emptyDataset[(Long, Int, Int)]
+    // index prune: docs containing every phrase term (conjunction)
+    val candidates = distinct.map(termDocIds).reduce(_.intersect(_))
+    val phraseArr = terms.toArray
+    val nTerms = phraseArr.length
+    val maxSpan = nTerms - 1 + slop
+    val analyzers = analyzerFor
+    val docs = reader.docsTable
+      .join(candidates.toDF("cDocId"), $"docId" === $"cDocId")
+      .join(reader.docstats.select($"docId".as("nDocId"), $"norm"),
+        $"docId" === $"nDocId")
+      .select($"docId", $"lang", $"content", $"norm")
+      .as[(Long, String, String, Int)]
+    docs.mapPartitions { it =>
+      val analyzerCache = scala.collection.mutable.HashMap.empty[String, graft.analysis.Analyzer]
+      it.flatMap { case (docId, lang, content, norm) =>
+        val analyzer = analyzerCache.getOrElseUpdate(lang, analyzers(lang))
+        val toks = analyzer.analyze(content).tokens
+        val byPos = new java.util.HashMap[Int, String](toks.length * 2)
+        toks.foreach(t => byPos.put(t.position, t.term))
+        var freq = 0
+        if (slop == 0) {
+          toks.foreach { t =>
+            if (t.term == phraseArr(0)) {
+              var i = 1
+              while (i < nTerms && phraseArr(i) == byPos.get(t.position + i)) i += 1
+              if (i == nTerms) freq += 1
+            }
+          }
+        } else {
+          // ordered greedy window match
+          var lastEnd = -1
+          toks.foreach { t =>
+            if (t.term == phraseArr(0) && t.position > lastEnd) {
+              var p = t.position
+              var i = 1
+              var ok = true
+              while (ok && i < nTerms) {
+                var q = p + 1
+                while (q <= t.position + maxSpan && byPos.get(q) != phraseArr(i)) q += 1
+                if (q > t.position + maxSpan) ok = false else { p = q; i += 1 }
+              }
+              if (ok) { freq += 1; lastEnd = p }
+            }
+          }
+        }
+        if (freq > 0) Iterator.single((docId, freq, norm)) else Iterator.empty
+      }
+    }
+  }
+
+  /** DocIds of one term, decoded from the pruned postings scan. */
+  private def termDocIds(t: String): Dataset[Long] =
+    reader.postings.where($"term" === t)
+      .select($"term", $"firstDocId", $"lastDocId", $"numDocs", $"maxTf",
+        $"maxNorm", $"sumTf", $"segId", $"bytes").as[PostingRow]
+      .flatMap(r => PostingsCodec.decodeBlock(r.firstDocId, r.numDocs, r.bytes)._1)
 
   private def unionClauses(qs: Seq[Query]): Dataset[ClauseHit] = {
     // batch TermQ leaves into ONE postings scan; recurse for the rest
