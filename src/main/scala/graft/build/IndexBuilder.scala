@@ -75,50 +75,100 @@ object IndexBuilder {
       .parquet(IndexPaths.manifest(dir))
   }
 
-  /** Stage 1: deterministic docIds + stored-fields table. */
+  /** Stage 1: deterministic docIds + stored-fields table. `docIdBase`
+    * offsets the dense ids — incremental (streaming) builds stack
+    * generations into one docId space (≙ SegmentMerger's DocMap rebase,
+    * reference: Index/MergeState.cs:42-44). */
   def buildDocs(spark: SparkSession, corpus: Dataset[SourceFile], dir: String,
-                numPartitions: Int): Unit = {
+                numPartitions: Int, docIdBase: Long = 0L): Unit = {
     import spark.implicits._
     val sorted = corpus
       .repartitionByRange(numPartitions, $"repo", $"path", $"commit")
       .sortWithinPartitions($"repo", $"path", $"commit")
-    // zipWithIndex: one light count job + one map pass; the RDD hop is the
-    // documented Dataset gap (SURVEY.md §7 "no RDD unless forced").
-    val withIds = sorted.rdd.zipWithIndex()
-    val docs = spark.createDataset(withIds.map { case (f, id) =>
-      DocRow(id, f.repo, f.path, f.commit, f.lang, f.content, f.sha256)
+    // zipWithIndex needs a count pass then a map pass over the same RDD;
+    // the two jobs share the range-shuffle's map output, so only the
+    // reduce-side fetch + in-partition sort run twice — cheap and, unlike
+    // persisting the payload, free of storage-eviction pressure when many
+    // concurrent sort tasks share the executor heap.
+    val sortedRdd = sorted.rdd
+    // (the RDD hop is the documented Dataset gap — SURVEY.md §7)
+    val acc = spark.sparkContext.collectionAccumulator[ManifestRow]("docsManifest")
+    val withIds = sortedRdd.zipWithIndex()
+    val docs = spark.createDataset(withIds.mapPartitionsWithIndex { (pid, it) =>
+      var rows = 0L
+      var bytes = 0L
+      val out = it.map { case (f, id) =>
+        rows += 1; bytes += f.content.length
+        DocRow(docIdBase + id, f.repo, f.path, f.commit, f.lang, f.content, f.sha256)
+      }
+      new Iterator[DocRow] {
+        private var reported = false
+        def hasNext: Boolean = {
+          val h = out.hasNext
+          if (!h && !reported) {
+            reported = true
+            acc.add(ManifestRow("docs", pid, null, null, rows, rows, bytes,
+              0L, System.currentTimeMillis()))
+          }
+          h
+        }
+        def next(): DocRow = out.next()
+      }
     })
     docs.write.mode(SaveMode.Overwrite).parquet(IndexPaths.docs(dir))
-    val stats = spark.read.parquet(IndexPaths.docs(dir))
-      .groupBy(spark_partition_id().as("pid"))
-      .agg(count("*").as("rows"), sum(length($"content")).as("bytes"))
-      .collect()
-    val now = System.currentTimeMillis()
-    commitStage(spark, dir, stats.map(r => ManifestRow("docs", r.getInt(0),
-      null, null, r.getLong(1), r.getLong(1), r.getLong(2), 0L, now)).toSeq)
+    commitStage(spark, dir, dedupeByPartition(acc.value))
+  }
+
+  /** Accumulator entries may repeat when a task attempt is retried after a
+    * success (speculation); lineage is per-partition, keep one row each. */
+  private def dedupeByPartition(rows: java.util.List[ManifestRow]): Seq[ManifestRow] = {
+    import scala.jdk.CollectionConverters._
+    rows.asScala.toSeq.groupBy(_.partitionId).map(_._2.head).toSeq
+      .sortBy(_.partitionId)
   }
 
   /** Stage 2: the tokenize-once segment flush (postings blocks + docstats). */
   def buildFlush(spark: SparkSession, dir: String,
-                 analyzerFor: String => Analyzer = Analyzer.forLang): Unit = {
+                 analyzerFor: String => Analyzer = Analyzer.forLang,
+                 numPartitions: Int = 32): Unit = {
+    import spark.implicits._
+    // Size input splits to the build parallelism: the default 128 MB
+    // maxPartitionBytes coalesces the (deliberately small) docs files into
+    // a handful of splits, serializing the CPU-heavy tokenize stage on a
+    // big executor. One split ≈ one flush task ≈ one DWPT.
+    val docsPath = new org.apache.hadoop.fs.Path(IndexPaths.docs(dir))
+    val fs = docsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val totalBytes = fs.getContentSummary(docsPath).getLength
+    val target = math.min(128L << 20,
+      math.max(1L << 20, totalBytes / math.max(1, numPartitions)))
+    val prevMax = spark.conf.get("spark.sql.files.maxPartitionBytes", null)
+    val prevOpen = spark.conf.get("spark.sql.files.openCostInBytes", null)
+    spark.conf.set("spark.sql.files.maxPartitionBytes", target.toString)
+    spark.conf.set("spark.sql.files.openCostInBytes", (64L << 10).toString)
+    try doBuildFlush(spark, dir, analyzerFor)
+    finally {
+      if (prevMax == null) spark.conf.unset("spark.sql.files.maxPartitionBytes")
+      else spark.conf.set("spark.sql.files.maxPartitionBytes", prevMax)
+      if (prevOpen == null) spark.conf.unset("spark.sql.files.openCostInBytes")
+      else spark.conf.set("spark.sql.files.openCostInBytes", prevOpen)
+    }
+  }
+
+  private def doBuildFlush(spark: SparkSession, dir: String,
+                           analyzerFor: String => Analyzer): Unit = {
     import spark.implicits._
     val docs = spark.read.parquet(IndexPaths.docs(dir)).as[DocRow]
+    // lineage computed in-flight (accumulator) — no second pass over the
+    // flush output; at scale a re-read of every posting block just to
+    // checksum it would double the stage's I/O
+    val acc = spark.sparkContext.collectionAccumulator[ManifestRow]("flushManifest")
     val flush = docs.mapPartitions { it =>
       val segId = TaskContext.getPartitionId()
-      new FlushIterator(it, segId, analyzerFor)
+      new FlushIterator(it, segId, analyzerFor, row => acc.add(row))
     }
     flush.write.mode(SaveMode.Overwrite).partitionBy("kind")
       .parquet(IndexPaths.flush(dir))
-    val f = spark.read.parquet(IndexPaths.flush(dir))
-    val tStats = f.where($"kind" === "t").groupBy($"segId")
-      .agg(min($"term").as("tmin"), max($"term").as("tmax"),
-        sum($"numDocs").as("docCount"), count("*").as("rows"),
-        sum(length($"bytes")).as("bytes"), sum(crc32(col("bytes"))).as("crc"))
-      .collect()
-    val now = System.currentTimeMillis()
-    commitStage(spark, dir, tStats.map(r => ManifestRow("flush", r.getInt(0),
-      r.getString(1), r.getString(2), r.getLong(3), r.getLong(4), r.getLong(5),
-      r.getLong(6), now)).toSeq)
+    commitStage(spark, dir, dedupeByPartition(acc.value))
   }
 
   /** Stage 3: global term-sorted postings table (the "merge"). */
@@ -182,20 +232,27 @@ object IndexBuilder {
     * the segments_N checkpoint contract). */
   def build(spark: SparkSession, corpus: Dataset[SourceFile], dir: String,
             numPartitions: Int = 32, resume: Boolean = false,
-            analyzerFor: String => Analyzer = Analyzer.forLang): Unit = {
+            analyzerFor: String => Analyzer = Analyzer.forLang,
+            docIdBase: Long = 0L): Unit = {
     if (!resume) {
       val path = new org.apache.hadoop.fs.Path(dir)
       val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fs.exists(path)) fs.delete(path, true)
     }
+    def timed(stage: String)(f: => Unit): Unit = {
+      val t0 = System.nanoTime()
+      f
+      if (sys.env.contains("SPARK_GRAFT_STAGE_TIMES"))
+        System.err.println(f"[build] $stage%-9s ${(System.nanoTime() - t0) / 1e9}%.2fs")
+    }
     if (!resume || !stageDone(spark, dir, "docs"))
-      buildDocs(spark, corpus, dir, numPartitions)
+      timed("docs")(buildDocs(spark, corpus, dir, numPartitions, docIdBase))
     if (!resume || !stageDone(spark, dir, "flush"))
-      buildFlush(spark, dir, analyzerFor)
+      timed("flush")(buildFlush(spark, dir, analyzerFor, numPartitions))
     if (!resume || !stageDone(spark, dir, "postings"))
-      buildPostings(spark, dir, numPartitions)
+      timed("postings")(buildPostings(spark, dir, numPartitions))
     if (!resume || !stageDone(spark, dir, "stats"))
-      buildStats(spark, dir, numPartitions)
+      timed("stats")(buildStats(spark, dir, numPartitions))
   }
 }
 
@@ -204,12 +261,36 @@ object IndexBuilder {
   * blocks on budget trips and at exhaustion; doc-stat rows are emitted
   * inline as soon as each doc is analyzed. */
 private final class FlushIterator(docs: Iterator[DocRow], segId: Int,
-    analyzerFor: String => Analyzer) extends Iterator[FlushRow] {
+    analyzerFor: String => Analyzer,
+    onComplete: ManifestRow => Unit = _ => ()) extends Iterator[FlushRow] {
 
+  // partition lineage, accumulated as blocks are emitted
+  private var mTermMin: String = null
+  private var mTermMax: String = null
+  private var mDocCount = 0L
+  private var mRows = 0L
+  private var mBytes = 0L
+  private var mCrc = 0L
+  private var mReported = false
+
+  /** Primitive growable posting buffer (≙ the byte-slice pools of
+    * TermsHashPerField). Boxed collections here would cost ~10× the RAM
+    * and destroy flush-stage scaling at high task counts — per-task RAM
+    * must stay near the reference's 16 MB DWPT budget. */
   private final class Buf {
-    val docIds = new mutable.ArrayBuffer[Long](4)
-    val tfs = new mutable.ArrayBuffer[Int](4)
-    val norms = new mutable.ArrayBuffer[Int](4)
+    var n = 0
+    var docIds = new Array[Long](4)
+    var tfs = new Array[Int](4)
+    var norms = new Array[Int](4)
+    def add(d: Long, tf: Int, norm: Int): Unit = {
+      if (n == docIds.length) {
+        val cap = n * 2
+        docIds = java.util.Arrays.copyOf(docIds, cap)
+        tfs = java.util.Arrays.copyOf(tfs, cap)
+        norms = java.util.Arrays.copyOf(norms, cap)
+      }
+      docIds(n) = d; tfs(n) = tf; norms(n) = norm; n += 1
+    }
   }
 
   private val terms = mutable.HashMap.empty[String, Buf]
@@ -228,8 +309,10 @@ private final class FlushIterator(docs: Iterator[DocRow], segId: Int,
     java.util.Arrays.sort(sortedTerms, Ordering[String])
     sortedTerms.foreach { t =>
       val b = terms(t)
-      val tfArr = b.tfs.toArray
-      val blocks = PostingsCodec.encodeBlocks(b.docIds.toArray, tfArr, b.norms.toArray)
+      val tfArr = java.util.Arrays.copyOf(b.tfs, b.n)
+      val blocks = PostingsCodec.encodeBlocks(
+        java.util.Arrays.copyOf(b.docIds, b.n), tfArr,
+        java.util.Arrays.copyOf(b.norms, b.n))
       var off = 0
       blocks.foreach { blk =>
         var s = 0L
@@ -239,6 +322,15 @@ private final class FlushIterator(docs: Iterator[DocRow], segId: Int,
           lastDocId = blk.lastDocId, numDocs = blk.numDocs, maxTf = blk.maxTf,
           maxNorm = blk.maxNorm, sumTf = s, bytes = blk.bytes))
         off += blk.numDocs
+        // lineage (≙ what segments_N records per segment)
+        if (mTermMin == null || t < mTermMin) mTermMin = t
+        if (mTermMax == null || t > mTermMax) mTermMax = t
+        mDocCount += blk.numDocs
+        mRows += 1
+        mBytes += blk.bytes.length
+        val crc = new CRC32
+        crc.update(blk.bytes)
+        mCrc += crc.getValue
       }
     }
     terms.clear()
@@ -265,8 +357,7 @@ private final class FlushIterator(docs: Iterator[DocRow], segId: Int,
     val tfMap = mutable.HashMap.empty[String, Int]
     analyzed.tokens.foreach(t => tfMap.update(t.term, tfMap.getOrElse(t.term, 0) + 1))
     tfMap.foreach { case (term, tf) =>
-      val buf = terms.getOrElseUpdate(term, new Buf)
-      buf.docIds += d.docId; buf.tfs += tf; buf.norms += normByte
+      terms.getOrElseUpdate(term, new Buf).add(d.docId, tf, normByte)
       nBuffered += 1
     }
     out.enqueue(emptyD.copy(docId = d.docId, repo = d.repo, path = d.path,
@@ -278,6 +369,11 @@ private final class FlushIterator(docs: Iterator[DocRow], segId: Int,
   override def hasNext: Boolean = {
     while (out.isEmpty && docs.hasNext) analyzeDoc(docs.next())
     if (out.isEmpty && terms.nonEmpty) flushSegment()
+    if (out.isEmpty && !mReported) {
+      mReported = true
+      onComplete(ManifestRow("flush", segId, mTermMin, mTermMax, mDocCount,
+        mRows, mBytes, mCrc, System.currentTimeMillis()))
+    }
     out.nonEmpty
   }
 

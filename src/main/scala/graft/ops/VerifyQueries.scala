@@ -288,6 +288,87 @@ object VerifyQueries {
        |FROM tf JOIN df USING (term) CROSS JOIN stats
        |WHERE doc_id = 7 ORDER BY w DESC, term LIMIT 5""".stripMargin
 
+  /** TotalHitCountCollector: hit count of a term query. */
+  def qCount(spark: SparkSession, sf: String): DataFrame = {
+    import spark.implicits._
+    val dir = ensure(spark, sf)
+    Seq(hits(spark, dir, Seq("merge")).count()).toDF("n")
+  }
+  val oCount: String =
+    s"""$OracleCtes
+       |SELECT CAST(count(*) AS BIGINT) AS n FROM tf WHERE term = 'merge'""".stripMargin
+
+  /** TopFieldCollector: sort by (lang asc, doc length desc, docId). */
+  def qSortFields(spark: SparkSession, sf: String): DataFrame = {
+    val dir = ensure(spark, sf)
+    spark.read.parquet(IndexPaths.docstats(dir))
+      .select(col("docId").as("doc_id"), col("lang"),
+        col("tokenCount").cast("long").as("dl"))
+      .orderBy(col("lang"), col("dl").desc, col("doc_id")).limit(20)
+  }
+  val oSortFields: String =
+    s"""$OracleCtes
+       |SELECT doc_id, d.lang, dl.dl FROM dl JOIN documents d USING (doc_id)
+       |ORDER BY d.lang, dl.dl DESC, doc_id LIMIT 20""".stripMargin
+
+  /** CommonTermsQuery df-threshold split: high-df (>=5% of maxDoc) vs
+    * low-df terms among a clause list. */
+  def qCommonTerms(spark: SparkSession, sf: String): DataFrame = {
+    val dir = ensure(spark, sf)
+    val cs = collectionStats(spark, dir)
+    spark.read.parquet(IndexPaths.termDict(dir))
+      .where(col("term").isin("merge", "vector", "scan", "the", "filter"))
+      .select(col("term"), col("df"),
+        when(col("df") * 20 >= cs.maxDoc, "high").otherwise("low").as("bucket"))
+      .orderBy(col("term"))
+  }
+  val oCommonTerms: String =
+    s"""$OracleCtes
+       |SELECT term, df.df,
+       |  CASE WHEN df.df * 20 >= stats.maxdoc THEN 'high' ELSE 'low' END AS bucket
+       |FROM df CROSS JOIN stats
+       |WHERE term IN ('merge', 'vector', 'scan', 'the', 'filter') ORDER BY term""".stripMargin
+
+  /** QueryRescorer: re-rank the term query's hits with a second-pass
+    * formula mixing relevance with a doc-length prior. */
+  def qRescore(spark: SparkSession, sf: String): DataFrame = {
+    scoredHits(spark, sf, Seq("merge"))
+      .select(col("doc_id"),
+        round(col("score") * lit(0.7) +
+          lit(0.3) * (lit(1.0) / (lit(1.0) + col("dl").cast("double") / lit(100.0))), 6)
+          .as("rescore"))
+      .orderBy(col("rescore").desc, col("doc_id")).limit(20)
+  }
+  val oRescore: String =
+    s"""${oracleScored(Seq("merge"))}
+       |SELECT doc_id, round(score * 0.7e0 + 0.3e0 * (1.0e0 / (1.0e0 + dl / 100.0e0)), 6) AS rescore
+       |FROM scored ORDER BY rescore DESC, doc_id LIMIT 20""".stripMargin
+
+  /** Highlighter-lite (SQL-parity variant): snippet around the first
+    * occurrence of the query term, for index-matched docs only. The
+    * token-window Highlighter with offset-based markup is the library op
+    * (graft.search.Highlighter, ScalaTest-covered). */
+  def qHighlight(spark: SparkSession, sf: String): DataFrame = {
+    val dir = ensure(spark, sf)
+    val h = hits(spark, dir, Seq("merge")).select(col("doc_id"))
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    h.join(docs, "doc_id")
+      .select(col("doc_id"),
+        substring_index(lower(col("text")), "merge", 1).as("pre"))
+      .select(col("doc_id"),
+        expr("substring(pre, greatest(1, length(pre) - 9), 10)").as("ctx_before"))
+      .orderBy(col("doc_id"))
+  }
+  val oHighlight: String =
+    s"""$OracleCtes, m AS (
+       |  SELECT doc_id, substr(lower(text), 1, strpos(lower(text), 'merge') - 1) AS pre
+       |  FROM documents WHERE strpos(lower(text), 'merge') > 0
+       |), idx AS (SELECT DISTINCT doc_id FROM tf WHERE term = 'merge')
+       |SELECT m.doc_id AS doc_id,
+       |  substr(pre, greatest(1, length(pre) - 9), 10) AS ctx_before
+       |FROM m JOIN idx USING (doc_id) ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------- relational ops
 
   /** Query-time semi-join (JoinUtil analog) on TPC-H tables. */
@@ -367,6 +448,11 @@ object VerifyQueries {
     "q_facet_dl_hist" -> qFacetDlHist _,
     "q_group_top2" -> qGroupTop2 _,
     "q_mlt_terms" -> qMltTerms _,
+    "q_count" -> qCount _,
+    "q_sort_fields" -> qSortFields _,
+    "q_common_terms" -> qCommonTerms _,
+    "q_rescore" -> qRescore _,
+    "q_highlight" -> qHighlight _,
     "q_join_semi" -> qJoinSemi _,
     "q_join_anti" -> qJoinAnti _,
     "q_agg_q1" -> qAggQ1 _,
@@ -392,6 +478,11 @@ object VerifyQueries {
     "q_facet_dl_hist" -> oFacetDlHist,
     "q_group_top2" -> oGroupTop2,
     "q_mlt_terms" -> oMltTerms,
+    "q_count" -> oCount,
+    "q_sort_fields" -> oSortFields,
+    "q_common_terms" -> oCommonTerms,
+    "q_rescore" -> oRescore,
+    "q_highlight" -> oHighlight,
     "q_join_semi" -> oJoinSemi,
     "q_join_anti" -> oJoinAnti,
     "q_agg_q1" -> oAggQ1,

@@ -1,0 +1,251 @@
+package graft.search
+
+import graft.analysis.Analyzer
+import scala.collection.mutable.ArrayBuffer
+
+/** Classic query-syntax parser (reference:
+  * /root/reference/src/Lucene.Net.QueryParser/Classic/QueryParser.cs:267-420,
+  * fresh recursive-descent implementation of the public syntax):
+  *
+  *   - terms: `foo`, fielded `content:foo` (single-field engine — the
+  *     field prefix is accepted and ignored)
+  *   - boolean: `AND`/`&&`, `OR`/`||`, `NOT`/`!`, `+required`, `-prohibited`
+  *   - phrases: `"a b"` with optional slop `"a b"~2`
+  *   - wildcards `wi?ld*`, prefix `pre*`, regexp `/re.gex/`
+  *   - fuzzy `term~` (2 edits) / `term~1`
+  *   - ranges `[a TO b]` (inclusive) / `{a TO b}` (exclusive), mixable
+  *   - boosts `term^2.5`, group boosts `(a b)^2`
+  *   - grouping `( ... )`
+  *
+  * Query-side text runs through the same Analyzer as the index
+  * (index/query token parity — reference: Util/QueryBuilder.cs:73-105):
+  * a term that analyzes to nothing (stopword) vanishes; to several tokens
+  * becomes a SHOULD group (CreateBooleanQuery semantics); quoted text
+  * becomes a PhraseQ over its analyzed tokens.
+  *
+  * Occur semantics match the classic parser's default-OR behavior:
+  * bare clauses are SHOULD, `AND` upgrades both neighbors to MUST,
+  * `NOT`/`-` marks MUST_NOT, `+` marks MUST.
+  */
+final class QueryParser(analyzer: Analyzer = Analyzer.standard) {
+
+  private sealed trait Occur
+  private case object Should extends Occur
+  private case object Must extends Occur
+  private case object MustNot extends Occur
+
+  def parse(input: String): Query = {
+    val (q, rest) = parseQuery(new Lexer(input))
+    require(rest.peek.isEmpty, s"dangling input at '${rest.remaining}'")
+    q
+  }
+
+  // ------------------------------------------------------------- grammar
+
+  private def parseQuery(lx: Lexer): (Query, Lexer) = {
+    val clauses = ArrayBuffer.empty[(Occur, Query)]
+    var cur = lx
+    var pendingOp: Option[String] = None
+    while (cur.peek.exists(_ != ")")) {
+      val tok = cur.peek.get
+      tok match {
+        case "AND" | "&&" =>
+          pendingOp = Some("AND"); cur = cur.advance
+        case "OR" | "||" =>
+          pendingOp = Some("OR"); cur = cur.advance
+        case "NOT" =>
+          cur = cur.advance
+          val (q, nx) = parseClause(cur)
+          q.foreach(qq => clauses += ((MustNot, qq)))
+          cur = nx
+          pendingOp = None
+        case _ =>
+          val (occur0, cur2) = tok match {
+            case "+" => (Must: Occur, cur.advance)
+            case "-" => (MustNot: Occur, cur.advance)
+            case _ => (Should: Occur, cur)
+          }
+          val (q, nx) = parseClause(cur2)
+          q.foreach { qq =>
+            val occur =
+              if (occur0 != Should) occur0
+              else if (pendingOp.contains("AND")) {
+                // AND upgrades the previous scoring clause too
+                if (clauses.nonEmpty && clauses.last._1 == Should)
+                  clauses(clauses.length - 1) = (Must, clauses.last._2)
+                Must
+              } else Should
+            clauses += ((occur, qq))
+          }
+          cur = nx
+          pendingOp = None
+      }
+    }
+    val must = clauses.collect { case (Must, q) => q }.toSeq
+    val should = clauses.collect { case (Should, q) => q }.toSeq
+    val mustNot = clauses.collect { case (MustNot, q) => q }.toSeq
+    val q = (must, should, mustNot) match {
+      case (Seq(one), Nil, Nil) => one
+      case (Nil, Seq(one), Nil) => one
+      case _ => BoolQ(must, should, mustNot)
+    }
+    (q, cur)
+  }
+
+  /** One clause: optional field prefix, then a primary, then ^boost. */
+  private def parseClause(lx: Lexer): (Option[Query], Lexer) = {
+    var cur = lx
+    // field prefix (single-field engine: accepted, ignored)
+    if (cur.peek.exists(t => t.endsWith(":") && t.length > 1)) cur = cur.advance
+    val (q0, nx) = parsePrimary(cur)
+    var cur2 = nx
+    var q = q0
+    if (cur2.peek.exists(_.startsWith("^"))) {
+      val boost = cur2.peek.get.drop(1).toFloat
+      q = q.map(applyBoost(_, boost))
+      cur2 = cur2.advance
+    }
+    (q, cur2)
+  }
+
+  private def parsePrimary(lx: Lexer): (Option[Query], Lexer) = {
+    val tok = lx.peek.getOrElse(throw new IllegalArgumentException("unexpected end of query"))
+    tok match {
+      case "(" =>
+        val (q, nx) = parseQuery(lx.advance)
+        require(nx.peek.contains(")"), "unbalanced parenthesis")
+        (Some(q), nx.advance)
+      case t if t.startsWith("\"") =>
+        val inner = t.stripPrefix("\"").stripSuffix("\"")
+        var cur = lx.advance
+        var slop = 0
+        if (cur.peek.exists(p => p.startsWith("~"))) {
+          slop = cur.peek.get.drop(1).toInt
+          cur = cur.advance
+        }
+        val terms = analyzer.analyzeTerms(inner).toSeq
+        (if (terms.isEmpty) None else Some(PhraseQ(terms, slop)), cur)
+      case t if t.startsWith("[") || t.startsWith("{") =>
+        // range token is pre-assembled by the lexer: [lo TO hi] / {lo TO hi}
+        val inclLo = t.startsWith("[")
+        val inclHi = t.endsWith("]")
+        val body = t.substring(1, t.length - 1)
+        val parts = body.split("\\s+TO\\s+")
+        require(parts.length == 2, s"bad range: $t")
+        def side(s: String): String =
+          if (s == "*") null else Analyzer.lowerCase(s)
+        (Some(TermRangeQ(side(parts(0)), side(parts(1)), inclLo, inclHi)), lx.advance)
+      case t if t.startsWith("/") && t.endsWith("/") && t.length >= 2 =>
+        (Some(RegexpQ(t.substring(1, t.length - 1))), lx.advance)
+      case t =>
+        var cur = lx.advance
+        // fuzzy suffix
+        val (word, fuzzy) = t.lastIndexOf('~') match {
+          case -1 => (t, None)
+          case i =>
+            val tail = t.substring(i + 1)
+            val edits = if (tail.isEmpty) 2 else tail.toInt
+            (t.substring(0, i), Some(edits))
+        }
+        if (fuzzy.isDefined)
+          (Some(FuzzyQ(Analyzer.lowerCase(word), fuzzy.get)), cur)
+        else if (word.contains("*") || word.contains("?")) {
+          val lowered = Analyzer.lowerCase(word)
+          if (lowered.endsWith("*") && !lowered.dropRight(1).exists(c => c == '*' || c == '?'))
+            (Some(PrefixQ(lowered.dropRight(1))), cur)
+          else (Some(WildcardQ(lowered)), cur)
+        } else {
+          analyzer.analyzeTerms(word).toSeq match {
+            case Seq() => (None, cur) // stopword-only clause vanishes
+            case Seq(one) => (Some(TermQ(one)), cur)
+            case many => (Some(BoolQ(should = many.map(TermQ(_)))), cur)
+          }
+        }
+    }
+  }
+
+  private def applyBoost(q: Query, boost: Float): Query = q match {
+    case t: TermQ => t.copy(boost = t.boost * boost)
+    case b: BoolQ => b.copy(boost = b.boost * boost)
+    case p: PhraseQ => p.copy(boost = p.boost * boost)
+    case p: PrefixQ => p.copy(boost = p.boost * boost)
+    case w: WildcardQ => w.copy(boost = w.boost * boost)
+    case r: RegexpQ => r.copy(boost = r.boost * boost)
+    case f: FuzzyQ => f.copy(boost = f.boost * boost)
+    case r: TermRangeQ => r.copy(boost = r.boost * boost)
+    case c: ConstantScoreQ => c.copy(boost = c.boost * boost)
+    case m: MatchAllQ => m.copy(boost = m.boost * boost)
+    case d: DisMaxQ => ConstantScoreQ(d, boost) // no boost field; wrap
+  }
+
+  // -------------------------------------------------------------- lexer
+
+  /** Immutable cursor over the token stream. Tokens: ( ) + - ! "..." ~n
+    * ^n [..TO..] {..TO..} /regex/ field: words. */
+  private final class Lexer private (tokens: Vector[String], pos: Int) {
+    def this(input: String) = this(Lexer.tokenize(input), 0)
+    def peek: Option[String] = if (pos < tokens.length) Some(tokens(pos)) else None
+    def advance: Lexer = new Lexer(tokens, pos + 1)
+    def remaining: String = tokens.drop(pos).mkString(" ")
+  }
+
+  private object Lexer {
+    def tokenize(in: String): Vector[String] = {
+      val out = Vector.newBuilder[String]
+      var i = 0
+      val n = in.length
+      def isWordChar(c: Char): Boolean =
+        !c.isWhitespace && !"()+^\"[]{}".contains(c)
+      while (i < n) {
+        val c = in(i)
+        if (c.isWhitespace) i += 1
+        else if (c == '(' || c == ')' || c == '+') { out += c.toString; i += 1 }
+        else if (c == '-') { out += "-"; i += 1 }
+        else if (c == '^' || c == '~') {
+          var k = i + 1
+          while (k < n && (in(k).isDigit || in(k) == '.')) k += 1
+          out += in.substring(i, k); i = k
+        } else if (c == '"') {
+          var k = i + 1
+          while (k < n && in(k) != '"') k += 1
+          require(k < n, "unterminated phrase")
+          out += in.substring(i, k + 1); i = k + 1
+        } else if (c == '/') {
+          var k = i + 1
+          while (k < n && in(k) != '/') k += 1
+          require(k < n, "unterminated regexp")
+          out += in.substring(i, k + 1); i = k + 1
+        } else if (c == '[' || c == '{') {
+          val close = if (in.indexOf(']', i) >= 0 && (in.indexOf('}', i) < 0 || in.indexOf(']', i) < in.indexOf('}', i))) in.indexOf(']', i) else in.indexOf('}', i)
+          require(close > i, "unterminated range")
+          out += in.substring(i, close + 1); i = close + 1
+        } else {
+          var k = i
+          while (k < n && isWordChar(in(k)) && in(k) != '~') k += 1
+          var tok = in.substring(i, k)
+          // attach field prefix as its own token
+          if (tok.endsWith(":")) { out += tok; i = k }
+          else if (tok.contains(":")) {
+            val idx = tok.indexOf(':')
+            out += tok.substring(0, idx + 1)
+            tok = tok.substring(idx + 1)
+            if (k < n && in(k) == '~') {
+              var m = k + 1
+              while (m < n && (in(m).isDigit || in(m) == '.')) m += 1
+              tok += in.substring(k, m); k = m
+            }
+            out += tok; i = k
+          } else {
+            if (k < n && in(k) == '~') {
+              var m = k + 1
+              while (m < n && (in(m).isDigit || in(m) == '.')) m += 1
+              tok += in.substring(k, m); k = m
+            }
+            out += tok; i = k
+          }
+        }
+      }
+      out.result()
+    }
+  }
+}

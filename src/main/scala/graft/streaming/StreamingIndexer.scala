@@ -1,0 +1,128 @@
+package graft.streaming
+
+import graft.analysis.Analyzer
+import graft.build.{CollectionStatsRow, IndexBuilder, IndexPaths, ManifestRow}
+import graft.corpus.SourceFile
+import org.apache.spark.sql.{Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Incremental (streaming) indexing — the Spark restatement of the
+  * reference's near-real-time path (SURVEY.md §2.6): Lucene's NRT is
+  * DWPT-flushed segments made visible before commit
+  * (reference: Index/DirectoryReader.cs:113 `Open(writer, ...)`,
+  * Search/ControlledRealTimeReopenThread.cs), with background merges.
+  *
+  * Spark mapping: Structured Streaming `foreachBatch` — each micro-batch
+  * becomes a new segment GENERATION (a full mini-index under
+  * `root/gen=<batchId>`, docIds rebased past all previous generations),
+  * idempotent on batch replay (a committed generation is never rebuilt —
+  * the manifest is its `segments_N`). `compact()` is the merge policy: it
+  * concatenates generation segments into one standard index dir — pure
+  * concatenation, no re-tokenization, because generations own disjoint
+  * ascending docId ranges and posting blocks are self-contained (the
+  * design invariant the batch builder already relies on). */
+object StreamingIndexer {
+
+  def genDir(root: String, batchId: Long): String = f"$root/gen=$batchId%06d"
+
+  /** Committed generations, ascending. */
+  def generations(spark: SparkSession, root: String): Seq[Long] = {
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return Nil
+    fs.listStatus(p).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("gen="))
+      .map(_.getPath.getName.stripPrefix("gen=").toLong).sorted
+      .filter(g => IndexBuilder.stageDone(spark, genDir(root, g), "stats"))
+  }
+
+  /** Sum of maxDoc over committed generations = next docId base. */
+  def totalDocs(spark: SparkSession, root: String): Long = {
+    import spark.implicits._
+    generations(spark, root).map { g =>
+      spark.read.parquet(IndexPaths.collectionStats(genDir(root, g)))
+        .as[CollectionStatsRow].head().maxDoc
+    }.sum
+  }
+
+  /** Index one micro-batch as a new generation. Idempotent: if the
+    * generation is already committed (stats stage in its manifest), the
+    * replayed batch is a no-op — exactly-once indexing on top of
+    * Structured Streaming's at-least-once foreachBatch. */
+  def appendBatch(spark: SparkSession, batch: Dataset[SourceFile], root: String,
+                  batchId: Long, numPartitions: Int = 8,
+                  analyzerFor: String => Analyzer = Analyzer.forLang): Unit = {
+    val dir = genDir(root, batchId)
+    if (IndexBuilder.stageDone(spark, dir, "stats")) return // replay
+    val base = totalDocs(spark, root)
+    IndexBuilder.build(spark, batch, dir, numPartitions, resume = false,
+      analyzerFor, docIdBase = base)
+  }
+
+  /** Start the streaming indexer on a SourceFile stream. */
+  def start(stream: Dataset[SourceFile], root: String, checkpoint: String,
+            numPartitions: Int = 8,
+            analyzerFor: String => Analyzer = Analyzer.forLang,
+            trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: Dataset[SourceFile], batchId: Long) =>
+        appendBatch(batch.sparkSession, batch, root, batchId, numPartitions,
+          analyzerFor)
+      }
+      .start()
+
+  /** Merge policy: concatenate all committed generations into one
+    * standard index at `outDir` (readable by IndexReader/Searcher).
+    * Postings blocks are copied as-is — only re-range-partitioned and
+    * re-sorted by (term, firstDocId) so dictionary pruning works — and
+    * the global term_dict / collection_stats are re-aggregated. */
+  def compact(spark: SparkSession, root: String, outDir: String,
+              numPartitions: Int = 8): Unit = {
+    import spark.implicits._
+    val gens = generations(spark, root)
+    require(gens.nonEmpty, s"no committed generations under $root")
+    val dirs = gens.map(genDir(root, _))
+
+    val outPath = new org.apache.hadoop.fs.Path(outDir)
+    val fs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(outPath)) fs.delete(outPath, true)
+
+    spark.read.parquet(dirs.map(IndexPaths.docs): _*)
+      .repartitionByRange(numPartitions, $"docId").sortWithinPartitions($"docId")
+      .write.mode(SaveMode.Overwrite).parquet(IndexPaths.docs(outDir))
+    spark.read.parquet(dirs.map(IndexPaths.docstats): _*)
+      .repartitionByRange(numPartitions, $"docId").sortWithinPartitions($"docId")
+      .write.mode(SaveMode.Overwrite).parquet(IndexPaths.docstats(outDir))
+    spark.read.parquet(dirs.map(IndexPaths.postings): _*)
+      .repartitionByRange(numPartitions, $"term", $"firstDocId")
+      .sortWithinPartitions($"term", $"firstDocId")
+      .write.mode(SaveMode.Overwrite).parquet(IndexPaths.postings(outDir))
+
+    val dict = spark.read.parquet(IndexPaths.postings(outDir))
+      .groupBy($"term")
+      .agg(sum($"numDocs").as("df"), sum($"sumTf").as("totalTf"),
+        max($"maxTf").as("maxTf"), max($"maxNorm").as("maxNorm"))
+      .repartitionByRange(math.max(1, numPartitions / 8), $"term")
+      .sortWithinPartitions($"term")
+    dict.write.mode(SaveMode.Overwrite).parquet(IndexPaths.termDict(outDir))
+
+    val docAgg = spark.read.parquet(IndexPaths.docstats(outDir))
+      .agg(count("*").as("maxDoc"), sum($"tokenCount").as("sumTtf")).head()
+    val dictAgg = spark.read.parquet(IndexPaths.termDict(outDir))
+      .agg(coalesce(sum($"df"), lit(0L))).head()
+    val cs = CollectionStatsRow(docAgg.getLong(0), docAgg.getLong(0),
+      if (docAgg.isNullAt(1)) 0L else docAgg.getLong(1), dictAgg.getLong(0))
+    spark.createDataset(Seq(cs)).repartition(1)
+      .write.mode(SaveMode.Overwrite).parquet(IndexPaths.collectionStats(outDir))
+    val now = System.currentTimeMillis()
+    spark.createDataset(Seq(
+      ManifestRow("docs", 0, null, null, cs.maxDoc, cs.maxDoc, 0L, 0L, now),
+      ManifestRow("flush", 0, null, null, cs.maxDoc, cs.maxDoc, 0L, 0L, now),
+      ManifestRow("postings", 0, null, null, cs.maxDoc, cs.maxDoc, 0L, 0L, now),
+      ManifestRow("stats", 0, null, null, cs.maxDoc, cs.maxDoc, 0L, 0L, now)))
+      .repartition(1).write.mode(SaveMode.Append).parquet(IndexPaths.manifest(outDir))
+  }
+}

@@ -1,0 +1,74 @@
+package graft.search
+
+import graft.analysis.Analyzer
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Classic syntax → Query ADT (reference syntax:
+  * /root/reference/src/Lucene.Net.QueryParser/Classic/QueryParser.cs). */
+class QueryParserSpec extends AnyFunSuite {
+  private val p = new QueryParser(Analyzer.standard)
+
+  test("single term analyzes (lowercase)") {
+    assert(p.parse("Hello") === TermQ("hello"))
+  }
+
+  test("default OR: bare terms are SHOULD clauses") {
+    assert(p.parse("foo bar") === BoolQ(should = Seq(TermQ("foo"), TermQ("bar"))))
+  }
+
+  test("AND upgrades both neighbors to MUST") {
+    assert(p.parse("foo AND bar") === BoolQ(must = Seq(TermQ("foo"), TermQ("bar"))))
+    assert(p.parse("a1 OR b1") === BoolQ(should = Seq(TermQ("a1"), TermQ("b1"))))
+  }
+
+  test("+ - and NOT modifiers") {
+    assert(p.parse("+foo -bar baz") ===
+      BoolQ(must = Seq(TermQ("foo")), should = Seq(TermQ("baz")),
+        mustNot = Seq(TermQ("bar"))))
+    assert(p.parse("foo NOT bar") ===
+      BoolQ(should = Seq(TermQ("foo")), mustNot = Seq(TermQ("bar"))))
+  }
+
+  test("quoted phrase with slop; stopwords analyzed out of phrase text") {
+    assert(p.parse("\"state machine\"") === PhraseQ(Seq("state", "machine")))
+    assert(p.parse("\"state machine\"~2") === PhraseQ(Seq("state", "machine"), 2))
+    // "of" is a stopword: analyzed phrase keeps remaining tokens
+    assert(p.parse("\"state of machine\"") === PhraseQ(Seq("state", "machine")))
+  }
+
+  test("stopword-only clause vanishes") {
+    assert(p.parse("the foo") === TermQ("foo"))
+  }
+
+  test("wildcard, prefix, regexp, fuzzy, range") {
+    assert(p.parse("pre*") === PrefixQ("pre"))
+    assert(p.parse("wi?ld*") === WildcardQ("wi?ld*"))
+    assert(p.parse("/ab+c/") === RegexpQ("ab+c"))
+    assert(p.parse("merge~") === FuzzyQ("merge", 2))
+    assert(p.parse("merge~1") === FuzzyQ("merge", 1))
+    assert(p.parse("[aa TO bb]") === TermRangeQ("aa", "bb", true, true))
+    assert(p.parse("{aa TO bb}") === TermRangeQ("aa", "bb", false, false))
+    assert(p.parse("[aa TO *]") === TermRangeQ("aa", null, true, true))
+  }
+
+  test("boosts on terms and groups") {
+    assert(p.parse("foo^2") === TermQ("foo", 2f))
+    assert(p.parse("(foo bar)^3") ===
+      BoolQ(should = Seq(TermQ("foo"), TermQ("bar")), boost = 3f))
+  }
+
+  test("field prefix accepted and ignored (single-field engine)") {
+    assert(p.parse("content:foo") === TermQ("foo"))
+    assert(p.parse("content:merge~1") === FuzzyQ("merge", 1))
+  }
+
+  test("grouping nests") {
+    assert(p.parse("foo AND (bar OR baz)") ===
+      BoolQ(must = Seq(TermQ("foo"),
+        BoolQ(should = Seq(TermQ("bar"), TermQ("baz"))))))
+  }
+
+  test("dangling input / unbalanced parens rejected") {
+    intercept[IllegalArgumentException](p.parse("(foo"))
+  }
+}

@@ -1,0 +1,70 @@
+package graft.streaming
+
+import graft.SparkTestSession
+import graft.build.{CheckIndex, IndexBuilder}
+import graft.corpus.CorpusGen
+import graft.search.{IndexReader, Searcher, TermQ}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming NRT analog: micro-batches become segment generations;
+  * compaction concatenates them into a standard index that answers
+  * queries identically (by document identity) to a one-shot batch build
+  * of the same corpus. */
+class StreamingIndexerSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("3 micro-batches -> generations -> compact == batch build (by path identity)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = SparkTestSession.tmpDir("graft-stream-")
+    val checkpoint = SparkTestSession.tmpDir("graft-stream-ckpt-")
+    val corpus = CorpusGen.local(90)
+
+    val mem = MemoryStream[graft.corpus.SourceFile]
+    val q = StreamingIndexer.start(mem.toDS(), root, checkpoint, numPartitions = 2,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    mem.addData(corpus.slice(0, 30))
+    q.processAllAvailable()
+    mem.addData(corpus.slice(30, 60))
+    mem.addData(corpus.slice(60, 90))
+    q.processAllAvailable()
+    q.stop()
+
+    val gens = StreamingIndexer.generations(spark, root)
+    assert(gens.nonEmpty && StreamingIndexer.totalDocs(spark, root) === 90L)
+
+    // replaying a committed batch is a no-op (idempotent foreachBatch)
+    StreamingIndexer.appendBatch(spark, spark.createDataset(corpus.take(30)),
+      root, gens.head, numPartitions = 2)
+    assert(StreamingIndexer.totalDocs(spark, root) === 90L)
+
+    // compact and compare against a one-shot batch build
+    val compacted = SparkTestSession.tmpDir("graft-compact-")
+    StreamingIndexer.compact(spark, root, compacted, numPartitions = 2)
+    val report = CheckIndex.check(spark, compacted,
+      Some(spark.createDataset(corpus)))
+    assert(report.ok, report.problems.mkString("; "))
+
+    val batchDir = SparkTestSession.tmpDir("graft-batchref-")
+    IndexBuilder.build(spark, spark.createDataset(corpus), batchDir, numPartitions = 2)
+
+    val sc = new Searcher(new IndexReader(spark, compacted))
+    val sb = new Searcher(new IndexReader(spark, batchDir))
+    // docIds differ (arrival vs global sort order) but scores and the
+    // matched document set must agree — compare by (score, path)
+    def byPath(s: Searcher, dir: String): Seq[(String, Float)] = {
+      val hits = s.search(TermQ("def"), 90)
+      val paths = spark.read.parquet(s"$dir/docs")
+        .select($"docId", $"path").as[(Long, String)].collect().toMap
+      hits.map(h => (paths(h.docId), h.score)).sortBy(_._1).toSeq
+    }
+    assert(byPath(sc, compacted) === byPath(sb, batchDir))
+
+    // identical global statistics
+    import graft.build.CollectionStatsRow
+    val csC = spark.read.parquet(s"$compacted/collection_stats").as[CollectionStatsRow].head()
+    val csB = spark.read.parquet(s"$batchDir/collection_stats").as[CollectionStatsRow].head()
+    assert(csC === csB)
+  }
+}
