@@ -61,11 +61,33 @@ object Bench {
       .stripPrefix(s"$resultKey=").toDouble
   }
 
-  private def buildThroughput(cores: Int, n: Long, tag: String): Double =
+  private def childJvmAll(cores: Int, progArgs: Seq[String]): Map[String, Double] = {
+    val javaBin = s"${System.getProperty("java.home")}/bin/java"
+    val cp = System.getProperty("java.class.path")
+    val jvmOpts = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.toArray.map(_.toString)
+      .filter(o => o.startsWith("--add-opens") || o.startsWith("java.base/"))
+    val cmd = Seq("taskset", "-c", s"0-${cores - 1}", javaBin, "-Xmx16g") ++
+      jvmOpts ++ Seq("-cp", cp, "graft.BuildBench") ++ progArgs
+    val out = new StringBuilder
+    val proc = new ProcessBuilder(cmd: _*)
+      .redirectError(ProcessBuilder.Redirect.INHERIT).start()
+    scala.io.Source.fromInputStream(proc.getInputStream).getLines()
+      .foreach(l => out.append(l).append('\n'))
+    require(proc.waitFor() == 0, s"BuildBench($progArgs) failed")
+    out.toString.linesIterator.filter(_.matches("[a-z_]+=[-0-9.]+")).map { l =>
+      val Array(k, v) = l.split("=", 2); k -> v.toDouble
+    }.toMap
+  }
+
+  /** (overall files/sec, index-construction-phase files/sec). */
+  private def buildThroughput(cores: Int, n: Long, tag: String): (Double, Double) = {
     // work dir on tmpfs — per-executor disks don't exist in this
     // container; one shared virtual disk would serialize the write path
-    childJvm(cores, Seq(n.toString, cores.toString, s"/dev/shm/graft-bench-$tag"),
-      "files_per_sec")
+    val m = childJvmAll(cores,
+      Seq(n.toString, cores.toString, s"/dev/shm/graft-bench-$tag"))
+    (m("files_per_sec"), m("index_files_per_sec"))
+  }
 
   /** Sandbox CPU-scaling ceiling: pinned pure-SHA256 at both sizes. */
   private def cpuCeiling(nCores: Int, n4Cores: Int): Double = {
@@ -78,7 +100,7 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // large enough that parallel tokenize work dominates the fixed
     // per-stage job overhead (the Amdahl term the efficiency ratio sees)
-    val nDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "2400000").toLong
+    val nDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "1200000").toLong
     val nCores = 8
     val n4Cores = 32
 
@@ -88,10 +110,15 @@ object Bench {
     // noisy-neighbor window can't skew either side.
     val rounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "2").toInt
     val ceiling = cpuCeiling(nCores, n4Cores)
-    val (thruN, thru4N) = (1 to rounds).map { _ =>
+    val all = (1 to rounds).map { _ =>
       (buildThroughput(nCores, nDocs, "n"), buildThroughput(n4Cores, nDocs, "4n"))
-    }.reduce((a, b) => (math.max(a._1, b._1), math.max(a._2, b._2)))
+    }
+    val thruN = all.map(_._1._1).max
+    val thru4N = all.map(_._2._1).max
+    val idxN = all.map(_._1._2).max
+    val idx4N = all.map(_._2._2).max
     val eff = thru4N / (4.0 * thruN)
+    val idxEff = idx4N / (4.0 * idxN)
     val normEff = if (ceiling > 0) eff / ceiling else eff
 
     // ---- query timings at 4N over the driver's sf dir ----
@@ -114,6 +141,9 @@ object Bench {
       f"""{"docs":$nDocs,"cores_n":$nCores,"files_per_sec_n":$thruN%.1f,""" +
         f""""cores_4n":$n4Cores,"files_per_sec_4n":$thru4N%.1f,""" +
         f""""scaling_efficiency":$eff%.3f,""" +
+        f""""index_phase_files_per_sec_n":$idxN%.1f,""" +
+        f""""index_phase_files_per_sec_4n":$idx4N%.1f,""" +
+        f""""index_phase_scaling_efficiency":$idxEff%.3f,""" +
         f""""cpu_scaling_ceiling":$ceiling%.3f,""" +
         f""""efficiency_vs_ceiling":$normEff%.3f}"""
     println(

@@ -131,6 +131,27 @@ object VerifyQueries {
        |WHERE a.t = 'table' AND b.t = 'hash'
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** SpanNearQuery (unordered, gap <= 3): proximity pair counts. */
+  def qSpanNear(spark: SparkSession, sf: String): DataFrame = {
+    val dir = ensure(spark, sf)
+    val searcher = new graft.search.Searcher(new graft.search.IndexReader(spark, dir),
+      analyzerFor = _ => graft.analysis.Analyzer.sqlParity)
+    searcher.spanNearFreqs("table", "hash", maxGap = 3)
+      .toDF("doc_id", "pairs")
+      .select(col("doc_id"), col("pairs").cast("long").as("pairs"))
+      .orderBy(col("doc_id"))
+  }
+  val oSpanNear: String =
+    s"""$OracleCtes, pos AS (
+       |  SELECT doc_id, CAST(generate_subscripts(ts, 1) AS BIGINT) AS p, unnest(ts) AS t
+       |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS ts FROM documents)
+       |)
+       |SELECT a.doc_id AS doc_id, CAST(count(*) AS BIGINT) AS pairs
+       |FROM pos a JOIN pos b ON a.doc_id = b.doc_id
+       |  AND b.p <> a.p AND abs(b.p - a.p) <= 3
+       |WHERE a.t = 'table' AND b.t = 'hash'
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** PrefixQuery expansion: dictionary scan (term, df). */
   def qPrefixDf(spark: SparkSession, sf: String): DataFrame = {
     val dir = ensure(spark, sf)
@@ -431,6 +452,7 @@ object VerifyQueries {
   val queries: Map[String, Q] = Map(
     "q_term_topk" -> qTermTopk _,
     "q_phrase" -> qPhrase _,
+    "q_span_near" -> qSpanNear _,
     "q_bool_should" -> qBoolShould _,
     "q_bool_must" -> qBoolMust _,
     "q_bool_mustnot" -> qBoolMustNot _,
@@ -461,6 +483,7 @@ object VerifyQueries {
   val oracles: Map[String, String] = Map(
     "q_term_topk" -> oTermTopk,
     "q_phrase" -> oPhrase,
+    "q_span_near" -> oSpanNear,
     "q_bool_should" -> oBoolShould,
     "q_bool_must" -> oBoolMust,
     "q_bool_mustnot" -> oBoolMustNot,

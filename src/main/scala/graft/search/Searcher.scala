@@ -223,6 +223,38 @@ final class Searcher(reader: IndexReader, pruneMinBlocks: Int = 64,
     }
   }
 
+  /** Proximity pair count (SpanNearQuery analog for two terms, reference:
+    * Search/Spans/SpanNearQuery.cs semantics restated relationally):
+    * number of occurrence pairs (pa, pb) with |pa - pb| <= maxGap
+    * (unordered) or 0 < pb - pa <= maxGap (ordered). Same QUERY_FIRST
+    * shape as phrases: index-pruned conjunction + re-analysis. */
+  def spanNearFreqs(termA: String, termB: String, maxGap: Int,
+                    ordered: Boolean = false): Dataset[(Long, Int)] = {
+    val stats = reader.termStats(Seq(termA, termB))
+    if (!stats.contains(termA) || !stats.contains(termB))
+      return spark.emptyDataset[(Long, Int)]
+    val candidates = termDocIds(termA).intersect(termDocIds(termB))
+    val analyzers = analyzerFor
+    val docs = reader.docsTable
+      .join(candidates.toDF("cDocId"), $"docId" === $"cDocId")
+      .select($"docId", $"lang", $"content").as[(Long, String, String)]
+    docs.mapPartitions { it =>
+      val analyzerCache = scala.collection.mutable.HashMap.empty[String, graft.analysis.Analyzer]
+      it.flatMap { case (docId, lang, content) =>
+        val toks = analyzerCache.getOrElseUpdate(lang, analyzers(lang)).analyze(content).tokens
+        val pa = toks.filter(_.term == termA).map(_.position)
+        val pb = toks.filter(_.term == termB).map(_.position)
+        var n = 0
+        pa.foreach(a => pb.foreach { b =>
+          val d = b - a
+          if (if (ordered) d > 0 && d <= maxGap else d != 0 && math.abs(d) <= maxGap)
+            n += 1
+        })
+        if (n > 0) Iterator.single((docId, n)) else Iterator.empty
+      }
+    }
+  }
+
   /** DocIds of one term, decoded from the pruned postings scan. */
   private def termDocIds(t: String): Dataset[Long] =
     reader.postings.where($"term" === t)

@@ -62,6 +62,21 @@ class PhraseSpec extends AnyFunSuite {
     assert(hits(1).score === BM25.score(1f, BM25.encodeNorm(3), w, cache))
   }
 
+  test("spanNear: ordered vs unordered proximity pairs") {
+    // doc0 "state machine runs": state@0, machine@1; doc1 "machine state
+    // runs": machine@0, state@1; doc4 "state alpha machine": gap 2
+    val un = searcher.spanNearFreqs("state", "machine", maxGap = 2, ordered = false)
+      .collect().map(t => t._1 -> t._2).toMap
+    assert(un.contains(0L) && un.contains(1L) && un.contains(4L))
+    val ord = searcher.spanNearFreqs("state", "machine", maxGap = 2, ordered = true)
+      .collect().map(t => t._1 -> t._2).toMap
+    assert(ord.contains(0L) && ord.contains(4L) && !ord.contains(1L),
+      s"ordered must reject reversed doc1: $ord")
+    // doc3 "state machine state machine": pairs within gap 2 (unordered):
+    // (s0,m1),(s2,m1),(s2,m3) = 3; ordered: (s0,m1),(s2,m3) = 2... plus (s0? m3 d=3 no)
+    assert(un(3L) === 3 && ord(3L) === 2)
+  }
+
   test("single-term phrase rewrites to TermQuery; absent term matches nothing") {
     val p1 = searcher.search(PhraseQ(Seq("state")), 10)
     val t1 = searcher.search(TermQ("state"), 10)

@@ -1,0 +1,68 @@
+package graft.search
+
+import graft.SparkTestSession
+import graft.build.{IndexBuilder, IndexPaths}
+import graft.corpus.CorpusGen
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan shape assertions — the scale contract, checked like any
+  * other behavior: term predicates must reach the parquet scan (min/max
+  * row-group pruning on the term-sorted postings/term_dict tables — our
+  * BlockTree/FST analog), dictionary lookups must broadcast, and scans
+  * must prune columns. `.explain` output is the evidence the 100 TB plan
+  * stands on; a regression here is a performance bug even when results
+  * stay correct. */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private lazy val dir: String = {
+    import spark.implicits._
+    val d = SparkTestSession.tmpDir("graft-plan-")
+    IndexBuilder.build(spark, spark.createDataset(CorpusGen.local(200)), d, numPartitions = 2)
+    d
+  }
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("postings term filter is pushed to the parquet scan") {
+    val df = spark.read.parquet(IndexPaths.postings(dir)).where(col("term") === "def")
+    val plan = planOf(df)
+    assert(plan.contains("PushedFilters: [IsNotNull(term), EqualTo(term,def)]"),
+      s"term EqualTo must reach the scan:\n$plan")
+  }
+
+  test("term_dict range predicate is pushed (prefix seek analog)") {
+    val df = spark.read.parquet(IndexPaths.termDict(dir))
+      .where(col("term") >= "s" && col("term") < "t")
+    val plan = planOf(df)
+    assert(plan.contains("GreaterThanOrEqual(term,s)") && plan.contains("LessThan(term,t)"),
+      s"range must reach the scan:\n$plan")
+  }
+
+  test("postings scan prunes to selected columns") {
+    val df = spark.read.parquet(IndexPaths.postings(dir))
+      .where(col("term") === "def").select("term", "numDocs")
+    val plan = planOf(df)
+    assert(plan.contains("ReadSchema: struct<term:string,numDocs:int>"),
+      s"column pruning must reach the scan:\n$plan")
+  }
+
+  test("searcher's postings scan stays whole-stage-codegen'd up to the decode") {
+    val reader = new IndexReader(spark, dir)
+    val df = reader.postings.where(col("term").isin("def", "int"))
+      .select("term", "numDocs")
+    // '*(n)' prefixes mark WholeStageCodegen stages in executedPlan output
+    val plan = planOf(df)
+    assert(plan.contains("*(1)"), s"expected a codegen stage:\n$plan")
+  }
+
+  test("small dictionary join broadcasts (no shuffle of the big side)") {
+    val dict = spark.read.parquet(IndexPaths.termDict(dir))
+      .where(col("term") === "def").select("term", "df")
+    val post = spark.read.parquet(IndexPaths.postings(dir))
+    val joined = post.join(broadcast(dict), "term")
+    assert(planOf(joined).contains("BroadcastHashJoin"))
+  }
+}
