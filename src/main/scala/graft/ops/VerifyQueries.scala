@@ -131,6 +131,27 @@ object VerifyQueries {
        |WHERE a.t = 'table' AND b.t = 'hash'
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** MultiPhraseQuery: slot alternatives ("table"|"part") then
+    * ("hash"|"filter"), adjacent. */
+  def qMultiPhrase(spark: SparkSession, sf: String): DataFrame = {
+    val dir = ensure(spark, sf)
+    val searcher = new graft.search.Searcher(new graft.search.IndexReader(spark, dir),
+      analyzerFor = _ => graft.analysis.Analyzer.sqlParity)
+    searcher.multiPhraseFreqs(Seq(Seq("table", "part"), Seq("hash", "filter")))
+      .toDF("doc_id", "ptf")
+      .select(col("doc_id"), col("ptf").cast("long").as("ptf"))
+      .orderBy(col("doc_id"))
+  }
+  val oMultiPhrase: String =
+    s"""$OracleCtes, pos AS (
+       |  SELECT doc_id, CAST(generate_subscripts(ts, 1) AS BIGINT) AS p, unnest(ts) AS t
+       |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS ts FROM documents)
+       |)
+       |SELECT a.doc_id AS doc_id, CAST(count(*) AS BIGINT) AS ptf
+       |FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+       |WHERE a.t IN ('table', 'part') AND b.t IN ('hash', 'filter')
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** SpanNearQuery (unordered, gap <= 3): proximity pair counts. */
   def qSpanNear(spark: SparkSession, sf: String): DataFrame = {
     val dir = ensure(spark, sf)
@@ -452,6 +473,7 @@ object VerifyQueries {
   val queries: Map[String, Q] = Map(
     "q_term_topk" -> qTermTopk _,
     "q_phrase" -> qPhrase _,
+    "q_multi_phrase" -> qMultiPhrase _,
     "q_span_near" -> qSpanNear _,
     "q_bool_should" -> qBoolShould _,
     "q_bool_must" -> qBoolMust _,
@@ -483,6 +505,7 @@ object VerifyQueries {
   val oracles: Map[String, String] = Map(
     "q_term_topk" -> oTermTopk,
     "q_phrase" -> oPhrase,
+    "q_multi_phrase" -> oMultiPhrase,
     "q_span_near" -> oSpanNear,
     "q_bool_should" -> oBoolShould,
     "q_bool_must" -> oBoolMust,

@@ -223,6 +223,45 @@ final class Searcher(reader: IndexReader, pruneMinBlocks: Int = 64,
     }
   }
 
+  /** MultiPhraseQuery analog (reference: Search/MultiPhraseQuery.cs):
+    * a phrase whose slot i accepts any of `slots(i)`. Candidates = docs
+    * containing >= 1 alternative of EVERY slot (intersection of per-slot
+    * unions); match = consecutive positions with per-slot membership. */
+  def multiPhraseFreqs(slots: Seq[Seq[String]]): Dataset[(Long, Int)] = {
+    require(slots.nonEmpty && slots.forall(_.nonEmpty), "empty slot")
+    val stats = reader.termStats(slots.flatten.distinct)
+    val liveSlots = slots.map(_.filter(stats.contains))
+    if (liveSlots.exists(_.isEmpty)) return spark.emptyDataset[(Long, Int)]
+    val candidates = liveSlots
+      .map(alts => alts.map(termDocIds).reduce(_ union _).distinct())
+      .reduce(_.intersect(_))
+    val slotSets = liveSlots.map(_.toSet).toArray
+    val n = slotSets.length
+    val analyzers = analyzerFor
+    val docs = reader.docsTable
+      .join(candidates.toDF("cDocId"), $"docId" === $"cDocId")
+      .select($"docId", $"lang", $"content").as[(Long, String, String)]
+    docs.mapPartitions { it =>
+      val analyzerCache = scala.collection.mutable.HashMap.empty[String, graft.analysis.Analyzer]
+      it.flatMap { case (docId, lang, content) =>
+        val toks = analyzerCache.getOrElseUpdate(lang, analyzers(lang)).analyze(content).tokens
+        val byPos = new java.util.HashMap[Int, String](toks.length * 2)
+        toks.foreach(t => byPos.put(t.position, t.term))
+        var freq = 0
+        toks.foreach { t =>
+          if (slotSets(0).contains(t.term)) {
+            var i = 1
+            while (i < n && {
+              val s = byPos.get(t.position + i); s != null && slotSets(i).contains(s)
+            }) i += 1
+            if (i == n) freq += 1
+          }
+        }
+        if (freq > 0) Iterator.single((docId, freq)) else Iterator.empty
+      }
+    }
+  }
+
   /** Proximity pair count (SpanNearQuery analog for two terms, reference:
     * Search/Spans/SpanNearQuery.cs semantics restated relationally):
     * number of occurrence pairs (pa, pb) with |pa - pb| <= maxGap

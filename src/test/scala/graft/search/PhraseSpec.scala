@@ -77,6 +77,19 @@ class PhraseSpec extends AnyFunSuite {
     assert(un(3L) === 3 && ord(3L) === 2)
   }
 
+  test("multiPhrase: per-slot alternatives") {
+    // slot1 = state|machine, slot2 = machine|runs:
+    // doc0 "state machine runs": state+machine@0-1, machine+runs@1-2 -> 2
+    // doc1 "machine state runs": state+runs@1-2 -> 1 (machine+state not in slots)
+    val f = searcher.multiPhraseFreqs(Seq(Seq("state", "machine"), Seq("machine", "runs")))
+      .collect().map(t => t._1 -> t._2).toMap
+    assert(f(0L) === 2)
+    assert(f(1L) === 1)
+    assert(f(3L) === 2) // s m s m: sm@0, sm@2 (m@1 followed by s -> not in slot2)
+    // slot with only unknown terms matches nothing
+    assert(searcher.multiPhraseFreqs(Seq(Seq("state"), Seq("zzzz"))).isEmpty)
+  }
+
   test("single-term phrase rewrites to TermQuery; absent term matches nothing") {
     val p1 = searcher.search(PhraseQ(Seq("state")), 10)
     val t1 = searcher.search(TermQ("state"), 10)
