@@ -74,12 +74,28 @@ object Analyzer {
   /** No stopwords (StandardAnalyzer(CharArraySet.EMPTY_SET) equivalent). */
   val noStop: Analyzer = new Analyzer(Set.empty)
 
-  /** Per-language stop lists: the engine indexes a polyglot source-code
-    * corpus; every language currently uses the English list (code
-    * comments/identifiers are English-dominant), but the map is the
-    * extension point the north star names. */
-  val perLang: Map[String, Set[String]] =
-    Map.empty.withDefaultValue(EnglishStopWords)
+  /** Per-language stop lists (the north star's "per-lang stop
+    * filtering"): natural-language docs get their language's function
+    * words (compact public Snowball-style subsets); source-code languages
+    * and unknown tags fall back to English (comments/identifiers are
+    * English-dominant). */
+  val SpanishStopWords: Set[String] = Set(
+    "de", "la", "que", "el", "en", "y", "a", "los", "del", "se", "las",
+    "por", "un", "para", "con", "no", "una", "su", "al", "lo", "como",
+    "mas", "pero", "sus", "le", "ya", "o", "este", "si", "porque", "esta", "es")
+  val FrenchStopWords: Set[String] = Set(
+    "de", "la", "le", "et", "les", "des", "en", "un", "du", "une", "que",
+    "est", "pour", "qui", "dans", "a", "par", "plus", "pas", "au", "sur",
+    "ne", "se", "ce", "il", "sont", "ces", "mais", "comme", "ou")
+  val GermanStopWords: Set[String] = Set(
+    "der", "die", "und", "in", "den", "von", "zu", "das", "mit", "sich",
+    "des", "auf", "fur", "ist", "im", "dem", "nicht", "ein", "eine", "als",
+    "auch", "es", "an", "werden", "aus", "er", "hat", "dass", "sie", "nach")
+  val perLang: Map[String, Set[String]] = Map(
+    "es" -> SpanishStopWords,
+    "fr" -> FrenchStopWords,
+    "de" -> GermanStopWords,
+  ).withDefaultValue(EnglishStopWords)
 
   def forLang(lang: String): Analyzer = new Analyzer(perLang(lang))
 

@@ -150,4 +150,16 @@ class AnalyzerSpec extends AnyFunSuite {
     assert(toks("def f0(x0: Int) = x0 + one") ==
       Seq("def", "f0", "x0", "Int", "x0", "one"))
   }
+
+  test("per-lang stop filtering: each language drops its own function words") {
+    val es = Analyzer.forLang("es").analyze("la casa es the house")
+    assert(es.tokens.map(_.term).toSeq == Seq("casa", "the", "house"))
+    val de = Analyzer.forLang("de").analyze("der hund und the dog")
+    assert(de.tokens.map(_.term).toSeq == Seq("hund", "the", "dog"))
+    // unknown / code languages fall back to English
+    val sc = Analyzer.forLang("scala").analyze("the val der")
+    assert(sc.tokens.map(_.term).toSeq == Seq("val", "der"))
+    // positions still advance over dropped stopwords (gap contract)
+    assert(es.tokens.map(_.position).toSeq == Seq(1, 3, 4))
+  }
 }
