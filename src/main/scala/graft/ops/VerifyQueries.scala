@@ -16,7 +16,7 @@ import org.apache.spark.sql.functions._
 object VerifyQueries {
   type Q = (SparkSession, String) => DataFrame
 
-  import DocIndex.{ensure, scoredHits, hits, collectionStats, OracleCtes, oracleScored}
+  import DocIndex.{ensure, scoredHits, hits, collectionStats, OracleCtes, OracleScore, oracleScored}
 
   // ----------------------------------------------------------- search ops
 
@@ -411,6 +411,56 @@ object VerifyQueries {
        |  substr(pre, greatest(1, length(pre) - 9), 10) AS ctx_before
        |FROM m JOIN idx USING (doc_id) ORDER BY doc_id""".stripMargin
 
+  /** MoreLikeThis end-to-end (reference: Queries/Mlt/MoreLikeThis.cs):
+    * seed doc 7 → top-5 tf·idf terms → OR query → top-10 similar docs
+    * (seed excluded). */
+  def qMltQuery(spark: SparkSession, sf: String): DataFrame = {
+    val terms = qMltTerms(spark, sf).collect().map(_.getString(0)).toSeq
+    scoredHits(spark, sf, terms)
+      .where(col("doc_id") =!= 7)
+      .groupBy(col("doc_id")).agg(sum(col("score")).as("s"))
+      .select(col("doc_id"), round(col("s"), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id")).limit(10)
+  }
+  val oMltQuery: String =
+    s"""$OracleCtes, mlt AS (
+       |  SELECT term FROM tf JOIN df USING (term) CROSS JOIN stats
+       |  WHERE doc_id = 7
+       |  ORDER BY round(tf * ln(stats.maxdoc * 1.0e0 / df.df), 6) DESC, term LIMIT 5
+       |), scored AS (
+       |  SELECT tf.doc_id, $OracleScore AS score
+       |  FROM tf JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN stats
+       |  WHERE tf.term IN (SELECT term FROM mlt)
+       |)
+       |SELECT doc_id, round(sum(score), 6) AS score FROM scored
+       |WHERE doc_id <> 7 GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
+
+  /** ToParentBlockJoinQuery analog (reference: Join/ToParentBlockJoinQuery
+    * .cs): children (lineitems over a predicate) score their parent order,
+    * ScoreMode.Total = sum. */
+  def qBlockJoin(spark: SparkSession, sf: String): DataFrame = {
+    val orders = spark.read.parquet(s"$sf/orders.parquet").select(col("o_orderkey"))
+    // integer cents x (100 - discount-percent): the sum is exact, so the
+    // result is independent of aggregation order (a double sum would
+    // diverge between engines in the last ulp and flip round(3) edges)
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .where(col("l_quantity") > 45)
+      .select(col("l_orderkey"),
+        (round(col("l_extendedprice") * 100, 0).cast("long") *
+          (lit(100L) - round(col("l_discount") * 100, 0).cast("long"))).as("c"))
+    orders.join(li, orders("o_orderkey") === li("l_orderkey"))
+      .groupBy(col("o_orderkey"))
+      .agg(round(sum(col("c")) / lit(10000.0), 3).as("score"))
+      .orderBy(col("score").desc, col("o_orderkey")).limit(10)
+  }
+  val oBlockJoin: String =
+    """SELECT o_orderkey,
+      |  round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+      |            * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0e0, 3) AS score
+      |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE l_quantity > 45
+      |GROUP BY 1 ORDER BY score DESC, o_orderkey LIMIT 10""".stripMargin
+
   // ------------------------------------------------------- relational ops
 
   /** Query-time semi-join (JoinUtil analog) on TPC-H tables. */
@@ -446,13 +496,17 @@ object VerifyQueries {
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(count("*").as("n"),
         round(sum(col("l_quantity")), 3).as("sum_qty"),
-        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 3).as("revenue"))
+        // exact integer cents x (100 - disc%): aggregation-order-proof
+        round(sum(round(col("l_extendedprice") * 100, 0).cast("long") *
+          (lit(100L) - round(col("l_discount") * 100, 0).cast("long"))) / lit(10000.0), 3)
+          .as("revenue"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
   val oAggQ1: String =
     """SELECT l_returnflag, l_linestatus, count(*) AS n,
       |  round(sum(l_quantity), 3) AS sum_qty,
-      |  round(sum(l_extendedprice * (1.0e0 - l_discount)), 3) AS revenue
+      |  round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+      |            * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0e0, 3) AS revenue
       |FROM lineitem GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
@@ -460,12 +514,14 @@ object VerifyQueries {
   def qEventsWindow(spark: SparkSession, sf: String): DataFrame = {
     spark.read.parquet(s"$sf/events.parquet")
       .groupBy(date_trunc("minute", col("ts")).as("m"), col("event_type"))
-      .agg(count("*").as("n"), round(sum(col("value")), 3).as("v"))
+      .agg(count("*").as("n"),
+        // sum exact integer milli-units — aggregation-order-proof
+        round(sum(round(col("value") * 1000, 0)) / lit(1000.0), 3).as("v"))
       .orderBy(col("m"), col("event_type"))
   }
   val oEventsWindow: String =
     """SELECT date_trunc('minute', ts) AS m, event_type, count(*) AS n,
-      |  round(sum(value), 3) AS v
+      |  round(sum(round(value * 1000)) / 1000.0e0, 3) AS v
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   // ----------------------------------------------------------- registry
@@ -492,6 +548,8 @@ object VerifyQueries {
     "q_facet_dl_hist" -> qFacetDlHist _,
     "q_group_top2" -> qGroupTop2 _,
     "q_mlt_terms" -> qMltTerms _,
+    "q_mlt_query" -> qMltQuery _,
+    "q_block_join" -> qBlockJoin _,
     "q_count" -> qCount _,
     "q_sort_fields" -> qSortFields _,
     "q_common_terms" -> qCommonTerms _,
@@ -524,6 +582,8 @@ object VerifyQueries {
     "q_facet_dl_hist" -> oFacetDlHist,
     "q_group_top2" -> oGroupTop2,
     "q_mlt_terms" -> oMltTerms,
+    "q_mlt_query" -> oMltQuery,
+    "q_block_join" -> oBlockJoin,
     "q_count" -> oCount,
     "q_sort_fields" -> oSortFields,
     "q_common_terms" -> oCommonTerms,

@@ -42,8 +42,8 @@ for name in sorted(oracles):
                 import numpy as np
                 if not np.allclose(sv.astype(float), dv.astype(float),
                                    rtol=0, atol=1e-9, equal_nan=True):
-                    m = (~np.isclose(sv.astype(float), dv.astype(float),
-                                     rtol=0, atol=1e-9, equal_nan=True))
+                    m = pd.Series(~np.isclose(sv.astype(float), dv.astype(float),
+                                              rtol=0, atol=1e-9, equal_nan=True))
                     i = int(m.idxmax())
                     diff = f"col {c} row {i}: spark={sv[i]!r} duck={dv[i]!r}"
                     break
