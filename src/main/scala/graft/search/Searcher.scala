@@ -65,7 +65,7 @@ private final case class ClauseHit(docId: Long, idx: Int, score: Float)
   */
 final class Searcher(reader: IndexReader, pruneMinBlocks: Int = 64,
     analyzerFor: String => graft.analysis.Analyzer = graft.analysis.Analyzer.forLang)
-    extends Serializable {
+    extends Serializable with Explains {
   private val spark = reader.spark
   import spark.implicits._
 
@@ -300,6 +300,25 @@ final class Searcher(reader: IndexReader, pruneMinBlocks: Int = 64,
       .select($"term", $"firstDocId", $"lastDocId", $"numDocs", $"maxTf",
         $"maxNorm", $"sumTf", $"segId", $"bytes").as[PostingRow]
       .flatMap(r => PostingsCodec.decodeBlock(r.firstDocId, r.numDocs, r.bytes)._1)
+
+  // ------------------------------------------------------ explain support
+
+  private[search] def readerTermStats(ts: Seq[String]) = reader.termStats(ts)
+  private[search] def maxDocStat: Long = cs.maxDoc
+  private[search] def normCacheStat: Array[Float] = cache
+
+  /** (tf, normByte) of one (term, doc) — block-pruned point lookup. */
+  private[search] def termHit(t: String, docId: Long): Option[(Int, Int)] = {
+    val rows = reader.postings
+      .where($"term" === t && $"firstDocId" <= docId && $"lastDocId" >= docId)
+      .select($"term", $"firstDocId", $"lastDocId", $"numDocs", $"maxTf",
+        $"maxNorm", $"sumTf", $"segId", $"bytes").as[PostingRow].collect()
+    rows.iterator.flatMap { r =>
+      val (ids, tfs, norms) = PostingsCodec.decodeBlock(r.firstDocId, r.numDocs, r.bytes)
+      val i = java.util.Arrays.binarySearch(ids, docId)
+      if (i >= 0) Iterator.single((tfs(i), norms(i))) else Iterator.empty
+    }.nextOption()
+  }
 
   private def unionClauses(qs: Seq[Query]): Dataset[ClauseHit] = {
     // batch TermQ leaves into ONE postings scan; recurse for the rest
