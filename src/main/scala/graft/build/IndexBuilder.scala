@@ -202,7 +202,14 @@ object IndexBuilder {
         $"tokenCount", $"norm").as[DocStatRow]
     ds.repartitionByRange(numPartitions, $"docId").sortWithinPartitions($"docId")
       .write.mode(SaveMode.Overwrite).parquet(IndexPaths.docstats(dir))
+    buildDictAndStats(spark, dir, numPartitions)
+  }
 
+  /** Dictionary + collection stats from already-written postings +
+    * docstats (also the tail of Deletes.expunge, which rewrites those two
+    * tables itself). */
+  def buildDictAndStats(spark: SparkSession, dir: String, numPartitions: Int): Unit = {
+    import spark.implicits._
     val dict = spark.read.parquet(IndexPaths.postings(dir))
       .groupBy($"term")
       .agg(sum($"numDocs").as("df"), sum($"sumTf").as("totalTf"),

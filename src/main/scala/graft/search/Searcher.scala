@@ -73,6 +73,23 @@ final class Searcher(reader: IndexReader, pruneMinBlocks: Int = 64,
   private lazy val cache: Array[Float] =
     BM25.normCache(BM25.avgFieldLength(cs.sumTotalTermFreq, cs.maxDoc))
 
+  /** liveDocs analog: tombstoned docIds are filtered out of every result
+    * (stats intentionally unchanged until Deletes.expunge, like the
+    * reference's deleted-docs-still-count-in-idf behavior). */
+  private lazy val tombstones: Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(graft.build.Deletes.tombstonesPath(reader.dir))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p))
+      Some(spark.read.parquet(graft.build.Deletes.tombstonesPath(reader.dir))
+        .select($"docId".as("exDocId")).distinct())
+    else None
+  }
+
+  private def liveOnly(ds: Dataset[ScoreDoc]): Dataset[ScoreDoc] = tombstones match {
+    case None => ds
+    case Some(t) => ds.join(t, ds("docId") === t("exDocId"), "left_anti").as[ScoreDoc]
+  }
+
   // ------------------------------------------------------------- rewrite
 
   /** Fixpoint rewrite (≙ IndexSearcher.Rewrite, :667-670): multi-term
@@ -115,13 +132,15 @@ final class Searcher(reader: IndexReader, pruneMinBlocks: Int = 64,
 
   /** Full scored Dataset for a query — the composable scorer tree. Exact
     * scores, no pruning (also the brute-force oracle path for tests). */
-  def scored(q: Query): Dataset[ScoreDoc] = rewrite(q) match {
+  def scored(q: Query): Dataset[ScoreDoc] = liveOnly(scoredRaw(q))
+
+  private def scoredRaw(q: Query): Dataset[ScoreDoc] = rewrite(q) match {
     case TermQ(t, boost) =>
       scoredTerms(Seq(t -> boost), theta = 0f).map(h => ScoreDoc(h.docId, h.score))
     case MatchAllQ(boost) =>
       reader.docstats.select($"docId").as[Long].map(ScoreDoc(_, boost))
     case ConstantScoreQ(sub, boost) =>
-      scored(sub).map(sd => ScoreDoc(sd.docId, boost))
+      scoredRaw(sub).map(sd => ScoreDoc(sd.docId, boost))
     case dm @ DisMaxQ(qs, tieBreak) =>
       val hits = unionClauses(qs)
       hits.groupByKey(_.docId).mapGroups { (docId, it) =>
@@ -155,7 +174,7 @@ final class Searcher(reader: IndexReader, pruneMinBlocks: Int = 64,
     * simplification of SloppyPhraseScorer's reorder semantics. */
   private def scoredPhrase(terms: Seq[String], slop: Int, boost: Float): Dataset[ScoreDoc] = {
     require(terms.nonEmpty, "empty phrase")
-    if (terms.size == 1) return scored(TermQ(terms.head, boost))
+    if (terms.size == 1) return scoredRaw(TermQ(terms.head, boost))
     val stats = reader.termStats(terms.distinct)
     if (!terms.forall(stats.contains)) return spark.emptyDataset[ScoreDoc]
     // idf sum over phrase terms in query order, duplicates included
@@ -330,7 +349,7 @@ final class Searcher(reader: IndexReader, pruneMinBlocks: Int = 64,
         Seq(scoredTermsIndexed(termLeaves.map(t => (t._1, t._2, t._3))))
       else Nil) ++
       complex.map { case (q, i) =>
-        scored(q).map(sd => ClauseHit(sd.docId, i, sd.score))
+        scoredRaw(q).map(sd => ClauseHit(sd.docId, i, sd.score))
       }
     if (parts.isEmpty) spark.emptyDataset[ClauseHit]
     else parts.reduce(_ union _)
@@ -366,7 +385,7 @@ final class Searcher(reader: IndexReader, pruneMinBlocks: Int = 64,
     }
     if (q.mustNot.isEmpty) combined
     else {
-      val excluded = q.mustNot.map(mq => scored(mq).map(_.docId))
+      val excluded = q.mustNot.map(mq => scoredRaw(mq).map(_.docId))
         .reduce(_ union _).distinct().toDF("docId_ex")
       // ReqExclScorer ≙ anti-join (reference: ReqExclScorer.cs)
       combined.join(excluded, combined("docId") === excluded("docId_ex"), "left_anti")
@@ -447,12 +466,13 @@ final class Searcher(reader: IndexReader, pruneMinBlocks: Int = 64,
           buf.foreach(h => sum += h.score)
           ScoreDoc(docId, sum)
         }
-      case other => scored(other)
+      case other => scoredRaw(other)
     }
-    val filtered = if (after == null) base else {
+    val live = liveOnly(base)
+    val filtered = if (after == null) live else {
       val aScore = after.score
       val aDoc = after.docId
-      base.filter(sd => sd.score < aScore || (sd.score == aScore && sd.docId > aDoc))
+      live.filter(sd => sd.score < aScore || (sd.score == aScore && sd.docId > aDoc))
     }
     val agg = new TopKAggregator(k).toColumn
     filtered.select(agg).head()

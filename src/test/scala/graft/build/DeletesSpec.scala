@@ -1,0 +1,57 @@
+package graft.build
+
+import graft.SparkTestSession
+import graft.corpus.CorpusGen
+import graft.search.{IndexReader, Searcher, TermQ}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Tombstone deletes (liveDocs analog) + expunge (SegmentMerger/DocMap
+  * analog): deleted docs vanish from results immediately while stats stay
+  * put (reference semantics); expunge rewrites a dense index whose stats
+  * equal a fresh build without those docs. */
+class DeletesSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("tombstones hide docs from search; expunge == fresh build without them") {
+    import spark.implicits._
+    val dir = SparkTestSession.tmpDir("graft-del-")
+    IndexBuilder.build(spark, spark.createDataset(CorpusGen.microFixture), dir, 2)
+
+    // doc0 and doc5 both contain "all"
+    val before = new Searcher(new IndexReader(spark, dir)).search(TermQ("all"), 10)
+    assert(before.map(_.docId).toSeq === Seq(0L, 5L))
+
+    Deletes.deleteDocs(spark, dir, spark.createDataset(Seq(0L)))
+    val after = new Searcher(new IndexReader(spark, dir))
+    assert(after.search(TermQ("all"), 10).map(_.docId).toSeq === Seq(5L))
+    // stats unchanged until merge: df("all") still 2, same score as before
+    assert(after.search(TermQ("all"), 10).head.score === before.head.score)
+    // delete-by-term tombstones every doc containing the term; a NEW
+    // searcher sees it (point-in-time reader semantics — an existing
+    // searcher keeps its snapshot, like the reference's IndexReader)
+    Deletes.deleteByTerm(spark, dir, "dogs")
+    val after2 = new Searcher(new IndexReader(spark, dir))
+    assert(after2.search(TermQ("dogs"), 10).isEmpty)
+
+    // expunge: dense ids, stats == fresh 4-doc build
+    val expunged = SparkTestSession.tmpDir("graft-del-exp-")
+    Deletes.expunge(spark, dir, expunged, numPartitions = 2)
+    val report = CheckIndex.check(spark, expunged)
+    assert(report.ok, report.problems.mkString("; "))
+
+    val keptCorpus = CorpusGen.microFixture.zipWithIndex
+      .collect { case (f, i) if i != 0 && i != 1 => f } // doc0 deleted, doc1 had "dogs"
+    val freshDir = SparkTestSession.tmpDir("graft-del-fresh-")
+    IndexBuilder.build(spark, spark.createDataset(keptCorpus), freshDir, 2)
+    val csE = spark.read.parquet(IndexPaths.collectionStats(expunged))
+      .as[CollectionStatsRow].head()
+    val csF = spark.read.parquet(IndexPaths.collectionStats(freshDir))
+      .as[CollectionStatsRow].head()
+    assert(csE === csF)
+    // and the expunged index scores like the fresh one (same stats now)
+    val se = new Searcher(new IndexReader(spark, expunged)).search(TermQ("all"), 10)
+    val sf = new Searcher(new IndexReader(spark, freshDir)).search(TermQ("all"), 10)
+    assert(se.map(_.score).toSeq === sf.map(_.score).toSeq)
+    assert(se.length === 1)
+  }
+}
