@@ -108,6 +108,9 @@ object Bench {
     // Each measurement is a fresh CPU-pinned child JVM (own JIT warmup);
     // interleaved timed rounds (best of SPARK_GRAFT_BENCH_ROUNDS) so one
     // noisy-neighbor window can't skew either side.
+    // the sandbox host has minutes-scale noise windows (observed swings of
+    // 2-5x on identical code); interleaved best-of-2 keeps one bad window
+    // from writing garbage into the round's BENCH json
     val rounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "2").toInt
     val ceiling = cpuCeiling(nCores, n4Cores)
     val all = (1 to rounds).map { _ =>
