@@ -209,6 +209,42 @@ object PipelineQueries {
        |WHERE b.bucket = (SELECT qb FROM q)
        |ORDER BY cos DESC, 1 LIMIT 10""".stripMargin
 
+  /** IVF-probed top-10: per-label centroid codebook, nearest-2 cells
+    * probed (query vector itself included, cos=1 sanity row). */
+  def qAnnIvf(spark: SparkSession, sf: String): DataFrame =
+    Similarity.ivfTopK(vecs(spark, sf), queryVec(spark, sf), k = 10, nProbe = 2)
+  val oAnnIvf: String =
+    s"""WITH $DimsCte, $NormsCte, q AS (
+       |  SELECT embedding AS qv FROM embeddings WHERE vec_id = 0
+       |), ex AS (
+       |  SELECT vec_id, label, i, CAST(embedding[i] AS DOUBLE) AS x FROM embeddings, dims
+       |), cent AS (
+       |  SELECT label, i, avg(x) AS m FROM ex GROUP BY 1, 2
+       |), d2 AS (
+       |  SELECT e.vec_id AS vec_id, c.label AS cell,
+       |    sum((CAST(e.embedding[c.i] AS DOUBLE) - c.m) * (CAST(e.embedding[c.i] AS DOUBLE) - c.m)) AS d2
+       |  FROM embeddings e, cent c GROUP BY 1, 2
+       |), assign AS (
+       |  SELECT vec_id, cell,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+       |  FROM d2
+       |), qd2 AS (
+       |  SELECT c.label AS cell,
+       |    sum((CAST(q.qv[c.i] AS DOUBLE) - c.m) * (CAST(q.qv[c.i] AS DOUBLE) - c.m)) AS d2
+       |  FROM q, cent c GROUP BY 1
+       |), probe AS (
+       |  SELECT cell FROM qd2 ORDER BY d2, cell LIMIT 2
+       |), dots AS (
+       |  SELECT e.vec_id AS vec_id, sum(CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)) AS dot
+       |  FROM embeddings e, q, dims GROUP BY 1
+       |)
+       |SELECT a.vec_id AS vec_id, a.cell AS cell,
+       |  round(d.dot / (n.nrm * (SELECT nrm FROM norms WHERE vec_id = 0)), 6) AS cos
+       |FROM assign a JOIN dots d ON d.vec_id = a.vec_id
+       |JOIN norms n ON n.vec_id = a.vec_id
+       |WHERE a.rn = 1 AND a.cell IN (SELECT cell FROM probe)
+       |ORDER BY cos DESC, 1 LIMIT 10""".stripMargin
+
   // --------------------------------------------------------- text analysis
 
   def qLangId(spark: SparkSession, sf: String): DataFrame =
@@ -332,6 +368,7 @@ object PipelineQueries {
     "q_dedup_embedding" -> qDedupEmbedding _,
     "q_ann_brute" -> qAnnBrute _,
     "q_ann_lsh" -> qAnnLsh _,
+    "q_ann_ivf" -> qAnnIvf _,
     "q_lang_id" -> qLangId _,
     "q_quality" -> qQuality _,
     "q_token_counts" -> qTokenCounts _,
@@ -347,6 +384,7 @@ object PipelineQueries {
     "q_dedup_embedding" -> oDedupEmbedding,
     "q_ann_brute" -> oAnnBrute,
     "q_ann_lsh" -> oAnnLsh,
+    "q_ann_ivf" -> oAnnIvf,
     "q_lang_id" -> oLangId,
     "q_quality" -> oQuality,
     "q_token_counts" -> oTokenCounts,

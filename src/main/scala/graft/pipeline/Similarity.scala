@@ -127,6 +127,58 @@ object Similarity {
       .orderBy(col("cos").desc, col("a"), col("b")).limit(topN)
   }
 
+  // ------------------------------------------------------------- IVF
+
+  /** IVF coarse quantizer: centroids = per-`label` mean vectors (a stand-in
+    * "trained" codebook — with real data this is k-means; the assign/probe
+    * plumbing is identical). Returns (label, centroid) with the centroid as
+    * a dense double array. Elementwise mean via posexplode + groupBy — one
+    * shuffle over n·d rows, fine for codebook-sized k. */
+  def ivfCentroids(vecs: DataFrame): DataFrame =
+    vecs.select(col("label"), posexplode(col("embedding")).as(Seq("i", "x")))
+      .groupBy(col("label"), col("i"))
+      .agg(avg(col("x").cast("double")).as("m"))
+      .groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(col("i"), col("m")))).as("s"))
+      .select(col("label"), expr("transform(s, e -> e.m)").as("centroid"))
+
+  /** Assign every vector to its nearest centroid (L2). Broadcast the
+    * codebook — it is tiny by construction. */
+  def ivfAssign(vecs: DataFrame, centroids: DataFrame): DataFrame = {
+    val cents = broadcast(centroids.select(col("label").as("cell"), col("centroid")))
+    val dist2 = {
+      val d = zip_with(col("embedding"), col("centroid"),
+        (x, c) => (x.cast("double") - c) * (x.cast("double") - c))
+      aggregate(d, lit(0.0), (acc, v) => acc + v)
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("d2"), col("cell"))
+    vecs.crossJoin(cents)
+      .select(col("vec_id"), col("embedding"), col("cell"), dist2.as("d2"))
+      .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("cell"), col("d2"))
+  }
+
+  /** IVF top-k: probe only the query's nearest `nProbe` cells. At corpus
+    * scale `cell` is the table's partition key → partition-pruned scan. */
+  def ivfTopK(vecs: DataFrame, query: Seq[Float], k: Int, nProbe: Int = 2): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val cents = ivfCentroids(vecs).collect()
+      .map(r => r.getAs[Int]("label") -> r.getSeq[Double](1).toArray)
+    val qd = query.map(_.toDouble).toArray
+    val probed = cents.sortBy { case (_, c) =>
+      var s = 0.0; var i = 0
+      while (i < c.length) { val d = qd(i) - c(i); s += d * d; i += 1 }
+      s
+    }.take(nProbe).map(_._1).toSeq
+    val assigned = ivfAssign(vecs, ivfCentroids(vecs))
+    assigned.where(col("cell").isInCollection(probed))
+      .select(col("vec_id"), col("cell"),
+        round(cosine(col("embedding"), typedLit(query.map(_.toDouble))), 6).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id")).limit(k)
+  }
+
   /** Bucketed near-duplicate pairs — the scale path: candidates only
     * within a bucket. */
   def cosinePairsBucketed(vecs: DataFrame, minCos: Double): DataFrame = {

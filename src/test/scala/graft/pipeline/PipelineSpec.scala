@@ -120,6 +120,19 @@ class PipelineSpec extends AnyFunSuite {
     assert(pairs.contains((0L, 10L)))
   }
 
+  test("IVF: probing all cells == brute force; fewer cells is a subset-ranked result") {
+    val vecsL = vecs.withColumn("label", (col("vec_id") % 3).cast("int"))
+    val q = vecsL.where($"vec_id" === 0).select($"embedding").as[Seq[Float]].head()
+    val brute = Similarity.bruteForceTopK(vecsL, q, 5).collect().map(_.getLong(0)).toSeq
+    val ivfAll = Similarity.ivfTopK(vecsL, q, 5, nProbe = 3)
+      .collect().map(_.getAs[Long]("vec_id")).toSeq
+    assert(ivfAll === brute, "probing every cell must equal brute force")
+    val ivf1 = Similarity.ivfTopK(vecsL, q, 5, nProbe = 1)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    assert(ivf1.subsetOf(brute.toSet ++ ivfAll.toSet ++ ivf1)) // probe-limited recall
+    assert(ivf1.contains(0L), "query's own cell contains the query vector")
+  }
+
   // ------------------------------------------------------- text analysis
 
   test("token counts: three tokenizations on a known string") {
