@@ -222,6 +222,53 @@ object VerifyQueries {
        |SELECT term, count(*) AS df FROM tf WHERE regexp_matches(term, '^s.an$$')
        |GROUP BY term ORDER BY term""".stripMargin
 
+  /** Suggest/autocomplete: top-8 completions of 's' by df. */
+  def qSuggest(spark: SparkSession, sf: String): DataFrame = {
+    val dir = ensure(spark, sf)
+    graft.search.Suggest.complete(new graft.search.IndexReader(spark, dir), "s", 8)
+      .orderBy(col("df").desc, col("term"))
+  }
+  val oSuggest: String =
+    s"""$OracleCtes
+       |SELECT term, count(*) AS df FROM tf WHERE term LIKE 's%'
+       |GROUP BY term ORDER BY df DESC, term LIMIT 8""".stripMargin
+
+  /** SpellChecker: 'did you mean' for a typo, distance then popularity. */
+  def qSpell(spark: SparkSession, sf: String): DataFrame = {
+    val dir = ensure(spark, sf)
+    graft.search.Suggest.didYouMean(new graft.search.IndexReader(spark, dir), "mergee", 2, 5)
+      .orderBy(col("dist"), col("df").desc, col("term"))
+  }
+  val oSpell: String =
+    s"""$OracleCtes, cand AS (
+       |  SELECT term, count(*) AS df, levenshtein(term, 'mergee') AS dist
+       |  FROM tf WHERE abs(length(term) - 6) <= 2 GROUP BY term
+       |)
+       |SELECT term, df, CAST(dist AS INT) AS dist FROM cand
+       |WHERE dist <= 2 AND dist > 0
+       |ORDER BY dist, df DESC, term LIMIT 5""".stripMargin
+
+  /** Facet drill-down (FacetsCollector + DrillDownQuery analog): restrict
+    * the term query to one lang, facet the OTHER dimension (doc-length
+    * deciles) — the drill-down shape. */
+  def qDrilldown(spark: SparkSession, sf: String): DataFrame = {
+    val dir = ensure(spark, sf)
+    val h = hits(spark, dir, Seq("merge")).select(col("doc_id"))
+    val stats = spark.read.parquet(IndexPaths.docstats(dir))
+      .select(col("docId").as("doc_id"), col("lang"),
+        (col("tokenCount").cast("long") / 25).cast("long").as("dl_bucket"))
+    h.join(broadcast(stats), Seq("doc_id"))
+      .where(col("lang") === "en")
+      .groupBy(col("dl_bucket")).agg(count("*").as("hits"))
+      .orderBy(col("dl_bucket"))
+  }
+  val oDrilldown: String =
+    s"""$OracleCtes
+       |SELECT dl.dl // 25 AS dl_bucket, count(*) AS hits
+       |FROM tf JOIN dl USING (doc_id) JOIN documents d USING (doc_id)
+       |WHERE tf.term = 'merge' AND d.lang = 'en'
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Doc-length stats (norms source): the whole docstats table. */
   def qDocLengths(spark: SparkSession, sf: String): DataFrame = {
     val dir = ensure(spark, sf)
@@ -541,6 +588,9 @@ object VerifyQueries {
     "q_fuzzy_df" -> qFuzzyDf _,
     "q_range_df" -> qRangeDf _,
     "q_wildcard_df" -> qWildcardDf _,
+    "q_suggest" -> qSuggest _,
+    "q_spell" -> qSpell _,
+    "q_drilldown" -> qDrilldown _,
     "q_doc_lengths" -> qDocLengths _,
     "q_collection_stats" -> qCollectionStats _,
     "q_dict_topdf" -> qDictTopDf _,
@@ -575,6 +625,9 @@ object VerifyQueries {
     "q_fuzzy_df" -> oFuzzyDf,
     "q_range_df" -> oRangeDf,
     "q_wildcard_df" -> oWildcardDf,
+    "q_suggest" -> oSuggest,
+    "q_spell" -> oSpell,
+    "q_drilldown" -> oDrilldown,
     "q_doc_lengths" -> oDocLengths,
     "q_collection_stats" -> oCollectionStats,
     "q_dict_topdf" -> oDictTopDf,

@@ -1,0 +1,82 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Text classification from corpus statistics (reference:
+  * Lucene.Net.Classification/SimpleNaiveBayesClassifier.cs +
+  * KNearestNeighborClassifier.cs — the reference classifies straight off
+  * index stats / MLT searches; here the same math runs as Spark
+  * aggregations over a labeled `documents`-shaped table).
+  *
+  * Both classifiers share the tokenizer with the engine (index/query
+  * parity) and are driver-light: training is two shuffles, classification
+  * of one text is a dictionary-pruned lookup. */
+object Classify {
+
+  /** Per-(label, term) counts + per-label totals + vocabulary size —
+    * everything multinomial Naive Bayes with add-one smoothing needs. */
+  final case class NaiveBayesModel(termCounts: DataFrame, labelTotals: DataFrame,
+      vocabSize: Long, nDocs: Long)
+
+  def trainNaiveBayes(docs: DataFrame, labelCol: String = "lang"): NaiveBayesModel = {
+    val toks = docs.select(col(labelCol).as("label"),
+      explode(Dedup.tokensCol("text")).as("t"))
+    val termCounts = toks.groupBy(col("label"), col("t")).agg(count("*").as("c"))
+    val labelTotals = toks.groupBy(col("label"))
+      .agg(count("*").as("total"), countDistinct(col("t")).as("_v"))
+      .drop("_v")
+      .join(docs.groupBy(col(labelCol).as("label")).agg(count("*").as("docs")), "label")
+    val vocab = toks.select(col("t")).distinct().count()
+    NaiveBayesModel(termCounts.cache(), labelTotals.cache(), vocab, docs.count())
+  }
+
+  /** argmax_label [ log P(label) + Σ_t log P(t|label) ], add-one smoothed.
+    * The query's terms are a tiny set → the likelihood lookup is a pruned
+    * filter on the (label, term) table, not a scan. */
+  def naiveBayes(model: NaiveBayesModel, text: String): String = {
+    val qTerms = graft.analysis.Analyzer.sqlParity.analyzeTerms(text)
+      .groupBy(identity).view.mapValues(_.length).toMap
+    if (qTerms.isEmpty) return "und"
+    val counts = model.termCounts
+      .where(col("t").isin(qTerms.keys.toSeq: _*))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val totals = model.labelTotals.collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    totals.map { case (label, (total, docs)) =>
+      val prior = math.log(docs.toDouble / model.nDocs)
+      val ll = qTerms.map { case (t, qtf) =>
+        val c = counts.getOrElse((label, t), 0L)
+        qtf * math.log((c + 1.0) / (total + model.vocabSize))
+      }.sum
+      label -> (prior + ll)
+    }.maxBy { case (label, s) => (s, label) }._1
+  }
+
+  /** kNN by tf-vector cosine against the labeled corpus (the MLT-search
+    * shape of the reference's kNN: the query's terms pull candidate docs
+    * through the inverted term table; only docs sharing a term score). */
+  def knn(docs: DataFrame, text: String, k: Int, labelCol: String = "lang"): String = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val qTerms = graft.analysis.Analyzer.sqlParity.analyzeTerms(text)
+      .groupBy(identity).view.mapValues(_.length.toDouble).toMap
+    if (qTerms.isEmpty) return "und"
+    val qNorm = math.sqrt(qTerms.values.map(v => v * v).sum)
+    val bq = spark.sparkContext.broadcast(qTerms)
+    val toks = docs.select(col("doc_id"), col(labelCol).as("label"),
+      explode(Dedup.tokensCol("text")).as("t"))
+    val tf = toks.groupBy($"doc_id", $"label", $"t").agg(count("*").cast("double").as("tf"))
+    val docNorm = tf.groupBy($"doc_id").agg(sqrt(sum($"tf" * $"tf")).as("nrm"))
+    val dots = tf.where($"t".isin(qTerms.keys.toSeq: _*))
+      .withColumn("qtf", udf((t: String) => bq.value.getOrElse(t, 0.0)).apply($"t"))
+      .groupBy($"doc_id", $"label").agg(sum($"tf" * $"qtf").as("dot"))
+    val top = dots.join(docNorm, "doc_id")
+      .select($"doc_id", $"label", ($"dot" / ($"nrm" * qNorm)).as("cos"))
+      .orderBy($"cos".desc, $"doc_id").limit(k)
+      .collect()
+    if (top.isEmpty) "und"
+    else top.groupBy(_.getString(1)).view.mapValues(_.length).toSeq
+      .maxBy { case (label, n) => (n, label) }._1
+  }
+}

@@ -1,0 +1,35 @@
+package graft.search
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Autocomplete + spell correction over the term dictionary (reference:
+  * Lucene.Net.Suggest — FST-based suggesters — and Lucene.Net.Suggest/
+  * Spell/SpellChecker.cs; re-thought on the engine's term_dict table:
+  * the dictionary is term-sorted parquet, so a prefix probe is a
+  * min/max-pruned scan — the same seek the FST gives the reference,
+  * provided by the storage layer instead of a custom automaton). */
+object Suggest {
+
+  /** Prefix autocomplete: top-k dictionary terms by document frequency
+    * (popularity-weighted completion). */
+  def complete(reader: IndexReader, prefix: String, k: Int): DataFrame =
+    reader.termDict
+      .where(col("term").startsWith(prefix))
+      .select(col("term"), col("df"))
+      .orderBy(col("df").desc, col("term")).limit(k)
+
+  /** "Did you mean": nearest dictionary terms by edit distance, ties by
+    * higher df then term (SpellChecker's distance-then-popularity
+    * ranking). The candidate scan is length-banded (|len(t)-len(q)| <=
+    * maxEdits) — the dictionary analog of the reference's n-gram
+    * candidate pre-filter. */
+  def didYouMean(reader: IndexReader, term: String, maxEdits: Int = 2,
+                 k: Int = 5): DataFrame =
+    reader.termDict
+      .where(abs(length(col("term")) - lit(term.length)) <= maxEdits)
+      .select(col("term"), col("df"),
+        levenshtein(col("term"), lit(term)).as("dist"))
+      .where(col("dist") <= maxEdits && col("dist") > 0)
+      .orderBy(col("dist"), col("df").desc, col("term")).limit(k)
+}
