@@ -23,6 +23,23 @@ final class IndexReader(val spark: SparkSession, val dir: String) extends Serial
     * re-reads candidate docs' content from here. */
   def docsTable: DataFrame = spark.read.parquet(IndexPaths.docs(dir))
 
+  /** Per-doc term vector (reference: term vectors are a per-doc mini
+    * inverted index, Codecs/Compressing/CompressingTermVectorsWriter.cs;
+    * here recovered from the postings via block-metadata docId pruning —
+    * only blocks whose [firstDocId, lastDocId] straddle the doc decode). */
+  def termVector(docId: Long): DataFrame = {
+    import graft.postings.PostingsCodec
+    postings
+      .where($"firstDocId" <= docId && $"lastDocId" >= docId)
+      .select($"term", $"firstDocId", $"lastDocId", $"numDocs", $"maxTf",
+        $"maxNorm", $"sumTf", $"segId", $"bytes").as[PostingRow]
+      .flatMap { r =>
+        val (ids, tfs, _) = PostingsCodec.decodeBlock(r.firstDocId, r.numDocs, r.bytes)
+        val i = java.util.Arrays.binarySearch(ids, docId)
+        if (i >= 0) Iterator.single((r.term, tfs(i))) else Iterator.empty
+      }.toDF("term", "tf")
+  }
+
   /** Stats pull for query terms — one tiny dictionary lookup job,
     * parquet-pruned by the sorted term column (≙ the FST term-index seek,
     * reference: Codecs/BlockTreeTermsReader.cs). */

@@ -52,6 +52,13 @@ class SearchSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(hits.toSeq == oracle.toSeq)
   }
 
+  test("term vector of doc1 recovers its per-term tfs") {
+    searcher // force build
+    val tv = new IndexReader(spark, dir).termVector(1L)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(tv === Map("dogs" -> 2))
+  }
+
   test("Q2: term 'dogs' → tf=2 saturation") {
     val hits = searcher.search(TermQ("dogs"), 10)
     assert(hits.map(_.docId).toSeq == Seq(1L))
