@@ -1,6 +1,6 @@
 package graft.ops
 
-import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.pipeline.{Classify, Dedup, Multimodal, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -325,6 +325,37 @@ object PipelineQueries {
        |SELECT doc_id, CAST(sum(p * ((tid * 131 + 7) % 1000003)) AS BIGINT) AS fingerprint
        |FROM pos JOIN dict USING (t) GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Naive Bayes per-label log-likelihoods for a fixed query (the
+    * Classification module's scoring surface, relational form). */
+  def qNbScores(spark: SparkSession, sf: String): DataFrame = {
+    val model = Classify.trainNaiveBayes(docs(spark, sf), labelCol = "lang")
+    Classify.naiveBayesScores(model, Map("merge" -> 1, "vector" -> 1, "scan" -> 1))
+      .orderBy(col("label"))
+  }
+  val oNbScores: String =
+    s"""$TokCte, lt AS (
+       |  SELECT d.lang AS label, x.t AS t, count(*) AS c
+       |  FROM (SELECT doc_id, unnest(ts) AS t FROM tok) x
+       |  JOIN documents d USING (doc_id) GROUP BY 1, 2
+       |), totals AS (
+       |  SELECT label, CAST(sum(c) AS BIGINT) AS total FROM lt GROUP BY 1
+       |), vocab AS (
+       |  SELECT count(DISTINCT t) AS v FROM (SELECT unnest(ts) AS t FROM tok)
+       |), dpl AS (
+       |  SELECT lang AS label, count(*) AS docs FROM documents GROUP BY 1
+       |), nd AS (SELECT count(*) AS n FROM documents
+       |), q(t, qtf) AS (VALUES ('merge', 1), ('vector', 1), ('scan', 1)
+       |), ll AS (
+       |  SELECT tt.label AS label,
+       |    sum(q.qtf * ln((coalesce(lt.c, 0) + 1.0e0) / (tt.total + vocab.v * 1.0e0))) AS ll
+       |  FROM totals tt CROSS JOIN q CROSS JOIN vocab
+       |  LEFT JOIN lt ON lt.label = tt.label AND lt.t = q.t
+       |  GROUP BY 1
+       |)
+       |SELECT ll.label AS label, round(ln(dpl.docs * 1.0e0 / nd.n) + ll.ll, 6) AS loglik
+       |FROM ll JOIN dpl ON dpl.label = ll.label CROSS JOIN nd
+       |ORDER BY 1""".stripMargin
+
   // ------------------------------------------------------------ multimodal
 
   def qMultimodalMeta(spark: SparkSession, sf: String): DataFrame =
@@ -370,6 +401,7 @@ object PipelineQueries {
     "q_ann_lsh" -> qAnnLsh _,
     "q_ann_ivf" -> qAnnIvf _,
     "q_lang_id" -> qLangId _,
+    "q_nb_scores" -> qNbScores _,
     "q_quality" -> qQuality _,
     "q_token_counts" -> qTokenCounts _,
     "q_fingerprint" -> qFingerprint _,
@@ -386,6 +418,7 @@ object PipelineQueries {
     "q_ann_lsh" -> oAnnLsh,
     "q_ann_ivf" -> oAnnIvf,
     "q_lang_id" -> oLangId,
+    "q_nb_scores" -> oNbScores,
     "q_quality" -> oQuality,
     "q_token_counts" -> oTokenCounts,
     "q_fingerprint" -> oFingerprint,

@@ -222,6 +222,18 @@ object VerifyQueries {
        |SELECT term, count(*) AS df FROM tf WHERE regexp_matches(term, '^s.an$$')
        |GROUP BY term ORDER BY term""".stripMargin
 
+  /** Term vector of doc 7 (per-doc mini inverted index, recovered via
+    * block docId-range pruning). */
+  def qTermVector(spark: SparkSession, sf: String): DataFrame = {
+    val dir = ensure(spark, sf)
+    new graft.search.IndexReader(spark, dir).termVector(7L)
+      .select(col("term"), col("tf").cast("long").as("tf"))
+      .orderBy(col("term"))
+  }
+  val oTermVector: String =
+    s"""$OracleCtes
+       |SELECT term, tf FROM tf WHERE doc_id = 7 ORDER BY term""".stripMargin
+
   /** Suggest/autocomplete: top-8 completions of 's' by df. */
   def qSuggest(spark: SparkSession, sf: String): DataFrame = {
     val dir = ensure(spark, sf)
@@ -588,6 +600,7 @@ object VerifyQueries {
     "q_fuzzy_df" -> qFuzzyDf _,
     "q_range_df" -> qRangeDf _,
     "q_wildcard_df" -> qWildcardDf _,
+    "q_term_vector" -> qTermVector _,
     "q_suggest" -> qSuggest _,
     "q_spell" -> qSpell _,
     "q_drilldown" -> qDrilldown _,
@@ -625,6 +638,7 @@ object VerifyQueries {
     "q_fuzzy_df" -> oFuzzyDf,
     "q_range_df" -> oRangeDf,
     "q_wildcard_df" -> oWildcardDf,
+    "q_term_vector" -> oTermVector,
     "q_suggest" -> oSuggest,
     "q_spell" -> oSpell,
     "q_drilldown" -> oDrilldown,

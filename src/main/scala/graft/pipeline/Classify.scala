@@ -53,6 +53,26 @@ object Classify {
     }.maxBy { case (label, s) => (s, label) }._1
   }
 
+  /** Distributed per-label NB log-likelihood scores for a fixed term
+    * multiset — the relational form of [[naiveBayes]] (same math, output
+    * as a DataFrame so an independent engine can reproduce it). */
+  def naiveBayesScores(model: NaiveBayesModel, qTerms: Map[String, Int]): DataFrame = {
+    val spark = model.termCounts.sparkSession
+    import spark.implicits._
+    val q = qTerms.toSeq.toDF("t", "qtf")
+    val smoothedLl = $"qtf" * log(($"c" + lit(1.0)) / ($"total" + lit(model.vocabSize.toDouble)))
+    val missing = // terms absent for a label still contribute smoothed mass
+      model.labelTotals.select($"label", $"total").crossJoin(q)
+        .join(model.termCounts, Seq("label", "t"), "left_outer")
+        .withColumn("c", coalesce($"c", lit(0L)))
+        .select($"label", $"total", smoothedLl.as("ll"))
+    missing.groupBy($"label")
+      .agg(sum($"ll").as("ll"))
+      .join(model.labelTotals.select($"label", $"docs"), "label")
+      .select($"label",
+        round(log($"docs" / lit(model.nDocs.toDouble)) + $"ll", 6).as("loglik"))
+  }
+
   /** kNN by tf-vector cosine against the labeled corpus (the MLT-search
     * shape of the reference's kNN: the query's terms pull candidate docs
     * through the inverted term table; only docs sharing a term score). */
