@@ -337,6 +337,65 @@ final class Searcher(reader: IndexReader, pruneMinBlocks: Int = 64,
         $"maxNorm", $"sumTf", $"segId", $"bytes").as[PostingRow]
       .flatMap(r => PostingsCodec.decodeBlock(r.firstDocId, r.numDocs, r.bytes)._1)
 
+  // ------------------------------------------- pluggable-similarity path
+
+  /** Generic top-k under any [[SimilarityLike]] (TermQ or one flat BoolQ
+    * of term clauses): the reference's CreateNormalizedWeight pipeline —
+    * weights from ALL terms (queryNorm coupling), per-hit scores, clause-
+    * order sum × coord. The BM25-specialized WAND path remains [[search]];
+    * this path trades pruning for total generality. */
+  def searchWith(sim: SimilarityLike, q: Query, k: Int): Array[ScoreDoc] = {
+    val (must, should, boost) = rewrite(q) match {
+      case TermQ(t, b) => (Nil, Seq(t -> b), 1f)
+      case BoolQ(m, s, Nil, msm, b) if msm <= 1 &&
+          (m ++ s).forall(_.isInstanceOf[TermQ]) =>
+        (m.collect { case TermQ(t, tb) => t -> tb },
+          s.collect { case TermQ(t, tb) => t -> tb }, b)
+      case other => throw new UnsupportedOperationException(
+        s"searchWith supports term/flat-bool queries, got $other")
+    }
+    val all = must ++ should
+    val stats = reader.termStats(all.map(_._1))
+    val w = sim.weights(all, stats, cs.maxDoc, cs.sumTotalTermFreq)
+    if (w.isEmpty) return Array.empty
+    val order = all.map(_._1).zipWithIndex.toMap
+    val nMust = must.length
+    val total = all.length
+    val live = all.filter(t => w.contains(t._1))
+    val bSim = sim
+    val hits = reader.postings.where($"term".isin(live.map(_._1).distinct: _*))
+      .select($"term", $"firstDocId", $"lastDocId", $"numDocs", $"maxTf",
+        $"maxNorm", $"sumTf", $"segId", $"bytes").as[PostingRow]
+      .flatMap { r =>
+        val wv = w(r.term)
+        val idx = order(r.term)
+        val (ids, tfs, norms) = PostingsCodec.decodeBlock(r.firstDocId, r.numDocs, r.bytes)
+        ids.indices.iterator.map(i =>
+          ClauseHit(ids(i), idx, bSim.score(tfs(i).toFloat, norms(i).toByte, wv)))
+      }
+    val combined = hits.groupByKey(_.docId).flatMapGroups { (docId, it) =>
+      val scores = new Array[Float](total)
+      val present = new Array[Boolean](total)
+      it.foreach { h => scores(h.idx) = h.score; present(h.idx) = true }
+      var mustOk = true
+      var i = 0
+      while (i < nMust) { if (!present(i)) mustOk = false; i += 1 }
+      if (!mustOk) Iterator.empty
+      else {
+        var sum = 0f
+        var matched = 0
+        i = 0
+        while (i < total) {
+          if (present(i)) { sum += scores(i); matched += 1 }
+          i += 1
+        }
+        Iterator.single(ScoreDoc(docId, sum * bSim.coord(matched, total) * boost))
+      }
+    }
+    val agg = new TopKAggregator(k).toColumn
+    liveOnly(combined).select(agg).head()
+  }
+
   // ------------------------------------------------------ explain support
 
   private[search] def readerTermStats(ts: Seq[String]) = reader.termStats(ts)
