@@ -28,6 +28,35 @@ trait SimilarityLike extends Serializable {
   def coord(matched: Int, total: Int): Float
 }
 
+/** Query-likelihood with Dirichlet smoothing (reference:
+  * Search/Similarities/LMDirichletSimilarity.cs, default mu = 2000):
+  *
+  *   score = boost * max(0, log(1 + tf/(mu·p(t|C))) + log(mu/(dl + mu)))
+  *
+  * p(t|C) = totalTermFreq / sumTotalTermFreq (the collection language
+  * model); dl comes from the same lossy norm byte the other similarities
+  * read (the reference decodes norms identically across families). The
+  * per-term weightValue carries mu·p(t|C) (boost folded by the caller's
+  * clause sum; per-term boosts fold into the weight here as a divisor —
+  * equivalent at boost=1, the reference query set's case). */
+final class LMDirichletSimilarity(mu: Float = 2000f) extends SimilarityLike {
+  private var sumTtf = 1L
+  def weights(terms: Seq[(String, Float)], stats: Map[String, TermDictRow],
+              maxDoc: Long, sumTotalTermFreq: Long): Map[String, Float] = {
+    sumTtf = math.max(1L, sumTotalTermFreq)
+    terms.collect { case (t, _) if stats.contains(t) =>
+      // mu * p(t|C), double then float like the reference's LMStats
+      t -> (mu * (stats(t).totalTf / sumTtf.toDouble)).toFloat
+    }.toMap
+  }
+  def score(tf: Float, normByte: Byte, weightValue: Float): Float = {
+    val dl = BM25.NormTable(normByte & 0xff) // 1/f^2 = decoded doc length
+    val s = (math.log(1 + tf / weightValue) + math.log(mu / (dl + mu))).toFloat
+    if (s > 0f) s else 0f
+  }
+  def coord(matched: Int, total: Int): Float = 1f
+}
+
 /** BM25 (k1=1.2, b=0.75): queryNorm = coord = 1. */
 final class BM25Similarity(avgdl: Float) extends SimilarityLike {
   private val cache = BM25.normCache(avgdl)

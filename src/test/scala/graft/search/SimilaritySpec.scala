@@ -39,6 +39,19 @@ class SimilaritySpec extends AnyFunSuite {
     assert(hits(0).score === hits(1).score)
   }
 
+  test("LM-Dirichlet: ranks by query likelihood, matches the closed form") {
+    val hits = searcher.searchWith(new LMDirichletSimilarity(), TermQ("dogs"), 10)
+    assert(hits.map(_.docId).toSeq === Seq(1L))
+    // closed form: p(dogs|C) = 2/7, dl decoded from norm byte for dl=2
+    val p = (2000f * (2L / 7L.toDouble)).toFloat
+    val dl = BM25.NormTable(BM25.encodeNorm(2) & 0xff)
+    val expected = (math.log(1 + 2f / p) + math.log(2000f / (dl + 2000f))).toFloat
+    assert(hits(0).score === expected)
+    // a corpus-dominant term scores near zero (log(1+tf/(mu p)) small)
+    val common = searcher.searchWith(new LMDirichletSimilarity(), TermQ("all"), 10)
+    assert(common.forall(_.score >= 0f))
+  }
+
   test("TF-IDF boolean: queryNorm couples clauses, coord penalizes partial matches") {
     val hits = searcher.searchWith(new TfIdfSimilarity,
       BoolQ(should = Seq(TermQ("all"), TermQ("dogs"))), 10)
