@@ -61,8 +61,7 @@ object Deletes {
     val bRemap = spark.sparkContext.broadcast(remap)
 
     // docs + docstats: filter, remap, keep docId order
-    def remapDocIdTable(path: String, outPathStr: String): Unit = {
-      val df = spark.read.parquet(path)
+    def remapDocIdTable(df: DataFrame, outPathStr: String): Unit = {
       val cols = df.columns
       val remapped = df.flatMap { row =>
         val m = bRemap.value
@@ -76,8 +75,9 @@ object Deletes {
         .sortWithinPartitions(col("docId"))
         .write.mode(SaveMode.Overwrite).parquet(outPathStr)
     }
-    remapDocIdTable(IndexPaths.docs(dir), IndexPaths.docs(outDir))
-    remapDocIdTable(IndexPaths.docstats(dir), IndexPaths.docstats(outDir))
+    remapDocIdTable(DocsTable.read(spark, dir), IndexPaths.docs(outDir))
+    remapDocIdTable(spark.read.parquet(IndexPaths.docstats(dir)),
+      IndexPaths.docstats(outDir))
 
     // postings: decode -> drop dead -> remap (order-preserving: the remap
     // is monotone) -> re-encode

@@ -75,53 +75,19 @@ object IndexBuilder {
       .parquet(IndexPaths.manifest(dir))
   }
 
-  /** Stage 1: deterministic docIds + stored-fields table. `docIdBase`
-    * offsets the dense ids — incremental (streaming) builds stack
-    * generations into one docId space (≙ SegmentMerger's DocMap rebase,
-    * reference: Index/MergeState.cs:42-44). */
+  /** Stage 1: deterministic docIds + stored-fields table, ONE sorted pass
+    * (docId = partition offset + local ordinal, materialized lazily by
+    * [[DocsTable.read]]). `docIdBase` offsets the dense ids — incremental
+    * (streaming) builds stack generations into one docId space (≙
+    * SegmentMerger's DocMap rebase, reference: Index/MergeState.cs:42-44). */
   def buildDocs(spark: SparkSession, corpus: Dataset[SourceFile], dir: String,
-                numPartitions: Int, docIdBase: Long = 0L): Unit = {
-    import spark.implicits._
-    val sorted = corpus
-      .repartitionByRange(numPartitions, $"repo", $"path", $"commit")
-      .sortWithinPartitions($"repo", $"path", $"commit")
-    // zipWithIndex needs a count pass then a map pass over the same RDD;
-    // the two jobs share the range-shuffle's map output, so only the
-    // reduce-side fetch + in-partition sort run twice — cheap and, unlike
-    // persisting the payload, free of storage-eviction pressure when many
-    // concurrent sort tasks share the executor heap.
-    val sortedRdd = sorted.rdd
-    // (the RDD hop is the documented Dataset gap — SURVEY.md §7)
-    val acc = spark.sparkContext.collectionAccumulator[ManifestRow]("docsManifest")
-    val withIds = sortedRdd.zipWithIndex()
-    val docs = spark.createDataset(withIds.mapPartitionsWithIndex { (pid, it) =>
-      var rows = 0L
-      var bytes = 0L
-      val out = it.map { case (f, id) =>
-        rows += 1; bytes += f.content.length
-        DocRow(docIdBase + id, f.repo, f.path, f.commit, f.lang, f.content, f.sha256)
-      }
-      new Iterator[DocRow] {
-        private var reported = false
-        def hasNext: Boolean = {
-          val h = out.hasNext
-          if (!h && !reported) {
-            reported = true
-            acc.add(ManifestRow("docs", pid, null, null, rows, rows, bytes,
-              0L, System.currentTimeMillis()))
-          }
-          h
-        }
-        def next(): DocRow = out.next()
-      }
-    })
-    docs.write.mode(SaveMode.Overwrite).parquet(IndexPaths.docs(dir))
-    commitStage(spark, dir, dedupeByPartition(acc.value))
-  }
+                numPartitions: Int, docIdBase: Long = 0L): Unit =
+    commitStage(spark, dir,
+      DocsTable.write(spark, corpus, dir, numPartitions, docIdBase))
 
   /** Accumulator entries may repeat when a task attempt is retried after a
     * success (speculation); lineage is per-partition, keep one row each. */
-  private def dedupeByPartition(rows: java.util.List[ManifestRow]): Seq[ManifestRow] = {
+  private[build] def dedupeByPartition(rows: java.util.List[ManifestRow]): Seq[ManifestRow] = {
     import scala.jdk.CollectionConverters._
     rows.asScala.toSeq.groupBy(_.partitionId).map(_._2.head).toSeq
       .sortBy(_.partitionId)
@@ -157,7 +123,7 @@ object IndexBuilder {
   private def doBuildFlush(spark: SparkSession, dir: String,
                            analyzerFor: String => Analyzer): Unit = {
     import spark.implicits._
-    val docs = spark.read.parquet(IndexPaths.docs(dir)).as[DocRow]
+    val docs = DocsTable.read(spark, dir).as[DocRow]
     // lineage computed in-flight (accumulator) — no second pass over the
     // flush output; at scale a re-read of every posting block just to
     // checksum it would double the stage's I/O

@@ -21,7 +21,7 @@ final class IndexReader(val spark: SparkSession, val dir: String) extends Serial
   def termDict: DataFrame = spark.read.parquet(IndexPaths.termDict(dir))
   /** Stored fields (≙ the compressed row store) — phrase verification
     * re-reads candidate docs' content from here. */
-  def docsTable: DataFrame = spark.read.parquet(IndexPaths.docs(dir))
+  def docsTable: DataFrame = graft.build.DocsTable.read(spark, dir)
 
   /** Per-doc term vector (reference: term vectors are a per-doc mini
     * inverted index, Codecs/Compressing/CompressingTermVectorsWriter.cs;

@@ -90,7 +90,7 @@ object StreamingIndexer {
     val fs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(outPath)) fs.delete(outPath, true)
 
-    spark.read.parquet(dirs.map(IndexPaths.docs): _*)
+    dirs.map(d => graft.build.DocsTable.read(spark, d)).reduce(_ unionByName _)
       .repartitionByRange(numPartitions, $"docId").sortWithinPartitions($"docId")
       .write.mode(SaveMode.Overwrite).parquet(IndexPaths.docs(outDir))
     spark.read.parquet(dirs.map(IndexPaths.docstats): _*)

@@ -55,7 +55,7 @@ class StreamingIndexerSpec extends AnyFunSuite {
     // matched document set must agree — compare by (score, path)
     def byPath(s: Searcher, dir: String): Seq[(String, Float)] = {
       val hits = s.search(TermQ("def"), 90)
-      val paths = spark.read.parquet(s"$dir/docs")
+      val paths = graft.build.DocsTable.read(spark, dir)
         .select($"docId", $"path").as[(Long, String)].collect().toMap
       hits.map(h => (paths(h.docId), h.score)).sortBy(_._1).toSeq
     }
