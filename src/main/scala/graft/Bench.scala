@@ -86,7 +86,7 @@ object Bench {
     // container; one shared virtual disk would serialize the write path
     val m = childJvmAll(cores,
       Seq(n.toString, cores.toString, s"/dev/shm/graft-bench-$tag"))
-    (m("files_per_sec"), m("index_files_per_sec"))
+    (m("files_per_sec"), m("flush_files_per_sec"))
   }
 
   /** Sandbox CPU-scaling ceiling: pinned pure-SHA256 at both sizes. */
@@ -144,9 +144,9 @@ object Bench {
       f"""{"docs":$nDocs,"cores_n":$nCores,"files_per_sec_n":$thruN%.1f,""" +
         f""""cores_4n":$n4Cores,"files_per_sec_4n":$thru4N%.1f,""" +
         f""""scaling_efficiency":$eff%.3f,""" +
-        f""""index_phase_files_per_sec_n":$idxN%.1f,""" +
-        f""""index_phase_files_per_sec_4n":$idx4N%.1f,""" +
-        f""""index_phase_scaling_efficiency":$idxEff%.3f,""" +
+        f""""flush_phase_files_per_sec_n":$idxN%.1f,""" +
+        f""""flush_phase_files_per_sec_4n":$idx4N%.1f,""" +
+        f""""flush_phase_scaling_efficiency":$idxEff%.3f,""" +
         f""""cpu_scaling_ceiling":$ceiling%.3f,""" +
         f""""efficiency_vs_ceiling":$normEff%.3f}"""
     println(

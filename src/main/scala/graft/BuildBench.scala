@@ -63,20 +63,18 @@ object BuildBench {
       parallelism = cores * 4), s"$workDir/warmup", numPartitions = cores)
     val dir = s"$workDir/timed"
     val t0 = System.nanoTime()
-    IndexBuilder.buildDocs(spark, CorpusGen.dataset(spark, nDocs, parallelism = cores * 4),
+    IndexBuilder.buildFlush(spark, CorpusGen.dataset(spark, nDocs, parallelism = cores * 4),
       dir, numPartitions = cores)
-    val tDocs = System.nanoTime()
-    IndexBuilder.buildFlush(spark, dir, numPartitions = cores)
+    val tFlush = System.nanoTime()
     IndexBuilder.buildPostings(spark, dir, cores)
     IndexBuilder.buildStats(spark, dir, cores)
     val tEnd = System.nanoTime()
     val sec = (tEnd - t0) / 1e9
-    // "index" = tokenize → posting blocks → global merge → stats (the
-    // posting-list construction pipeline the north rule names); "docs" =
-    // the corpus-order global sort that assigns deterministic docIds
-    val idxSec = (tEnd - tDocs) / 1e9
+    // "flush" = the fused corpus-sort + tokenize + posting-block pass;
+    // "merge" = global term shuffle + dictionary/stats aggregation.
     println(f"files_per_sec=${nDocs / sec}%.1f")
-    println(f"index_files_per_sec=${nDocs / idxSec}%.1f")
+    println(f"flush_files_per_sec=${nDocs / ((tFlush - t0) / 1e9)}%.1f")
+    println(f"merge_sec=${(tEnd - tFlush) / 1e9}%.3f")
     spark.stop()
     org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(workDir))
   }

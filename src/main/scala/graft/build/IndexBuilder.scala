@@ -13,37 +13,40 @@ import scala.collection.mutable
 
 /** Spark-native inverted-index builder (SURVEY.md §3.1 restated for Spark).
   *
-  * Pipeline (3 shuffles total, tokenization happens exactly once):
+  * Pipeline (2 shuffles total; the corpus payload is sorted once, read
+  * once, tokenized once):
   *
-  *   1. `docs` stage — deterministic docIds: global
-  *      `repartitionByRange(repo, path, commit)` + within-partition sort,
-  *      then a per-partition-count offset pass assigns dense ascending ids
-  *      (the corpus-order contract that fixes the score tie-break, reference:
-  *      Search/HitQueue.cs:82-91). Written as the stored-fields table.
+  *   1. `flush` stage — ONE fused pass (≙ a DocumentsWriterPerThread
+  *      building an in-RAM segment, reference:
+  *      Index/DocumentsWriterPerThread.cs:290-368): global
+  *      `repartitionByRange(repo, path, commit)` + within-partition sort
+  *      (the deterministic corpus order that fixes the score tie-break,
+  *      reference: Search/HitQueue.cs:82-91) feeds straight into a
+  *      mapPartitions that assigns each doc a LOCAL ordinal, analyzes it,
+  *      accumulates term → (localId, tf, norm) in a hash (≙ TermsHash),
+  *      and emits posting blocks (budget-flushed ≙ FlushByRamOrCounts
+  *      Policy) interleaved with stored-doc rows — one write, partitioned
+  *      by kind. Global docIds are NOT materialized here: they are
+  *      `offset(partition) + localId`, where the tiny `docs_offsets`
+  *      table (cumulative per-partition counts, read back column-pruned
+  *      from the committed files) is written at the end of the stage.
+  *      Because posting-block bytes are delta-coded against the block's
+  *      firstDocId metadata, rebasing a block to the global doc space is
+  *      pure column arithmetic — no byte rewrite (the SegmentMerger
+  *      DocMap rebase, reference: Index/MergeState.cs:42-44, becomes a
+  *      projection).
   *
-  *   2. `flush` stage — ONE mapPartitions pass per docs split (≙ a
-  *      DocumentsWriterPerThread building an in-RAM segment, reference:
-  *      Index/DocumentsWriterPerThread.cs:290-368): analyze each doc,
-  *      accumulate term → (docIds, tfs, norms) in a hash (≙ TermsHash),
-  *      flush encoded posting blocks when the RAM budget trips (≙
-  *      FlushByRamOrCountsPolicy) and at end of partition. DocIds within a
-  *      split are ascending and splits own disjoint docId ranges, so
-  *      per-partition posting blocks for the same term are globally
-  *      mergeable BY CONCATENATION — the reference's SegmentMerger becomes a
-  *      logical no-op because blocks are self-contained. Doc-stat rows ride
-  *      along in the same output (union schema, partitioned by kind), so
-  *      tokenize cost is paid once.
-  *
-  *   3. `postings` stage — `repartitionByRange(term, firstDocId)` +
-  *      within-partition sort of the block rows, written term-sorted so
-  *      parquet min/max stats prune files/row-groups at query time (≙ the
-  *      BlockTree term index). Range-partitioning on the COMPOSITE key is
-  *      the hot-term skew defusal the north rule calls "salting": a Zipfian
-  *      term's blocks spread over many partitions, split at firstDocId
+  *   2. `postings` stage — rebase block metadata by the broadcast offsets
+  *      table, then `repartitionByRange(term, firstDocId)` +
+  *      within-partition sort, written term-sorted so parquet min/max
+  *      stats prune files/row-groups at query time (≙ the BlockTree term
+  *      index). Range-partitioning on the COMPOSITE key is the hot-term
+  *      skew defusal the north rule calls "salting": a Zipfian term's
+  *      blocks spread over many partitions, split at firstDocId
   *      boundaries, no single reducer ever sees a whole hot list.
   *
-  *   4. `term_dict` + `collection_stats` — tiny map-side-combined aggs over
-  *      block rows / doc stats.
+  *   3. `stats` stage — docstats (rebased the same way) + term_dict +
+  *      collection_stats: tiny map-side-combined aggs.
   *
   * Every stage appends per-partition lineage rows to `manifest/` after its
   * output is durably written (two-phase: data first, manifest last —
@@ -75,16 +78,6 @@ object IndexBuilder {
       .parquet(IndexPaths.manifest(dir))
   }
 
-  /** Stage 1: deterministic docIds + stored-fields table, ONE sorted pass
-    * (docId = partition offset + local ordinal, materialized lazily by
-    * [[DocsTable.read]]). `docIdBase` offsets the dense ids — incremental
-    * (streaming) builds stack generations into one docId space (≙
-    * SegmentMerger's DocMap rebase, reference: Index/MergeState.cs:42-44). */
-  def buildDocs(spark: SparkSession, corpus: Dataset[SourceFile], dir: String,
-                numPartitions: Int, docIdBase: Long = 0L): Unit =
-    commitStage(spark, dir,
-      DocsTable.write(spark, corpus, dir, numPartitions, docIdBase))
-
   /** Accumulator entries may repeat when a task attempt is retried after a
     * success (speculation); lineage is per-partition, keep one row each. */
   private[build] def dedupeByPartition(rows: java.util.List[ManifestRow]): Seq[ManifestRow] = {
@@ -93,56 +86,64 @@ object IndexBuilder {
       .sortBy(_.partitionId)
   }
 
-  /** Stage 2: the tokenize-once segment flush (postings blocks + docstats). */
-  def buildFlush(spark: SparkSession, dir: String,
+  /** Stage 1: the fused sort + tokenize-once segment flush. `docIdBase`
+    * offsets the dense ids — incremental (streaming) builds stack
+    * generations into one docId space. */
+  def buildFlush(spark: SparkSession, corpus: Dataset[SourceFile], dir: String,
+                 numPartitions: Int,
                  analyzerFor: String => Analyzer = Analyzer.forLang,
-                 numPartitions: Int = 32): Unit = {
+                 docIdBase: Long = 0L): Unit = {
     import spark.implicits._
-    // Size input splits to the build parallelism: the default 128 MB
-    // maxPartitionBytes coalesces the (deliberately small) docs files into
-    // a handful of splits, serializing the CPU-heavy tokenize stage on a
-    // big executor. One split ≈ one flush task ≈ one DWPT.
-    val docsPath = new org.apache.hadoop.fs.Path(IndexPaths.docs(dir))
-    val fs = docsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val totalBytes = fs.getContentSummary(docsPath).getLength
-    val target = math.min(128L << 20,
-      math.max(1L << 20, totalBytes / math.max(1, numPartitions)))
-    val prevMax = spark.conf.get("spark.sql.files.maxPartitionBytes", null)
-    val prevOpen = spark.conf.get("spark.sql.files.openCostInBytes", null)
-    spark.conf.set("spark.sql.files.maxPartitionBytes", target.toString)
-    spark.conf.set("spark.sql.files.openCostInBytes", (64L << 10).toString)
-    try doBuildFlush(spark, dir, analyzerFor)
-    finally {
-      if (prevMax == null) spark.conf.unset("spark.sql.files.maxPartitionBytes")
-      else spark.conf.set("spark.sql.files.maxPartitionBytes", prevMax)
-      if (prevOpen == null) spark.conf.unset("spark.sql.files.openCostInBytes")
-      else spark.conf.set("spark.sql.files.openCostInBytes", prevOpen)
-    }
-  }
-
-  private def doBuildFlush(spark: SparkSession, dir: String,
-                           analyzerFor: String => Analyzer): Unit = {
-    import spark.implicits._
-    val docs = DocsTable.read(spark, dir).as[DocRow]
+    val sorted = corpus
+      .repartitionByRange(numPartitions, $"repo", $"path", $"commit")
+      .sortWithinPartitions($"repo", $"path", $"commit")
     // lineage computed in-flight (accumulator) — no second pass over the
     // flush output; at scale a re-read of every posting block just to
     // checksum it would double the stage's I/O
     val acc = spark.sparkContext.collectionAccumulator[ManifestRow]("flushManifest")
-    val flush = docs.mapPartitions { it =>
+    val flush = sorted.mapPartitions { it =>
       val segId = TaskContext.getPartitionId()
       new FlushIterator(it, segId, analyzerFor, row => acc.add(row))
     }
     flush.write.mode(SaveMode.Overwrite).partitionBy("kind")
       .parquet(IndexPaths.flush(dir))
+
+    // Partition offsets from a read-back count of the committed doc rows
+    // (not the accumulator — counts are correctness-critical for docIds
+    // and the committed files are the single source of truth). Column-
+    // pruned to (segId, docId): two RLE/delta-coded integer columns,
+    // negligible against the payload sort. repartitionByRange assigns
+    // ascending key ranges to ascending partition ids, so cumulative
+    // offsets in segId order reproduce global corpus-sort ordinals.
+    val counts = spark.read.parquet(IndexPaths.flush(dir)).where($"kind" === "d")
+      .groupBy($"segId")
+      .agg(count("*").as("rows"), (max($"docId") + 1).as("rowsByIdx"))
+      .as[(Int, Long, Long)].collect().sortBy(_._1)
+    counts.foreach { case (pid, n, byIdx) =>
+      require(n == byIdx, s"flush partition $pid: count $n != max(localId)+1 $byIdx")
+    }
+    var off = docIdBase
+    val offsets = counts.map { case (pid, n, _) =>
+      val o = DocOffsetRow(pid, off, n); off += n; o
+    }
+    spark.createDataset(offsets.toSeq).repartition(1)
+      .write.mode(SaveMode.Overwrite).parquet(DocsTable.offsetsPath(dir))
     commitStage(spark, dir, dedupeByPartition(acc.value))
   }
 
-  /** Stage 3: global term-sorted postings table (the "merge"). */
+  private def offsetsDf(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(DocsTable.offsetsPath(dir)).select("pid", "offset")
+
+  /** Stage 2: global term-sorted postings table (the "merge"): rebase
+    * block metadata to the global doc space (broadcast offsets join —
+    * map-side projection, the DocMap analog), then range-shuffle. */
   def buildPostings(spark: SparkSession, dir: String, numPartitions: Int): Unit = {
     import spark.implicits._
     val blocks = spark.read.parquet(IndexPaths.flush(dir))
       .where($"kind" === "t")
-      .select($"term", $"firstDocId", $"lastDocId", $"numDocs", $"maxTf",
+      .join(broadcast(offsetsDf(spark, dir)), $"segId" === $"pid")
+      .select($"term", ($"firstDocId" + $"offset").as("firstDocId"),
+        ($"lastDocId" + $"offset").as("lastDocId"), $"numDocs", $"maxTf",
         $"maxNorm", $"sumTf", $"segId", $"bytes").as[PostingRow]
     blocks
       .repartitionByRange(numPartitions, $"term", $"firstDocId")
@@ -160,12 +161,13 @@ object IndexBuilder {
       r.getLong(6), now)).toSeq)
   }
 
-  /** Stage 4: docstats + term_dict + collection_stats. */
+  /** Stage 3: docstats + term_dict + collection_stats. */
   def buildStats(spark: SparkSession, dir: String, numPartitions: Int): Unit = {
     import spark.implicits._
     val ds = spark.read.parquet(IndexPaths.flush(dir)).where($"kind" === "d")
-      .select($"docId", $"repo", $"path", $"commit", $"lang", $"sha256",
-        $"tokenCount", $"norm").as[DocStatRow]
+      .join(broadcast(offsetsDf(spark, dir)), $"segId" === $"pid")
+      .select(($"docId" + $"offset").as("docId"), $"repo", $"path", $"commit",
+        $"lang", $"sha256", $"tokenCount", $"norm").as[DocStatRow]
     ds.repartitionByRange(numPartitions, $"docId").sortWithinPartitions($"docId")
       .write.mode(SaveMode.Overwrite).parquet(IndexPaths.docstats(dir))
     buildDictAndStats(spark, dir, numPartitions)
@@ -218,10 +220,8 @@ object IndexBuilder {
       if (sys.env.contains("SPARK_GRAFT_STAGE_TIMES"))
         System.err.println(f"[build] $stage%-9s ${(System.nanoTime() - t0) / 1e9}%.2fs")
     }
-    if (!resume || !stageDone(spark, dir, "docs"))
-      timed("docs")(buildDocs(spark, corpus, dir, numPartitions, docIdBase))
     if (!resume || !stageDone(spark, dir, "flush"))
-      timed("flush")(buildFlush(spark, dir, analyzerFor, numPartitions))
+      timed("flush")(buildFlush(spark, corpus, dir, numPartitions, analyzerFor, docIdBase))
     if (!resume || !stageDone(spark, dir, "postings"))
       timed("postings")(buildPostings(spark, dir, numPartitions))
     if (!resume || !stageDone(spark, dir, "stats"))
@@ -230,10 +230,12 @@ object IndexBuilder {
 }
 
 /** The per-partition segment builder: streaming DWPT analog. Consumes
-  * docId-ascending rows, maintains term → postings buffers, emits FlushRow
-  * blocks on budget trips and at exhaustion; doc-stat rows are emitted
-  * inline as soon as each doc is analyzed. */
-private final class FlushIterator(docs: Iterator[DocRow], segId: Int,
+  * one sorted shuffle partition of source files, assigns each a local
+  * ordinal (globalized later via the offsets table), maintains term →
+  * postings buffers, emits FlushRow blocks on budget trips and at
+  * exhaustion; stored-doc rows are emitted inline as soon as each doc is
+  * analyzed — the corpus payload is consumed exactly once. */
+private final class FlushIterator(docs: Iterator[SourceFile], segId: Int,
     analyzerFor: String => Analyzer,
     onComplete: ManifestRow => Unit = _ => ()) extends Iterator[FlushRow] {
 
@@ -271,9 +273,9 @@ private final class FlushIterator(docs: Iterator[DocRow], segId: Int,
   private val out = mutable.Queue.empty[FlushRow]
 
   private def emptyT = FlushRow("t", null, -1L, -1L, -1, -1, -1, -1L, segId,
-    null, -1L, null, null, null, null, null, -1, -1)
+    null, -1L, null, null, null, null, null, null, -1, -1)
   private def emptyD = FlushRow("d", null, -1L, -1L, -1, -1, -1, -1L, segId,
-    null, -1L, null, null, null, null, null, -1, -1)
+    null, -1L, null, null, null, null, null, null, -1, -1)
 
   private def flushSegment(): Unit = {
     // deterministic term order (≙ TermsHashPerField.SortPostings, reference:
@@ -311,17 +313,11 @@ private final class FlushIterator(docs: Iterator[DocRow], segId: Int,
   }
 
   private val analyzerCache = mutable.HashMap.empty[String, Analyzer]
-  private var lastDocId = Long.MinValue
+  private var nextLocalId = 0L
 
-  private def analyzeDoc(d: DocRow): Unit = {
-    // One read split may pack several parquet files (Spark coalesces small
-    // files); each file is docId-ascending but the concatenation may jump
-    // backward at a file boundary. Posting buffers require ascending
-    // docIds, so cut a segment at every regression — blocks stay
-    // self-contained and disjoint, so downstream merge-by-concat still
-    // holds (mirrors a DWPT flush on the reference's doc-order contract).
-    if (d.docId <= lastDocId && terms.nonEmpty) flushSegment()
-    lastDocId = d.docId
+  private def analyzeDoc(d: SourceFile): Unit = {
+    val docId = nextLocalId
+    nextLocalId += 1
     val analyzer = analyzerCache.getOrElseUpdate(d.lang, analyzerFor(d.lang))
     val analyzed = analyzer.analyze(d.content)
     val dl = analyzed.bm25DocLen
@@ -330,11 +326,11 @@ private final class FlushIterator(docs: Iterator[DocRow], segId: Int,
     val tfMap = mutable.HashMap.empty[String, Int]
     analyzed.tokens.foreach(t => tfMap.update(t.term, tfMap.getOrElse(t.term, 0) + 1))
     tfMap.foreach { case (term, tf) =>
-      terms.getOrElseUpdate(term, new Buf).add(d.docId, tf, normByte)
+      terms.getOrElseUpdate(term, new Buf).add(docId, tf, normByte)
       nBuffered += 1
     }
-    out.enqueue(emptyD.copy(docId = d.docId, repo = d.repo, path = d.path,
-      commit = d.commit, lang = d.lang, sha256 = d.sha256,
+    out.enqueue(emptyD.copy(docId = docId, repo = d.repo, path = d.path,
+      commit = d.commit, lang = d.lang, content = d.content, sha256 = d.sha256,
       tokenCount = dl, norm = normByte))
     if (nBuffered >= IndexBuilder.FlushPostingsBudget) flushSegment()
   }

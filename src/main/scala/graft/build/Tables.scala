@@ -1,9 +1,13 @@
 package graft.build
 
-/** Schemas of the five index tables (SURVEY.md §7 step 3).
+/** Schemas of the index tables (SURVEY.md §7 step 3).
   * An index directory contains:
-  *   docs/              docId-ordered stored fields (≙ the reference's
-  *                      compressed row store, Codecs/Compressing)
+  *   flush/kind=d/      stored fields (≙ the reference's compressed row
+  *                      store, Codecs/Compressing), partition-local ids
+  *   flush/kind=t/      raw per-partition posting blocks (pre-merge)
+  *   docs_offsets/      per-partition docId offsets (local → global)
+  *   docs/              only in REWRITTEN indexes (expunge/compact):
+  *                      docId-materialized stored fields
   *   docstats/          per-doc stats sidecar (norm byte ≙ .nvd/.nvm)
   *   postings/          term-sorted posting blocks (≙ .doc, Lucene41)
   *   term_dict/         per-term stats (≙ BlockTree .tim/.tip)
@@ -41,9 +45,12 @@ final case class PostingRow(
     segId: Int,   // build partition that produced the block (lineage)
     bytes: Array[Byte])
 
-/** Union row emitted by the single tokenize pass (segment flush): kind 't'
-  * carries a posting block, kind 'd' a doc-stat row. Written once,
-  * partitioned by kind — one tokenize pass feeds both tables. */
+/** Union row emitted by the single fused sort+tokenize pass (segment
+  * flush): kind 't' carries a posting block, kind 'd' a stored doc (full
+  * content — the flush table's d-partition IS the stored-fields table)
+  * plus its stats. Written once, partitioned by kind. docId and block
+  * doc bounds are partition-LOCAL ordinals; the global doc space is
+  * `offset(segId) + local` via the docs_offsets table. */
 final case class FlushRow(
     kind: String,
     term: String,
@@ -60,6 +67,7 @@ final case class FlushRow(
     path: String,
     commit: String,
     lang: String,
+    content: String,
     sha256: String,
     tokenCount: Int,
     norm: Int)

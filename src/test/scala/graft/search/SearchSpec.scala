@@ -194,14 +194,13 @@ class CorpusSearchSpec extends AnyFunSuite with BeforeAndAfterAll {
     val dir2 = SparkTestSession.tmpDir("graft-resume-")
     val corpus = CorpusGen.dataset(spark, 30, 2)
     // simulate a job killed after the flush stage committed
-    IndexBuilder.buildDocs(spark, corpus, dir2, numPartitions = 2)
-    IndexBuilder.buildFlush(spark, dir2)
-    val docsMtime = new java.io.File(s"$dir2/docs").lastModified()
+    IndexBuilder.buildFlush(spark, corpus, dir2, numPartitions = 2)
+    val flushMtime = new java.io.File(s"$dir2/flush").lastModified()
     assert(IndexBuilder.stageDone(spark, dir2, "flush"))
     assert(!IndexBuilder.stageDone(spark, dir2, "postings"))
     IndexBuilder.build(spark, corpus, dir2, numPartitions = 2, resume = true)
-    assert(new java.io.File(s"$dir2/docs").lastModified() == docsMtime,
-      "resume must not rewrite the committed docs stage")
+    assert(new java.io.File(s"$dir2/flush").lastModified() == flushMtime,
+      "resume must not rewrite the committed flush stage")
     assert(IndexBuilder.stageDone(spark, dir2, "postings"))
     assert(IndexBuilder.stageDone(spark, dir2, "stats"))
     // resumed index answers queries identically to a fresh build
