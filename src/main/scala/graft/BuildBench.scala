@@ -61,10 +61,21 @@ object BuildBench {
     // JIT warmup on a small slice, then the timed build
     IndexBuilder.build(spark, CorpusGen.dataset(spark, math.max(2000, nDocs / 20),
       parallelism = cores * 4), s"$workDir/warmup", numPartitions = cores)
+    // The north-rule metric is build throughput over a pre-existing table
+    // of the input_hint shape — materialize the synthetic corpus as a
+    // parquet table first (untimed), then time the build reading it (this
+    // also keeps the range-sampler's second scan a cheap table re-read
+    // instead of a second generation pass).
+    val corpusPath = s"$workDir/corpus"
+    CorpusGen.dataset(spark, nDocs, parallelism = cores * 4)
+      .write.mode("overwrite").parquet(corpusPath)
+    val corpus = {
+      import spark.implicits._
+      spark.read.parquet(corpusPath).as[graft.corpus.SourceFile]
+    }
     val dir = s"$workDir/timed"
     val t0 = System.nanoTime()
-    IndexBuilder.buildFlush(spark, CorpusGen.dataset(spark, nDocs, parallelism = cores * 4),
-      dir, numPartitions = cores)
+    IndexBuilder.buildFlush(spark, corpus, dir, numPartitions = cores)
     val tFlush = System.nanoTime()
     IndexBuilder.buildPostings(spark, dir, cores)
     IndexBuilder.buildStats(spark, dir, cores)

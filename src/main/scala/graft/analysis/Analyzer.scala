@@ -82,15 +82,20 @@ object Analyzer {
   val SpanishStopWords: Set[String] = Set(
     "de", "la", "que", "el", "en", "y", "a", "los", "del", "se", "las",
     "por", "un", "para", "con", "no", "una", "su", "al", "lo", "como",
-    "mas", "pero", "sus", "le", "ya", "o", "este", "si", "porque", "esta", "es")
+    "más", "pero", "sus", "le", "ya", "o", "este", "sí", "porque", "está", "es",
+    // the analyzer lowercases but does not fold diacritics, so the
+    // accented Snowball forms above are the live entries; keep the ASCII
+    // variants too for unaccented informal text
+    "mas", "si", "esta")
   val FrenchStopWords: Set[String] = Set(
     "de", "la", "le", "et", "les", "des", "en", "un", "du", "une", "que",
     "est", "pour", "qui", "dans", "a", "par", "plus", "pas", "au", "sur",
     "ne", "se", "ce", "il", "sont", "ces", "mais", "comme", "ou")
   val GermanStopWords: Set[String] = Set(
     "der", "die", "und", "in", "den", "von", "zu", "das", "mit", "sich",
-    "des", "auf", "fur", "ist", "im", "dem", "nicht", "ein", "eine", "als",
-    "auch", "es", "an", "werden", "aus", "er", "hat", "dass", "sie", "nach")
+    "des", "auf", "für", "ist", "im", "dem", "nicht", "ein", "eine", "als",
+    "auch", "es", "an", "werden", "aus", "er", "hat", "dass", "sie", "nach",
+    "fur") // ASCII variant of "für" kept for unaccented text
   val perLang: Map[String, Set[String]] = Map(
     "es" -> SpanishStopWords,
     "fr" -> FrenchStopWords,

@@ -54,6 +54,32 @@ object DocIndex {
     dir
   }
 
+  /** High-cardinality corpus (customer names → ~1 distinct numeric term
+    * per row) for exercising the wide-expansion CONSTANT_SCORE_AUTO
+    * fallback: at sf0.01 a '0' prefix matches ~1500 dictionary terms,
+    * past the 1024-clause budget. */
+  def customersAsCorpus(spark: SparkSession, sfDir: String) = {
+    import spark.implicits._
+    spark.read.parquet(s"$sfDir/customer.parquet")
+      .select(
+        lit("c").as("repo"),
+        format_string("%010d", $"c_custkey").as("path"),
+        lit("0" * 40).as("commit"),
+        lit("txt").as("lang"),
+        $"c_name".as("content"),
+        sha2($"c_name", 256).as("sha256"))
+      .as[SourceFile]
+  }
+
+  def ensureWide(spark: SparkSession, sfDir: String): String = synchronized {
+    val dir = cacheDir(sfDir) + "-cust"
+    if (!IndexBuilder.stageDone(spark, dir, "stats")) {
+      IndexBuilder.build(spark, customersAsCorpus(spark, sfDir), dir,
+        numPartitions = 4, resume = true, analyzerFor = _ => Analyzer.sqlParity)
+    }
+    dir
+  }
+
   def collectionStats(spark: SparkSession, dir: String): CollectionStatsRow = {
     import spark.implicits._
     spark.read.parquet(IndexPaths.collectionStats(dir)).as[CollectionStatsRow].head()

@@ -96,6 +96,44 @@ object VerifyQueries {
        |SELECT doc_id, round(max(score), 6) AS score FROM scored
        |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
 
+  /** LM-Jelinek-Mercer top-k (reference:
+    * Search/Similarities/LMJelinekMercerSimilarity.cs:60-63, λ=0.1):
+    * query likelihood per matched clause,
+    * ln(1 + ((1-λ)·tf/dl) / (λ·(ttf+1)/(sumTtf+1))), summed per doc.
+    * Double-precision parity shape over the engine tables (postings
+    * decode, term_dict totalTf, docstats dl, collection_stats). */
+  def qLmjmTopk(spark: SparkSession, sf: String): DataFrame = {
+    val dir = ensure(spark, sf)
+    val cs = collectionStats(spark, dir)
+    val h = hits(spark, dir, Seq("merge", "vector"))
+    val dict = spark.read.parquet(IndexPaths.termDict(dir))
+      .where(col("term").isin("merge", "vector"))
+      .select(col("term"), col("totalTf").as("ttf"))
+    val dl = spark.read.parquet(IndexPaths.docstats(dir))
+      .select(col("docId").as("doc_id"), col("tokenCount").cast("long").as("dl"))
+    val p = lit(0.1) * ((col("ttf").cast("double") + lit(1.0)) /
+      (lit(cs.sumTotalTermFreq.toDouble) + lit(1.0)))
+    val s = log(lit(1.0) +
+      (lit(0.9) * col("tf").cast("double") / col("dl").cast("double")) / p)
+    h.join(broadcast(dict), Seq("term")).join(dl, Seq("doc_id"))
+      .withColumn("s", s)
+      .groupBy(col("doc_id")).agg(sum(col("s")).as("ssum"))
+      .select(col("doc_id"), round(col("ssum"), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id")).limit(20)
+  }
+  val oLmjmTopk: String =
+    s"""$OracleCtes, ttf AS (
+       |  SELECT term, CAST(sum(tf) AS BIGINT) AS ttf FROM tf GROUP BY term
+       |), lm AS (
+       |  SELECT tf.doc_id,
+       |    ln(1.0e0 + (0.9e0 * tf.tf / dl.dl) /
+       |       (0.1e0 * ((ttf.ttf + 1.0e0) / (stats.sumttf + 1.0e0)))) AS s
+       |  FROM tf JOIN dl USING (doc_id) JOIN ttf USING (term) CROSS JOIN stats
+       |  WHERE tf.term IN ('merge', 'vector')
+       |)
+       |SELECT doc_id, round(sum(s), 6) AS score FROM lm
+       |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+
   /** SearchAfter pagination: page 2 (rows 21-40). */
   def qSearchAfter(spark: SparkSession, sf: String): DataFrame = {
     val w = Window.orderBy(col("score").desc, col("doc_id"))
@@ -116,7 +154,7 @@ object VerifyQueries {
     val reader = new graft.search.IndexReader(spark, dir)
     val searcher = new graft.search.Searcher(reader,
       analyzerFor = _ => graft.analysis.Analyzer.sqlParity)
-    searcher.phraseFreqs(Seq("table", "hash"), slop = 0)
+    searcher.phraseFreqs(Seq("table", "hash"))
       .toDF("doc_id", "ptf", "norm")
       .select(col("doc_id"), col("ptf").cast("long").as("ptf"))
       .orderBy(col("doc_id"))
@@ -130,6 +168,43 @@ object VerifyQueries {
        |FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.p = a.p + 1
        |WHERE a.t = 'table' AND b.t = 'hash'
        |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Sloppy PhraseQuery (SloppyPhraseScorer analog, slop=3): the doc SET
+    * comes from the engine's reference-exact greedy matcher — out-of-order
+    * matches included, repeat-group handling live — while the oracle-parity
+    * columns (min adjusted window, pair count within slop) are SQL-shaped.
+    * For a 2-term phrase the greedy traversal provably visits the globally
+    * minimal |pb - pa - 1| pair (smallest-difference merge), so its doc set
+    * equals {min adjusted window <= slop}, which DuckDB recomputes
+    * relationally — the hash match proves the reorder semantics. */
+  def qPhraseSloppy(spark: SparkSession, sf: String): DataFrame = {
+    val dir = ensure(spark, sf)
+    val searcher = new graft.search.Searcher(new graft.search.IndexReader(spark, dir),
+      analyzerFor = _ => graft.analysis.Analyzer.sqlParity)
+    val matched = searcher.sloppyPhraseFreqs(Seq("table", "hash"), 3)
+      .toDF("doc_id", "freq", "norm").select("doc_id")
+    val pos = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"),
+        posexplode(expr("regexp_extract_all(lower(text), '[a-z0-9_]+', 0)")).as(Seq("p", "t")))
+    val a = pos.where(col("t") === "table").select(col("doc_id"), col("p").as("pa"))
+    val b = pos.where(col("t") === "hash").select(col("doc_id"), col("p").as("pb"))
+    val stats = a.join(b, Seq("doc_id"))
+      .groupBy(col("doc_id"))
+      .agg(min(abs(col("pb") - col("pa") - 1)).cast("long").as("min_dist"),
+        sum(when(abs(col("pb") - col("pa") - 1) <= 3, 1L).otherwise(0L)).as("pairs"))
+    matched.join(stats, Seq("doc_id")).orderBy(col("doc_id"))
+  }
+  val oPhraseSloppy: String =
+    s"""$OracleCtes, pos AS (
+       |  SELECT doc_id, CAST(generate_subscripts(ts, 1) AS BIGINT) AS p, unnest(ts) AS t
+       |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS ts FROM documents)
+       |)
+       |SELECT a.doc_id AS doc_id,
+       |  CAST(min(abs(b.p - a.p - 1)) AS BIGINT) AS min_dist,
+       |  CAST(sum(CASE WHEN abs(b.p - a.p - 1) <= 3 THEN 1 ELSE 0 END) AS BIGINT) AS pairs
+       |FROM pos a JOIN pos b ON a.doc_id = b.doc_id
+       |WHERE a.t = 'table' AND b.t = 'hash'
+       |GROUP BY 1 HAVING min(abs(b.p - a.p - 1)) <= 3 ORDER BY 1""".stripMargin
 
   /** MultiPhraseQuery: slot alternatives ("table"|"part") then
     * ("hash"|"filter"), adjacent. */
@@ -172,6 +247,30 @@ object VerifyQueries {
        |  AND b.p <> a.p AND abs(b.p - a.p) <= 3
        |WHERE a.t = 'table' AND b.t = 'hash'
        |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Wide PrefixQuery: at sf0.01 the '0' prefix matches ~1500 customer-
+    * number terms — past the 1024-clause budget — so the engine takes the
+    * CONSTANT_SCORE_AUTO fallback (postings ⋈ dictionary-range semi-join,
+    * constant score, no driver-side term enumeration; reference:
+    * MultiTermQuery.cs:69). The doc SET is branch-independent, so the
+    * oracle (docs containing any '0'-prefixed token) verifies both the
+    * narrow scoring rewrite (sf0.001) and the wide fallback (sf0.01). */
+  def qPrefixWide(spark: SparkSession, sf: String): DataFrame = {
+    val dir = DocIndex.ensureWide(spark, sf)
+    val searcher = new graft.search.Searcher(new graft.search.IndexReader(spark, dir),
+      analyzerFor = _ => graft.analysis.Analyzer.sqlParity)
+    val hits = searcher.scored(graft.search.PrefixQ("0"))
+      .toDF("docId", "score").select("docId")
+    val paths = graft.build.DocsTable.read(spark, dir).select(col("docId"), col("path"))
+    hits.join(paths, Seq("docId"))
+      .select(col("path").cast("long").as("c_custkey"))
+      .orderBy(col("c_custkey"))
+  }
+  val oPrefixWide: String =
+    """SELECT c_custkey FROM customer
+      |WHERE len(list_filter(regexp_extract_all(lower(c_name), '[a-z0-9_]+'),
+      |                      t -> t LIKE '0%')) > 0
+      |ORDER BY c_custkey""".stripMargin
 
   /** PrefixQuery expansion: dictionary scan (term, df). */
   def qPrefixDf(spark: SparkSession, sf: String): DataFrame = {
@@ -588,6 +687,7 @@ object VerifyQueries {
   val queries: Map[String, Q] = Map(
     "q_term_topk" -> qTermTopk _,
     "q_phrase" -> qPhrase _,
+    "q_phrase_sloppy" -> qPhraseSloppy _,
     "q_multi_phrase" -> qMultiPhrase _,
     "q_span_near" -> qSpanNear _,
     "q_bool_should" -> qBoolShould _,
@@ -595,8 +695,10 @@ object VerifyQueries {
     "q_bool_mustnot" -> qBoolMustNot _,
     "q_min_should_match" -> qMinShouldMatch _,
     "q_dismax" -> qDisMax _,
+    "q_lmjm_topk" -> qLmjmTopk _,
     "q_searchafter" -> qSearchAfter _,
     "q_prefix_df" -> qPrefixDf _,
+    "q_prefix_wide" -> qPrefixWide _,
     "q_fuzzy_df" -> qFuzzyDf _,
     "q_range_df" -> qRangeDf _,
     "q_wildcard_df" -> qWildcardDf _,
@@ -626,6 +728,7 @@ object VerifyQueries {
   val oracles: Map[String, String] = Map(
     "q_term_topk" -> oTermTopk,
     "q_phrase" -> oPhrase,
+    "q_phrase_sloppy" -> oPhraseSloppy,
     "q_multi_phrase" -> oMultiPhrase,
     "q_span_near" -> oSpanNear,
     "q_bool_should" -> oBoolShould,
@@ -633,8 +736,10 @@ object VerifyQueries {
     "q_bool_mustnot" -> oBoolMustNot,
     "q_min_should_match" -> oMinShouldMatch,
     "q_dismax" -> oDisMax,
+    "q_lmjm_topk" -> oLmjmTopk,
     "q_searchafter" -> oSearchAfter,
     "q_prefix_df" -> oPrefixDf,
+    "q_prefix_wide" -> oPrefixWide,
     "q_fuzzy_df" -> oFuzzyDf,
     "q_range_df" -> oRangeDf,
     "q_wildcard_df" -> oWildcardDf,

@@ -33,14 +33,21 @@ trait Explains { self: Searcher =>
       }
     case bq: BoolQ => explainBool(bq, docId)
     case PhraseQ(terms, slop, boost) =>
-      val freqs = phraseFreqs(terms, slop).collect().find(_._1 == docId)
+      // one-doc point lookup: push the docId predicate, don't collect all
+      val freqs: Option[(Float, Int)] =
+        if (slop == 0)
+          phraseFreqs(terms).filter(_._1 == docId).collect()
+            .headOption.map(t => (t._2.toFloat, t._3))
+        else
+          sloppyPhraseFreqs(terms, slop).filter(_._1 == docId).collect()
+            .headOption.map(t => (t._2, t._3))
       freqs match {
         case None => Explanation(0f, s"no phrase match for ${terms.mkString(" ")}")
-        case Some((_, freq, norm)) =>
+        case Some((freq, norm)) =>
           val stats = readerTermStats(terms.distinct)
           val idfs = terms.map(t => BM25.idf(stats(t).df, maxDocStat))
           val w = BM25.weightValue(idfs.sum, boost)
-          Explanation(BM25.score(freq.toFloat, norm.toByte, w, normCacheStat),
+          Explanation(BM25.score(freq, norm.toByte, w, normCacheStat),
             s"phraseFreq=$freq, weight(idfSum=${idfs.sum})",
             terms.zip(idfs).map { case (t, i) => Explanation(i, s"idf(term=$t)") })
       }

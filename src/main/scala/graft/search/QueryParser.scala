@@ -53,7 +53,7 @@ final class QueryParser(analyzer: Analyzer = Analyzer.standard) {
           pendingOp = Some("AND"); cur = cur.advance
         case "OR" | "||" =>
           pendingOp = Some("OR"); cur = cur.advance
-        case "NOT" =>
+        case "NOT" | "!" =>
           cur = cur.advance
           val (q, nx) = parseClause(cur)
           q.foreach(qq => clauses += ((MustNot, qq)))
@@ -195,11 +195,11 @@ final class QueryParser(analyzer: Analyzer = Analyzer.standard) {
       var i = 0
       val n = in.length
       def isWordChar(c: Char): Boolean =
-        !c.isWhitespace && !"()+^\"[]{}".contains(c)
+        !c.isWhitespace && !"()+^\"[]{}!".contains(c)
       while (i < n) {
         val c = in(i)
         if (c.isWhitespace) i += 1
-        else if (c == '(' || c == ')' || c == '+') { out += c.toString; i += 1 }
+        else if (c == '(' || c == ')' || c == '+' || c == '!') { out += c.toString; i += 1 }
         else if (c == '-') { out += "-"; i += 1 }
         else if (c == '^' || c == '~') {
           var k = i + 1

@@ -49,15 +49,23 @@ final class IndexReader(val spark: SparkSession, val dir: String) extends Serial
       .collect().map(t => t.term -> t).toMap
 
   /** Term-dictionary expansion for multi-term queries (MultiTermQuery
-    * rewrite, reference: Search/MultiTermQuery.cs:69-160). Throws past
-    * maxExpansions (≙ BooleanQuery.MaxClauseCount, BooleanQuery.cs:71). */
-  def expandTerms(pred: org.apache.spark.sql.Column, maxExpansions: Int = 1024): Seq[String] = {
+    * rewrite, reference: Search/MultiTermQuery.cs:69-160). Returns None
+    * past maxExpansions (≙ BooleanQuery.MaxClauseCount, BooleanQuery.cs:
+    * 71) — the caller then takes the CONSTANT_SCORE_AUTO fallback
+    * (reference: ConstantScoreAutoRewrite.cs): a constant-score postings
+    * semi-join against the matched dictionary range, instead of the
+    * reference 4.8 throw or a 10^5-clause scoring union. */
+  def expandTermsOpt(pred: org.apache.spark.sql.Column,
+                     maxExpansions: Int = 1024): Option[Seq[String]] = {
     val ts = termDict.where(pred).select($"term").as[String]
       .limit(maxExpansions + 1).collect()
-    require(ts.length <= maxExpansions,
-      s"multi-term query expands to more than $maxExpansions terms")
-    ts.toSeq
+    if (ts.length > maxExpansions) None else Some(ts.toSeq)
   }
+
+  def expandTerms(pred: org.apache.spark.sql.Column, maxExpansions: Int = 1024): Seq[String] =
+    expandTermsOpt(pred, maxExpansions).getOrElse(
+      throw new IllegalArgumentException(
+        s"multi-term query expands to more than $maxExpansions terms"))
 }
 
 private final case class ClauseHit(docId: Long, idx: Int, score: Float)
@@ -81,7 +89,8 @@ private final case class ClauseHit(docId: Long, idx: Int, score: Float)
   * coord = queryNorm = 1 under BM25 (Similarity.cs:122-143).
   */
 final class Searcher(reader: IndexReader, pruneMinBlocks: Int = 64,
-    analyzerFor: String => graft.analysis.Analyzer = graft.analysis.Analyzer.forLang)
+    analyzerFor: String => graft.analysis.Analyzer = graft.analysis.Analyzer.forLang,
+    maxClauseCount: Int = 1024)
     extends Serializable with Explains {
   private val spark = reader.spark
   import spark.implicits._
@@ -109,28 +118,48 @@ final class Searcher(reader: IndexReader, pruneMinBlocks: Int = 64,
 
   // ------------------------------------------------------------- rewrite
 
-  /** Fixpoint rewrite (≙ IndexSearcher.Rewrite, :667-670): multi-term
-    * expansion + boolean simplification. */
-  def rewrite(q: Query): Query = q match {
-    case PrefixQ(p, b) =>
-      orOf(reader.expandTerms($"term".startsWith(p)), b)
-    case WildcardQ(pat, b) =>
+  /** Dictionary predicate of a multi-term query node, or None. */
+  private def multiTermPred(q: Query): Option[org.apache.spark.sql.Column] = q match {
+    case PrefixQ(p, _) => Some($"term".startsWith(p))
+    case WildcardQ(pat, _) =>
       val rx = "^" + pat.flatMap {
         case '*' => ".*"
         case '?' => "."
         case c if "\\.[]{}()+-^$|".contains(c) => "\\" + c
         case c => c.toString
       } + "$"
-      orOf(reader.expandTerms($"term".rlike(rx)), b)
-    case RegexpQ(rx, b) =>
-      orOf(reader.expandTerms($"term".rlike("^(?:" + rx + ")$")), b)
-    case FuzzyQ(t, maxEdits, b) =>
-      orOf(reader.expandTerms(levenshtein($"term", lit(t)) <= maxEdits &&
-        abs(length($"term") - lit(t.length)) <= maxEdits), b)
-    case TermRangeQ(lo, hi, inclLo, inclHi, b) =>
+      Some($"term".rlike(rx))
+    case RegexpQ(rx, _) => Some($"term".rlike("^(?:" + rx + ")$"))
+    case FuzzyQ(t, maxEdits, _) =>
+      Some(levenshtein($"term", lit(t)) <= maxEdits &&
+        abs(length($"term") - lit(t.length)) <= maxEdits)
+    case TermRangeQ(lo, hi, inclLo, inclHi, _) =>
       val loP = if (lo == null) lit(true) else if (inclLo) $"term" >= lo else $"term" > lo
       val hiP = if (hi == null) lit(true) else if (inclHi) $"term" <= hi else $"term" < hi
-      orOf(reader.expandTerms(loP && hiP), b)
+      Some(loP && hiP)
+    case _ => None
+  }
+
+  private def multiTermBoost(q: Query): Float = q match {
+    case PrefixQ(_, b) => b
+    case WildcardQ(_, b) => b
+    case RegexpQ(_, b) => b
+    case FuzzyQ(_, _, b) => b
+    case TermRangeQ(_, _, _, _, b) => b
+    case _ => 1f
+  }
+
+  /** Fixpoint rewrite (≙ IndexSearcher.Rewrite, :667-670): multi-term
+    * expansion (CONSTANT_SCORE_AUTO: the node survives un-expanded past
+    * the 1024-clause budget and scores constant via a postings semi-join,
+    * reference: MultiTermQuery.cs:69, ConstantScoreAutoRewrite.cs) +
+    * boolean simplification. */
+  def rewrite(q: Query): Query = q match {
+    case mt if multiTermPred(mt).isDefined =>
+      reader.expandTermsOpt(multiTermPred(mt).get, maxClauseCount) match {
+        case Some(ts) => orOf(ts, multiTermBoost(mt))
+        case None => mt // wide: constant-score semi-join in scoredRaw
+      }
     case BoolQ(Seq(single), Nil, Nil, _, boost) if boost == 1f => rewrite(single)
     case bq: BoolQ => bq.copy(must = bq.must.map(rewrite),
       should = bq.should.map(rewrite), mustNot = bq.mustNot.map(rewrite))
@@ -168,7 +197,25 @@ final class Searcher(reader: IndexReader, pruneMinBlocks: Int = 64,
       }
     case bq: BoolQ => scoredBool(bq)
     case PhraseQ(terms, slop, boost) => scoredPhrase(terms, slop, boost)
+    case mt if multiTermPred(mt).isDefined =>
+      // CONSTANT_SCORE_AUTO fallback: a wide multi-term query (dictionary
+      // match past the clause budget) scores constant over the docs of
+      // ANY matched term — postings ⋈ dict-range semi-join, block decode,
+      // per-doc dedup; no driver-side term enumeration at all
+      constantScoreMultiTerm(multiTermPred(mt).get, multiTermBoost(mt))
     case other => throw new IllegalStateException(s"unrewritten query: $other")
+  }
+
+  private def constantScoreMultiTerm(pred: org.apache.spark.sql.Column,
+                                     boost: Float): Dataset[ScoreDoc] = {
+    val matchedTerms = reader.termDict.where(pred).select($"term")
+    reader.postings
+      .join(matchedTerms, Seq("term"), "left_semi")
+      .select($"term", $"firstDocId", $"lastDocId", $"numDocs", $"maxTf",
+        $"maxNorm", $"sumTf", $"segId", $"bytes").as[PostingRow]
+      .flatMap(r => PostingsCodec.decodeBlock(r.firstDocId, r.numDocs, r.bytes)._1)
+      .distinct()
+      .map(ScoreDoc(_, boost))
   }
 
   // ------------------------------------------------------------- phrase
@@ -186,9 +233,10 @@ final class Searcher(reader: IndexReader, pruneMinBlocks: Int = 64,
     * Scoring matches the reference's ExactPhraseScorer: phraseFreq plays
     * tf in BM25, weight = Σ idf over phrase terms (BM25Similarity.cs:
     * 210-225), same norm byte as term scoring. Single-term phrases
-    * rewrite to TermQuery (PhraseQuery.cs:175). slop > 0 uses an ordered
-    * window match (span width - (n-1) <= slop), a documented
-    * simplification of SloppyPhraseScorer's reorder semantics. */
+    * rewrite to TermQuery (PhraseQuery.cs:175). slop > 0 runs the
+    * reference-exact SloppyPhraseScorer traversal ([[SloppyPhrase]]):
+    * out-of-order matches within slop, slop-factor-weighted float freq,
+    * repeat-group collision handling. */
   private def scoredPhrase(terms: Seq[String], slop: Int, boost: Float): Dataset[ScoreDoc] = {
     require(terms.nonEmpty, "empty phrase")
     if (terms.size == 1) return scoredRaw(TermQ(terms.head, boost))
@@ -198,14 +246,56 @@ final class Searcher(reader: IndexReader, pruneMinBlocks: Int = 64,
     val weight = BM25.weightValue(
       terms.map(t => BM25.idf(stats(t).df, cs.maxDoc)).sum, boost)
     val localCache = cache
-    phraseFreqs(terms, slop).map { case (docId, freq, norm) =>
-      ScoreDoc(docId, BM25.score(freq.toFloat, norm.toByte, weight, localCache))
+    if (slop == 0)
+      phraseFreqs(terms).map { case (docId, freq, norm) =>
+        ScoreDoc(docId, BM25.score(freq.toFloat, norm.toByte, weight, localCache))
+      }
+    else
+      sloppyPhraseFreqs(terms, slop).map { case (docId, freq, norm) =>
+        ScoreDoc(docId, BM25.score(freq, norm.toByte, weight, localCache))
+      }
+  }
+
+  /** (docId, sloppy phraseFreq, normByte) under the reference's
+    * SloppyPhraseScorer semantics — same QUERY_FIRST frame as
+    * [[phraseFreqs]], per-candidate matching delegated to
+    * [[SloppyPhrase.freq]]. */
+  def sloppyPhraseFreqs(terms: Seq[String], slop: Int): Dataset[(Long, Float, Int)] = {
+    val distinct = terms.distinct
+    val stats = reader.termStats(distinct)
+    if (!distinct.forall(stats.contains)) return spark.emptyDataset[(Long, Float, Int)]
+    val candidates = distinct.map(termDocIds).reduce(_.intersect(_))
+    val phraseArr = terms.toIndexedSeq
+    val termSet = distinct.toSet
+    val analyzers = analyzerFor
+    val docs = reader.docsTable
+      .join(candidates.toDF("cDocId"), $"docId" === $"cDocId")
+      .join(reader.docstats.select($"docId".as("nDocId"), $"norm"),
+        $"docId" === $"nDocId")
+      .select($"docId", $"lang", $"content", $"norm")
+      .as[(Long, String, String, Int)]
+    docs.mapPartitions { it =>
+      val analyzerCache = scala.collection.mutable.HashMap.empty[String, graft.analysis.Analyzer]
+      it.flatMap { case (docId, lang, content, norm) =>
+        val analyzer = analyzerCache.getOrElseUpdate(lang, analyzers(lang))
+        val toks = analyzer.analyze(content).tokens
+        val posByTerm = scala.collection.mutable.HashMap.empty[String, scala.collection.mutable.ArrayBuffer[Int]]
+        toks.foreach { t =>
+          if (termSet.contains(t.term))
+            posByTerm.getOrElseUpdate(t.term, scala.collection.mutable.ArrayBuffer.empty) += t.position
+        }
+        val posOf: String => Array[Int] =
+          t => posByTerm.get(t).map(_.toArray).getOrElse(Array.empty)
+        val freq = SloppyPhrase.freq(phraseArr, posOf, slop)
+        if (freq > 0f) Iterator.single((docId, freq, norm)) else Iterator.empty
+      }
     }
   }
 
-  /** (docId, phraseFreq, normByte) for docs containing the phrase —
-    * the verification surface of the phrase machinery. */
-  def phraseFreqs(terms: Seq[String], slop: Int = 0): Dataset[(Long, Int, Int)] = {
+  /** (docId, exact phraseFreq, normByte) for docs containing the phrase
+    * verbatim — the verification surface of the exact-phrase machinery
+    * (sloppy matching lives in [[sloppyPhraseFreqs]]). */
+  def phraseFreqs(terms: Seq[String]): Dataset[(Long, Int, Int)] = {
     val distinct = terms.distinct
     val stats = reader.termStats(distinct)
     if (!distinct.forall(stats.contains)) return spark.emptyDataset[(Long, Int, Int)]
@@ -213,7 +303,6 @@ final class Searcher(reader: IndexReader, pruneMinBlocks: Int = 64,
     val candidates = distinct.map(termDocIds).reduce(_.intersect(_))
     val phraseArr = terms.toArray
     val nTerms = phraseArr.length
-    val maxSpan = nTerms - 1 + slop
     val analyzers = analyzerFor
     val docs = reader.docsTable
       .join(candidates.toDF("cDocId"), $"docId" === $"cDocId")
@@ -229,29 +318,11 @@ final class Searcher(reader: IndexReader, pruneMinBlocks: Int = 64,
         val byPos = new java.util.HashMap[Int, String](toks.length * 2)
         toks.foreach(t => byPos.put(t.position, t.term))
         var freq = 0
-        if (slop == 0) {
-          toks.foreach { t =>
-            if (t.term == phraseArr(0)) {
-              var i = 1
-              while (i < nTerms && phraseArr(i) == byPos.get(t.position + i)) i += 1
-              if (i == nTerms) freq += 1
-            }
-          }
-        } else {
-          // ordered greedy window match
-          var lastEnd = -1
-          toks.foreach { t =>
-            if (t.term == phraseArr(0) && t.position > lastEnd) {
-              var p = t.position
-              var i = 1
-              var ok = true
-              while (ok && i < nTerms) {
-                var q = p + 1
-                while (q <= t.position + maxSpan && byPos.get(q) != phraseArr(i)) q += 1
-                if (q > t.position + maxSpan) ok = false else { p = q; i += 1 }
-              }
-              if (ok) { freq += 1; lastEnd = p }
-            }
+        toks.foreach { t =>
+          if (t.term == phraseArr(0)) {
+            var i = 1
+            while (i < nTerms && phraseArr(i) == byPos.get(t.position + i)) i += 1
+            if (i == nTerms) freq += 1
           }
         }
         if (freq > 0) Iterator.single((docId, freq, norm)) else Iterator.empty
@@ -339,41 +410,111 @@ final class Searcher(reader: IndexReader, pruneMinBlocks: Int = 64,
 
   // ------------------------------------------- pluggable-similarity path
 
-  /** Generic top-k under any [[SimilarityLike]] (TermQ or one flat BoolQ
-    * of term clauses): the reference's CreateNormalizedWeight pipeline —
-    * weights from ALL terms (queryNorm coupling), per-hit scores, clause-
-    * order sum × coord. The BM25-specialized WAND path remains [[search]];
-    * this path trades pruning for total generality. */
-  def searchWith(sim: SimilarityLike, q: Query, k: Int): Array[ScoreDoc] = {
-    val (must, should, boost) = rewrite(q) match {
-      case TermQ(t, b) => (Nil, Seq(t -> b), 1f)
-      case BoolQ(m, s, Nil, msm, b) if msm <= 1 &&
-          (m ++ s).forall(_.isInstanceOf[TermQ]) =>
-        (m.collect { case TermQ(t, tb) => t -> tb },
-          s.collect { case TermQ(t, tb) => t -> tb }, b)
-      case other => throw new UnsupportedOperationException(
-        s"searchWith supports term/flat-bool queries, got $other")
+  /** The default engine similarity: BM25 over this index's stats. */
+  lazy val defaultSimilarity: SimilarityLike =
+    new BM25Similarity(BM25.avgFieldLength(cs.sumTotalTermFreq, cs.maxDoc))
+
+  /** Top-k under a caller-chosen similarity: BM25 keeps the specialized
+    * WAND path (proven bit-equal to the generic path in SimilaritySpec);
+    * every other family rides [[searchWith]]. */
+  def search(q: Query, k: Int, sim: SimilarityLike): Array[ScoreDoc] =
+    searchAfter(null, q, k, sim)
+
+  def searchAfter(after: ScoreDoc, q: Query, k: Int, sim: SimilarityLike): Array[ScoreDoc] =
+    sim match {
+      case _: BM25Similarity => searchAfter(after, q, k)
+      case s => searchAfterWith(s, after, q, k)
     }
-    val all = must ++ should
-    val stats = reader.termStats(all.map(_._1))
-    val w = sim.weights(all, stats, cs.maxDoc, cs.sumTotalTermFreq)
-    if (w.isEmpty) return Array.empty
-    val order = all.map(_._1).zipWithIndex.toMap
-    val nMust = must.length
-    val total = all.length
-    val live = all.filter(t => w.contains(t._1))
+
+  /** Generic top-k under any [[SimilarityLike]] — term, phrase (exact and
+    * sloppy) and flat boolean queries: the reference's
+    * CreateNormalizedWeight pipeline — weights from ALL clauses jointly
+    * (queryNorm coupling), per-hit scores, clause-order sum × coord. The
+    * BM25-specialized WAND path remains [[search]]; this path trades
+    * pruning for total generality. */
+  def searchWith(sim: SimilarityLike, q: Query, k: Int): Array[ScoreDoc] =
+    searchAfterWith(sim, null, q, k)
+
+  def searchAfterWith(sim: SimilarityLike, after: ScoreDoc, q: Query,
+                      k: Int): Array[ScoreDoc] = {
+    val live = liveOnly(scoredWith(sim, q))
+    val filtered = if (after == null) live else {
+      val aScore = after.score
+      val aDoc = after.docId
+      live.filter(sd => sd.score < aScore || (sd.score == aScore && sd.docId > aDoc))
+    }
+    filtered.select(new TopKAggregator(k).toColumn).head()
+  }
+
+  /** One scoring clause of the generic path: a term (`terms.size == 1`,
+    * `phrase = false`) or a phrase with slop. */
+  private case class SimClause(terms: Seq[String], slop: Int, boost: Float,
+                               phrase: Boolean)
+
+  private def toSimClause(q: Query): SimClause = q match {
+    case TermQ(t, b) => SimClause(Seq(t), 0, b, phrase = false)
+    case PhraseQ(Seq(t), _, b) => SimClause(Seq(t), 0, b, phrase = false)
+    case PhraseQ(ts, slop, b) => SimClause(ts, slop, b, phrase = true)
+    case other => throw new UnsupportedOperationException(
+      s"searchWith clause must be a term or phrase, got $other")
+  }
+
+  /** Full scored Dataset under an arbitrary similarity. */
+  def scoredWith(sim: SimilarityLike, q: Query): Dataset[ScoreDoc] = {
+    val (mustC, shouldC, boost) = rewrite(q) match {
+      case BoolQ(m, s, Nil, msm, b) if msm <= 1 =>
+        (m.map(toSimClause), s.map(toSimClause), b)
+      case leaf => (Nil, Seq(toSimClause(leaf)), 1f)
+    }
+    val clauses = (mustC ++ shouldC).toIndexedSeq
+    if (clauses.isEmpty) return spark.emptyDataset[ScoreDoc]
+    val stats = reader.termStats(clauses.flatMap(_.terms).distinct)
+    val wts = sim.clauseWeights(clauses.map(c => (c.terms, c.boost)),
+      stats, cs.maxDoc, cs.sumTotalTermFreq).toArray
+    val nMust = mustC.length
+    val total = clauses.length
+    def liveClause(c: SimClause): Boolean = c.terms.forall(stats.contains)
+    // a MUST clause on an unindexed term can never be satisfied
+    if (mustC.exists(c => !liveClause(c))) return spark.emptyDataset[ScoreDoc]
+
+    // every clause scores independently (reference: one Weight per
+    // BooleanClause) — term clauses batch into ONE postings scan, a term
+    // shared by several clauses fans each decoded posting out to every
+    // clause index, so duplicates keep their own boost, slot in
+    // present[], and coord contribution
+    val liveByTerm: Map[String, Array[(Int, Array[Float])]] = clauses.zipWithIndex
+      .collect { case (c, i) if !c.phrase && liveClause(c) => (c.terms.head, i) }
+      .groupBy(_._1)
+      .map { case (t, xs) => t -> xs.map(x => (x._2, wts(x._2))).toArray }
     val bSim = sim
-    val hits = reader.postings.where($"term".isin(live.map(_._1).distinct: _*))
-      .select($"term", $"firstDocId", $"lastDocId", $"numDocs", $"maxTf",
-        $"maxNorm", $"sumTf", $"segId", $"bytes").as[PostingRow]
-      .flatMap { r =>
-        val wv = w(r.term)
-        val idx = order(r.term)
-        val (ids, tfs, norms) = PostingsCodec.decodeBlock(r.firstDocId, r.numDocs, r.bytes)
-        ids.indices.iterator.map(i =>
-          ClauseHit(ids(i), idx, bSim.score(tfs(i).toFloat, norms(i).toByte, wv)))
-      }
-    val combined = hits.groupByKey(_.docId).flatMapGroups { (docId, it) =>
+    val termHits: Seq[Dataset[ClauseHit]] =
+      if (liveByTerm.isEmpty) Nil
+      else Seq(reader.postings.where($"term".isin(liveByTerm.keys.toSeq: _*))
+        .select($"term", $"firstDocId", $"lastDocId", $"numDocs", $"maxTf",
+          $"maxNorm", $"sumTf", $"segId", $"bytes").as[PostingRow]
+        .flatMap { r =>
+          val entries = liveByTerm(r.term)
+          val (ids, tfs, norms) = PostingsCodec.decodeBlock(r.firstDocId, r.numDocs, r.bytes)
+          ids.indices.iterator.flatMap(i => entries.iterator.map { case (ci, w) =>
+            ClauseHit(ids(i), ci, bSim.score(tfs(i).toFloat, norms(i).toByte, w))
+          })
+        })
+    // phrase clauses: phraseFreq plugs in where tf does (reference:
+    // PhraseWeight → SimScorer.Score(doc, phraseFreq))
+    val phraseHits: Seq[Dataset[ClauseHit]] = clauses.zipWithIndex.collect {
+      case (c, ci) if c.phrase && liveClause(c) =>
+        val w = wts(ci)
+        val freqs: Dataset[(Long, Float, Int)] =
+          if (c.slop == 0) phraseFreqs(c.terms).map(t => (t._1, t._2.toFloat, t._3))
+          else sloppyPhraseFreqs(c.terms, c.slop)
+        freqs.map { case (docId, f, norm) =>
+          ClauseHit(docId, ci, bSim.score(f, norm.toByte, w))
+        }
+    }
+    val all = termHits ++ phraseHits
+    if (all.isEmpty) return spark.emptyDataset[ScoreDoc]
+    val hits = all.reduce(_ union _)
+    hits.groupByKey(_.docId).flatMapGroups { (docId, it) =>
       val scores = new Array[Float](total)
       val present = new Array[Boolean](total)
       it.foreach { h => scores(h.idx) = h.score; present(h.idx) = true }
@@ -392,8 +533,6 @@ final class Searcher(reader: IndexReader, pruneMinBlocks: Int = 64,
         Iterator.single(ScoreDoc(docId, sum * bSim.coord(matched, total) * boost))
       }
     }
-    val agg = new TopKAggregator(k).toColumn
-    liveOnly(combined).select(agg).head()
   }
 
   // ------------------------------------------------------ explain support

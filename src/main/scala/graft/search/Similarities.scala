@@ -5,92 +5,185 @@ import graft.build.TermDictRow
 
 /** Pluggable per-query scoring contract (reference:
   * Search/Similarities/Similarity.cs — a Similarity turns collection +
-  * term statistics into per-term weights, then per-(doc,term) scores,
+  * term statistics into per-clause weights, then per-(doc,clause) scores,
   * plus the boolean combination factors coord and queryNorm).
   *
   * The BM25 fast path (WAND, Aggregator top-k) stays specialized in
   * [[Searcher]]; [[Searcher.searchWith]] is the generic path any
-  * Similarity can ride (TermQ + flat BoolQ), scoring exactly like the
-  * reference's CreateNormalizedWeight pipeline:
+  * Similarity can ride (term, phrase, and flat boolean queries), scoring
+  * exactly like the reference's CreateNormalizedWeight pipeline:
   *
-  *   1. weights are created from ALL query terms (TF-IDF's queryNorm
-  *      couples them: 1/sqrt(Σ (idf·boost)²));
-  *   2. each matching (doc, term) scores independently;
+  *   1. weights are created from ALL query clauses jointly (TF-IDF's
+  *      queryNorm couples them: 1/sqrt(Σ (idfSum·boost)²)); unindexed
+  *      terms still participate with df=0, like the reference's
+  *      TermWeight over empty TermStatistics;
+  *   2. each matching (doc, clause) scores independently — a clause is
+  *      one term (TermQ) or a term sequence (PhraseQ, scored on its
+  *      phrase freq);
   *   3. clause scores sum in clause order, times coord(matched, total).
+  *
+  * A clause weight is an opaque `Array[Float]` whose layout each
+  * similarity defines for itself (a single normalized value for
+  * BM25/TF-IDF; boost + per-term parameters for the SimilarityBase
+  * families, whose phrase scoring is the reference's MultiSimScorer sum
+  * of per-term scores at the shared phrase freq).
   */
 trait SimilarityLike extends Serializable {
-  /** Per-term normalized weight values, created once per query. */
-  def weights(terms: Seq[(String, Float)], stats: Map[String, TermDictRow],
-              maxDoc: Long, sumTotalTermFreq: Long): Map[String, Float]
-  def score(tf: Float, normByte: Byte, weightValue: Float): Float
+  /** One weight vector per clause, aligned index-for-index with
+    * `clauses` — duplicate clauses each get their own weight, exactly
+    * like the reference's independent per-BooleanClause Weights. */
+  def clauseWeights(clauses: Seq[(Seq[String], Float)],
+                    stats: Map[String, TermDictRow],
+                    maxDoc: Long, sumTotalTermFreq: Long): Seq[Array[Float]]
+  def score(tf: Float, normByte: Byte, w: Array[Float]): Float
   /** coord(matched, total) — 1 for BM25, matched/total for TF-IDF
     * (reference: Similarity.cs:122-143 vs TFIDFSimilarity.Coord). */
   def coord(matched: Int, total: Int): Float
+
+  protected final def dfOf(stats: Map[String, TermDictRow], t: String): Long =
+    stats.get(t).map(_.df).getOrElse(0L)
+  protected final def ttfOf(stats: Map[String, TermDictRow], t: String): Long =
+    stats.get(t).map(_.totalTf).getOrElse(0L)
+}
+
+/** BM25 (k1=1.2, b=0.75): queryNorm = coord = 1; a phrase clause's
+  * weight is weightValue(Σ idf) (BM25Similarity.cs:210-225), and the
+  * score is linear in the weight so the sum matches the specialized
+  * phrase path bit-for-bit. Layout: w = [weightValue]. */
+final class BM25Similarity(avgdl: Float) extends SimilarityLike {
+  private val cache = BM25.normCache(avgdl)
+  def clauseWeights(clauses: Seq[(Seq[String], Float)],
+                    stats: Map[String, TermDictRow],
+                    maxDoc: Long, sumTotalTermFreq: Long): Seq[Array[Float]] =
+    clauses.map { case (ts, boost) =>
+      Array(BM25.weightValue(ts.map(t => BM25.idf(dfOf(stats, t), maxDoc)).sum, boost))
+    }
+  def score(tf: Float, normByte: Byte, w: Array[Float]): Float =
+    BM25.score(tf, normByte, w(0), cache)
+  def coord(matched: Int, total: Int): Float = 1f
+}
+
+/** Classic TF-IDF (DefaultSimilarity): shared queryNorm across clauses,
+  * coord = matched/total; a phrase clause's idf is the float sum over its
+  * terms (TFIDFSimilarity.IdfExplain over TermStatistics[]). Layout:
+  * w = [normalized weight value]. */
+final class TfIdfSimilarity extends SimilarityLike {
+  def clauseWeights(clauses: Seq[(Seq[String], Float)],
+                    stats: Map[String, TermDictRow],
+                    maxDoc: Long, sumTotalTermFreq: Long): Seq[Array[Float]] = {
+    // sumOfSquaredWeights over ALL clauses in clause order (reference:
+    // BooleanWeight.GetValueForNormalization) — unindexed terms included,
+    // their TermWeight still carries idf(df=0) into queryNorm
+    var ssw = 0f
+    val qw = clauses.map { case (ts, boost) =>
+      var idfSum = 0f
+      ts.foreach(t => idfSum += TfIdf.idf(dfOf(stats, t), maxDoc))
+      val w = idfSum * boost
+      ssw += w * w
+      (idfSum, w)
+    }
+    val qn = TfIdf.queryNorm(ssw)
+    qw.map { case (idfSum, w) => Array(w * qn * idfSum) }
+  }
+  def score(tf: Float, normByte: Byte, w: Array[Float]): Float =
+    TfIdf.score(tf, normByte, w(0))
+  def coord(matched: Int, total: Int): Float = matched.toFloat / total
 }
 
 /** Query-likelihood with Dirichlet smoothing (reference:
   * Search/Similarities/LMDirichletSimilarity.cs, default mu = 2000):
   *
-  *   score = boost * max(0, log(1 + tf/(mu·p(t|C))) + log(mu/(dl + mu)))
+  *   score = Σ_terms max(0, boost·(log(1 + tf/(mu·p(t|C))) + log(mu/(dl + mu))))
   *
-  * p(t|C) = totalTermFreq / sumTotalTermFreq (the collection language
-  * model); dl comes from the same lossy norm byte the other similarities
-  * read (the reference decodes norms identically across families). The
-  * per-term weightValue carries mu·p(t|C) (boost folded by the caller's
-  * clause sum; per-term boosts fold into the weight here as a divisor —
-  * equivalent at boost=1, the reference query set's case). */
+  * p(t|C) = (totalTermFreq+1)/(sumTotalTermFreq+1), the reference's
+  * DefaultCollectionModel (LMSimilarity.cs:174-177 — add-one smoothed,
+  * float division); dl decodes from the shared lossy norm byte. Multi-term
+  * clauses sum per-term scores at the shared freq (MultiSimScorer).
+  * Layout: w = [boost, mu·p(t1|C), mu·p(t2|C), …]. */
 final class LMDirichletSimilarity(mu: Float = 2000f) extends SimilarityLike {
-  private var sumTtf = 1L
-  def weights(terms: Seq[(String, Float)], stats: Map[String, TermDictRow],
-              maxDoc: Long, sumTotalTermFreq: Long): Map[String, Float] = {
-    sumTtf = math.max(1L, sumTotalTermFreq)
-    terms.collect { case (t, _) if stats.contains(t) =>
-      // mu * p(t|C), double then float like the reference's LMStats
-      t -> (mu * (stats(t).totalTf / sumTtf.toDouble)).toFloat
-    }.toMap
-  }
-  def score(tf: Float, normByte: Byte, weightValue: Float): Float = {
-    val dl = BM25.NormTable(normByte & 0xff) // 1/f^2 = decoded doc length
-    val s = (math.log(1 + tf / weightValue) + math.log(mu / (dl + mu))).toFloat
-    if (s > 0f) s else 0f
-  }
-  def coord(matched: Int, total: Int): Float = 1f
-}
-
-/** BM25 (k1=1.2, b=0.75): queryNorm = coord = 1. */
-final class BM25Similarity(avgdl: Float) extends SimilarityLike {
-  private val cache = BM25.normCache(avgdl)
-  def weights(terms: Seq[(String, Float)], stats: Map[String, TermDictRow],
-              maxDoc: Long, sumTotalTermFreq: Long): Map[String, Float] =
-    terms.collect { case (t, boost) if stats.contains(t) =>
-      t -> BM25.weightValue(BM25.idf(stats(t).df, maxDoc), boost)
-    }.toMap
-  def score(tf: Float, normByte: Byte, weightValue: Float): Float =
-    BM25.score(tf, normByte, weightValue, cache)
-  def coord(matched: Int, total: Int): Float = 1f
-}
-
-/** Classic TF-IDF (DefaultSimilarity): shared queryNorm across terms,
-  * coord = matched/total. */
-final class TfIdfSimilarity extends SimilarityLike {
-  def weights(terms: Seq[(String, Float)], stats: Map[String, TermDictRow],
-              maxDoc: Long, sumTotalTermFreq: Long): Map[String, Float] = {
-    val live = terms.filter(t => stats.contains(t._1))
-    if (live.isEmpty) return Map.empty
-    // sumOfSquaredWeights over ALL clauses, float accumulation in clause
-    // order (reference: BooleanWeight.GetValueForNormalization)
-    var ssw = 0f
-    val qw = live.map { case (t, boost) =>
-      val w = TfIdf.idf(stats(t).df, maxDoc) * boost
-      ssw += w * w
-      (t, w)
+  def clauseWeights(clauses: Seq[(Seq[String], Float)],
+                    stats: Map[String, TermDictRow],
+                    maxDoc: Long, sumTotalTermFreq: Long): Seq[Array[Float]] =
+    clauses.map { case (ts, boost) =>
+      (boost +: ts.map(t =>
+        mu * ((ttfOf(stats, t) + 1f) / (sumTotalTermFreq + 1f)))).toArray
     }
-    val qn = TfIdf.queryNorm(ssw)
-    qw.map { case (t, w) =>
-      t -> w * qn * TfIdf.idf(stats(t).df, maxDoc)
-    }.toMap
+  def score(tf: Float, normByte: Byte, w: Array[Float]): Float = {
+    val dl = BM25.NormTable(normByte & 0xff)
+    val boost = w(0)
+    var sum = 0f
+    var i = 1
+    while (i < w.length) {
+      val s = boost *
+        (math.log(1 + tf / w(i)) + math.log(mu / (dl + mu))).toFloat
+      if (s > 0f) sum += s
+      i += 1
+    }
+    sum
   }
-  def score(tf: Float, normByte: Byte, weightValue: Float): Float =
-    TfIdf.score(tf, normByte, weightValue)
-  def coord(matched: Int, total: Int): Float = matched.toFloat / total
+  def coord(matched: Int, total: Int): Float = 1f
+}
+
+/** Query-likelihood with Jelinek-Mercer smoothing (reference:
+  * Search/Similarities/LMJelinekMercerSimilarity.cs:60-63, default
+  * lambda = 0.1 per the reference test matrix):
+  *
+  *   score = Σ_terms boost·log(1 + ((1-λ)·tf/dl) / (λ·p(t|C)))
+  *
+  * Layout: w = [boost, p(t1|C), p(t2|C), …]. */
+final class LMJelinekMercerSimilarity(lambda: Float = 0.1f) extends SimilarityLike {
+  def clauseWeights(clauses: Seq[(Seq[String], Float)],
+                    stats: Map[String, TermDictRow],
+                    maxDoc: Long, sumTotalTermFreq: Long): Seq[Array[Float]] =
+    clauses.map { case (ts, boost) =>
+      (boost +: ts.map(t =>
+        (ttfOf(stats, t) + 1f) / (sumTotalTermFreq + 1f))).toArray
+    }
+  def score(tf: Float, normByte: Byte, w: Array[Float]): Float = {
+    val dl = BM25.NormTable(normByte & 0xff)
+    val boost = w(0)
+    var sum = 0f
+    var i = 1
+    while (i < w.length) {
+      sum += boost *
+        math.log(1 + ((1 - lambda) * tf / dl) / (lambda * w(i))).toFloat
+      i += 1
+    }
+    sum
+  }
+  def coord(matched: Int, total: Int): Float = 1f
+}
+
+/** Divergence-from-randomness I(n)L2 (reference: DFRSimilarity.cs:125-129
+  * with BasicModelIn.cs:38-43, AfterEffectL.cs:38-41,
+  * NormalizationH2.cs:56-59, c = 1):
+  *
+  *   tfn   = tf · log2(1 + avgdl/dl)
+  *   score = Σ_terms boost · tfn·log2((N+1)/(df+0.5)) · 1/(tfn+1)
+  *
+  * The per-term log2((N+1)/(df+0.5)) factor precomputes into the weight
+  * (double math, cast to float like the reference).
+  * Layout: w = [boost, in(t1), in(t2), …]. */
+final class DFRInL2Similarity(avgdl: Float, c: Float = 1f) extends SimilarityLike {
+  private def log2(x: Double): Double = math.log(x) / math.log(2)
+  def clauseWeights(clauses: Seq[(Seq[String], Float)],
+                    stats: Map[String, TermDictRow],
+                    maxDoc: Long, sumTotalTermFreq: Long): Seq[Array[Float]] =
+    clauses.map { case (ts, boost) =>
+      (boost +: ts.map(t =>
+        log2((maxDoc + 1) / (dfOf(stats, t) + 0.5)).toFloat)).toArray
+    }
+  def score(tf: Float, normByte: Byte, w: Array[Float]): Float = {
+    val dl = BM25.NormTable(normByte & 0xff)
+    val tfn = (tf * log2(1 + c * avgdl / dl)).toFloat
+    val boost = w(0)
+    var sum = 0f
+    var i = 1
+    while (i < w.length) {
+      sum += boost * (tfn * w(i)) * (1f / (tfn + 1f))
+      i += 1
+    }
+    sum
+  }
+  def coord(matched: Int, total: Int): Float = 1f
 }

@@ -162,4 +162,11 @@ class AnalyzerSpec extends AnyFunSuite {
     // positions still advance over dropped stopwords (gap contract)
     assert(es.tokens.map(_.position).toSeq == Seq(1, 3, 4))
   }
+
+  test("accented function words are filtered (no diacritic folding happens)") {
+    val es = Analyzer.forLang("es").analyze("está más casa sí perro")
+    assert(es.tokens.map(_.term).toSeq == Seq("casa", "perro"))
+    val de = Analyzer.forLang("de").analyze("für den Hund")
+    assert(de.tokens.map(_.term).toSeq == Seq("hund"))
+  }
 }

@@ -40,13 +40,36 @@ class PhraseSpec extends AnyFunSuite {
     assert(freqs === Map(0L -> 1, 3L -> 2))
   }
 
-  test("sloppy phrase: slop 1 admits one interposed token; slop 2 admits the stop gap") {
-    val s1 = searcher.phraseFreqs(Seq("state", "machine"), slop = 1)
+  test("sloppy phrase: out-of-order within slop, slop-factored freq (SloppyPhraseScorer)") {
+    val s1 = searcher.sloppyPhraseFreqs(Seq("state", "machine"), 1)
       .collect().map(t => t._1 -> t._2).toMap
-    assert(s1.keySet === Set(0L, 2L, 3L, 4L)) // doc2: "of" dropped but position advances
-    val s0 = searcher.phraseFreqs(Seq("state", "machine"), slop = 0)
+    assert(s1.keySet === Set(0L, 2L, 3L, 4L))
+    assert(s1(0L) === 1f)     // exact: slop factor 1/(1+0)
+    assert(s1(2L) === 0.5f)   // stop gap, distance 1
+    assert(s1(3L) === 2f)     // two exact occurrences
+    assert(s1(4L) === 0.5f)   // interposed token, distance 1
+    // doc1 "machine state runs" matches REVERSED at distance 2 (adjusted
+    // window m@-1..s@1) — the reorder semantics the old ordered-window
+    // simplification missed
+    val s2 = searcher.sloppyPhraseFreqs(Seq("state", "machine"), 2)
       .collect().map(t => t._1 -> t._2).toMap
-    assert(!s0.contains(2L) && !s0.contains(4L))
+    assert(s2.keySet === Set(0L, 1L, 2L, 3L, 4L))
+    assert(s2(1L) === 1f / 3f)
+    val s0 = searcher.phraseFreqs(Seq("state", "machine"))
+      .collect().map(t => t._1 -> t._2).toMap
+    assert(!s0.contains(1L) && !s0.contains(2L) && !s0.contains(4L))
+  }
+
+  test("sloppy scoring: float phraseFreq feeds BM25 as tf") {
+    val hits = searcher.search(PhraseQ(Seq("state", "machine"), slop = 2), 10)
+    val byDoc = hits.map(h => h.docId -> h.score).toMap
+    val maxDoc = 6L
+    val sumTtf = fixture.map(f =>
+      graft.analysis.Analyzer.standard.analyze(f.content).bm25DocLen).sum.toLong
+    val w = BM25.weightValue(BM25.idf(5, maxDoc) + BM25.idf(5, maxDoc), 1f)
+    val cache = BM25.normCache(BM25.avgFieldLength(sumTtf, maxDoc))
+    assert(byDoc(1L) === BM25.score(1f / 3f, BM25.encodeNorm(3), w, cache))
+    assert(byDoc(3L) === BM25.score(2f, BM25.encodeNorm(4), w, cache))
   }
 
   test("phrase scoring: BM25 with phraseFreq as tf, weight = sum of term idfs") {
@@ -88,6 +111,44 @@ class PhraseSpec extends AnyFunSuite {
     assert(f(3L) === 2) // s m s m: sm@0, sm@2 (m@1 followed by s -> not in slot2)
     // slot with only unknown terms matches nothing
     assert(searcher.multiPhraseFreqs(Seq(Seq("state"), Seq("zzzz"))).isEmpty)
+  }
+
+  test("sloppy repeats + fixtures ported from TestSloppyPhraseQuery.cs") {
+    import spark.implicits._
+    // no-stop analyzer: the reference fixtures use 'a' as a term
+    val noStop: String => graft.analysis.Analyzer = _ => graft.analysis.Analyzer.noStop
+    val docs = Seq(
+      mk(0, "a a x a x b a x b b a a x b a a"),            // DOC_4
+      mk(1, "x a 1 2 3 a 4 5 6 a y"),                      // DOC_2
+      mk(2, "h h h x x x h h h x x x h h h"),              // DOC_5_3
+      mk(3, "h h h h"),                                    // DOC_5_4
+      mk(4, "x a b a y"))                                  // scorer doc example
+    val d = SparkTestSession.tmpDir("graft-sloppy-")
+    IndexBuilder.build(spark, spark.createDataset(docs), d, numPartitions = 2,
+      analyzerFor = noStop)
+    val s = new Searcher(new IndexReader(spark, d), analyzerFor = noStop)
+    def freqs(terms: Seq[String], slop: Int): Map[Long, Float] =
+      s.sloppyPhraseFreqs(terms, slop).collect().map(t => t._1 -> t._2).toMap
+
+    // DOC_4 × QUERY_4 "x a a": no match at slop 0, match at every slop ≥ 1
+    assert(!freqs(Seq("x", "a", "a"), 0).contains(0L))
+    for (slop <- 1 to 8)
+      assert(freqs(Seq("x", "a", "a"), slop).contains(0L), s"slop=$slop")
+    // DOC_2 × QUERY_1 "a a a": 6 is the minimum matching slop
+    for (slop <- 0 to 5)
+      assert(!freqs(Seq("a", "a", "a"), slop).contains(1L), s"slop=$slop")
+    for (slop <- 6 to 8)
+      assert(freqs(Seq("a", "a", "a"), slop).contains(1L), s"slop=$slop")
+    // LUCENE-3412: "h h h h" never matches the h-h-h runs doc at slop ≤ 2,
+    // always matches the 4-h doc (repeat-group collision handling)
+    for (slop <- 0 to 2) {
+      val f = freqs(Seq("h", "h", "h", "h"), slop)
+      assert(!f.contains(2L), s"slop=$slop must not match h h h runs")
+      assert(f.contains(3L), s"slop=$slop must match h h h h")
+    }
+    // scorer-doc example: "a b"~2 on "x a b a y" scores both alignments:
+    // "a b" at distance 0 plus "b a" at distance 2 → 1 + 1/3
+    assert(freqs(Seq("a", "b"), 2).apply(4L) === 1f + 1f / 3f)
   }
 
   test("single-term phrase rewrites to TermQuery; absent term matches nothing") {

@@ -27,6 +27,9 @@ class QueryParserSpec extends AnyFunSuite {
         mustNot = Seq(TermQ("bar"))))
     assert(p.parse("foo NOT bar") ===
       BoolQ(should = Seq(TermQ("foo")), mustNot = Seq(TermQ("bar"))))
+    assert(p.parse("foo !bar") ===
+      BoolQ(should = Seq(TermQ("foo")), mustNot = Seq(TermQ("bar"))),
+      "'!' must lex as a prohibition operator")
   }
 
   test("quoted phrase with slop; stopwords analyzed out of phrase text") {

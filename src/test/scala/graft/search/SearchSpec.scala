@@ -190,6 +190,18 @@ class CorpusSearchSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(range.nonEmpty)
   }
 
+  test("wide multi-term: constant-score fallback past the clause budget") {
+    // f1* matches f1, f10..f19 (11 terms) — force the budget below that
+    val tiny = new Searcher(new IndexReader(spark, dir), maxClauseCount = 2)
+    val wide = tiny.search(PrefixQ("f1", boost = 2f), 200)
+    val scoring = searcher.search(PrefixQ("f1"), 200)
+    assert(wide.map(_.docId).toSet === scoring.map(_.docId).toSet,
+      "fallback must keep the matched doc set")
+    assert(wide.forall(_.score == 2f), "fallback scores are constant = boost")
+    // narrow queries on the same searcher still take the scoring rewrite
+    assert(tiny.search(TermQ("def"), 5).toSeq === searcher.search(TermQ("def"), 5).toSeq)
+  }
+
   test("resume: killed-after-flush build completes without redoing early stages") {
     val dir2 = SparkTestSession.tmpDir("graft-resume-")
     val corpus = CorpusGen.dataset(spark, 30, 2)

@@ -42,14 +42,86 @@ class SimilaritySpec extends AnyFunSuite {
   test("LM-Dirichlet: ranks by query likelihood, matches the closed form") {
     val hits = searcher.searchWith(new LMDirichletSimilarity(), TermQ("dogs"), 10)
     assert(hits.map(_.docId).toSeq === Seq(1L))
-    // closed form: p(dogs|C) = 2/7, dl decoded from norm byte for dl=2
-    val p = (2000f * (2L / 7L.toDouble)).toFloat
+    // closed form: p(dogs|C) = (ttf+1)/(sumTtf+1) = 3/8 (the reference's
+    // add-one-smoothed DefaultCollectionModel, LMSimilarity.cs:174-177),
+    // dl decoded from norm byte for dl=2
+    val p = 2000f * ((2L + 1f) / (7L + 1f))
     val dl = BM25.NormTable(BM25.encodeNorm(2) & 0xff)
     val expected = (math.log(1 + 2f / p) + math.log(2000f / (dl + 2000f))).toFloat
     assert(hits(0).score === expected)
     // a corpus-dominant term scores near zero (log(1+tf/(mu p)) small)
     val common = searcher.searchWith(new LMDirichletSimilarity(), TermQ("all"), 10)
     assert(common.forall(_.score >= 0f))
+  }
+
+  test("LM-Jelinek-Mercer: closed form (lambda=0.1)") {
+    val hits = searcher.searchWith(new LMJelinekMercerSimilarity(0.1f), TermQ("dogs"), 10)
+    assert(hits.map(_.docId).toSeq === Seq(1L))
+    val p = (2L + 1f) / (7L + 1f)
+    val dl = BM25.NormTable(BM25.encodeNorm(2) & 0xff)
+    val expected = math.log(1 + ((1 - 0.1f) * 2f / dl) / (0.1f * p)).toFloat
+    assert(hits(0).score === expected)
+  }
+
+  test("DFR I(n)L2: closed form (c=1)") {
+    val hits = searcher.searchWith(new DFRInL2Similarity(avgdl), TermQ("dogs"), 10)
+    assert(hits.map(_.docId).toSeq === Seq(1L))
+    def log2(x: Double) = math.log(x) / math.log(2)
+    val dl = BM25.NormTable(BM25.encodeNorm(2) & 0xff)
+    val tfn = (2f * log2(1 + avgdl / dl)).toFloat
+    val in = log2((6L + 1) / (1L + 0.5)).toFloat
+    assert(hits(0).score === tfn * in * (1f / (tfn + 1f)))
+  }
+
+  test("searchWith(BM25) phrase clause == the specialized phrase path, exactly") {
+    val sim = new BM25Similarity(avgdl)
+    val q = PhraseQ(Seq("dogs", "dogs"))
+    assert(searcher.searchWith(sim, q, 10).toSeq === searcher.search(q, 10).toSeq)
+    // phrase inside a boolean, mixed with a term clause
+    val bq = BoolQ(should = Seq(TermQ("all"), PhraseQ(Seq("dogs", "dogs"))))
+    assert(searcher.searchWith(sim, bq, 10).toSeq === searcher.search(bq, 10).toSeq)
+    // sim-parametric search() dispatches BM25 to the WAND path
+    assert(searcher.search(bq, 10, sim).toSeq === searcher.search(bq, 10).toSeq)
+    assert(searcher.search(TermQ("dogs"), 10, new TfIdfSimilarity).toSeq ===
+      searcher.searchWith(new TfIdfSimilarity, TermQ("dogs"), 10).toSeq)
+  }
+
+  test("duplicate clauses score independently (per-BooleanClause weights)") {
+    // 'all all' (default-OR parse of a repeated term): both clauses score
+    val twice = searcher.searchWith(new BM25Similarity(avgdl),
+      BoolQ(should = Seq(TermQ("all"), TermQ("all"))), 10)
+    val once = searcher.searchWith(new BM25Similarity(avgdl), TermQ("all"), 10)
+    assert(twice.map(_.docId).toSeq === once.map(_.docId).toSeq)
+    twice.zip(once).foreach { case (t, o) => assert(t.score === o.score * 2) }
+    // '+all +all': the duplicated MUST must not drop matching docs
+    val mustDup = searcher.searchWith(new BM25Similarity(avgdl),
+      BoolQ(must = Seq(TermQ("all"), TermQ("all"))), 10)
+    assert(mustDup.map(_.docId).toSeq === once.map(_.docId).toSeq)
+    // TF-IDF: 'all all' has ssw = 2·(idfA)² and coord 2/2; check closed form
+    val dup = searcher.searchWith(new TfIdfSimilarity,
+      BoolQ(should = Seq(TermQ("all"), TermQ("all"))), 10)
+    val idfA = TfIdf.idf(2, 6)
+    val qn = TfIdf.queryNorm(2 * idfA * idfA)
+    val wA = idfA * qn * idfA
+    val exp0 = {
+      var s = 0f
+      s += TfIdf.score(1f, BM25.encodeNorm(1), wA)
+      s += TfIdf.score(1f, BM25.encodeNorm(1), wA)
+      s
+    }
+    assert(dup.map(h => h.docId -> h.score).toMap.apply(0L) === exp0)
+  }
+
+  test("unindexed term still contributes idf(0) to TF-IDF queryNorm") {
+    // reference: TermWeight via TermStatistics(docFreq=0) joins ssw
+    val hits = searcher.searchWith(new TfIdfSimilarity,
+      BoolQ(should = Seq(TermQ("all"), TermQ("zzz_not_indexed"))), 10)
+    val idfA = TfIdf.idf(2, 6)
+    val idfMissing = TfIdf.idf(0, 6)
+    val qn = TfIdf.queryNorm(idfA * idfA + idfMissing * idfMissing)
+    val wA = idfA * qn * idfA
+    val exp0 = TfIdf.score(1f, BM25.encodeNorm(1), wA) * (1f / 2)
+    assert(hits.map(h => h.docId -> h.score).toMap.apply(0L) === exp0)
   }
 
   test("TF-IDF boolean: queryNorm couples clauses, coord penalizes partial matches") {
