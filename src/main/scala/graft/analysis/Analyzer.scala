@@ -30,7 +30,8 @@ final case class AnalyzedDoc(tokens: Array[Token], length: Int, numOverlap: Int)
   * (reference: Analysis/Core/StopAnalyzer.cs:48-51).
   */
 final class Analyzer(val stopWords: Set[String], val maxTokenLength: Int = 255,
-    val tokenizer: String => Array[RawToken] = UAX29Tokenizer.tokenize)
+    val tokenizer: String => Array[RawToken] = UAX29Tokenizer.tokenize,
+    val stemmer: Option[String => String] = None)
     extends Serializable {
 
   def analyze(text: String): AnalyzedDoc = {
@@ -45,7 +46,10 @@ final class Analyzer(val stopWords: Set[String], val maxTokenLength: Int = 255,
       if (t.term.length <= maxTokenLength) {
         val lowered = Analyzer.lowerCase(t.term)
         if (!stopWords.contains(lowered)) {
-          out += Token(lowered, pos, t.startOff, t.endOff)
+          // stem AFTER the stop filter (reference EnglishAnalyzer chain:
+          // ...LowerCase → Stop → PorterStemFilter)
+          val emitted = stemmer.fold(lowered)(f => f(lowered))
+          out += Token(emitted, pos, t.startOff, t.endOff)
           length += 1
         }
       }
@@ -73,6 +77,12 @@ object Analyzer {
 
   /** No stopwords (StandardAnalyzer(CharArraySet.EMPTY_SET) equivalent). */
   val noStop: Analyzer = new Analyzer(Set.empty)
+
+  /** Opt-in English stemming analyzer (reference EnglishAnalyzer shape:
+    * tokenize → lowercase → stop → PorterStemFilter) — recall-oriented
+    * variant; the default index stays unstemmed for exact-term parity. */
+  val englishStemming: Analyzer = new Analyzer(EnglishStopWords, 255,
+    UAX29Tokenizer.tokenize, Some(PorterStemmer.stem))
 
   /** Per-language stop lists (the north star's "per-lang stop
     * filtering"): natural-language docs get their language's function

@@ -16,6 +16,57 @@ import org.apache.spark.sql.functions._
   * docs, re-assign dense ascending docIds (DocMap rebase — reference:
   * Index/MergeState.cs:42-44), rewrite posting blocks through
   * decode→remap→encode, and recompute the dictionary + stats. */
+/** Streaming re-encoder for (term, docId, tf, norm) rows sorted by
+  * (term, docId) within a partition: buffers one term's run in primitive
+  * arrays and emits self-contained posting blocks on term change (a
+  * budget flush mid-run would also be valid — blocks are independent —
+  * but a partition's run of one term is at most the partition size). */
+private final class PostingsReencoder(it: Iterator[(String, Long, Int, Int)],
+    segId: Int) extends Iterator[PostingRow] {
+  private val out = scala.collection.mutable.Queue.empty[PostingRow]
+  private var curTerm: String = null
+  private var n = 0
+  private var ids = new Array[Long](128)
+  private var tfs = new Array[Int](128)
+  private var norms = new Array[Int](128)
+
+  private def flush(): Unit = {
+    if (curTerm == null || n == 0) return
+    val bIds = java.util.Arrays.copyOf(ids, n)
+    val bTfs = java.util.Arrays.copyOf(tfs, n)
+    PostingsCodec.encodeBlocks(bIds, bTfs, java.util.Arrays.copyOf(norms, n))
+      .foreach { b =>
+        var s = 0L
+        val from = java.util.Arrays.binarySearch(bIds, b.firstDocId)
+        var i = 0
+        while (i < b.numDocs) { s += bTfs(from + i); i += 1 }
+        out.enqueue(PostingRow(curTerm, b.firstDocId, b.lastDocId, b.numDocs,
+          b.maxTf, b.maxNorm, s, segId, b.bytes))
+      }
+    n = 0
+  }
+
+  override def hasNext: Boolean = {
+    while (out.isEmpty && it.hasNext) {
+      val (t, id, tf, norm) = it.next()
+      if (t != curTerm) { flush(); curTerm = t }
+      if (n == ids.length) {
+        ids = java.util.Arrays.copyOf(ids, n * 2)
+        tfs = java.util.Arrays.copyOf(tfs, n * 2)
+        norms = java.util.Arrays.copyOf(norms, n * 2)
+      }
+      ids(n) = id; tfs(n) = tf; norms(n) = norm; n += 1
+    }
+    if (out.isEmpty) flush()
+    out.nonEmpty
+  }
+
+  override def next(): PostingRow = {
+    if (!hasNext) throw new NoSuchElementException
+    out.dequeue()
+  }
+}
+
 object Deletes {
 
   def tombstonesPath(dir: String): String = s"$dir/tombstones"
@@ -44,9 +95,14 @@ object Deletes {
   }
 
   /** Rewrite the index at `outDir` without the tombstoned docs, docIds
-    * re-packed dense. The remap is broadcast (verification scale); at
-    * corpus scale the same remap is a range-join against a sorted
-    * (oldId → newId) table — the structure is identical. */
+    * re-packed dense — the SegmentMerger/DocMap analog, fully
+    * distributed: the (oldId → newId) DocMap is a sorted remap TABLE
+    * (dense ids assigned range-partitioned, [[DenseIds]] — same shape as
+    * the docId assignment itself), every remap is an equi-join on docId,
+    * and postings are re-encoded from decoded rows re-sorted by
+    * (term, newId). No driver-side collect of ids anywhere, so the path
+    * survives 10^9+ live docs; monotone remap preserves posting order by
+    * construction. */
   def expunge(spark: SparkSession, dir: String, outDir: String,
               numPartitions: Int = 8): Unit = {
     import spark.implicits._
@@ -54,24 +110,21 @@ object Deletes {
     val fs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(outPath)) fs.delete(outPath, true)
 
-    val dead = tombstones(spark, dir).collect().toSet
-    val liveOld = spark.read.parquet(IndexPaths.docstats(dir))
-      .select($"docId").as[Long].collect().filterNot(dead).sorted
-    val remap = liveOld.zipWithIndex.map { case (o, n) => o -> n.toLong }.toMap
-    val bRemap = spark.sparkContext.broadcast(remap)
+    val dead = tombstones(spark, dir).toDF("deadId").distinct()
+    val remap = DenseIds.assign(
+      spark.read.parquet(IndexPaths.docstats(dir)).select($"docId")
+        .join(dead, $"docId" === $"deadId", "left_anti")
+        .select($"docId".as("oldId")),
+      "oldId", "newId", numPartitions, base = 0L)
 
-    // docs + docstats: filter, remap, keep docId order
+    // docs + docstats: inner equi-join with the remap drops dead docs and
+    // renumbers in one pass
     def remapDocIdTable(df: DataFrame, outPathStr: String): Unit = {
-      val cols = df.columns
-      val remapped = df.flatMap { row =>
-        val m = bRemap.value
-        val old = row.getLong(row.fieldIndex("docId"))
-        m.get(old).map { nid =>
-          org.apache.spark.sql.Row.fromSeq(
-            cols.map(c => if (c == "docId") nid else row.get(row.fieldIndex(c))).toSeq)
-        }
-      }(org.apache.spark.sql.Encoders.row(df.schema))
-      remapped.repartitionByRange(numPartitions, col("docId"))
+      val outCols = df.columns.map(c =>
+        if (c == "docId") col("newId").as("docId") else col(c))
+      df.join(remap, df("docId") === remap("oldId"))
+        .select(outCols.toIndexedSeq: _*)
+        .repartitionByRange(numPartitions, col("docId"))
         .sortWithinPartitions(col("docId"))
         .write.mode(SaveMode.Overwrite).parquet(outPathStr)
     }
@@ -79,39 +132,30 @@ object Deletes {
     remapDocIdTable(spark.read.parquet(IndexPaths.docstats(dir)),
       IndexPaths.docstats(outDir))
 
-    // postings: decode -> drop dead -> remap (order-preserving: the remap
-    // is monotone) -> re-encode
-    val blocks = spark.read.parquet(IndexPaths.postings(dir))
+    // postings: decode to rows -> equi-join the remap (inner join drops
+    // dead postings) -> range-shuffle by (term, newId) -> streaming
+    // re-encode per partition (ascending newIds per term within a
+    // partition; hot terms split across partitions at newId boundaries,
+    // blocks stay self-contained)
+    val decoded = spark.read.parquet(IndexPaths.postings(dir))
       .select($"term", $"firstDocId", $"lastDocId", $"numDocs", $"maxTf",
         $"maxNorm", $"sumTf", $"segId", $"bytes").as[PostingRow]
       .flatMap { r =>
-        val m = bRemap.value
         val (ids, tfs, norms) = PostingsCodec.decodeBlock(r.firstDocId, r.numDocs, r.bytes)
-        val keep = ids.indices.filter(i => m.contains(ids(i)))
-        if (keep.isEmpty) Iterator.empty
-        else {
-          val nIds = keep.map(i => m(ids(i))).toArray
-          val nTfs = keep.map(tfs(_)).toArray
-          val nNorms = keep.map(norms(_)).toArray
-          var sumTf = 0L
-          nTfs.foreach(sumTf += _)
-          PostingsCodec.encodeBlocks(nIds, nTfs, nNorms).map { b =>
-            var s = 0L
-            var i = 0
-            // recompute per-block sumTf from the slice
-            val from = nIds.indexOf(b.firstDocId)
-            while (i < b.numDocs) { s += nTfs(from + i); i += 1 }
-            PostingRow(r.term, b.firstDocId, b.lastDocId, b.numDocs, b.maxTf,
-              b.maxNorm, s, r.segId, b.bytes)
-          }.iterator
-        }
-      }
-    blocks.repartitionByRange(numPartitions, $"term", $"firstDocId")
-      .sortWithinPartitions($"term", $"firstDocId")
-      .write.mode(SaveMode.Overwrite).parquet(IndexPaths.postings(outDir))
+        ids.indices.iterator.map(i => (r.term, ids(i), tfs(i), norms(i)))
+      }.toDF("term", "oldId", "tf", "norm")
+    val renumbered = decoded.join(remap, Seq("oldId"))
+      .select($"term", $"newId", $"tf", $"norm")
+      .repartitionByRange(numPartitions, $"term", $"newId")
+      .sortWithinPartitions($"term", $"newId")
+      .as[(String, Long, Int, Int)]
+    val blocks = renumbered.mapPartitions { it =>
+      val segId = org.apache.spark.TaskContext.getPartitionId()
+      new PostingsReencoder(it, segId)
+    }
+    blocks.write.mode(SaveMode.Overwrite).parquet(IndexPaths.postings(outDir))
 
     // dictionary + collection stats recomputed from the rewritten tables
     IndexBuilder.buildDictAndStats(spark, outDir, numPartitions)
-    bRemap.destroy()
   }
 }

@@ -1,0 +1,35 @@
+package graft.build
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Dense ids for a distinct key set in global sort order, built the way
+  * the index assigns docIds (range-partition + in-partition sort +
+  * per-partition offset rebase — see [[DocsTable]]): value-identical to
+  * `dense_rank() OVER (ORDER BY key)` but with no single-partition
+  * WindowExec and no driver-side collect of the keys themselves (only
+  * one count per partition reaches the driver). */
+object DenseIds {
+
+  /** (keyCol, idCol) with ids dense from `base` in ascending key order. */
+  def assign(keys: DataFrame, keyCol: String, idCol: String,
+             numPartitions: Int = 32, base: Long = 1L): DataFrame = {
+    val sorted = keys.select(col(keyCol)).distinct()
+      .repartitionByRange(numPartitions, col(keyCol))
+      .sortWithinPartitions(col(keyCol))
+      // monotonically_increasing_id = pid << 33 | local ordinal; range
+      // partitions carry ascending key ranges, so cumulative offsets in
+      // pid order reproduce the global sort rank
+      .select(col(keyCol), monotonically_increasing_id().as("mid"))
+      .select(col(keyCol), shiftright(col("mid"), 33).cast("int").as("pid"),
+        col("mid").bitwiseAND((1L << 33) - 1).as("localIdx"))
+    val counts = sorted.groupBy(col("pid")).agg(count("*").as("n"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var off = base
+    val offsets = counts.map { case (pid, n) => val o = (pid, off); off += n; o }
+    val offDf = keys.sparkSession.createDataFrame(offsets.toSeq)
+      .toDF("pid", "offset")
+    sorted.join(broadcast(offDf), Seq("pid"))
+      .select(col(keyCol), (col("offset") + col("localIdx")).as(idCol))
+  }
+}

@@ -88,11 +88,23 @@ object IndexBuilder {
 
   /** Stage 1: the fused sort + tokenize-once segment flush. `docIdBase`
     * offsets the dense ids — incremental (streaming) builds stack
-    * generations into one docId space. */
+    * generations into one docId space.
+    *
+    * `keywordFields` is the FieldInfos analog (reference:
+    * Document/StringField.cs vs TextField.cs:44-51; demo shape
+    * IndexFiles.cs:188-218): each named metadata column of the corpus
+    * (repo/path/commit/lang) is additionally indexed as an exact,
+    * untokenized term `"<field>:<value>"` — Term = (field, text) encoded
+    * into the term key, collision-free because analyzed content tokens
+    * never contain ':'. Keyword postings carry tf=1 and the norm of a
+    * 1-token field (StringField semantics: whole value = one term);
+    * content-field collection stats (avgdl, sumTotalTermFreq) stay
+    * per-field, derived from docstats as before. */
   def buildFlush(spark: SparkSession, corpus: Dataset[SourceFile], dir: String,
                  numPartitions: Int,
                  analyzerFor: String => Analyzer = Analyzer.forLang,
-                 docIdBase: Long = 0L): Unit = {
+                 docIdBase: Long = 0L,
+                 keywordFields: Seq[String] = Nil): Unit = {
     import spark.implicits._
     val sorted = corpus
       .repartitionByRange(numPartitions, $"repo", $"path", $"commit")
@@ -101,9 +113,10 @@ object IndexBuilder {
     // flush output; at scale a re-read of every posting block just to
     // checksum it would double the stage's I/O
     val acc = spark.sparkContext.collectionAccumulator[ManifestRow]("flushManifest")
+    val kw = keywordFields
     val flush = sorted.mapPartitions { it =>
       val segId = TaskContext.getPartitionId()
-      new FlushIterator(it, segId, analyzerFor, row => acc.add(row))
+      new FlushIterator(it, segId, analyzerFor, row => acc.add(row), kw)
     }
     flush.write.mode(SaveMode.Overwrite).partitionBy("kind")
       .parquet(IndexPaths.flush(dir))
@@ -208,7 +221,8 @@ object IndexBuilder {
   def build(spark: SparkSession, corpus: Dataset[SourceFile], dir: String,
             numPartitions: Int = 32, resume: Boolean = false,
             analyzerFor: String => Analyzer = Analyzer.forLang,
-            docIdBase: Long = 0L): Unit = {
+            docIdBase: Long = 0L,
+            keywordFields: Seq[String] = Nil): Unit = {
     if (!resume) {
       val path = new org.apache.hadoop.fs.Path(dir)
       val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -221,7 +235,8 @@ object IndexBuilder {
         System.err.println(f"[build] $stage%-9s ${(System.nanoTime() - t0) / 1e9}%.2fs")
     }
     if (!resume || !stageDone(spark, dir, "flush"))
-      timed("flush")(buildFlush(spark, corpus, dir, numPartitions, analyzerFor, docIdBase))
+      timed("flush")(buildFlush(spark, corpus, dir, numPartitions, analyzerFor,
+        docIdBase, keywordFields))
     if (!resume || !stageDone(spark, dir, "postings"))
       timed("postings")(buildPostings(spark, dir, numPartitions))
     if (!resume || !stageDone(spark, dir, "stats"))
@@ -237,7 +252,8 @@ object IndexBuilder {
   * analyzed — the corpus payload is consumed exactly once. */
 private final class FlushIterator(docs: Iterator[SourceFile], segId: Int,
     analyzerFor: String => Analyzer,
-    onComplete: ManifestRow => Unit = _ => ()) extends Iterator[FlushRow] {
+    onComplete: ManifestRow => Unit = _ => (),
+    keywordFields: Seq[String] = Nil) extends Iterator[FlushRow] {
 
   // partition lineage, accumulated as blocks are emitted
   private var mTermMin: String = null
@@ -313,6 +329,7 @@ private final class FlushIterator(docs: Iterator[SourceFile], segId: Int,
   }
 
   private val analyzerCache = mutable.HashMap.empty[String, Analyzer]
+  private val kwNorm = BM25.encodeNorm(1) & 0xff
   private var nextLocalId = 0L
 
   private def analyzeDoc(d: SourceFile): Unit = {
@@ -327,6 +344,19 @@ private final class FlushIterator(docs: Iterator[SourceFile], segId: Int,
     analyzed.tokens.foreach(t => tfMap.update(t.term, tfMap.getOrElse(t.term, 0) + 1))
     tfMap.foreach { case (term, tf) =>
       terms.getOrElseUpdate(term, new Buf).add(docId, tf, normByte)
+      nBuffered += 1
+    }
+    // keyword (StringField-style) fields: exact value = one term, tf=1,
+    // norm of a single-token field
+    keywordFields.foreach { f =>
+      val v = f match {
+        case "repo" => d.repo
+        case "path" => d.path
+        case "commit" => d.commit
+        case "lang" => d.lang
+        case other => throw new IllegalArgumentException(s"unknown keyword field $other")
+      }
+      terms.getOrElseUpdate(s"$f:$v", new Buf).add(docId, 1, kwNorm)
       nBuffered += 1
     }
     out.enqueue(emptyD.copy(docId = docId, repo = d.repo, path = d.path,

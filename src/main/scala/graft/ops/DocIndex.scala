@@ -71,6 +71,20 @@ object DocIndex {
       .as[SourceFile]
   }
 
+  /** Multi-field documents index: content (analyzed) + lang/path keyword
+    * fields (exact `"field:value"` terms — the FieldInfos analog). Kept
+    * separate from the default cache so the single-field oracle queries'
+    * dictionaries and stats stay byte-identical. */
+  def ensureFielded(spark: SparkSession, sfDir: String): String = synchronized {
+    val dir = cacheDir(sfDir) + "-fielded"
+    if (!IndexBuilder.stageDone(spark, dir, "stats")) {
+      IndexBuilder.build(spark, documentsAsCorpus(spark, sfDir), dir,
+        numPartitions = 8, resume = true, analyzerFor = _ => Analyzer.sqlParity,
+        keywordFields = Seq("lang", "path"))
+    }
+    dir
+  }
+
   def ensureWide(spark: SparkSession, sfDir: String): String = synchronized {
     val dir = cacheDir(sfDir) + "-cust"
     if (!IndexBuilder.stageDone(spark, dir, "stats")) {

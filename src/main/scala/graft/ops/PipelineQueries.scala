@@ -388,6 +388,17 @@ object PipelineQueries {
       .select(col("a"), col("b"), round(col("jac"), 6).as("jac"))
       .orderBy(col("a"), col("b"))
 
+  /** Production-hash SimHash (xxhash64 mix, no dictionary) — no SQL
+    * oracle; parity-path agreement on duplicate grouping is asserted in
+    * ScalaTest. */
+  def qDedupSimhashProd(spark: SparkSession, sf: String): DataFrame =
+    Dedup.simhashProd(docs(spark, sf)).orderBy(col("doc_id"))
+
+  /** Production-hash fingerprints (xxhash64, map+agg only) — no SQL
+    * oracle; duplicate-grouping agreement asserted in ScalaTest. */
+  def qFingerprintProd(spark: SparkSession, sf: String): DataFrame =
+    TextAnalysis.fingerprintsProd(docs(spark, sf)).orderBy(col("doc_id"))
+
   // ------------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -395,6 +406,8 @@ object PipelineQueries {
     "q_dedup_minhash" -> qDedupMinhash _,
     "q_dedup_minhash_prod" -> qDedupMinhashProd _,
     "q_dedup_simhash" -> qDedupSimhash _,
+    "q_dedup_simhash_prod" -> qDedupSimhashProd _,
+    "q_fingerprint_prod" -> qFingerprintProd _,
     "q_dedup_ngram" -> qDedupNgram _,
     "q_dedup_embedding" -> qDedupEmbedding _,
     "q_ann_brute" -> qAnnBrute _,

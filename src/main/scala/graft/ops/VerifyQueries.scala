@@ -134,13 +134,18 @@ object VerifyQueries {
        |SELECT doc_id, round(sum(s), 6) AS score FROM lm
        |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
 
-  /** SearchAfter pagination: page 2 (rows 21-40). */
+  /** SearchAfter pagination: page 2 (rows 21-40) = top-40 minus top-20,
+    * two TakeOrdered limits + anti-join — no single-partition window
+    * (the engine path, Searcher.searchAfter, uses filter + bounded heap;
+    * this is the oracle-shaped equivalent in the same scale shape). */
   def qSearchAfter(spark: SparkSession, sf: String): DataFrame = {
-    val w = Window.orderBy(col("score").desc, col("doc_id"))
-    scoredHits(spark, sf, Seq("merge"))
+    val scored = scoredHits(spark, sf, Seq("merge"))
       .select(col("doc_id"), round(col("score"), 6).as("score"))
-      .withColumn("rn", row_number().over(w))
-      .where(col("rn") > 20 && col("rn") <= 40).drop("rn")
+    val top40 = scored.orderBy(col("score").desc, col("doc_id")).limit(40)
+    val top20 = scored.orderBy(col("score").desc, col("doc_id")).limit(20)
+      .select(col("doc_id").as("ex_id"))
+    top40.join(top20, top40("doc_id") === top20("ex_id"), "left_anti")
+      .orderBy(col("score").desc, col("doc_id"))
   }
   val oSearchAfter: String =
     s"""${oracleScored(Seq("merge"))}
@@ -247,6 +252,61 @@ object VerifyQueries {
        |  AND b.p <> a.p AND abs(b.p - a.p) <= 3
        |WHERE a.t = 'table' AND b.t = 'hash'
        |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Fielded query (`lang:en AND content:merge`) over the multi-field
+    * index — the FieldInfos/StringField analog: 'lang:en' is an exact
+    * keyword term living in the same postings table as analyzed content
+    * terms (Term = (field, text) encoded in the key), so the conjunction
+    * is an ordinary docId join of two pruned postings scans. */
+  def qFieldTerm(spark: SparkSession, sf: String): DataFrame = {
+    val dir = DocIndex.ensureFielded(spark, sf)
+    val h = hits(spark, dir, Seq("merge", "lang:en"))
+    val a = h.where(col("term") === "merge").select(col("doc_id"), col("tf"))
+    val b = h.where(col("term") === "lang:en").select(col("doc_id"))
+    a.join(b, Seq("doc_id")).orderBy(col("doc_id"))
+  }
+  val oFieldTerm: String =
+    s"""$OracleCtes
+       |SELECT tf.doc_id, tf.tf FROM tf
+       |JOIN documents d ON tf.doc_id = d.doc_id
+       |WHERE tf.term = 'merge' AND d.lang = 'en'
+       |ORDER BY tf.doc_id""".stripMargin
+
+  /** SpanOrQuery: union of term spans, per-doc span count (= total
+    * occurrences of either term). */
+  def qSpanOr(spark: SparkSession, sf: String): DataFrame = {
+    val dir = ensure(spark, sf)
+    val searcher = new graft.search.Searcher(new graft.search.IndexReader(spark, dir),
+      analyzerFor = _ => graft.analysis.Analyzer.sqlParity)
+    searcher.spanCount(graft.search.SpanOrQ(Seq(
+      graft.search.SpanTermQ("table"), graft.search.SpanTermQ("hash"))))
+      .toDF("doc_id", "spans")
+      .select(col("doc_id"), col("spans").cast("long").as("spans"))
+      .orderBy(col("doc_id"))
+  }
+  val oSpanOr: String =
+    s"""$OracleCtes
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS spans FROM tok
+       |WHERE term IN ('table', 'hash') GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** SpanFirstQuery: spans of 'merge' ending within the first 10
+    * positions. */
+  def qSpanFirst(spark: SparkSession, sf: String): DataFrame = {
+    val dir = ensure(spark, sf)
+    val searcher = new graft.search.Searcher(new graft.search.IndexReader(spark, dir),
+      analyzerFor = _ => graft.analysis.Analyzer.sqlParity)
+    searcher.spanCount(graft.search.SpanFirstQ(graft.search.SpanTermQ("merge"), 10))
+      .toDF("doc_id", "spans")
+      .select(col("doc_id"), col("spans").cast("long").as("spans"))
+      .orderBy(col("doc_id"))
+  }
+  val oSpanFirst: String =
+    s"""$OracleCtes, pos AS (
+       |  SELECT doc_id, CAST(generate_subscripts(ts, 1) AS BIGINT) AS p, unnest(ts) AS t
+       |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS ts FROM documents)
+       |)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS spans FROM pos
+       |WHERE t = 'merge' AND p <= 10 GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** Wide PrefixQuery: at sf0.01 the '0' prefix matches ~1500 customer-
     * number terms — past the 1024-clause budget — so the engine takes the
@@ -690,6 +750,9 @@ object VerifyQueries {
     "q_phrase_sloppy" -> qPhraseSloppy _,
     "q_multi_phrase" -> qMultiPhrase _,
     "q_span_near" -> qSpanNear _,
+    "q_span_or" -> qSpanOr _,
+    "q_span_first" -> qSpanFirst _,
+    "q_field_term" -> qFieldTerm _,
     "q_bool_should" -> qBoolShould _,
     "q_bool_must" -> qBoolMust _,
     "q_bool_mustnot" -> qBoolMustNot _,
@@ -731,6 +794,9 @@ object VerifyQueries {
     "q_phrase_sloppy" -> oPhraseSloppy,
     "q_multi_phrase" -> oMultiPhrase,
     "q_span_near" -> oSpanNear,
+    "q_span_or" -> oSpanOr,
+    "q_span_first" -> oSpanFirst,
+    "q_field_term" -> oFieldTerm,
     "q_bool_should" -> oBoolShould,
     "q_bool_must" -> oBoolMust,
     "q_bool_mustnot" -> oBoolMustNot,

@@ -83,13 +83,13 @@ object Classify {
       .groupBy(identity).view.mapValues(_.length.toDouble).toMap
     if (qTerms.isEmpty) return "und"
     val qNorm = math.sqrt(qTerms.values.map(v => v * v).sum)
-    val bq = spark.sparkContext.broadcast(qTerms)
     val toks = docs.select(col("doc_id"), col(labelCol).as("label"),
       explode(Dedup.tokensCol("text")).as("t"))
     val tf = toks.groupBy($"doc_id", $"label", $"t").agg(count("*").cast("double").as("tf"))
     val docNorm = tf.groupBy($"doc_id").agg(sqrt(sum($"tf" * $"tf")).as("nrm"))
+    // query tf lookup as a literal map — codegen'd element_at, no UDF
     val dots = tf.where($"t".isin(qTerms.keys.toSeq: _*))
-      .withColumn("qtf", udf((t: String) => bq.value.getOrElse(t, 0.0)).apply($"t"))
+      .withColumn("qtf", coalesce(element_at(typedLit(qTerms), $"t"), lit(0.0)))
       .groupBy($"doc_id", $"label").agg(sum($"tf" * $"qtf").as("dot"))
     val top = dots.join(docNorm, "doc_id")
       .select($"doc_id", $"label", ($"dot" / ($"nrm" * qNorm)).as("cos"))

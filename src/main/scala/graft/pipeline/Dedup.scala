@@ -1,7 +1,6 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Large-scale training-data deduplication over a `documents`-shaped table
@@ -32,6 +31,16 @@ object Dedup {
     * regex the engine's `Analyzer.sqlParity` uses). */
   def tokensCol(textCol: String): Column =
     expr(s"regexp_extract_all(lower($textCol), '[a-z0-9_]+', 0)")
+
+  /** Dense 1-based ids for a distinct key set in global sort order —
+    * value-identical to `dense_rank() OVER (ORDER BY key)` (what the
+    * DuckDB oracles compute) but built the way the engine's term_dict is:
+    * range-partition + in-partition sort + per-partition offset rebase.
+    * No single-partition WindowExec anywhere, so the build scales like
+    * any other shuffle instead of serializing on one task. */
+  def denseIds(keys: DataFrame, keyCol: String, idCol: String,
+               numPartitions: Int = 32): DataFrame =
+    graft.build.DenseIds.assign(keys, keyCol, idCol, numPartitions)
 
   /** Distinct w-token shingles, space-joined, document order. */
   def shinglesCol(ts: String, w: Int): Column = {
@@ -68,12 +77,9 @@ object Dedup {
     docs.select(col("doc_id"), tokensCol("text").as("ts"))
       .select(col("doc_id"), explode(shinglesCol("ts", w)).as("s"))
 
-  /** Parity path: shingle dictionary (dense ids by shingle order). At
-    * scale this is the engine's term_dict build (range-partition + sort);
-    * here a window suffices. */
-  def shingleDict(ds: DataFrame): DataFrame =
-    ds.select(col("s")).distinct()
-      .withColumn("sid", dense_rank().over(Window.orderBy(col("s"))).cast("long"))
+  /** Parity path: shingle dictionary (dense ids by shingle order), built
+    * term_dict-style via [[denseIds]] — scale-shaped, same ids. */
+  def shingleDict(ds: DataFrame): DataFrame = denseIds(ds, "s", "sid")
 
   /** MinHash signatures: K min-hash columns h0..h15 per doc (parity path:
     * affine hashes of dictionary ids). One shuffle: groupBy(doc_id) with
@@ -157,10 +163,28 @@ object Dedup {
   def simhash(docs: DataFrame): DataFrame = {
     val toks = docs.select(col("doc_id"), explode(tokensCol("text")).as("t"))
     val tf = toks.groupBy(col("doc_id"), col("t")).agg(count("*").as("tf"))
-    val dict = toks.select(col("t")).distinct()
-      .withColumn("tid", dense_rank().over(Window.orderBy(col("t"))).cast("long"))
+    val dict = denseIds(toks, "t", "tid")
     val mixed = tf.join(dict, "t")
       .select(col("doc_id"), col("tf"), ((col("tid") * 2654435761L) % 4294967296L).as("m"))
+    val bits = mixed
+      .crossJoin(broadcast(mixed.sparkSession.range(32).toDF("b"))) // b: 0..31
+      .select(col("doc_id"), col("b"),
+        (col("tf") * (expr("shiftright(m, cast(b AS int)) & 1") * 2 - 1)).as("c"))
+    bits.groupBy(col("doc_id"), col("b")).agg(sum(col("c")).as("s"))
+      .select(col("doc_id"),
+        when(col("s") > 0, expr("shiftleft(1L, cast(b AS int))")).otherwise(lit(0L)).as("bv"))
+      .groupBy(col("doc_id")).agg(sum(col("bv")).as("simhash"))
+  }
+
+  /** Production-path SimHash: token mix = xxhash64 folded to 32 bits —
+    * no dictionary, no shuffle beyond the tf/bit aggregations, the
+    * 10^12-doc shape (independent engines can't reproduce xxhash64 seeds,
+    * hence rows-only in the driver gate). */
+  def simhashProd(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), explode(tokensCol("text")).as("t"))
+    val tf = toks.groupBy(col("doc_id"), col("t")).agg(count("*").as("tf"))
+    val mixed = tf.select(col("doc_id"), col("tf"),
+      pmod(xxhash64(col("t")), lit(4294967296L)).as("m"))
     val bits = mixed
       .crossJoin(broadcast(mixed.sparkSession.range(32).toDF("b"))) // b: 0..31
       .select(col("doc_id"), col("b"),
@@ -186,12 +210,27 @@ object Dedup {
   // ----------------------------------------------------- n-gram jaccard
 
   /** Direct n-gram Jaccard near-dups: candidates = pairs sharing >= 1
-    * shingle (inverted-shingle join — exactly the engine's posting-list
-    * idea applied to shingles), scored by exact Jaccard. */
-  def ngramJaccardPairs(docs: DataFrame, w: Int = 3, minJaccard: Double = 0.35): DataFrame = {
+    * CANDIDATE-ELIGIBLE shingle (inverted-shingle join — exactly the
+    * engine's posting-list idea applied to shingles), scored by exact
+    * Jaccard over the full shingle sets.
+    *
+    * `maxShingleDf` is the hot-shingle cap (the CommonTermsQuery idea
+    * applied to shingles): a stop-shingle shared by f docs would emit
+    * O(f²) candidate rows — one ubiquitous boilerplate line makes the
+    * join quadratic at corpus scale. Shingles with df above the cap are
+    * excluded from candidate GENERATION only (Jaccard confirmation still
+    * counts them), so near-dup pairs sharing at least one sub-cap shingle
+    * are found exactly; pairs overlapping ONLY on stop-shingles are below
+    * any useful Jaccard threshold anyway (they disagree on every rare
+    * shingle). Default cap is far above verification-fixture dfs. */
+  def ngramJaccardPairs(docs: DataFrame, w: Int = 3, minJaccard: Double = 0.35,
+                        maxShingleDf: Long = 10000L): DataFrame = {
     val ds = docShingles(docs, w)
-    val cands = ds.select(col("doc_id").as("a"), col("s"))
-      .join(ds.select(col("doc_id").as("b"), col("s")), "s")
+    val eligible = ds.groupBy(col("s")).agg(count("*").as("df"))
+      .where(col("df") <= maxShingleDf).select(col("s"))
+    val dsCand = ds.join(eligible, Seq("s"), "left_semi")
+    val cands = dsCand.select(col("doc_id").as("a"), col("s"))
+      .join(dsCand.select(col("doc_id").as("b"), col("s")), "s")
       .where(col("a") < col("b")).select(col("a"), col("b")).distinct()
     pairJaccard(cands, ds).where(col("jac") >= minJaccard)
   }

@@ -142,37 +142,45 @@ object Similarity {
       .agg(array_sort(collect_list(struct(col("i"), col("m")))).as("s"))
       .select(col("label"), expr("transform(s, e -> e.m)").as("centroid"))
 
-  /** Assign every vector to its nearest centroid (L2). Broadcast the
-    * codebook — it is tiny by construction. */
-  def ivfAssign(vecs: DataFrame, centroids: DataFrame): DataFrame = {
-    val cents = broadcast(centroids.select(col("label").as("cell"), col("centroid")))
-    val dist2 = {
-      val d = zip_with(col("embedding"), col("centroid"),
-        (x, c) => (x.cast("double") - c) * (x.cast("double") - c))
-      aggregate(d, lit(0.0), (acc, v) => acc + v)
+  /** Assign every vector to its nearest centroid (L2) with the codebook
+    * inlined as literal vectors: one map-only codegen'd projection —
+    * per-cell squared distances, `least` for the min, a first-match
+    * `when` chain (ascending cell id — the deterministic tie-break) for
+    * the argmin. No crossJoin, no per-vector window, no shuffle: the plan
+    * you'd run at 10^9 vectors. */
+  def ivfAssign(vecs: DataFrame, codebook: Seq[(Int, Array[Double])]): DataFrame = {
+    require(codebook.nonEmpty, "empty codebook")
+    val d2s = codebook.sortBy(_._1).map { case (cell, cent) =>
+      val c = typedLit(cent.toSeq)
+      cell -> aggregate(
+        zip_with(col("embedding"), c,
+          (x, cc) => (x.cast("double") - cc) * (x.cast("double") - cc)),
+        lit(0.0), (acc, v) => acc + v)
     }
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("vec_id")).orderBy(col("d2"), col("cell"))
-    vecs.crossJoin(cents)
-      .select(col("vec_id"), col("embedding"), col("cell"), dist2.as("d2"))
-      .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
-      .select(col("vec_id"), col("embedding"), col("cell"), col("d2"))
+    val minD = if (d2s.length == 1) d2s.head._2 else least(d2s.map(_._2): _*)
+    val cellCol = d2s.foldRight(lit(null).cast("int"): Column) {
+      case ((cell, d2), els) => when(d2 === minD, lit(cell)).otherwise(els)
+    }
+    vecs.select(col("vec_id"), col("embedding"), cellCol.as("cell"), minD.as("d2"))
   }
 
-  /** IVF top-k: probe only the query's nearest `nProbe` cells. At corpus
-    * scale `cell` is the table's partition key → partition-pruned scan. */
+  /** Collect the (tiny) codebook once. */
+  def ivfCodebook(vecs: DataFrame): Seq[(Int, Array[Double])] =
+    ivfCentroids(vecs).collect()
+      .map(r => r.getAs[Int]("label") -> r.getSeq[Double](1).toArray).toSeq
+
+  /** IVF top-k: probe only the query's nearest `nProbe` cells. The
+    * codebook is computed ONCE and inlined; at corpus scale `cell` is the
+    * table's partition key → partition-pruned scan. */
   def ivfTopK(vecs: DataFrame, query: Seq[Float], k: Int, nProbe: Int = 2): DataFrame = {
-    val spark = vecs.sparkSession
-    import spark.implicits._
-    val cents = ivfCentroids(vecs).collect()
-      .map(r => r.getAs[Int]("label") -> r.getSeq[Double](1).toArray)
+    val cents = ivfCodebook(vecs)
     val qd = query.map(_.toDouble).toArray
     val probed = cents.sortBy { case (_, c) =>
       var s = 0.0; var i = 0
       while (i < c.length) { val d = qd(i) - c(i); s += d * d; i += 1 }
       s
-    }.take(nProbe).map(_._1).toSeq
-    val assigned = ivfAssign(vecs, ivfCentroids(vecs))
+    }.take(nProbe).map(_._1)
+    val assigned = ivfAssign(vecs, cents)
     assigned.where(col("cell").isInCollection(probed))
       .select(col("vec_id"), col("cell"),
         round(cosine(col("embedding"), typedLit(query.map(_.toDouble))), 6).as("cos"))

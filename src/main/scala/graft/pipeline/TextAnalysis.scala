@@ -1,7 +1,6 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators a training-data pipeline runs over every
@@ -102,10 +101,19 @@ object TextAnalysis {
   def fingerprints(docs: DataFrame): DataFrame = {
     val toks = docs.select(col("doc_id"), posexplode(ts).as(Seq("p0", "t")))
       .select(col("doc_id"), (col("p0") + 1).cast("long").as("p"), col("t"))
-    val dict = toks.select(col("t")).distinct()
-      .withColumn("tid", dense_rank().over(Window.orderBy(col("t"))).cast("long"))
+    val dict = Dedup.denseIds(toks, "t", "tid")
     toks.join(dict, "t")
       .select(col("doc_id"), (col("p") * ((col("tid") * 131 + 7) % 1000003)).as("c"))
       .groupBy(col("doc_id")).agg(sum(col("c")).as("fingerprint"))
   }
+
+  /** Production-path fingerprint: token contribution from xxhash64, no
+    * dictionary at all — a single map + aggregate, the 10^12-doc shape
+    * (rows-only in the driver gate: independent engines can't reproduce
+    * xxhash64 seeds). */
+  def fingerprintsProd(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), posexplode(ts).as(Seq("p0", "t")))
+      .select(col("doc_id"),
+        ((col("p0") + 1).cast("long") * pmod(xxhash64(col("t")), lit(1000003L))).as("c"))
+      .groupBy(col("doc_id")).agg(sum(col("c")).as("fingerprint"))
 }

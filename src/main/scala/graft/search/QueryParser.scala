@@ -27,7 +27,8 @@ import scala.collection.mutable.ArrayBuffer
   * bare clauses are SHOULD, `AND` upgrades both neighbors to MUST,
   * `NOT`/`-` marks MUST_NOT, `+` marks MUST.
   */
-final class QueryParser(analyzer: Analyzer = Analyzer.standard) {
+final class QueryParser(analyzer: Analyzer = Analyzer.standard,
+    keywordFields: Set[String] = Set("repo", "path", "commit", "lang")) {
 
   private sealed trait Occur
   private case object Should extends Occur
@@ -92,11 +93,31 @@ final class QueryParser(analyzer: Analyzer = Analyzer.standard) {
     (q, cur)
   }
 
-  /** One clause: optional field prefix, then a primary, then ^boost. */
+  /** One clause: optional field prefix, then a primary, then ^boost.
+    * A KEYWORD field prefix (`path:`, `lang:`, …) takes the next token
+    * verbatim as an exact StringField term — reference: StringField is
+    * indexed untokenized, so query text must not be analyzed either; any
+    * other prefix (`content:`, unknown) selects the default text field. */
   private def parseClause(lx: Lexer): (Option[Query], Lexer) = {
     var cur = lx
-    // field prefix (single-field engine: accepted, ignored)
-    if (cur.peek.exists(t => t.endsWith(":") && t.length > 1)) cur = cur.advance
+    var field: Option[String] = None
+    if (cur.peek.exists(t => t.endsWith(":") && t.length > 1)) {
+      field = Some(cur.peek.get.dropRight(1))
+      cur = cur.advance
+    }
+    field match {
+      case Some(f) if keywordFields(f) =>
+        val tok = cur.peek.getOrElse(
+          throw new IllegalArgumentException(s"missing term after '$f:'"))
+        var q: Query = TermQ(s"$f:$tok")
+        var cur2 = cur.advance
+        if (cur2.peek.exists(_.startsWith("^"))) {
+          q = applyBoost(q, cur2.peek.get.drop(1).toFloat)
+          cur2 = cur2.advance
+        }
+        return (Some(q), cur2)
+      case _ => // default text field
+    }
     val (q0, nx) = parsePrimary(cur)
     var cur2 = nx
     var q = q0

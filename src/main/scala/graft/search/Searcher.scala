@@ -401,6 +401,55 @@ final class Searcher(reader: IndexReader, pruneMinBlocks: Int = 64,
     }
   }
 
+  /** Span-algebra evaluation (reference: Search/Spans/, SURVEY §2.3):
+    * per-doc span count of an arbitrary [[SpanQuery]] tree. Candidate
+    * pruning follows the tree's structure — OR unions its children's doc
+    * sets, NEAR intersects them, NOT/FIRST prune on the positive branch —
+    * then candidates are re-analyzed and [[Spans.eval]] runs the interval
+    * algebra per doc (the QUERY_FIRST frame phrases use). */
+  def spanCount(q: SpanQuery): Dataset[(Long, Int)] = {
+    val allTerms = Spans.terms(q).toSeq
+    val stats = reader.termStats(allTerms)
+    val live = allTerms.filter(stats.contains).toSet
+    def cands(sq: SpanQuery): Option[Dataset[Long]] = sq match {
+      case SpanTermQ(t) => if (live(t)) Some(termDocIds(t)) else None
+      case SpanOrQ(cs) =>
+        val subs = cs.flatMap(cands)
+        if (subs.isEmpty) None else Some(subs.reduce(_ union _).distinct())
+      case SpanNearQ(cs, _, _) =>
+        val subs = cs.map(cands)
+        if (subs.exists(_.isEmpty)) None
+        else Some(subs.flatten.reduce(_ intersect _))
+      case SpanNotQ(inc, _) => cands(inc)
+      case SpanFirstQ(sub, _) => cands(sub)
+    }
+    cands(q) match {
+      case None => spark.emptyDataset[(Long, Int)]
+      case Some(candidates) =>
+        val analyzers = analyzerFor
+        val query = q
+        val liveTerms = live
+        val docs = reader.docsTable
+          .join(candidates.toDF("cDocId"), $"docId" === $"cDocId")
+          .select($"docId", $"lang", $"content").as[(Long, String, String)]
+        docs.mapPartitions { it =>
+          val analyzerCache = scala.collection.mutable.HashMap.empty[String, graft.analysis.Analyzer]
+          it.flatMap { case (docId, lang, content) =>
+            val toks = analyzerCache.getOrElseUpdate(lang, analyzers(lang)).analyze(content).tokens
+            val posByTerm = scala.collection.mutable.HashMap.empty[String, scala.collection.mutable.ArrayBuffer[Int]]
+            toks.foreach { t =>
+              if (liveTerms.contains(t.term))
+                posByTerm.getOrElseUpdate(t.term, scala.collection.mutable.ArrayBuffer.empty) += t.position
+            }
+            val posOf: String => Array[Int] =
+              t => posByTerm.get(t).map(_.toArray).getOrElse(Array.empty)
+            val n = Spans.eval(query, posOf).length
+            if (n > 0) Iterator.single((docId, n)) else Iterator.empty
+          }
+        }
+    }
+  }
+
   /** DocIds of one term, decoded from the pruned postings scan. */
   private def termDocIds(t: String): Dataset[Long] =
     reader.postings.where($"term" === t)

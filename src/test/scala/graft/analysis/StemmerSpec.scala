@@ -1,0 +1,75 @@
+package graft.analysis
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Porter stemmer vs Martin Porter's published test corpus (the same
+  * voc.txt/output.txt pair the reference's TestPorterStemFilter uses),
+  * plus the analyzer-chain integration. */
+class StemmerSpec extends AnyFunSuite {
+
+  test("inline golden pairs from the published algorithm") {
+    val pairs = Seq(
+      "caresses" -> "caress", "ponies" -> "poni", "ties" -> "ti",
+      "caress" -> "caress", "cats" -> "cat", "feed" -> "feed",
+      "agreed" -> "agre", "plastered" -> "plaster", "bled" -> "bled",
+      "motoring" -> "motor", "sing" -> "sing", "conflated" -> "conflat",
+      "troubled" -> "troubl", "sized" -> "size", "hopping" -> "hop",
+      "tanned" -> "tan", "falling" -> "fall", "hissing" -> "hiss",
+      "fizzed" -> "fizz", "failing" -> "fail", "filing" -> "file",
+      "happy" -> "happi", "sky" -> "sky", "relational" -> "relat",
+      "conditional" -> "condit", "rational" -> "ration",
+      "valenci" -> "valenc", "hesitanci" -> "hesit", "digitizer" -> "digit",
+      "conformabli" -> "conform", "radicalli" -> "radic",
+      "differentli" -> "differ", "vileli" -> "vile", "analogousli" -> "analog",
+      "vietnamization" -> "vietnam", "predication" -> "predic",
+      "operator" -> "oper", "feudalism" -> "feudal",
+      "decisiveness" -> "decis", "hopefulness" -> "hope",
+      "callousness" -> "callous", "formaliti" -> "formal",
+      "sensitiviti" -> "sensit", "sensibiliti" -> "sensibl",
+      "triplicate" -> "triplic", "formative" -> "form", "formalize" -> "formal",
+      "electriciti" -> "electr", "electrical" -> "electr", "hopeful" -> "hope",
+      "goodness" -> "good", "revival" -> "reviv", "allowance" -> "allow",
+      "inference" -> "infer", "airliner" -> "airlin", "gyroscopic" -> "gyroscop",
+      "adjustable" -> "adjust", "defensible" -> "defens", "irritant" -> "irrit",
+      "replacement" -> "replac", "adjustment" -> "adjust", "dependent" -> "depend",
+      "adoption" -> "adopt", "homologou" -> "homolog", "communism" -> "commun",
+      "activate" -> "activ", "angulariti" -> "angular", "homologous" -> "homolog",
+      "effective" -> "effect", "bowdlerize" -> "bowdler",
+      "probate" -> "probat", "rate" -> "rate", "cease" -> "ceas",
+      "controll" -> "control", "roll" -> "roll")
+    pairs.foreach { case (in, out) =>
+      assert(PorterStemmer.stem(in) === out, s"stem($in)")
+    }
+  }
+
+  test("full published vocabulary (23k words) when the archive is present") {
+    val zipPath = new java.io.File("/root/reference/src/" +
+      "Lucene.Net.Tests.Analysis.Common/Analysis/En/porterTestData.zip")
+    assume(zipPath.exists(), "reference test archive unavailable")
+    val zf = new java.util.zip.ZipFile(zipPath)
+    def lines(name: String): Seq[String] = {
+      val e = zf.getEntry(name)
+      val src = scala.io.Source.fromInputStream(zf.getInputStream(e), "UTF-8")
+      try src.getLines().toList finally src.close()
+    }
+    val voc = lines("voc.txt")
+    val out = lines("output.txt")
+    zf.close()
+    assert(voc.length === out.length)
+    val bad = voc.zip(out).collect {
+      case (v, o) if PorterStemmer.stem(v) != o => s"$v -> ${PorterStemmer.stem(v)} (want $o)"
+    }
+    assert(bad.isEmpty, s"${bad.length} mismatches; first 10:\n${bad.take(10).mkString("\n")}")
+  }
+
+  test("stemming analyzer: opt-in stage after the stop filter") {
+    val a = Analyzer.englishStemming
+    assert(a.analyze("the dogs were running happily").tokens.map(_.term).toSeq ===
+      Seq("dog", "were", "run", "happili"))
+    // positions still reflect stop gaps
+    assert(a.analyze("running the dogs").tokens.map(_.position).toSeq === Seq(0, 2))
+    // default analyzer untouched
+    assert(Analyzer.standard.analyze("running dogs").tokens.map(_.term).toSeq ===
+      Seq("running", "dogs"))
+  }
+}

@@ -54,4 +54,39 @@ class DeletesSpec extends AnyFunSuite {
     assert(se.map(_.score).toSeq === sf.map(_.score).toSeq)
     assert(se.length === 1)
   }
+
+  test("expunge is fully distributed: multi-partition index, broadcast joins disabled") {
+    import spark.implicits._
+    // 700 docs / 4 partitions; delete every 7th doc; run expunge with
+    // auto-broadcast OFF so every remap join must work as a shuffle join —
+    // the DocMap is a table, not a driver-side map
+    val corpus = CorpusGen.dataset(spark, 700, 4)
+    val dir = SparkTestSession.tmpDir("graft-del-big-")
+    IndexBuilder.build(spark, corpus, dir, numPartitions = 4)
+    val dead = spark.range(0, 700, 7).map(_.toLong)
+    Deletes.deleteDocs(spark, dir, dead)
+
+    val expunged = SparkTestSession.tmpDir("graft-del-big-exp-")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try Deletes.expunge(spark, dir, expunged, numPartitions = 4)
+    finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+    val report = CheckIndex.check(spark, expunged)
+    assert(report.ok, report.problems.mkString("; "))
+    val cs = spark.read.parquet(IndexPaths.collectionStats(expunged))
+      .as[CollectionStatsRow].head()
+    assert(cs.maxDoc === 600)
+    // renumbering preserves corpus order: fresh build of the survivors
+    // (docId = rank in (repo, path, commit) sort order) must score and
+    // rank identically
+    val sortedFiles = CorpusGen.local(700).sortBy(f => (f.repo, f.path, f.commit))
+    val keptCorpus = spark.createDataset(
+      sortedFiles.zipWithIndex.collect { case (f, i) if i % 7 != 0 => f })
+    val freshDir = SparkTestSession.tmpDir("graft-del-big-fresh-")
+    IndexBuilder.build(spark, keptCorpus, freshDir, numPartitions = 4)
+    val se = new Searcher(new IndexReader(spark, expunged)).search(TermQ("def"), 25)
+    val sf = new Searcher(new IndexReader(spark, freshDir)).search(TermQ("def"), 25)
+    assert(se.map(h => (h.docId, h.score)).toSeq === sf.map(h => (h.docId, h.score)).toSeq)
+  }
 }

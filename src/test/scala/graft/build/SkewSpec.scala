@@ -55,4 +55,41 @@ class SkewSpec extends AnyFunSuite {
     val report = CheckIndex.check(spark, dir)
     assert(report.ok, report.problems.mkString("; "))
   }
+
+  test("n-gram dedup: hot-shingle df cap bounds the candidate join") {
+    import spark.implicits._
+    import graft.pipeline.Dedup
+    // every doc shares one boilerplate line (a stop-shingle with df = n);
+    // two docs are genuine near-dups via rare shingles
+    val boiler = "this file is part of the build"
+    val n = 60
+    val docs = (0 until n).map { i =>
+      val body =
+        if (i == 1) "alpha beta gamma delta epsilon zeta"
+        else if (i == 2) "alpha beta gamma delta epsilon eta"
+        else s"unique$i phrase number $i only here"
+      (i.toLong, s"$boiler $body")
+    }.toDF("doc_id", "text")
+    // cap below the boilerplate df: the stop-shingles are excluded from
+    // candidate generation, so candidates stay O(near-dup clusters), not
+    // O(n^2) over the boilerplate
+    val ds = Dedup.docShingles(docs)
+    val eligible = ds.groupBy($"s").agg(count("*").as("df")).where($"df" <= 10)
+    val capped = ds.join(eligible.select("s"), Seq("s"), "left_semi")
+    val cands = capped.select($"doc_id".as("a"), $"s")
+      .join(capped.select($"doc_id".as("b"), $"s"), "s")
+      .where($"a" < $"b").select("a", "b").distinct()
+    assert(cands.count() < n.toLong * (n - 1) / 4,
+      "candidate pairs must not explode quadratically on the stop-shingle")
+    // the real near-dup pair survives the cap
+    val pairs = Dedup.ngramJaccardPairs(docs, w = 3, minJaccard = 0.3,
+      maxShingleDf = 10).select("a", "b").as[(Long, Long)].collect()
+    assert(pairs.contains((1L, 2L)))
+    // and with the default (high) cap results are unchanged vs uncapped
+    val withDefault = Dedup.ngramJaccardPairs(docs, w = 3, minJaccard = 0.3)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val uncapped = Dedup.ngramJaccardPairs(docs, w = 3, minJaccard = 0.3,
+      maxShingleDf = Long.MaxValue).select("a", "b").as[(Long, Long)].collect().toSet
+    assert(withDefault === uncapped)
+  }
 }

@@ -49,6 +49,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 102L || p._2 == 102L), "unrelated doc must not pair")
   }
 
+  test("simhash/fingerprint production (xxhash64) paths group duplicates like parity") {
+    // duplicate docs collapse to equal signatures under BOTH hash
+    // families; distinct contents get distinct fingerprints
+    def groupsOf(df: DataFrame, valueCol: String): Set[Set[Long]] =
+      df.groupBy(col(valueCol)).agg(collect_set($"doc_id").as("g"))
+        .select($"g").as[Seq[Long]].collect().map(_.toSet).toSet
+    val shParity = groupsOf(Dedup.simhash(docs), "simhash")
+    val shProd = groupsOf(Dedup.simhashProd(docs), "simhash")
+    assert(shParity.exists(_.intersect(Set(0L, 100L)) == Set(0L, 100L)))
+    assert(shProd.exists(_.intersect(Set(0L, 100L)) == Set(0L, 100L)))
+    val fpParity = groupsOf(TextAnalysis.fingerprints(docs), "fingerprint")
+    val fpProd = groupsOf(TextAnalysis.fingerprintsProd(docs), "fingerprint")
+    assert(fpParity === fpProd, "fingerprint equality classes must agree")
+    assert(fpProd.contains(Set(0L, 100L)), "exact ordered copy shares a fingerprint")
+  }
+
   test("minhash production (xxhash64) path agrees with the parity path") {
     val parity = Dedup.minhashNearDups(docs, 0.3)
       .select($"a", $"b", round($"jac", 6).as("j")).as[(Long, Long, Double)]

@@ -65,4 +65,22 @@ class PlanSpec extends AnyFunSuite {
     val joined = post.join(broadcast(dict), "term")
     assert(planOf(joined).contains("BroadcastHashJoin"))
   }
+
+  test("no single-partition window anywhere in the gated query plans") {
+    // the parity dictionaries and the pagination oracle used to run a
+    // global Window.orderBy (one task owns everything at scale); they are
+    // now term_dict-shaped (denseIds) / limit-anti-join — assert the
+    // WindowExec never comes back
+    import graft.ops.{PipelineQueries, VerifyQueries}
+    val sf = "/root/testdata/sf0.001"
+    for (name <- Seq("q_dedup_minhash", "q_dedup_simhash", "q_fingerprint",
+      "q_searchafter", "q_dedup_ngram")) {
+      val df = (VerifyQueries.queries ++ PipelineQueries.queries)(name)(spark, sf)
+      val windows = df.queryExecution.sparkPlan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      assert(windows.forall(_.partitionSpec.nonEmpty),
+        s"$name still plans a no-partition WindowExec")
+    }
+  }
 }
