@@ -440,6 +440,38 @@ object VerifyQueries {
        |WHERE tf.term = 'merge' AND d.lang = 'en'
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Drill-sideways facets (reference: Lucene.Net.Facet/DrillSideways.cs):
+    * drilling on (lang='en', dl_bucket=1), each dimension's counts apply
+    * every OTHER dimension's filter but ignore its own — the near-miss
+    * counts a faceted UI shows next to the drill-down. */
+  def qDrillSideways(spark: SparkSession, sf: String): DataFrame = {
+    val dir = ensure(spark, sf)
+    val h = hits(spark, dir, Seq("merge")).select(col("doc_id"))
+    val stats = spark.read.parquet(IndexPaths.docstats(dir))
+      .select(col("docId").as("doc_id"), col("lang"),
+        (col("tokenCount").cast("long") / 25).cast("long").as("dl_bucket"))
+    val base = h.join(broadcast(stats), Seq("doc_id"))
+    val langSide = base.where(col("dl_bucket") === 1)
+      .groupBy(col("lang").as("value")).agg(count("*").as("n"))
+      .select(lit("lang").as("dim"), col("value"), col("n"))
+    val bucketSide = base.where(col("lang") === "en")
+      .groupBy(col("dl_bucket").cast("string").as("value")).agg(count("*").as("n"))
+      .select(lit("dl_bucket").as("dim"), col("value"), col("n"))
+    langSide.unionByName(bucketSide).orderBy(col("dim"), col("value"))
+  }
+  val oDrillSideways: String =
+    s"""$OracleCtes
+       |SELECT 'lang' AS dim, d.lang AS value, count(*) AS n
+       |FROM tf JOIN dl USING (doc_id) JOIN documents d USING (doc_id)
+       |WHERE tf.term = 'merge' AND dl.dl // 25 = 1
+       |GROUP BY 2
+       |UNION ALL
+       |SELECT 'dl_bucket' AS dim, CAST(dl.dl // 25 AS VARCHAR) AS value, count(*) AS n
+       |FROM tf JOIN dl USING (doc_id) JOIN documents d USING (doc_id)
+       |WHERE tf.term = 'merge' AND d.lang = 'en'
+       |GROUP BY 2
+       |ORDER BY dim, value""".stripMargin
+
   /** Doc-length stats (norms source): the whole docstats table. */
   def qDocLengths(spark: SparkSession, sf: String): DataFrame = {
     val dir = ensure(spark, sf)
@@ -695,6 +727,47 @@ object VerifyQueries {
       |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  /** Score-carrying query-time join (reference:
+    * Lucene.Net.Join/TermsIncludingScoreQuery.cs, JoinUtil ScoreMode
+    * Total): from-side scores (order totals) aggregate per join key and
+    * ride onto the to-side docs (customers), ranked by the joined score.
+    * Integer-cents aggregation keeps the sum order-independent. */
+  def qJoinScores(spark: SparkSession, sf: String): DataFrame = {
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+      .select(col("o_custkey"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("c"))
+    val s = o.groupBy(col("o_custkey")).agg(sum(col("c")).as("cs"))
+    val cust = spark.read.parquet(s"$sf/customer.parquet")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    cust.join(s, cust("c_custkey") === s("o_custkey"))
+      .select(col("c_custkey"), col("c_mktsegment"),
+        round(col("cs") / lit(100.0), 2).as("score"))
+      .orderBy(col("score").desc, col("c_custkey")).limit(20)
+  }
+  val oJoinScores: String =
+    """SELECT c_custkey, c_mktsegment,
+      |  round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 100.0e0, 2) AS score
+      |FROM customer JOIN orders ON o_custkey = c_custkey
+      |GROUP BY 1, 2 ORDER BY score DESC, c_custkey LIMIT 20""".stripMargin
+
+  /** Parent→child block-join navigation (reference:
+    * Lucene.Net.Join/ToChildBlockJoinQuery.cs): parents matching a
+    * predicate return their CHILD docs. */
+  def qChildJoin(spark: SparkSession, sf: String): DataFrame = {
+    val parents = spark.read.parquet(s"$sf/orders.parquet")
+      .where(col("o_orderpriority") === "1-URGENT" && col("o_totalprice") > 150000)
+      .select(col("o_orderkey"))
+    spark.read.parquet(s"$sf/lineitem.parquet")
+      .join(broadcast(parents), col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .select(col("l_orderkey"), col("l_linenumber"))
+      .orderBy(col("l_orderkey"), col("l_linenumber")).limit(50)
+  }
+  val oChildJoin: String =
+    """SELECT l_orderkey, l_linenumber FROM lineitem
+      |WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+      |                     WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 150000)
+      |ORDER BY l_orderkey, l_linenumber LIMIT 50""".stripMargin
+
   /** Anti-join (customers without orders). */
   def qJoinAnti(spark: SparkSession, sf: String): DataFrame = {
     val orders = spark.read.parquet(s"$sf/orders.parquet")
@@ -769,6 +842,9 @@ object VerifyQueries {
     "q_suggest" -> qSuggest _,
     "q_spell" -> qSpell _,
     "q_drilldown" -> qDrilldown _,
+    "q_drill_sideways" -> qDrillSideways _,
+    "q_join_scores" -> qJoinScores _,
+    "q_child_join" -> qChildJoin _,
     "q_doc_lengths" -> qDocLengths _,
     "q_collection_stats" -> qCollectionStats _,
     "q_dict_topdf" -> qDictTopDf _,
@@ -813,6 +889,9 @@ object VerifyQueries {
     "q_suggest" -> oSuggest,
     "q_spell" -> oSpell,
     "q_drilldown" -> oDrilldown,
+    "q_drill_sideways" -> oDrillSideways,
+    "q_join_scores" -> oJoinScores,
+    "q_child_join" -> oChildJoin,
     "q_doc_lengths" -> oDocLengths,
     "q_collection_stats" -> oCollectionStats,
     "q_dict_topdf" -> oDictTopDf,
