@@ -52,6 +52,10 @@ object BuildBench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.host", "localhost")
+      .config("spark.io.compression.codec",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_CODEC", "lz4"))
+      .config("spark.sql.parquet.compression.codec",
+        sys.env.getOrElse("SPARK_GRAFT_PARQUET_CODEC", "snappy"))
       // shuffle/spill on tmpfs: the measurement targets compute scaling,
       // not this container's single virtual disk (a real cluster has a
       // disk per executor; here 32 tasks would share one /dev/vda)
