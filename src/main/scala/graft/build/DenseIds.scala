@@ -23,6 +23,10 @@ object DenseIds {
       .select(col(keyCol), monotonically_increasing_id().as("mid"))
       .select(col(keyCol), shiftright(col("mid"), 33).cast("int").as("pid"),
         col("mid").bitwiseAND((1L << 33) - 1).as("localIdx"))
+      // the per-partition count action below and the caller's consumption
+      // would otherwise each run the distinct+sort lineage; the dictionary
+      // is key-cardinality-sized, so caching it is the cheaper trade
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val counts = sorted.groupBy(col("pid")).agg(count("*").as("n"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     var off = base

@@ -154,6 +154,38 @@ final class LMJelinekMercerSimilarity(lambda: Float = 0.1f) extends SimilarityLi
   def coord(matched: Int, total: Int): Float = 1f
 }
 
+/** Information-based LL/D(f)/H2 model (reference: IBSimilarity.cs:117-120
+  * with DistributionLL.cs:40-43 — score = -log(λ/(tfn+λ)) —
+  * LambdaDF.cs:38-41 — λ = (df+1)/(N+1) — and the same H2 normalization
+  * DFR uses, c = 1):
+  *
+  *   tfn   = tf · log2(1 + avgdl/dl)
+  *   score = Σ_terms boost · (-log(λ / (tfn + λ)))
+  *
+  * Layout: w = [boost, λ(t1), λ(t2), …]. */
+final class IBLLSimilarity(avgdl: Float, c: Float = 1f) extends SimilarityLike {
+  private def log2(x: Double): Double = math.log(x) / math.log(2)
+  def clauseWeights(clauses: Seq[(Seq[String], Float)],
+                    stats: Map[String, TermDictRow],
+                    maxDoc: Long, sumTotalTermFreq: Long): Seq[Array[Float]] =
+    clauses.map { case (ts, boost) =>
+      (boost +: ts.map(t => (dfOf(stats, t) + 1f) / (maxDoc + 1f))).toArray
+    }
+  def score(tf: Float, normByte: Byte, w: Array[Float]): Float = {
+    val dl = BM25.NormTable(normByte & 0xff)
+    val tfn = (tf * log2(1 + c * avgdl / dl)).toFloat
+    val boost = w(0)
+    var sum = 0f
+    var i = 1
+    while (i < w.length) {
+      sum += boost * (-math.log(w(i) / (tfn + w(i)))).toFloat
+      i += 1
+    }
+    sum
+  }
+  def coord(matched: Int, total: Int): Float = 1f
+}
+
 /** Divergence-from-randomness I(n)L2 (reference: DFRSimilarity.cs:125-129
   * with BasicModelIn.cs:38-43, AfterEffectL.cs:38-41,
   * NormalizationH2.cs:56-59, c = 1):

@@ -63,6 +63,16 @@ class SimilaritySpec extends AnyFunSuite {
     assert(hits(0).score === expected)
   }
 
+  test("IB LL/D(f)/H2: closed form (c=1)") {
+    val hits = searcher.searchWith(new IBLLSimilarity(avgdl), TermQ("dogs"), 10)
+    assert(hits.map(_.docId).toSeq === Seq(1L))
+    def log2(x: Double) = math.log(x) / math.log(2)
+    val dl = BM25.NormTable(BM25.encodeNorm(2) & 0xff)
+    val tfn = (2f * log2(1 + avgdl / dl)).toFloat
+    val lambda = (1L + 1f) / (6L + 1f)
+    assert(hits(0).score === (-math.log(lambda / (tfn + lambda))).toFloat)
+  }
+
   test("DFR I(n)L2: closed form (c=1)") {
     val hits = searcher.searchWith(new DFRInL2Similarity(avgdl), TermQ("dogs"), 10)
     assert(hits.map(_.docId).toSeq === Seq(1L))
