@@ -31,7 +31,8 @@ final case class AnalyzedDoc(tokens: Array[Token], length: Int, numOverlap: Int)
   */
 final class Analyzer(val stopWords: Set[String], val maxTokenLength: Int = 255,
     val tokenizer: String => Array[RawToken] = UAX29Tokenizer.tokenize,
-    val stemmer: Option[String => String] = None)
+    val stemmer: Option[String => String] = None,
+    val synonyms: Map[String, Seq[String]] = Map.empty)
     extends Serializable {
 
   def analyze(text: String): AnalyzedDoc = {
@@ -39,6 +40,7 @@ final class Analyzer(val stopWords: Set[String], val maxTokenLength: Int = 255,
     val out = new ArrayBuffer[Token](raw.length)
     var pos = -1
     var length = 0
+    var numOverlap = 0
     var idx = 0
     while (idx < raw.length) {
       val t = raw(idx)
@@ -51,11 +53,24 @@ final class Analyzer(val stopWords: Set[String], val maxTokenLength: Int = 255,
           val emitted = stemmer.fold(lowered)(f => f(lowered))
           out += Token(emitted, pos, t.startOff, t.endOff)
           length += 1
+          // synonym injection at the SAME position (posIncr == 0): the
+          // injected tokens count in Length AND NumOverlap, so the BM25
+          // doc length (Length - NumOverlap) stays the base token count —
+          // the reference's DocInverterPerField norm accounting
+          // (DocInverterPerField.cs:139-199, SURVEY §2.1)
+          synonyms.get(emitted) match {
+            case Some(alts) => alts.foreach { a =>
+              out += Token(a, pos, t.startOff, t.endOff)
+              length += 1
+              numOverlap += 1
+            }
+            case None =>
+          }
         }
       }
       idx += 1
     }
-    AnalyzedDoc(out.toArray, length, numOverlap = 0)
+    AnalyzedDoc(out.toArray, length, numOverlap)
   }
 
   /** Analyze query text exactly like index text (index/query token parity —

@@ -315,14 +315,20 @@ final class Searcher(reader: IndexReader, pruneMinBlocks: Int = 64,
       it.flatMap { case (docId, lang, content, norm) =>
         val analyzer = analyzerCache.getOrElseUpdate(lang, analyzers(lang))
         val toks = analyzer.analyze(content).tokens
-        val byPos = new java.util.HashMap[Int, String](toks.length * 2)
-        toks.foreach(t => byPos.put(t.position, t.term))
+        // a position may hold several tokens (synonym injection, posIncr
+        // 0) — a phrase slot matches if ANY token at that position does
+        val byPos = new java.util.HashMap[Int, List[String]](toks.length * 2)
+        toks.foreach(t =>
+          byPos.merge(t.position, List(t.term), (a, b) => b ::: a))
         var freq = 0
+        var anchorPos = -1
         toks.foreach { t =>
-          if (t.term == phraseArr(0)) {
+          if (t.term == phraseArr(0) && t.position != anchorPos) {
             var i = 1
-            while (i < nTerms && phraseArr(i) == byPos.get(t.position + i)) i += 1
-            if (i == nTerms) freq += 1
+            while (i < nTerms && {
+              val ts = byPos.get(t.position + i); ts != null && ts.contains(phraseArr(i))
+            }) i += 1
+            if (i == nTerms) { freq += 1; anchorPos = t.position }
           }
         }
         if (freq > 0) Iterator.single((docId, freq, norm)) else Iterator.empty
@@ -352,16 +358,19 @@ final class Searcher(reader: IndexReader, pruneMinBlocks: Int = 64,
       val analyzerCache = scala.collection.mutable.HashMap.empty[String, graft.analysis.Analyzer]
       it.flatMap { case (docId, lang, content) =>
         val toks = analyzerCache.getOrElseUpdate(lang, analyzers(lang)).analyze(content).tokens
-        val byPos = new java.util.HashMap[Int, String](toks.length * 2)
-        toks.foreach(t => byPos.put(t.position, t.term))
+        val byPos = new java.util.HashMap[Int, List[String]](toks.length * 2)
+        toks.foreach(t =>
+          byPos.merge(t.position, List(t.term), (a, b) => b ::: a))
         var freq = 0
+        var anchorPos = -1
         toks.foreach { t =>
-          if (slotSets(0).contains(t.term)) {
+          if (slotSets(0).contains(t.term) && t.position != anchorPos) {
             var i = 1
             while (i < n && {
-              val s = byPos.get(t.position + i); s != null && slotSets(i).contains(s)
+              val s = byPos.get(t.position + i)
+              s != null && s.exists(slotSets(i).contains)
             }) i += 1
-            if (i == n) freq += 1
+            if (i == n) { freq += 1; anchorPos = t.position }
           }
         }
         if (freq > 0) Iterator.single((docId, freq)) else Iterator.empty

@@ -163,6 +163,18 @@ class AnalyzerSpec extends AnyFunSuite {
     assert(es.tokens.map(_.position).toSeq == Seq(1, 3, 4))
   }
 
+  test("synonym injection: posIncr 0, Length/NumOverlap norm accounting") {
+    val a = new Analyzer(Analyzer.EnglishStopWords,
+      synonyms = Map("state" -> Seq("automaton")))
+    val d = a.analyze("the state machine")
+    // injected token shares the original's position (stop gap preserved)
+    assert(d.tokens.map(t => (t.term, t.position)).toSeq ===
+      Seq(("state", 1), ("automaton", 1), ("machine", 2)))
+    // Length counts every emitted token, NumOverlap the posIncr==0 ones,
+    // so the BM25 doc length ignores synonyms (reference norm contract)
+    assert(d.length === 3 && d.numOverlap === 1 && d.bm25DocLen === 2)
+  }
+
   test("accented function words are filtered (no diacritic folding happens)") {
     val es = Analyzer.forLang("es").analyze("está más casa sí perro")
     assert(es.tokens.map(_.term).toSeq == Seq("casa", "perro"))

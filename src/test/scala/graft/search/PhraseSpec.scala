@@ -151,6 +151,27 @@ class PhraseSpec extends AnyFunSuite {
     assert(freqs(Seq("a", "b"), 2).apply(4L) === 1f + 1f / 3f)
   }
 
+  test("synonyms at one position: phrase matches through either alternative") {
+    import spark.implicits._
+    val syn: String => graft.analysis.Analyzer = _ => new graft.analysis.Analyzer(
+      Set.empty, synonyms = Map("state" -> Seq("automaton")))
+    val docs = Seq(mk(0, "state machine runs"), mk(1, "other words"))
+    val d = SparkTestSession.tmpDir("graft-syn-")
+    IndexBuilder.build(spark, spark.createDataset(docs), d, numPartitions = 2,
+      analyzerFor = syn)
+    val s = new Searcher(new IndexReader(spark, d), analyzerFor = syn)
+    // the synonym term is indexed at the original's position: both the
+    // original and the synonym phrase match doc0 exactly once
+    val orig = s.phraseFreqs(Seq("state", "machine")).collect()
+    assert(orig.length === 1 && orig(0)._1 === 0L && orig(0)._2 === 1)
+    val viaSyn = s.phraseFreqs(Seq("automaton", "machine")).collect()
+    assert(viaSyn.length === 1 && viaSyn(0)._1 === 0L && viaSyn(0)._2 === 1)
+    // norms ignore the injected token: dl(doc0) == 3, not 4
+    val dl = spark.read.parquet(s"$d/docstats")
+      .where($"docId" === 0L).select($"tokenCount").as[Int].head()
+    assert(dl === 3)
+  }
+
   test("single-term phrase rewrites to TermQuery; absent term matches nothing") {
     val p1 = searcher.search(PhraseQ(Seq("state")), 10)
     val t1 = searcher.search(TermQ("state"), 10)
