@@ -96,6 +96,38 @@ object VerifyQueries {
        |SELECT doc_id, round(max(score), 6) AS score FROM scored
        |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
 
+  /** Fuzzy scoring (FuzzyQuery's default TOP_TERMS rewrite analog,
+    * reference: FuzzyQuery.cs:108 + FuzzyTermsEnum.cs:436): dictionary
+    * terms within 1 edit of 'merge', each hit boosted by similarity
+    * = 1 - d/min(|term|, |query|); per-(doc, term) rows keep the float
+    * summation question out of the oracle. */
+  def qFuzzyTopk(spark: SparkSession, sf: String): DataFrame = {
+    val dir = ensure(spark, sf)
+    val dict = spark.read.parquet(IndexPaths.termDict(dir))
+      .where(levenshtein(col("term"), lit("merge")) <= 1 &&
+        abs(length(col("term")) - lit(5)) <= 1)
+      .select(col("term"), levenshtein(col("term"), lit("merge")).as("d"))
+    val terms = dict.select("term").collect().map(_.getString(0)).toSeq
+    val b = lit(1.0) -
+      col("d").cast("double") / least(length(col("term")), lit(5)).cast("double")
+    scoredHits(spark, sf, terms)
+      .join(broadcast(dict), Seq("term"))
+      .select(col("doc_id"), col("term"), round(b * col("score"), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id"), col("term")).limit(20)
+  }
+  val oFuzzyTopk: String =
+    s"""$OracleCtes, fz AS (
+       |  SELECT term, levenshtein(term, 'merge') AS d FROM df
+       |  WHERE levenshtein(term, 'merge') <= 1 AND abs(length(term) - 5) <= 1
+       |), scored AS (
+       |  SELECT tf.doc_id, tf.term, fz.d, $OracleScore AS score
+       |  FROM tf JOIN dl USING (doc_id) JOIN df USING (term)
+       |  JOIN fz ON fz.term = tf.term CROSS JOIN stats
+       |)
+       |SELECT doc_id, term,
+       |  round((1.0e0 - CAST(d AS DOUBLE) / CAST(least(length(term), 5) AS DOUBLE)) * score, 6) AS score
+       |FROM scored ORDER BY score DESC, doc_id, term LIMIT 20""".stripMargin
+
   /** LM-Jelinek-Mercer top-k (reference:
     * Search/Similarities/LMJelinekMercerSimilarity.cs:60-63, λ=0.1):
     * query likelihood per matched clause,
@@ -836,6 +868,7 @@ object VerifyQueries {
     "q_prefix_df" -> qPrefixDf _,
     "q_prefix_wide" -> qPrefixWide _,
     "q_fuzzy_df" -> qFuzzyDf _,
+    "q_fuzzy_topk" -> qFuzzyTopk _,
     "q_range_df" -> qRangeDf _,
     "q_wildcard_df" -> qWildcardDf _,
     "q_term_vector" -> qTermVector _,
@@ -883,6 +916,7 @@ object VerifyQueries {
     "q_prefix_df" -> oPrefixDf,
     "q_prefix_wide" -> oPrefixWide,
     "q_fuzzy_df" -> oFuzzyDf,
+    "q_fuzzy_topk" -> oFuzzyTopk,
     "q_range_df" -> oRangeDf,
     "q_wildcard_df" -> oWildcardDf,
     "q_term_vector" -> oTermVector,

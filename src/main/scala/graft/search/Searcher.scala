@@ -70,6 +70,12 @@ final class IndexReader(val spark: SparkSession, val dir: String) extends Serial
 
 private final case class ClauseHit(docId: Long, idx: Int, score: Float)
 
+object Searcher {
+  /** FuzzyQuery's TOP_TERMS budget (reference: FuzzyQuery
+    * defaultMaxExpansions = 50). */
+  val FuzzyMaxExpansions = 50
+}
+
 /** BM25 top-k search over the index tables (≙ IndexSearcher, reference:
   * Search/IndexSearcher.cs:282-500, restated in SURVEY.md §3.2).
   *
@@ -155,6 +161,29 @@ final class Searcher(reader: IndexReader, pruneMinBlocks: Int = 64,
     * reference: MultiTermQuery.cs:69, ConstantScoreAutoRewrite.cs) +
     * boolean simplification. */
   def rewrite(q: Query): Query = q match {
+    case FuzzyQ(t, maxEdits, b) =>
+      // reference FuzzyQuery default rewrite: TOP_TERMS(50) with per-term
+      // boost = similarity = 1 - edits/min(|candidate|, |query|)
+      // (FuzzyQuery.cs:108, FuzzyTermsEnum.cs:436,
+      // TopTermsRewrite ranking: boost desc, then term)
+      val cand = reader.termDict
+        .where(levenshtein($"term", lit(t)) <= maxEdits &&
+          abs(length($"term") - lit(t.length)) <= maxEdits)
+        .select($"term", levenshtein($"term", lit(t)).as("d"))
+        .collect().map(r => (r.getString(0), r.getInt(1)))
+      val qLen = t.codePointCount(0, t.length)
+      val scored = cand.map { case (term, d) =>
+        val sim = 1f - d.toFloat /
+          math.min(term.codePointCount(0, term.length), qLen).toFloat
+        (term, sim)
+      }.sortBy { case (term, sim) => (-sim, term) }
+        .take(Searcher.FuzzyMaxExpansions)
+      scored.toSeq match {
+        case Seq() => BoolQ() // matches nothing
+        case Seq((one, sim)) => TermQ(one, b * sim)
+        case many => BoolQ(should = many.map { case (term, sim) =>
+          TermQ(term, b * sim) })
+      }
     case mt if multiTermPred(mt).isDefined =>
       reader.expandTermsOpt(multiTermPred(mt).get, maxClauseCount) match {
         case Some(ts) => orOf(ts, multiTermBoost(mt))

@@ -190,6 +190,24 @@ class CorpusSearchSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(range.nonEmpty)
   }
 
+  test("fuzzy TOP_TERMS rewrite: per-term similarity boosts") {
+    // 'def' is in every doc; FuzzyQ('defz', 1) matches only 'def' at
+    // distance 1 → boost = 1 - 1/min(3,4) = 2/3 of the exact-term score
+    val exact = searcher.search(TermQ("def"), 5)
+    val fuzzy = searcher.search(FuzzyQ("defz", 1), 5)
+    assert(fuzzy.map(_.docId).toSeq === exact.map(_.docId).toSeq)
+    fuzzy.zip(exact).foreach { case (f, e) =>
+      // boost folds into weightValue before the tf factor, so the product
+      // differs from post-multiplying by up to an ulp
+      assert(math.abs(f.score - e.score * (1f - 1f / 3f)) <= 2 * math.ulp(e.score),
+        s"${f.score} vs ${e.score * (1f - 1f / 3f)}")
+    }
+    // distance 0 keeps boost 1 (plus any other distance-1 matches summed)
+    val self = searcher.search(FuzzyQ("def", 0), 5)
+    assert(self.map(h => (h.docId, h.score)).toSeq ===
+      exact.map(h => (h.docId, h.score)).toSeq)
+  }
+
   test("wide multi-term: constant-score fallback past the clause budget") {
     // f1* matches f1, f10..f19 (11 terms) — force the budget below that
     val tiny = new Searcher(new IndexReader(spark, dir), maxClauseCount = 2)
