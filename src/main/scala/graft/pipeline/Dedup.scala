@@ -195,16 +195,49 @@ object Dedup {
       .groupBy(col("doc_id")).agg(sum(col("bv")).as("simhash"))
   }
 
-  /** Top near pairs by SimHash Hamming distance (ascending). All-pairs is
-    * fine at verification scale; at corpus scale the standard trick is to
-    * join on rotated/permuted signature prefixes instead (same bucket idea
-    * as LSH), which this API composes with. */
+  /** Top near pairs by SimHash Hamming distance (ascending). All-pairs —
+    * verification scale only; [[simhashPairsBucketed]] is the corpus-scale
+    * path. */
   def simhashPairs(sh: DataFrame, maxHamming: Int): DataFrame = {
     val a = sh.select(col("doc_id").as("a"), col("simhash").as("ha"))
     val b = sh.select(col("doc_id").as("b"), col("simhash").as("hb"))
     a.crossJoin(b).where(col("a") < col("b"))
       .select(col("a"), col("b"), expr("bit_count(ha ^ hb)").cast("long").as("hamming"))
       .where(col("hamming") <= maxHamming)
+  }
+
+  /** Corpus-scale SimHash pair search by the pigeonhole chunk trick
+    * (Charikar '02 / the standard near-dup sharding): split the 32-bit
+    * signature into `maxHamming + 1` disjoint chunks — any pair within
+    * Hamming distance `maxHamming` differs in at most `maxHamming` chunks,
+    * so it agrees EXACTLY on at least one → an equi-join on
+    * (chunkIndex, chunkValue) finds every such pair with no cross join;
+    * candidates are then confirmed with the exact bit_count. Result set
+    * is identical to [[simhashPairs]] (the bucketing is lossless for the
+    * given radius). */
+  def simhashPairsBucketed(sh: DataFrame, maxHamming: Int): DataFrame = {
+    val nChunks = maxHamming + 1
+    val bits = 32
+    val base = bits / nChunks
+    val rem = bits % nChunks
+    // chunk c covers [off(c), off(c)+len(c)): first `rem` chunks get an
+    // extra bit so the 32 bits partition exactly
+    val offs = (0 until nChunks).scanLeft(0)((o, c) => o + base + (if (c < rem) 1 else 0))
+    val chunks = (0 until nChunks).map { c =>
+      val len = base + (if (c < rem) 1 else 0)
+      val mask = (1L << len) - 1
+      sh.select(col("doc_id"), col("simhash"),
+        lit(c).as("chunk"),
+        expr(s"shiftright(simhash, ${offs(c)})").bitwiseAND(lit(mask)).as("key"))
+    }
+    val keyed = chunks.reduce(_ union _)
+    val a = keyed.select(col("chunk"), col("key"), col("doc_id").as("a"), col("simhash").as("ha"))
+    val b = keyed.select(col("chunk"), col("key"), col("doc_id").as("b"), col("simhash").as("hb"))
+    a.join(b, Seq("chunk", "key")).where(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        expr("bit_count(ha ^ hb)").cast("long").as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   // ----------------------------------------------------- n-gram jaccard

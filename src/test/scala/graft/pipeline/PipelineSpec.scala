@@ -49,6 +49,20 @@ class PipelineSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 102L || p._2 == 102L), "unrelated doc must not pair")
   }
 
+  test("simhash pigeonhole-bucketed pairs == all-pairs (lossless for the radius)") {
+    val sh = Dedup.simhashProd(docs)
+    for (maxHamming <- Seq(0, 3, 7)) {
+      val allPairs = Dedup.simhashPairs(sh, maxHamming)
+        .select($"a", $"b", $"hamming").as[(Long, Long, Long)].collect().toSet
+      val bucketed = Dedup.simhashPairsBucketed(sh, maxHamming)
+        .select($"a", $"b", $"hamming").as[(Long, Long, Long)].collect().toSet
+      assert(bucketed === allPairs, s"maxHamming=$maxHamming")
+    }
+    // the duplicate pair appears at hamming 0 through the bucketed path
+    assert(Dedup.simhashPairsBucketed(sh, 0).select($"a", $"b")
+      .as[(Long, Long)].collect().toSet.contains((0L, 100L)))
+  }
+
   test("simhash/fingerprint production (xxhash64) paths group duplicates like parity") {
     // duplicate docs collapse to equal signatures under BOTH hash
     // families; distinct contents get distinct fingerprints

@@ -145,3 +145,37 @@ object BM25Props extends Properties("BM25") {
       (1 to maxTf).forall(tf => BM25.score(tf.toFloat, maxNorm.toByte, w, cache) <= ub + 1e-6f)
   }
 }
+
+/** Sloppy-phrase properties: the greedy SloppyPhraseScorer traversal on
+  * random 2-slot position universes vs brute-force ground truth — this is
+  * the theorem the q_phrase_sloppy oracle stands on (for two distinct
+  * terms, a match exists iff some pair's adjusted window is within slop,
+  * because the min-advancing merge provably visits the globally minimal
+  * |a - (b-1)| pair). */
+object SloppyPhraseProps extends Properties("SloppyPhrase") {
+  import graft.search.SloppyPhrase
+
+  private val universeGen = for {
+    na <- Gen.chooseNum(1, 12)
+    nb <- Gen.chooseNum(1, 12)
+    pa <- Gen.listOfN(na, Gen.chooseNum(0, 60)).map(_.distinct.sorted)
+    pb0 <- Gen.listOfN(nb, Gen.chooseNum(0, 60)).map(_.distinct.sorted)
+    slop <- Gen.chooseNum(0, 8)
+  } yield (pa.toArray, pb0.filterNot(pa.contains).toArray, slop)
+
+  property("2-slot match set == {min adjusted window <= slop}") =
+    forAll(universeGen) { case (pa, pb, slop) =>
+      (pb.isEmpty) || {
+        val posOf = Map("a" -> pa, "b" -> pb)
+        val freq = SloppyPhrase.freq(IndexedSeq("a", "b"), posOf, slop)
+        val minWin = (for (x <- pa; y <- pb) yield math.abs((y - 1) - x)).min
+        (freq > 0f) == (minWin <= slop)
+      }
+    }
+
+  property("exact adjacency always matches with slop factor 1 contribution") =
+    forAll(Gen.chooseNum(0, 50), Gen.chooseNum(0, 4)) { (p, slop) =>
+      val posOf = Map("a" -> Array(p), "b" -> Array(p + 1))
+      SloppyPhrase.freq(IndexedSeq("a", "b"), posOf, slop) == 1f
+    }
+}
