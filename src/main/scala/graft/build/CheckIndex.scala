@@ -76,6 +76,28 @@ object CheckIndex {
     val sumDf = dict.agg(coalesce(sum($"df"), lit(0L))).collect()(0).getLong(0)
     if (sumDf != cs.sumDocFreq) problems += s"sumDocFreq ${cs.sumDocFreq} != Σ df $sumDf"
 
+    // 6b. positions sidecar (when present): every positions block aligns
+    //     with its posting block and per-posting position counts == tf
+    val posPath = new org.apache.hadoop.fs.Path(IndexPaths.positions(dir))
+    if (posPath.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(posPath)) {
+      val t = postings.toDF().select($"term", $"firstDocId", $"numDocs", $"bytes")
+        .toDF("term", "firstDocId", "tn", "tbytes")
+      val p = spark.read.parquet(IndexPaths.positions(dir))
+        .select($"term", $"firstDocId", $"bytes").toDF("term", "firstDocId", "pbytes")
+      val joined = t.join(p, Seq("term", "firstDocId"), "full_outer")
+      val badPos = joined.select($"firstDocId", $"tn", $"tbytes", $"pbytes")
+        .as[(Option[Long], Option[Int], Array[Byte], Array[Byte])]
+        .map { case (first, tn, tbytes, pbytes) =>
+          if (first.isEmpty || tn.isEmpty || tbytes == null || pbytes == null) 1L
+          else {
+            val (_, tfs, _) = PostingsCodec.decodeBlock(first.get, tn.get, tbytes)
+            val poss = PostingsCodec.decodePositionsBlock(tn.get, pbytes)
+            if (poss.indices.forall(i => poss(i).length == tfs(i))) 0L else 1L
+          }
+        }.toDF("bad").agg(coalesce(sum($"bad"), lit(0L))).collect()(0).getLong(0)
+      if (badPos > 0) problems += s"$badPos positions blocks misaligned or counts != tf"
+    }
+
     // 6. sha256 per-row invariant vs the source corpus
     corpus.foreach { c =>
       val mismatch = c.toDF().select($"repo", $"path", $"commit", $"sha256".as("sha_src"))

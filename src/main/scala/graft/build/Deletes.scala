@@ -67,6 +67,62 @@ private final class PostingsReencoder(it: Iterator[(String, Long, Int, Int)],
   }
 }
 
+/** Combined postings+positions re-encoder: same contract as
+  * [[PostingsReencoder]] but the sorted rows carry position lists and
+  * every emitted posting block pairs with its aligned positions blob —
+  * one pass, so block boundaries (term, firstDocId) agree by
+  * construction. */
+private final class PostingsPosReencoder(
+    it: Iterator[(String, Long, Int, Int, Array[Int])], segId: Int)
+    extends Iterator[(PostingRow, Array[Byte])] {
+  private val out = scala.collection.mutable.Queue.empty[(PostingRow, Array[Byte])]
+  private var curTerm: String = null
+  private var n = 0
+  private var ids = new Array[Long](128)
+  private var tfs = new Array[Int](128)
+  private var norms = new Array[Int](128)
+  private var poss = new Array[Array[Int]](128)
+
+  private def flush(): Unit = {
+    if (curTerm == null || n == 0) return
+    val bIds = java.util.Arrays.copyOf(ids, n)
+    val bTfs = java.util.Arrays.copyOf(tfs, n)
+    PostingsCodec.encodeBlocks(bIds, bTfs, java.util.Arrays.copyOf(norms, n))
+      .foreach { b =>
+        val from = java.util.Arrays.binarySearch(bIds, b.firstDocId)
+        var s = 0L
+        var i = 0
+        while (i < b.numDocs) { s += bTfs(from + i); i += 1 }
+        val slice = java.util.Arrays.copyOfRange(poss, from, from + b.numDocs)
+        out.enqueue((PostingRow(curTerm, b.firstDocId, b.lastDocId, b.numDocs,
+          b.maxTf, b.maxNorm, s, segId, b.bytes),
+          PostingsCodec.encodePositionsBlock(slice)))
+      }
+    n = 0
+  }
+
+  override def hasNext: Boolean = {
+    while (out.isEmpty && it.hasNext) {
+      val (t, id, tf, norm, ps) = it.next()
+      if (t != curTerm) { flush(); curTerm = t }
+      if (n == ids.length) {
+        ids = java.util.Arrays.copyOf(ids, n * 2)
+        tfs = java.util.Arrays.copyOf(tfs, n * 2)
+        norms = java.util.Arrays.copyOf(norms, n * 2)
+        poss = java.util.Arrays.copyOf(poss, n * 2)
+      }
+      ids(n) = id; tfs(n) = tf; norms(n) = norm; poss(n) = ps; n += 1
+    }
+    if (out.isEmpty) flush()
+    out.nonEmpty
+  }
+
+  override def next(): (PostingRow, Array[Byte]) = {
+    if (!hasNext) throw new NoSuchElementException
+    out.dequeue()
+  }
+}
+
 object Deletes {
 
   def tombstonesPath(dir: String): String = s"$dir/tombstones"
@@ -137,23 +193,63 @@ object Deletes {
     // re-encode per partition (ascending newIds per term within a
     // partition; hot terms split across partitions at newId boundaries,
     // blocks stay self-contained)
-    val decoded = spark.read.parquet(IndexPaths.postings(dir))
-      .select($"term", $"firstDocId", $"lastDocId", $"numDocs", $"maxTf",
-        $"maxNorm", $"sumTf", $"segId", $"bytes").as[PostingRow]
-      .flatMap { r =>
-        val (ids, tfs, norms) = PostingsCodec.decodeBlock(r.firstDocId, r.numDocs, r.bytes)
-        ids.indices.iterator.map(i => (r.term, ids(i), tfs(i), norms(i)))
-      }.toDF("term", "oldId", "tf", "norm")
-    val renumbered = decoded.join(remap, Seq("oldId"))
-      .select($"term", $"newId", $"tf", $"norm")
-      .repartitionByRange(numPartitions, $"term", $"newId")
-      .sortWithinPartitions($"term", $"newId")
-      .as[(String, Long, Int, Int)]
-    val blocks = renumbered.mapPartitions { it =>
-      val segId = org.apache.spark.TaskContext.getPartitionId()
-      new PostingsReencoder(it, segId)
+    val posPath = new org.apache.hadoop.fs.Path(IndexPaths.positions(dir))
+    val hasPositions = fs.exists(posPath)
+    if (!hasPositions) {
+      val decoded = spark.read.parquet(IndexPaths.postings(dir))
+        .select($"term", $"firstDocId", $"lastDocId", $"numDocs", $"maxTf",
+          $"maxNorm", $"sumTf", $"segId", $"bytes").as[PostingRow]
+        .flatMap { r =>
+          val (ids, tfs, norms) = PostingsCodec.decodeBlock(r.firstDocId, r.numDocs, r.bytes)
+          ids.indices.iterator.map(i => (r.term, ids(i), tfs(i), norms(i)))
+        }.toDF("term", "oldId", "tf", "norm")
+      val renumbered = decoded.join(remap, Seq("oldId"))
+        .select($"term", $"newId", $"tf", $"norm")
+        .repartitionByRange(numPartitions, $"term", $"newId")
+        .sortWithinPartitions($"term", $"newId")
+        .as[(String, Long, Int, Int)]
+      val blocks = renumbered.mapPartitions { it =>
+        val segId = org.apache.spark.TaskContext.getPartitionId()
+        new PostingsReencoder(it, segId)
+      }
+      blocks.write.mode(SaveMode.Overwrite).parquet(IndexPaths.postings(outDir))
+    } else {
+      // positions sidecar present: re-encode postings AND positions in
+      // one pass so the rebuilt block boundaries stay aligned
+      val t = spark.read.parquet(IndexPaths.postings(dir))
+        .select($"term", $"firstDocId", $"numDocs", $"bytes")
+        .toDF("term", "firstDocId", "tn", "tbytes")
+      val p = spark.read.parquet(IndexPaths.positions(dir))
+        .select($"term", $"firstDocId", $"bytes").toDF("term", "firstDocId", "pbytes")
+      val decoded = t.join(p, Seq("term", "firstDocId"))
+        .select($"term", $"firstDocId", $"tn", $"tbytes", $"pbytes")
+        .as[(String, Long, Int, Array[Byte], Array[Byte])]
+        .flatMap { case (term, firstDocId, n, tbytes, pbytes) =>
+          val (ids, tfs, norms) = PostingsCodec.decodeBlock(firstDocId, n, tbytes)
+          val poss = PostingsCodec.decodePositionsBlock(n, pbytes)
+          ids.indices.iterator.map(i => (term, ids(i), tfs(i), norms(i), poss(i)))
+        }.toDF("term", "oldId", "tf", "norm", "ps")
+      val renumbered = decoded.join(remap, Seq("oldId"))
+        .select($"term", $"newId", $"tf", $"norm", $"ps")
+        .repartitionByRange(numPartitions, $"term", $"newId")
+        .sortWithinPartitions($"term", $"newId")
+        .as[(String, Long, Int, Int, Array[Int])]
+      val combined = renumbered.mapPartitions { it =>
+        val segId = org.apache.spark.TaskContext.getPartitionId()
+        new PostingsPosReencoder(it, segId)
+      }.toDF("post", "posBytes")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      combined.select(col("post.*"))
+        .write.mode(SaveMode.Overwrite).parquet(IndexPaths.postings(outDir))
+      combined.select(col("post.term").as("term"),
+        col("post.firstDocId").as("firstDocId"),
+        col("post.lastDocId").as("lastDocId"),
+        col("post.numDocs").as("numDocs"),
+        col("post.segId").as("segId"),
+        col("posBytes").as("bytes"))
+        .write.mode(SaveMode.Overwrite).parquet(IndexPaths.positions(outDir))
+      combined.unpersist()
     }
-    blocks.write.mode(SaveMode.Overwrite).parquet(IndexPaths.postings(outDir))
 
     // dictionary + collection stats recomputed from the rewritten tables
     IndexBuilder.buildDictAndStats(spark, outDir, numPartitions)

@@ -104,7 +104,8 @@ object IndexBuilder {
                  numPartitions: Int,
                  analyzerFor: String => Analyzer = Analyzer.forLang,
                  docIdBase: Long = 0L,
-                 keywordFields: Seq[String] = Nil): Unit = {
+                 keywordFields: Seq[String] = Nil,
+                 indexPositions: Boolean = false): Unit = {
     import spark.implicits._
     val sorted = corpus
       .repartitionByRange(numPartitions, $"repo", $"path", $"commit")
@@ -114,9 +115,10 @@ object IndexBuilder {
     // checksum it would double the stage's I/O
     val acc = spark.sparkContext.collectionAccumulator[ManifestRow]("flushManifest")
     val kw = keywordFields
+    val withPos = indexPositions
     val flush = sorted.mapPartitions { it =>
       val segId = TaskContext.getPartitionId()
-      new FlushIterator(it, segId, analyzerFor, row => acc.add(row), kw)
+      new FlushIterator(it, segId, analyzerFor, row => acc.add(row), kw, withPos)
     }
     flush.write.mode(SaveMode.Overwrite).partitionBy("kind")
       .parquet(IndexPaths.flush(dir))
@@ -162,6 +164,21 @@ object IndexBuilder {
       .repartitionByRange(numPartitions, $"term", $"firstDocId")
       .sortWithinPartitions($"term", $"firstDocId")
       .write.mode(SaveMode.Overwrite).parquet(IndexPaths.postings(dir))
+    // optional positions sidecar (kind 'p' blocks, aligned with the
+    // posting blocks): same offset rebase, same term-sorted layout
+    val hasPos = spark.read.parquet(IndexPaths.flush(dir))
+      .where($"kind" === "p").limit(1).count() > 0
+    if (hasPos) {
+      spark.read.parquet(IndexPaths.flush(dir))
+        .where($"kind" === "p")
+        .join(broadcast(offsetsDf(spark, dir)), $"segId" === $"pid")
+        .select($"term", ($"firstDocId" + $"offset").as("firstDocId"),
+          ($"lastDocId" + $"offset").as("lastDocId"), $"numDocs", $"segId",
+          $"bytes").as[PositionsRow]
+        .repartitionByRange(numPartitions, $"term", $"firstDocId")
+        .sortWithinPartitions($"term", $"firstDocId")
+        .write.mode(SaveMode.Overwrite).parquet(IndexPaths.positions(dir))
+    }
     val p = spark.read.parquet(IndexPaths.postings(dir))
     val stats = p.groupBy(spark_partition_id().as("pid"))
       .agg(min($"term").as("tmin"), max($"term").as("tmax"),
@@ -222,7 +239,8 @@ object IndexBuilder {
             numPartitions: Int = 32, resume: Boolean = false,
             analyzerFor: String => Analyzer = Analyzer.forLang,
             docIdBase: Long = 0L,
-            keywordFields: Seq[String] = Nil): Unit = {
+            keywordFields: Seq[String] = Nil,
+            indexPositions: Boolean = false): Unit = {
     if (!resume) {
       val path = new org.apache.hadoop.fs.Path(dir)
       val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -236,7 +254,7 @@ object IndexBuilder {
     }
     if (!resume || !stageDone(spark, dir, "flush"))
       timed("flush")(buildFlush(spark, corpus, dir, numPartitions, analyzerFor,
-        docIdBase, keywordFields))
+        docIdBase, keywordFields, indexPositions))
     if (!resume || !stageDone(spark, dir, "postings"))
       timed("postings")(buildPostings(spark, dir, numPartitions))
     if (!resume || !stageDone(spark, dir, "stats"))
@@ -253,7 +271,8 @@ object IndexBuilder {
 private final class FlushIterator(docs: Iterator[SourceFile], segId: Int,
     analyzerFor: String => Analyzer,
     onComplete: ManifestRow => Unit = _ => (),
-    keywordFields: Seq[String] = Nil) extends Iterator[FlushRow] {
+    keywordFields: Seq[String] = Nil,
+    indexPositions: Boolean = false) extends Iterator[FlushRow] {
 
   // partition lineage, accumulated as blocks are emitted
   private var mTermMin: String = null
@@ -273,12 +292,20 @@ private final class FlushIterator(docs: Iterator[SourceFile], segId: Int,
     var docIds = new Array[Long](4)
     var tfs = new Array[Int](4)
     var norms = new Array[Int](4)
-    def add(d: Long, tf: Int, norm: Int): Unit = {
+    /** Per-posting position lists; null entries = positions not indexed
+      * for this term (keyword fields are DOCS_ONLY). */
+    var poss: Array[Array[Int]] = null
+    def add(d: Long, tf: Int, norm: Int, ps: Array[Int] = null): Unit = {
       if (n == docIds.length) {
         val cap = n * 2
         docIds = java.util.Arrays.copyOf(docIds, cap)
         tfs = java.util.Arrays.copyOf(tfs, cap)
         norms = java.util.Arrays.copyOf(norms, cap)
+        if (poss != null) poss = java.util.Arrays.copyOf(poss, cap)
+      }
+      if (ps != null) {
+        if (poss == null) poss = new Array[Array[Int]](docIds.length)
+        poss(n) = ps
       }
       docIds(n) = d; tfs(n) = tf; norms(n) = norm; n += 1
     }
@@ -291,6 +318,8 @@ private final class FlushIterator(docs: Iterator[SourceFile], segId: Int,
   private def emptyT = FlushRow("t", null, -1L, -1L, -1, -1, -1, -1L, segId,
     null, -1L, null, null, null, null, null, null, -1, -1)
   private def emptyD = FlushRow("d", null, -1L, -1L, -1, -1, -1, -1L, segId,
+    null, -1L, null, null, null, null, null, null, -1, -1)
+  private def emptyP = FlushRow("p", null, -1L, -1L, -1, -1, -1, -1L, segId,
     null, -1L, null, null, null, null, null, null, -1, -1)
 
   private def flushSegment(): Unit = {
@@ -312,6 +341,13 @@ private final class FlushIterator(docs: Iterator[SourceFile], segId: Int,
         out.enqueue(emptyT.copy(term = t, firstDocId = blk.firstDocId,
           lastDocId = blk.lastDocId, numDocs = blk.numDocs, maxTf = blk.maxTf,
           maxNorm = blk.maxNorm, sumTf = s, bytes = blk.bytes))
+        if (b.poss != null) {
+          // aligned positions block (keyword-field terms have no poss)
+          val slice = java.util.Arrays.copyOfRange(b.poss, off, off + blk.numDocs)
+          out.enqueue(emptyP.copy(term = t, firstDocId = blk.firstDocId,
+            lastDocId = blk.lastDocId, numDocs = blk.numDocs,
+            bytes = PostingsCodec.encodePositionsBlock(slice)))
+        }
         off += blk.numDocs
         // lineage (≙ what segments_N records per segment)
         if (mTermMin == null || t < mTermMin) mTermMin = t
@@ -340,11 +376,22 @@ private final class FlushIterator(docs: Iterator[SourceFile], segId: Int,
     val dl = analyzed.bm25DocLen
     val normByte = BM25.encodeNorm(dl) & 0xff
     // per-doc tf accumulation (≙ FreqProxTermsWriterPerField NewTerm/AddTerm)
-    val tfMap = mutable.HashMap.empty[String, Int]
-    analyzed.tokens.foreach(t => tfMap.update(t.term, tfMap.getOrElse(t.term, 0) + 1))
-    tfMap.foreach { case (term, tf) =>
-      terms.getOrElseUpdate(term, new Buf).add(docId, tf, normByte)
-      nBuffered += 1
+    if (indexPositions) {
+      // positions ride along (the DOCS_AND_FREQS_AND_POSITIONS option)
+      val posMap = mutable.HashMap.empty[String, mutable.ArrayBuffer[Int]]
+      analyzed.tokens.foreach(t =>
+        posMap.getOrElseUpdate(t.term, mutable.ArrayBuffer.empty) += t.position)
+      posMap.foreach { case (term, ps) =>
+        terms.getOrElseUpdate(term, new Buf).add(docId, ps.length, normByte, ps.toArray)
+        nBuffered += 1
+      }
+    } else {
+      val tfMap = mutable.HashMap.empty[String, Int]
+      analyzed.tokens.foreach(t => tfMap.update(t.term, tfMap.getOrElse(t.term, 0) + 1))
+      tfMap.foreach { case (term, tf) =>
+        terms.getOrElseUpdate(term, new Buf).add(docId, tf, normByte)
+        nBuffered += 1
+      }
     }
     // keyword (StringField-style) fields: exact value = one term, tf=1,
     // norm of a single-token field

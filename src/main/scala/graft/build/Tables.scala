@@ -72,6 +72,17 @@ final case class FlushRow(
     tokenCount: Int,
     norm: Int)
 
+/** One positions block (DOCS_AND_FREQS_AND_POSITIONS payload, opt-in):
+  * aligned 1:1 with the posting block of the same (term, firstDocId);
+  * bytes = per-posting VInt(count) + delta-coded positions. */
+final case class PositionsRow(
+    term: String,
+    firstDocId: Long,
+    lastDocId: Long,
+    numDocs: Int,
+    segId: Int,
+    bytes: Array[Byte])
+
 final case class TermDictRow(
     term: String,
     df: Long,
@@ -100,6 +111,7 @@ object IndexPaths {
   def docs(dir: String) = s"$dir/docs"
   def flush(dir: String) = s"$dir/flush"
   def postings(dir: String) = s"$dir/postings"
+  def positions(dir: String) = s"$dir/positions"
   def docstats(dir: String) = s"$dir/docstats"
   def termDict(dir: String) = s"$dir/term_dict"
   def collectionStats(dir: String) = s"$dir/collection_stats"

@@ -194,6 +194,50 @@ object PostingsCodec {
     blocks.toSeq
   }
 
+  /** Encode the per-posting position lists of one block (the
+    * DOCS_AND_FREQS_AND_POSITIONS payload — reference:
+    * Lucene41PostingsWriter's .pos stream, restated as a per-block
+    * self-contained blob): per posting, VInt(count) then delta-coded
+    * positions. `posLists.length` must equal the block's numDocs. */
+  def encodePositionsBlock(posLists: Array[Array[Int]]): Array[Byte] = {
+    val out = new ByteArrayOutputStream(posLists.length * 4)
+    var i = 0
+    while (i < posLists.length) {
+      val ps = posLists(i)
+      writeVLong(out, ps.length.toLong)
+      var prev = 0
+      var j = 0
+      while (j < ps.length) {
+        writeVLong(out, (ps(j) - prev).toLong)
+        prev = ps(j)
+        j += 1
+      }
+      i += 1
+    }
+    out.toByteArray
+  }
+
+  /** Decode a positions blob back to per-posting position arrays. */
+  def decodePositionsBlock(numDocs: Int, bytes: Array[Byte]): Array[Array[Int]] = {
+    val r = new Reader(bytes)
+    val out = new Array[Array[Int]](numDocs)
+    var i = 0
+    while (i < numDocs) {
+      val n = r.readVLong().toInt
+      val ps = new Array[Int](n)
+      var prev = 0
+      var j = 0
+      while (j < n) {
+        prev += r.readVLong().toInt
+        ps(j) = prev
+        j += 1
+      }
+      out(i) = ps
+      i += 1
+    }
+    out
+  }
+
   /** Decode a block back to (docIds, tfs, norms). */
   def decodeBlock(firstDocId: Long, numDocs: Int, bytes: Array[Byte])
       : (Array[Long], Array[Int], Array[Int]) = {

@@ -40,6 +40,15 @@ final class IndexReader(val spark: SparkSession, val dir: String) extends Serial
       }.toDF("term", "tf")
   }
 
+  /** True when the index was built with `indexPositions = true` (the
+    * DOCS_AND_FREQS_AND_POSITIONS option): phrase queries then read the
+    * positions sidecar instead of re-analyzing stored content. */
+  lazy val hasPositions: Boolean = {
+    val p = new org.apache.hadoop.fs.Path(IndexPaths.positions(dir))
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+  def positions: DataFrame = spark.read.parquet(IndexPaths.positions(dir))
+
   /** Stats pull for query terms — one tiny dictionary lookup job,
     * parquet-pruned by the sorted term column (≙ the FST term-index seek,
     * reference: Codecs/BlockTreeTermsReader.cs). */
@@ -275,13 +284,68 @@ final class Searcher(reader: IndexReader, pruneMinBlocks: Int = 64,
     val weight = BM25.weightValue(
       terms.map(t => BM25.idf(stats(t).df, cs.maxDoc)).sum, boost)
     val localCache = cache
-    if (slop == 0)
-      phraseFreqs(terms).map { case (docId, freq, norm) =>
-        ScoreDoc(docId, BM25.score(freq.toFloat, norm.toByte, weight, localCache))
+    val freqs: Dataset[(Long, Float, Int)] =
+      if (reader.hasPositions) phraseFreqsFromIndex(terms, slop)
+      else if (slop == 0)
+        phraseFreqs(terms).map(t => (t._1, t._2.toFloat, t._3))
+      else sloppyPhraseFreqs(terms, slop)
+    freqs.map { case (docId, freq, norm) =>
+      ScoreDoc(docId, BM25.score(freq, norm.toByte, weight, localCache))
+    }
+  }
+
+  /** Phrase freqs straight from the positions sidecar — no content
+    * re-analysis: pruned scans of the aligned postings + positions blocks
+    * joined on (term, firstDocId), decoded to (docId, term, positions,
+    * norm) rows, one docId shuffle, then the same exact/sloppy matching
+    * the re-analysis path runs (bit-identical freqs — PositionsSpec).
+    * This is the plan for the re-analysis worst case: phrases of very
+    * common terms whose candidate set after conjunction is large. */
+  def phraseFreqsFromIndex(terms: Seq[String], slop: Int): Dataset[(Long, Float, Int)] = {
+    val distinct = terms.distinct
+    val stats = reader.termStats(distinct)
+    if (!distinct.forall(stats.contains)) return spark.emptyDataset[(Long, Float, Int)]
+    val phraseArr = terms.toIndexedSeq
+    val nDistinct = distinct.length
+    val rows = termPositionRows(distinct)
+    rows.groupByKey(_._1).flatMapGroups { (docId, it) =>
+      val posBy = scala.collection.mutable.HashMap.empty[String, Array[Int]]
+      var norm = 0
+      it.foreach { case (_, term, ps, n) => posBy(term) = ps; norm = n }
+      if (posBy.size < nDistinct) Iterator.empty // conjunction fails
+      else {
+        val freq: Float =
+          if (slop == 0) {
+            var f = 0
+            posBy(phraseArr.head).foreach { p =>
+              var i = 1
+              while (i < phraseArr.length &&
+                java.util.Arrays.binarySearch(posBy(phraseArr(i)), p + i) >= 0) i += 1
+              if (i == phraseArr.length) f += 1
+            }
+            f.toFloat
+          } else SloppyPhrase.freq(phraseArr,
+            t => posBy.getOrElse(t, Array.empty), slop)
+        if (freq > 0f) Iterator.single((docId, freq, norm)) else Iterator.empty
       }
-    else
-      sloppyPhraseFreqs(terms, slop).map { case (docId, freq, norm) =>
-        ScoreDoc(docId, BM25.score(freq, norm.toByte, weight, localCache))
+    }
+  }
+
+  /** (docId, term, positions, normByte) rows for a term set, decoded from
+    * the aligned postings/positions blocks. */
+  private def termPositionRows(distinct: Seq[String]): Dataset[(Long, String, Array[Int], Int)] = {
+    val t = reader.postings.where($"term".isin(distinct: _*))
+      .select($"term", $"firstDocId", $"numDocs", $"bytes")
+      .toDF("term", "firstDocId", "tn", "tbytes")
+    val p = reader.positions.where($"term".isin(distinct: _*))
+      .select($"term", $"firstDocId", $"bytes").toDF("term", "firstDocId", "pbytes")
+    t.join(p, Seq("term", "firstDocId"))
+      .select($"term", $"firstDocId", $"tn", $"tbytes", $"pbytes")
+      .as[(String, Long, Int, Array[Byte], Array[Byte])]
+      .flatMap { case (term, firstDocId, n, tbytes, pbytes) =>
+        val (ids, _, norms) = PostingsCodec.decodeBlock(firstDocId, n, tbytes)
+        val poss = PostingsCodec.decodePositionsBlock(n, pbytes)
+        ids.indices.iterator.map(i => (ids(i), term, poss(i), norms(i)))
       }
   }
 

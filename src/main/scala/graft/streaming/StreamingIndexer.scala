@@ -100,6 +100,15 @@ object StreamingIndexer {
       .repartitionByRange(numPartitions, $"term", $"firstDocId")
       .sortWithinPartitions($"term", $"firstDocId")
       .write.mode(SaveMode.Overwrite).parquet(IndexPaths.postings(outDir))
+    // positions sidecars concatenate like postings (blocks self-contained,
+    // global docIds) — only when every generation carries them
+    val posDirs = dirs.map(IndexPaths.positions)
+    if (posDirs.forall(d => fs.exists(new org.apache.hadoop.fs.Path(d)))) {
+      spark.read.parquet(posDirs: _*)
+        .repartitionByRange(numPartitions, $"term", $"firstDocId")
+        .sortWithinPartitions($"term", $"firstDocId")
+        .write.mode(SaveMode.Overwrite).parquet(IndexPaths.positions(outDir))
+    }
 
     val dict = spark.read.parquet(IndexPaths.postings(outDir))
       .groupBy($"term")

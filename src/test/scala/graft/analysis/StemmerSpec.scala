@@ -62,6 +62,32 @@ class StemmerSpec extends AnyFunSuite {
     assert(bad.isEmpty, s"${bad.length} mismatches; first 10:\n${bad.take(10).mkString("\n")}")
   }
 
+  test("stemmed index build: morphological variants unify for recall") {
+    import graft.build.IndexBuilder
+    import graft.search.{IndexReader, Searcher, TermQ, PhraseQ}
+    val spark = graft.SparkTestSession.spark
+    import spark.implicits._
+    def mk(i: Int, text: String) = graft.corpus.SourceFile(
+      "r", f"f$i%02d", "0" * 40, "txt", text, graft.corpus.CorpusGen.sha256Hex(text))
+    val docs = Seq(
+      mk(0, "the dogs were running fast"),
+      mk(1, "a dog runs"),
+      mk(2, "he ran yesterday"),      // irregular: 'ran' does NOT stem to 'run'
+      mk(3, "nothing related"))
+    val stemming: String => graft.analysis.Analyzer = _ => Analyzer.englishStemming
+    val d = graft.SparkTestSession.tmpDir("graft-stem-idx-")
+    IndexBuilder.build(spark, spark.createDataset(docs), d, numPartitions = 2,
+      analyzerFor = stemming)
+    val s = new Searcher(new IndexReader(spark, d), analyzerFor = stemming)
+    // query text runs through the same analyzer: 'running' → 'run'
+    val p = new graft.search.QueryParser(Analyzer.englishStemming)
+    val hits = s.search(p.parse("running"), 10)
+    assert(hits.map(_.docId).toSet === Set(0L, 1L), "running/runs unify via 'run'")
+    assert(s.search(TermQ("dog"), 10).map(_.docId).toSet === Set(0L, 1L))
+    // phrase matching through stems ('dogs were running' ≡ 'dog were run')
+    assert(s.search(PhraseQ(Seq("dog", "were", "run")), 10).map(_.docId).toSeq === Seq(0L))
+  }
+
   test("stemming analyzer: opt-in stage after the stop filter") {
     val a = Analyzer.englishStemming
     assert(a.analyze("the dogs were running happily").tokens.map(_.term).toSeq ===
