@@ -85,6 +85,18 @@ object DocIndex {
     dir
   }
 
+  /** Documents index with the positions sidecar (indexPositions = true):
+    * phrase/span queries on it read positions instead of re-analyzing. */
+  def ensurePositions(spark: SparkSession, sfDir: String): String = synchronized {
+    val dir = cacheDir(sfDir) + "-pos"
+    if (!IndexBuilder.stageDone(spark, dir, "stats")) {
+      IndexBuilder.build(spark, documentsAsCorpus(spark, sfDir), dir,
+        numPartitions = 8, resume = true, analyzerFor = _ => Analyzer.sqlParity,
+        indexPositions = true)
+    }
+    dir
+  }
+
   def ensureWide(spark: SparkSession, sfDir: String): String = synchronized {
     val dir = cacheDir(sfDir) + "-cust"
     if (!IndexBuilder.stageDone(spark, dir, "stats")) {

@@ -206,6 +206,22 @@ object VerifyQueries {
        |WHERE a.t = 'table' AND b.t = 'hash'
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Exact phrase over the POSITIONS-INDEXED variant of the documents
+    * table (indexPositions = true): same answer as q_phrase, but the plan
+    * decodes the positions sidecar instead of re-analyzing stored content
+    * — the DOCS_AND_FREQS_AND_POSITIONS path, driver-gated against the
+    * identical oracle. */
+  def qPhrasePos(spark: SparkSession, sf: String): DataFrame = {
+    val dir = DocIndex.ensurePositions(spark, sf)
+    val searcher = new graft.search.Searcher(new graft.search.IndexReader(spark, dir),
+      analyzerFor = _ => graft.analysis.Analyzer.sqlParity)
+    searcher.phraseFreqsFromIndex(Seq("table", "hash"), 0)
+      .toDF("doc_id", "ptf", "norm")
+      .select(col("doc_id"), col("ptf").cast("long").as("ptf"))
+      .orderBy(col("doc_id"))
+  }
+  val oPhrasePos: String = oPhrase
+
   /** Sloppy PhraseQuery (SloppyPhraseScorer analog, slop=3): the doc SET
     * comes from the engine's reference-exact greedy matcher — out-of-order
     * matches included, repeat-group handling live — while the oracle-parity
@@ -242,6 +258,28 @@ object VerifyQueries {
        |FROM pos a JOIN pos b ON a.doc_id = b.doc_id
        |WHERE a.t = 'table' AND b.t = 'hash'
        |GROUP BY 1 HAVING min(abs(b.p - a.p - 1)) <= 3 ORDER BY 1""".stripMargin
+
+  /** q_phrase_sloppy's twin on the positions-indexed variant: the
+    * SloppyPhraseScorer traversal runs over decoded position lists (no
+    * re-analysis); same oracle. */
+  def qPhraseSloppyPos(spark: SparkSession, sf: String): DataFrame = {
+    val dir = DocIndex.ensurePositions(spark, sf)
+    val searcher = new graft.search.Searcher(new graft.search.IndexReader(spark, dir),
+      analyzerFor = _ => graft.analysis.Analyzer.sqlParity)
+    val matched = searcher.phraseFreqsFromIndex(Seq("table", "hash"), 3)
+      .toDF("doc_id", "freq", "norm").select("doc_id")
+    val pos = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"),
+        posexplode(expr("regexp_extract_all(lower(text), '[a-z0-9_]+', 0)")).as(Seq("p", "t")))
+    val a = pos.where(col("t") === "table").select(col("doc_id"), col("p").as("pa"))
+    val b = pos.where(col("t") === "hash").select(col("doc_id"), col("p").as("pb"))
+    val stats = a.join(b, Seq("doc_id"))
+      .groupBy(col("doc_id"))
+      .agg(min(abs(col("pb") - col("pa") - 1)).cast("long").as("min_dist"),
+        sum(when(abs(col("pb") - col("pa") - 1) <= 3, 1L).otherwise(0L)).as("pairs"))
+    matched.join(stats, Seq("doc_id")).orderBy(col("doc_id"))
+  }
+  val oPhraseSloppyPos: String = oPhraseSloppy
 
   /** MultiPhraseQuery: slot alternatives ("table"|"part") then
     * ("hash"|"filter"), adjacent. */
@@ -852,7 +890,9 @@ object VerifyQueries {
   val queries: Map[String, Q] = Map(
     "q_term_topk" -> qTermTopk _,
     "q_phrase" -> qPhrase _,
+    "q_phrase_pos" -> qPhrasePos _,
     "q_phrase_sloppy" -> qPhraseSloppy _,
+    "q_phrase_sloppy_pos" -> qPhraseSloppyPos _,
     "q_multi_phrase" -> qMultiPhrase _,
     "q_span_near" -> qSpanNear _,
     "q_span_or" -> qSpanOr _,
@@ -900,7 +940,9 @@ object VerifyQueries {
   val oracles: Map[String, String] = Map(
     "q_term_topk" -> oTermTopk,
     "q_phrase" -> oPhrase,
+    "q_phrase_pos" -> oPhrasePos,
     "q_phrase_sloppy" -> oPhraseSloppy,
+    "q_phrase_sloppy_pos" -> oPhraseSloppyPos,
     "q_multi_phrase" -> oMultiPhrase,
     "q_span_near" -> oSpanNear,
     "q_span_or" -> oSpanOr,

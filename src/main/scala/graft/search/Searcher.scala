@@ -525,11 +525,26 @@ final class Searcher(reader: IndexReader, pruneMinBlocks: Int = 64,
       case SpanNotQ(inc, _) => cands(inc)
       case SpanFirstQ(sub, _) => cands(sub)
     }
+    val query = q
+    if (reader.hasPositions) {
+      // positions sidecar: skip re-analysis entirely — one docId grouping
+      // of the query terms' decoded position rows drives the algebra
+      // (structural candidate pruning is implicit: eval of a NEAR with a
+      // missing clause list is empty)
+      if (live.isEmpty) return spark.emptyDataset[(Long, Int)]
+      return termPositionRows(live.toSeq)
+        .groupByKey(_._1).flatMapGroups { (docId, it) =>
+          val posBy = scala.collection.mutable.HashMap.empty[String, Array[Int]]
+          it.foreach { case (_, term, ps, _) => posBy(term) = ps }
+          val posOf: String => Array[Int] = t => posBy.getOrElse(t, Array.empty)
+          val n = Spans.eval(query, posOf).length
+          if (n > 0) Iterator.single((docId, n)) else Iterator.empty
+        }
+    }
     cands(q) match {
       case None => spark.emptyDataset[(Long, Int)]
       case Some(candidates) =>
         val analyzers = analyzerFor
-        val query = q
         val liveTerms = live
         val docs = reader.docsTable
           .join(candidates.toDF("cDocId"), $"docId" === $"cDocId")

@@ -80,6 +80,24 @@ class SpanSpec extends AnyFunSuite {
     assert(!counts(q).contains(2L))
   }
 
+  test("span algebra over the positions sidecar == re-analysis") {
+    import spark.implicits._
+    val d = SparkTestSession.tmpDir("graft-span-pos-")
+    IndexBuilder.build(spark, spark.createDataset(fixture), d, numPartitions = 2,
+      analyzerFor = _ => graft.analysis.Analyzer.noStop, indexPositions = true)
+    val sPos = new Searcher(new IndexReader(spark, d),
+      analyzerFor = _ => graft.analysis.Analyzer.noStop)
+    for (q <- Seq[SpanQuery](
+      SpanOrQ(Seq(SpanTermQ("alpha"), SpanTermQ("beta"))),
+      SpanFirstQ(SpanTermQ("alpha"), 2),
+      SpanNotQ(SpanTermQ("alpha"),
+        SpanNearQ(Seq(SpanTermQ("alpha"), SpanTermQ("beta")), 0, inOrder = true)),
+      SpanNearQ(Seq(SpanTermQ("alpha"), SpanTermQ("beta"), SpanTermQ("gamma")), 0,
+        inOrder = false))) {
+      assert(sPos.spanCount(q).collect().toMap === counts(q), s"query $q")
+    }
+  }
+
   test("nested: or inside near; absent terms prune structurally") {
     val q = SpanNearQ(Seq(
       SpanOrQ(Seq(SpanTermQ("gamma"), SpanTermQ("zeta"))),
