@@ -432,12 +432,41 @@ final class Searcher(reader: IndexReader, pruneMinBlocks: Int = 64,
   /** MultiPhraseQuery analog (reference: Search/MultiPhraseQuery.cs):
     * a phrase whose slot i accepts any of `slots(i)`. Candidates = docs
     * containing >= 1 alternative of EVERY slot (intersection of per-slot
-    * unions); match = consecutive positions with per-slot membership. */
+    * unions); match = consecutive positions with per-slot membership.
+    * On a positions-enabled index the match runs over decoded position
+    * lists instead of re-analysis. */
   def multiPhraseFreqs(slots: Seq[Seq[String]]): Dataset[(Long, Int)] = {
     require(slots.nonEmpty && slots.forall(_.nonEmpty), "empty slot")
     val stats = reader.termStats(slots.flatten.distinct)
     val liveSlots = slots.map(_.filter(stats.contains))
     if (liveSlots.exists(_.isEmpty)) return spark.emptyDataset[(Long, Int)]
+    if (reader.hasPositions) {
+      val slotSets = liveSlots.map(_.toSet).toArray
+      val n = slotSets.length
+      val allTerms = liveSlots.flatten.distinct
+      return termPositionRows(allTerms).groupByKey(_._1).flatMapGroups { (docId, it) =>
+        val posBy = scala.collection.mutable.HashMap.empty[String, Array[Int]]
+        it.foreach { case (_, term, ps, _) => posBy(term) = ps }
+        // positions present per slot = union over its alternatives
+        val slotPos: Array[java.util.HashSet[Integer]] = slotSets.map { alts =>
+          val s = new java.util.HashSet[Integer]()
+          alts.foreach(t => posBy.get(t).foreach(_.foreach(p => s.add(p))))
+          s
+        }
+        if (slotPos.exists(_.isEmpty)) Iterator.empty
+        else {
+          var freq = 0
+          val it0 = slotPos(0).iterator()
+          while (it0.hasNext) {
+            val p = it0.next().intValue()
+            var i = 1
+            while (i < n && slotPos(i).contains(p + i)) i += 1
+            if (i == n) freq += 1
+          }
+          if (freq > 0) Iterator.single((docId, freq)) else Iterator.empty
+        }
+      }
+    }
     val candidates = liveSlots
       .map(alts => alts.map(termDocIds).reduce(_ union _).distinct())
       .reduce(_.intersect(_))

@@ -60,6 +60,12 @@ class PositionsSpec extends AnyFunSuite {
     assert(a === b)
   }
 
+  test("multiPhrase from positions == re-analysis") {
+    val slots = Seq(Seq("state", "machine"), Seq("machine", "runs"))
+    assert(posSearcher.multiPhraseFreqs(slots).collect().sortBy(_._1).toSeq ===
+      reSearcher.multiPhraseFreqs(slots).collect().sortBy(_._1).toSeq)
+  }
+
   test("search() scores identically through either phrase plan") {
     for (q <- Seq(PhraseQ(Seq("state", "machine")),
       PhraseQ(Seq("state", "machine"), slop = 2))) {
