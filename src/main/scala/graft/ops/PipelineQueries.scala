@@ -144,6 +144,41 @@ object PipelineQueries {
        |FROM prod p JOIN norms na ON na.vec_id = p.a JOIN norms nb ON nb.vec_id = p.b
        |ORDER BY cos DESC, a, b LIMIT 20""".stripMargin
 
+  /** Embedding near-dup, bucketed scale path: candidates only within a
+    * sign-LSH bucket (the linear-ish plan for 10^9 vectors), exact cosine
+    * confirm. Threshold 0.405 sits in a gap of the fixture's cosine
+    * distribution, so the float-vs-double filter edge can't flip rows. */
+  def qDedupEmbeddingLsh(spark: SparkSession, sf: String): DataFrame =
+    Similarity.cosinePairsBucketed(vecs(spark, sf), minCos = 0.405)
+      .select(col("a"), col("b"), round(col("cos"), 6).as("cos"))
+      .orderBy(col("a"), col("b"))
+  val oDedupEmbeddingLsh: String =
+    s"""WITH $DimsCte, $NormsCte, planes AS (
+       |  SELECT CAST(unnest(range(${Similarity.NumPlanes})) AS INT) AS b
+       |), signs AS (
+       |  SELECT b, i, CASE WHEN (i*37 + b*61) % 5 < 2 THEN 1.0e0 ELSE -1.0e0 END AS sgn
+       |  FROM planes, dims
+       |), bdots AS (
+       |  SELECT e.vec_id, s.b, sum(CAST(e.embedding[s.i] AS DOUBLE) * s.sgn) AS d
+       |  FROM embeddings e, signs s GROUP BY 1, 2
+       |), buckets AS (
+       |  SELECT vec_id, CAST(sum(CASE WHEN d >= 0
+       |    THEN CAST(1 AS BIGINT) << CAST(b AS INT) ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM bdots GROUP BY vec_id
+       |), prod AS (
+       |  SELECT x.vec_id AS a, y.vec_id AS b,
+       |    sum(CAST(x.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE)) AS dot
+       |  FROM embeddings x
+       |  JOIN buckets bx ON bx.vec_id = x.vec_id
+       |  JOIN embeddings y ON x.vec_id < y.vec_id
+       |  JOIN buckets byy ON byy.vec_id = y.vec_id AND byy.bucket = bx.bucket, dims
+       |  GROUP BY 1, 2
+       |)
+       |SELECT p.a, p.b, round(p.dot / (na.nrm * nb.nrm), 6) AS cos
+       |FROM prod p JOIN norms na ON na.vec_id = p.a JOIN norms nb ON nb.vec_id = p.b
+       |WHERE p.dot / (na.nrm * nb.nrm) >= 0.405e0
+       |ORDER BY a, b""".stripMargin
+
   // ------------------------------------------------------ similarity search
 
   private def queryVec(spark: SparkSession, sf: String): Seq[Float] =
@@ -410,6 +445,7 @@ object PipelineQueries {
     "q_fingerprint_prod" -> qFingerprintProd _,
     "q_dedup_ngram" -> qDedupNgram _,
     "q_dedup_embedding" -> qDedupEmbedding _,
+    "q_dedup_embedding_lsh" -> qDedupEmbeddingLsh _,
     "q_ann_brute" -> qAnnBrute _,
     "q_ann_lsh" -> qAnnLsh _,
     "q_ann_ivf" -> qAnnIvf _,
@@ -427,6 +463,7 @@ object PipelineQueries {
     "q_dedup_simhash" -> oDedupSimhash,
     "q_dedup_ngram" -> oDedupNgram,
     "q_dedup_embedding" -> oDedupEmbedding,
+    "q_dedup_embedding_lsh" -> oDedupEmbeddingLsh,
     "q_ann_brute" -> oAnnBrute,
     "q_ann_lsh" -> oAnnLsh,
     "q_ann_ivf" -> oAnnIvf,
