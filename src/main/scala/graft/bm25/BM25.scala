@@ -46,9 +46,18 @@ object BM25 extends Serializable {
     if (sumTotalTermFreq <= 0) 1f
     else (sumTotalTermFreq / maxDoc.toDouble).toFloat
 
+  /** Norm byte marking a field with norms OMITTED (the reference's
+    * StringField sets OmitNorms = true — Document/StringField.cs): byte 0
+    * is unreachable from [[encodeNorm]] (1/sqrt(dl) can't underflow to 0
+    * for any real doc length), so it is free to carry the sentinel. */
+  val OmitNormsByte: Int = 0
+
   /** Freq-independent per-norm-byte cache:
     * cache[b] = k1 * ((1-b) + b * NORM_TABLE[b] / avgdl)
-    * (BM25Similarity.cs:227-240). */
+    * (BM25Similarity.cs:227-240). Entry 0 implements the norms-omitted
+    * score — the reference with norms==null uses k1 in place of the cache
+    * entry (score = weight*tf/(tf+k1), BM25Similarity.cs:271-272), i.e.
+    * no length normalization at all. */
   def normCache(avgdl: Float): Array[Float] = {
     val cache = new Array[Float](256)
     var i = 0
@@ -56,6 +65,7 @@ object BM25 extends Serializable {
       cache(i) = K1 * ((1 - B) + B * NormTable(i) / avgdl)
       i += 1
     }
+    cache(OmitNormsByte) = K1
     cache
   }
 

@@ -84,18 +84,30 @@ object CheckIndex {
         .toDF("term", "firstDocId", "tn", "tbytes")
       val p = spark.read.parquet(IndexPaths.positions(dir))
         .select($"term", $"firstDocId", $"bytes").toDF("term", "firstDocId", "pbytes")
+      // A term may legitimately have NO positions sidecar at all — keyword
+      // (StringField) terms are DOCS_ONLY even in a positions-enabled
+      // index (reference: FieldInfo.IndexOptions per field). What is NOT
+      // legal: a positions blob without its posting block (orphan), a
+      // per-posting count != tf, or a term with positions for SOME of its
+      // blocks but not others (mixed).
       val joined = t.join(p, Seq("term", "firstDocId"), "full_outer")
-      val badPos = joined.select($"firstDocId", $"tn", $"tbytes", $"pbytes")
-        .as[(Option[Long], Option[Int], Array[Byte], Array[Byte])]
-        .map { case (first, tn, tbytes, pbytes) =>
-          if (first.isEmpty || tn.isEmpty || tbytes == null || pbytes == null) 1L
+      val perBlock = joined.select($"term", $"firstDocId", $"tn", $"tbytes", $"pbytes")
+        .as[(String, Option[Long], Option[Int], Array[Byte], Array[Byte])]
+        .map { case (term, first, tn, tbytes, pbytes) =>
+          if (first.isEmpty || tn.isEmpty || tbytes == null) (term, 0L, 0L, 1L) // orphan blob
+          else if (pbytes == null) (term, 0L, 1L, 0L) // block without positions
           else {
             val (_, tfs, _) = PostingsCodec.decodeBlock(first.get, tn.get, tbytes)
             val poss = PostingsCodec.decodePositionsBlock(tn.get, pbytes)
-            if (poss.indices.forall(i => poss(i).length == tfs(i))) 0L else 1L
+            if (poss.indices.forall(i => poss(i).length == tfs(i)))
+              (term, 1L, 0L, 0L)
+            else (term, 0L, 0L, 1L) // counts != tf
           }
-        }.toDF("bad").agg(coalesce(sum($"bad"), lit(0L))).collect()(0).getLong(0)
-      if (badPos > 0) problems += s"$badPos positions blocks misaligned or counts != tf"
+        }.toDF("term", "withPos", "noPos", "bad")
+      val badPos = perBlock.groupBy($"term")
+        .agg(sum($"withPos").as("w"), sum($"noPos").as("n"), sum($"bad").as("b"))
+        .filter($"b" > 0 || ($"w" > 0 && $"n" > 0)).count()
+      if (badPos > 0) problems += s"$badPos terms with misaligned/mixed positions sidecars"
     }
 
     // 6. sha256 per-row invariant vs the source corpus

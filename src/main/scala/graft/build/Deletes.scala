@@ -71,7 +71,10 @@ private final class PostingsReencoder(it: Iterator[(String, Long, Int, Int)],
   * [[PostingsReencoder]] but the sorted rows carry position lists and
   * every emitted posting block pairs with its aligned positions blob —
   * one pass, so block boundaries (term, firstDocId) agree by
-  * construction. */
+  * construction. Rows whose position list is null (keyword/DOCS_ONLY
+  * terms in a positions-enabled index) emit a null blob — the caller
+  * writes no positions row for them, preserving the per-term
+  * IndexOptions through the rewrite. */
 private final class PostingsPosReencoder(
     it: Iterator[(String, Long, Int, Int, Array[Int])], segId: Int)
     extends Iterator[(PostingRow, Array[Byte])] {
@@ -94,9 +97,12 @@ private final class PostingsPosReencoder(
         var i = 0
         while (i < b.numDocs) { s += bTfs(from + i); i += 1 }
         val slice = java.util.Arrays.copyOfRange(poss, from, from + b.numDocs)
+        val allNull = slice.forall(_ == null)
+        require(allNull || slice.forall(_ != null),
+          s"term $curTerm mixes positioned and position-less postings")
         out.enqueue((PostingRow(curTerm, b.firstDocId, b.lastDocId, b.numDocs,
           b.maxTf, b.maxNorm, s, segId, b.bytes),
-          PostingsCodec.encodePositionsBlock(slice)))
+          if (allNull) null else PostingsCodec.encodePositionsBlock(slice)))
       }
     n = 0
   }
@@ -215,18 +221,23 @@ object Deletes {
       blocks.write.mode(SaveMode.Overwrite).parquet(IndexPaths.postings(outDir))
     } else {
       // positions sidecar present: re-encode postings AND positions in
-      // one pass so the rebuilt block boundaries stay aligned
+      // one pass so the rebuilt block boundaries stay aligned. LEFT join:
+      // keyword (DOCS_ONLY) terms legitimately have no positions blobs —
+      // their postings pass through with a null position list instead of
+      // being dropped.
       val t = spark.read.parquet(IndexPaths.postings(dir))
         .select($"term", $"firstDocId", $"numDocs", $"bytes")
         .toDF("term", "firstDocId", "tn", "tbytes")
       val p = spark.read.parquet(IndexPaths.positions(dir))
         .select($"term", $"firstDocId", $"bytes").toDF("term", "firstDocId", "pbytes")
-      val decoded = t.join(p, Seq("term", "firstDocId"))
+      val decoded = t.join(p, Seq("term", "firstDocId"), "left_outer")
         .select($"term", $"firstDocId", $"tn", $"tbytes", $"pbytes")
         .as[(String, Long, Int, Array[Byte], Array[Byte])]
         .flatMap { case (term, firstDocId, n, tbytes, pbytes) =>
           val (ids, tfs, norms) = PostingsCodec.decodeBlock(firstDocId, n, tbytes)
-          val poss = PostingsCodec.decodePositionsBlock(n, pbytes)
+          val poss =
+            if (pbytes == null) Array.fill[Array[Int]](n)(null)
+            else PostingsCodec.decodePositionsBlock(n, pbytes)
           ids.indices.iterator.map(i => (term, ids(i), tfs(i), norms(i), poss(i)))
         }.toDF("term", "oldId", "tf", "norm", "ps")
       val renumbered = decoded.join(remap, Seq("oldId"))
@@ -241,12 +252,13 @@ object Deletes {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       combined.select(col("post.*"))
         .write.mode(SaveMode.Overwrite).parquet(IndexPaths.postings(outDir))
-      combined.select(col("post.term").as("term"),
-        col("post.firstDocId").as("firstDocId"),
-        col("post.lastDocId").as("lastDocId"),
-        col("post.numDocs").as("numDocs"),
-        col("post.segId").as("segId"),
-        col("posBytes").as("bytes"))
+      combined.where(col("posBytes").isNotNull)
+        .select(col("post.term").as("term"),
+          col("post.firstDocId").as("firstDocId"),
+          col("post.lastDocId").as("lastDocId"),
+          col("post.numDocs").as("numDocs"),
+          col("post.segId").as("segId"),
+          col("posBytes").as("bytes"))
         .write.mode(SaveMode.Overwrite).parquet(IndexPaths.positions(outDir))
       combined.unpersist()
     }

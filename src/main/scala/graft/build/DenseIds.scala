@@ -33,7 +33,16 @@ object DenseIds {
     val offsets = counts.map { case (pid, n) => val o = (pid, off); off += n; o }
     val offDf = keys.sparkSession.createDataFrame(offsets.toSeq)
       .toDF("pid", "offset")
-    sorted.join(broadcast(offDf), Seq("pid"))
+    // Materialize the final mapping (lineage-free, eager) and release the
+    // cached dictionary NOW rather than leaving it to ContextCleaner GC —
+    // repeated assign calls in one session (every dedup/fingerprint query,
+    // every expunge) would otherwise stack cached RDDs. The checkpoint
+    // blocks themselves are key-cardinality-sized and are reclaimed as
+    // soon as the caller's reference drops.
+    val result = sorted.join(broadcast(offDf), Seq("pid"))
       .select(col(keyCol), (col("offset") + col("localIdx")).as(idCol))
+      .localCheckpoint(true)
+    sorted.unpersist(blocking = false)
+    result
   }
 }

@@ -365,7 +365,11 @@ private final class FlushIterator(docs: Iterator[SourceFile], segId: Int,
   }
 
   private val analyzerCache = mutable.HashMap.empty[String, Analyzer]
-  private val kwNorm = BM25.encodeNorm(1) & 0xff
+  /** Keyword (StringField) terms carry the norms-omitted sentinel — the
+    * reference's StringField sets OmitNorms = true, so no length norm
+    * applies when a keyword term is scored (BM25 then uses k1 in place of
+    * the cache entry — [[BM25.OmitNormsByte]]). */
+  private val kwNorm = BM25.OmitNormsByte
   private var nextLocalId = 0L
 
   private def analyzeDoc(d: SourceFile): Unit = {

@@ -24,7 +24,7 @@ import org.apache.spark.sql.functions._
   */
 object DocIndex {
   /** bump when the on-disk index format changes (invalidates caches) */
-  private val FormatVersion = 5
+  private val FormatVersion = 6
 
   private def cacheDir(sfDir: String): String = {
     val key = sfDir.replaceAll("[^a-zA-Z0-9.]", "_")

@@ -174,19 +174,25 @@ final class Searcher(reader: IndexReader, pruneMinBlocks: Int = 64,
       // reference FuzzyQuery default rewrite: TOP_TERMS(50) with per-term
       // boost = similarity = 1 - edits/min(|candidate|, |query|)
       // (FuzzyQuery.cs:108, FuzzyTermsEnum.cs:436,
-      // TopTermsRewrite ranking: boost desc, then term)
-      val cand = reader.termDict
-        .where(levenshtein($"term", lit(t)) <= maxEdits &&
-          abs(length($"term") - lit(t.length)) <= maxEdits)
-        .select($"term", levenshtein($"term", lit(t)).as("d"))
-        .collect().map(r => (r.getString(0), r.getInt(1)))
+      // TopTermsRewrite ranking: boost desc, then term). Ranking and
+      // truncation happen INSIDE the Spark job (TakeOrdered over the
+      // banded dictionary scan) — only the surviving 50 rows reach the
+      // driver. Sort key d/min(len,|q|) asc is order-equivalent to the
+      // float similarity desc (distinct small-integer ratios are spaced
+      // far wider than float epsilon), with the same term-asc tie-break.
       val qLen = t.codePointCount(0, t.length)
+      val cand = reader.termDict
+        .where(multiTermPred(q).get)
+        .select($"term", levenshtein($"term", lit(t)).as("d"))
+        .orderBy((col("d").cast("double") /
+          least(length($"term"), lit(qLen)).cast("double")).asc, $"term".asc)
+        .limit(Searcher.FuzzyMaxExpansions)
+        .collect().map(r => (r.getString(0), r.getInt(1)))
       val scored = cand.map { case (term, d) =>
         val sim = 1f - d.toFloat /
           math.min(term.codePointCount(0, term.length), qLen).toFloat
         (term, sim)
       }.sortBy { case (term, sim) => (-sim, term) }
-        .take(Searcher.FuzzyMaxExpansions)
       scored.toSeq match {
         case Seq() => BoolQ() // matches nothing
         case Seq((one, sim)) => TermQ(one, b * sim)
@@ -198,6 +204,11 @@ final class Searcher(reader: IndexReader, pruneMinBlocks: Int = 64,
         case Some(ts) => orOf(ts, multiTermBoost(mt))
         case None => mt // wide: constant-score semi-join in scoredRaw
       }
+    // minNrShouldMatch above the SHOULD-clause count can never be
+    // satisfied — the reference matches nothing (BooleanQuery.cs
+    // minimumNumberShouldMatch contract); without this guard the
+    // single-MUST collapse below would silently drop the constraint
+    case bq: BoolQ if bq.minShouldMatch > bq.should.size => BoolQ()
     case BoolQ(Seq(single), Nil, Nil, _, boost) if boost == 1f => rewrite(single)
     case bq: BoolQ => bq.copy(must = bq.must.map(rewrite),
       should = bq.should.map(rewrite), mustNot = bq.mustNot.map(rewrite))
@@ -216,9 +227,13 @@ final class Searcher(reader: IndexReader, pruneMinBlocks: Int = 64,
 
   /** Full scored Dataset for a query — the composable scorer tree. Exact
     * scores, no pruning (also the brute-force oracle path for tests). */
-  def scored(q: Query): Dataset[ScoreDoc] = liveOnly(scoredRaw(q))
+  def scored(q: Query): Dataset[ScoreDoc] = liveOnly(scoredRaw(rewrite(q)))
 
-  private def scoredRaw(q: Query): Dataset[ScoreDoc] = rewrite(q) match {
+  /** Scores an ALREADY-REWRITTEN tree — every entry point calls
+    * [[rewrite]] exactly once, so the dictionary probes a multi-term
+    * rewrite needs are never repeated (the reference caches its rewrite
+    * the same way, IndexSearcher.cs:667-670). */
+  private def scoredRaw(q: Query): Dataset[ScoreDoc] = q match {
     case TermQ(t, boost) =>
       scoredTerms(Seq(t -> boost), theta = 0f).map(h => ScoreDoc(h.docId, h.score))
     case MatchAllQ(boost) =>

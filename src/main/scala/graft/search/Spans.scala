@@ -56,27 +56,72 @@ object Spans {
       else nearUnordered(lists, slop)
   }
 
-  /** Greedy minimal ordered chains: for each span of the first clause,
-    * chain each later clause's first span starting at/after the previous
-    * end; a chain within slop is one match. */
+  /** Ordered chains s1..sn with s(k+1).start >= s(k).end, one potential
+    * match per first-clause span; slop = covered width minus the spans'
+    * own lengths = the sum of inter-span gaps.
+    *
+    * Unit spans (every clause a plain term): the first span starting
+    * at/after prev.end simultaneously minimizes its gap and its end, so
+    * the simple greedy is exact, and once the tail clauses are exhausted
+    * no later anchor can chain either (chain ends are monotone in anchor
+    * start) — early break is sound.
+    *
+    * Non-unit sub-spans (nested NEAR/OR clauses): the earliest-start span
+    * can have a large end while a later shorter span still admits a chain
+    * (the reference NearSpansOrdered advances/shrinks inner spans), so the
+    * greedy would miss matches. Per anchor we instead search the clause
+    * alternatives for the chain minimizing total gap (memoized on
+    * (clause, prevEnd)); the anchor matches iff that minimum is within
+    * slop — existence-exact against the reference's shrink loop. */
   private def nearOrdered(lists: Seq[Array[(Int, Int)]], slop: Int): Array[(Int, Int)] = {
     val out = new ArrayBuffer[(Int, Int)]()
-    val n = lists.length
-    var exhausted = false
-    for (a <- lists.head if !exhausted) {
-      var prev = a
-      var totalLen = a._2 - a._1
-      var ok = true
-      var k = 1
-      while (ok && k < n) {
-        lists(k).find(_._1 >= prev._2) match {
-          case None => ok = false; exhausted = true // later chains start even later
-          case Some(s) => totalLen += s._2 - s._1; prev = s
+    val arrs = lists.toArray
+    val n = arrs.length
+    val unitOnly = arrs.forall(_.forall(s => s._2 - s._1 == 1))
+    if (unitOnly) {
+      var exhausted = false
+      for (a <- arrs(0) if !exhausted) {
+        var prev = a
+        var totalLen = a._2 - a._1
+        var ok = true
+        var k = 1
+        while (ok && k < n) {
+          var i = 0
+          var found: (Int, Int) = null
+          val l = arrs(k)
+          while (found == null && i < l.length) {
+            if (l(i)._1 >= prev._2) found = l(i)
+            i += 1
+          }
+          if (found == null) { ok = false; exhausted = true }
+          else { totalLen += found._2 - found._1; prev = found }
+          k += 1
         }
-        k += 1
+        if (ok && (prev._2 - a._1) - totalLen <= slop) out += ((a._1, prev._2))
       }
-      // slop = covered width minus the clauses' own lengths
-      if (ok && (prev._2 - a._1) - totalLen <= slop) out += ((a._1, prev._2))
+    } else {
+      // (minimal total gap, end of that chain) completing clauses k..n-1
+      // after a sub-span ending at prevEnd; None when no chain exists
+      val memo = scala.collection.mutable.HashMap.empty[(Int, Int), Option[(Int, Int)]]
+      def best(k: Int, prevEnd: Int): Option[(Int, Int)] =
+        if (k == n) Some((0, prevEnd))
+        else memo.getOrElseUpdate((k, prevEnd), {
+          var res: Option[(Int, Int)] = None
+          arrs(k).foreach { s =>
+            if (s._1 >= prevEnd) best(k + 1, s._2).foreach { case (g, e) =>
+              val total = (s._1 - prevEnd) + g
+              if (res.isEmpty || total < res.get._1 ||
+                  (total == res.get._1 && e < res.get._2)) res = Some((total, e))
+            }
+          }
+          res
+        })
+      arrs(0).foreach { a =>
+        best(1, a._2) match {
+          case Some((g, e)) if g <= slop => out += ((a._1, e))
+          case _ => ()
+        }
+      }
     }
     out.toArray
   }

@@ -63,6 +63,44 @@ class FieldSpec extends AnyFunSuite {
     assert(sF.toSeq === sP.toSeq)
   }
 
+  test("keyword terms score norms-omitted (StringField OmitNorms = true)") {
+    import spark.implicits._
+    // reference: StringField omits norms entirely — BM25 with norms==null
+    // scores weight·tf/(tf+k1), no length normalization (the sentinel
+    // norm byte 0 decodes to the k1 cache entry)
+    val df = CorpusGen.local(N).count(_.lang == "scala").toLong
+    val w = graft.bm25.BM25.weightValue(graft.bm25.BM25.idf(df, N.toLong), 1f)
+    val expected = w * 1f / (1f + graft.bm25.BM25.K1)
+    val hits = searcher.search(TermQ("lang:scala"), N)
+    assert(hits.nonEmpty)
+    assert(hits.forall(_.score === expected))
+  }
+
+  test("keyword fields + positions index: DOCS_ONLY keywords stay checkable and expungeable") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val d = SparkTestSession.tmpDir("graft-field-pos-")
+    IndexBuilder.build(spark, CorpusGen.dataset(spark, N, 2), d, numPartitions = 2,
+      keywordFields = Seq("lang"), indexPositions = true)
+    val report = graft.build.CheckIndex.check(spark, d)
+    assert(report.ok, report.problems.mkString("; "))
+    // keyword terms are DOCS_ONLY — no positions blobs; content terms have them
+    val pos = spark.read.parquet(IndexPaths.positions(d))
+    assert(pos.where(col("term").startsWith("lang:")).count() === 0)
+    assert(pos.count() > 0)
+    // expunge must NOT drop keyword postings via the positions join
+    graft.build.Deletes.deleteDocs(spark, d, spark.createDataset(Seq(0L)))
+    val exp = SparkTestSession.tmpDir("graft-field-pos-exp-")
+    graft.build.Deletes.expunge(spark, d, exp, numPartitions = 2)
+    val repExp = graft.build.CheckIndex.check(spark, exp)
+    assert(repExp.ok, repExp.problems.mkString("; "))
+    val dict = spark.read.parquet(IndexPaths.termDict(exp))
+    assert(dict.where(col("term").startsWith("lang:")).count() > 0)
+    // rewritten sidecar still has no keyword blobs
+    val posExp = spark.read.parquet(IndexPaths.positions(exp))
+    assert(posExp.where(col("term").startsWith("lang:")).count() === 0)
+  }
+
   test("parser routes keyword fields to exact terms, content to analysis") {
     val p = new QueryParser()
     assert(p.parse("lang:Scala") === TermQ("lang:Scala")) // verbatim, NOT lowercased

@@ -92,6 +92,13 @@ class SearchSpec extends AnyFunSuite with BeforeAndAfterAll {
     val qMsm1 = BoolQ(should = Seq(TermQ("all"), TermQ("dogs")), minShouldMatch = 1)
     val qOr = BoolQ(should = Seq(TermQ("all"), TermQ("dogs")))
     assert(searcher.search(qMsm1, 10).toSeq == searcher.search(qOr, 10).toSeq)
+    // minNrShouldMatch above the SHOULD-clause count matches nothing
+    // (reference BooleanQuery semantics) — including the single-MUST shape
+    // the rewrite would otherwise collapse to its bare clause
+    assert(searcher.search(
+      BoolQ(must = Seq(TermQ("all")), minShouldMatch = 1), 10).isEmpty)
+    assert(searcher.search(
+      BoolQ(should = Seq(TermQ("all")), minShouldMatch = 2), 10).isEmpty)
   }
 
   test("Q6: nested boolean (bq in bq)") {

@@ -109,4 +109,24 @@ class SpanSpec extends AnyFunSuite {
     // a query over only-absent terms matches nothing
     assert(counts(SpanOrQ(Seq(SpanTermQ("qqqq")))).isEmpty)
   }
+
+  test("nearOrdered with multi-width sub-spans: shorter later span beats earliest wide one") {
+    // reference NearSpansOrdered advances/shrinks inner spans — taking the
+    // earliest-start sub-span greedily would chain through (1,9) and miss
+    // the valid chain through (2,4)
+    val pos = Map(
+      "a" -> Array(0), "b" -> Array(1), "c" -> Array(8),
+      "e" -> Array(2), "f" -> Array(3), "g" -> Array(5))
+    val posOf: String => Array[Int] = t => pos.getOrElse(t, Array.empty)
+    val inner = SpanOrQ(Seq(
+      SpanNearQ(Seq(SpanTermQ("b"), SpanTermQ("c")), 10, inOrder = true), // (1,9)
+      SpanNearQ(Seq(SpanTermQ("e"), SpanTermQ("f")), 0, inOrder = true))) // (2,4)
+    assert(Spans.eval(inner, posOf).toSeq === Seq((1, 9), (2, 4)))
+    // chain a(0,1) → inner(2,4) → g(5,6): total gap (2-1)+(5-4) = 2
+    val q = SpanNearQ(Seq(SpanTermQ("a"), inner, SpanTermQ("g")), 2, inOrder = true)
+    assert(Spans.eval(q, posOf).toSeq === Seq((0, 6)))
+    // slop 1 < the minimal achievable gap 2 → no match
+    val tight = SpanNearQ(Seq(SpanTermQ("a"), inner, SpanTermQ("g")), 1, inOrder = true)
+    assert(Spans.eval(tight, posOf).isEmpty)
+  }
 }
