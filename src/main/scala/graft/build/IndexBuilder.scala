@@ -215,6 +215,7 @@ object IndexBuilder {
       .repartitionByRange(math.max(1, numPartitions / 8), $"term")
       .sortWithinPartitions($"term")
     dict.write.mode(SaveMode.Overwrite).parquet(IndexPaths.termDict(dir))
+    writeFirstChars(spark, dir)
 
     val docAgg = spark.read.parquet(IndexPaths.docstats(dir))
       .agg(count("*").as("maxDoc"), sum($"tokenCount").as("sumTtf")).collect()(0)
@@ -230,6 +231,19 @@ object IndexBuilder {
     val now = System.currentTimeMillis()
     commitStage(spark, dir, Seq(ManifestRow("stats", 0, null, null,
       cs.maxDoc, cs.maxDoc, 0L, 0L, now)))
+  }
+
+  /** Alphabet sidecar: the dictionary's distinct first characters — the
+    * fuzzy range banding (graft.search.DictSeek) expands its depth-1
+    * prefixes over the ACTUAL alphabet instead of all of Unicode. One
+    * tiny agg over the just-written dictionary, amortized at build time
+    * so fuzzy queries seek instead of scanning. */
+  def writeFirstChars(spark: SparkSession, dir: String): Unit = {
+    import spark.implicits._
+    spark.read.parquet(IndexPaths.termDict(dir))
+      .select(substring($"term", 1, 1).as("c")).where(length($"c") > 0)
+      .distinct().repartition(1).sortWithinPartitions($"c")
+      .write.mode(SaveMode.Overwrite).parquet(IndexPaths.termFirstChars(dir))
   }
 
   /** Full build. `resume = true` skips stages already committed to the

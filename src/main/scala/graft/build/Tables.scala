@@ -114,6 +114,9 @@ object IndexPaths {
   def positions(dir: String) = s"$dir/positions"
   def docstats(dir: String) = s"$dir/docstats"
   def termDict(dir: String) = s"$dir/term_dict"
+  /** Distinct first characters of the dictionary (alphabet-sized) —
+    * drives the fuzzy-query range banding ([[graft.search.DictSeek]]). */
+  def termFirstChars(dir: String) = s"$dir/term_firstchars"
   def collectionStats(dir: String) = s"$dir/collection_stats"
   def manifest(dir: String) = s"$dir/manifest"
 }

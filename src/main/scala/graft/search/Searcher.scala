@@ -75,6 +75,19 @@ final class IndexReader(val spark: SparkSession, val dir: String) extends Serial
     expandTermsOpt(pred, maxExpansions).getOrElse(
       throw new IllegalArgumentException(
         s"multi-term query expands to more than $maxExpansions terms"))
+
+  /** The dictionary's alphabet (distinct first characters) — read from the
+    * tiny build-time sidecar when present, else derived once per reader.
+    * Feeds the fuzzy range banding ([[DictSeek.fuzzyRanges]]). */
+  lazy val termFirstChars: Seq[Char] = {
+    val p = new org.apache.hadoop.fs.Path(graft.build.IndexPaths.termFirstChars(dir))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val df =
+      if (fs.exists(p)) spark.read.parquet(graft.build.IndexPaths.termFirstChars(dir))
+      else termDict.select(substring($"term", 1, 1).as("c"))
+        .where(length($"c") > 0).distinct()
+    df.as[String].collect().toSeq.filter(_.nonEmpty).map(_.charAt(0)).sorted
+  }
 }
 
 private final case class ClauseHit(docId: Long, idx: Int, score: Float)
@@ -133,8 +146,22 @@ final class Searcher(reader: IndexReader, pruneMinBlocks: Int = 64,
 
   // ------------------------------------------------------------- rewrite
 
-  /** Dictionary predicate of a multi-term query node, or None. */
-  private def multiTermPred(q: Query): Option[org.apache.spark.sql.Column] = q match {
+  /** Term range [lo, hi) as a parquet-prunable predicate. */
+  private def rangePred(lo: String, hi: String): org.apache.spark.sql.Column =
+    if (hi == null) $"term" >= lo else $"term" >= lo && $"term" < hi
+
+  /** SEEK-shaped conjunct for a literal prefix: empty prefix → no
+    * narrowing (full scan unavoidable). */
+  private def prefixRangePred(p: String): org.apache.spark.sql.Column =
+    if (p.isEmpty) lit(true) else rangePred(p, DictSeek.succ(p))
+
+  /** Dictionary predicate of a multi-term query node, or None. Every
+    * branch leads with a term-RANGE conjunct parquet min/max stats can
+    * prune on the sorted dictionary (the seek), then the exact residual
+    * match (rlike/levenshtein) — the relational restatement of the
+    * reference's automaton ∩ term dictionary walk
+    * (Index/AutomatonTermsEnum.cs, Search/FuzzyTermsEnum.cs). */
+  private[search] def multiTermPred(q: Query): Option[org.apache.spark.sql.Column] = q match {
     case PrefixQ(p, _) => Some($"term".startsWith(p))
     case WildcardQ(pat, _) =>
       val rx = "^" + pat.flatMap {
@@ -143,11 +170,19 @@ final class Searcher(reader: IndexReader, pruneMinBlocks: Int = 64,
         case c if "\\.[]{}()+-^$|".contains(c) => "\\" + c
         case c => c.toString
       } + "$"
-      Some($"term".rlike(rx))
-    case RegexpQ(rx, _) => Some($"term".rlike("^(?:" + rx + ")$"))
+      Some(prefixRangePred(DictSeek.wildcardPrefix(pat)) && $"term".rlike(rx))
+    case RegexpQ(rx, _) =>
+      Some(prefixRangePred(DictSeek.regexpPrefix(rx)) &&
+        $"term".rlike("^(?:" + rx + ")$"))
     case FuzzyQ(t, maxEdits, _) =>
-      Some(levenshtein($"term", lit(t)) <= maxEdits &&
-        abs(length($"term") - lit(t.length)) <= maxEdits)
+      val exact = levenshtein($"term", lit(t)) <= maxEdits &&
+        abs(length($"term") - lit(t.length)) <= maxEdits
+      Some(DictSeek.fuzzyRanges(t, maxEdits, reader.termFirstChars) match {
+        case Some(ranges) if ranges.nonEmpty =>
+          ranges.map(r => rangePred(r._1, r._2)).reduce(_ || _) && exact
+        case Some(_) => lit(false) // empty alphabet → nothing can match
+        case None => exact // banding not applicable: full scan
+      })
     case TermRangeQ(lo, hi, inclLo, inclHi, _) =>
       val loP = if (lo == null) lit(true) else if (inclLo) $"term" >= lo else $"term" > lo
       val hiP = if (hi == null) lit(true) else if (inclHi) $"term" <= hi else $"term" < hi

@@ -27,9 +27,24 @@ object Suggest {
   def didYouMean(reader: IndexReader, term: String, maxEdits: Int = 2,
                  k: Int = 5): DataFrame =
     reader.termDict
-      .where(abs(length(col("term")) - lit(term.length)) <= maxEdits)
+      .where(fuzzyBand(reader, term, maxEdits) &&
+        abs(length(col("term")) - lit(term.length)) <= maxEdits)
       .select(col("term"), col("df"),
         levenshtein(col("term"), lit(term)).as("dist"))
       .where(col("dist") <= maxEdits && col("dist") > 0)
       .orderBy(col("dist"), col("df").desc, col("term")).limit(k)
+
+  /** Range-banding conjunct for a fuzzy dictionary probe — a sound
+    * superset of the match set as parquet-prunable term ranges
+    * ([[DictSeek.fuzzyRanges]]); true (full scan) when banding does not
+    * apply. */
+  private[search] def fuzzyBand(reader: IndexReader, term: String,
+                                maxEdits: Int): org.apache.spark.sql.Column =
+    DictSeek.fuzzyRanges(term, maxEdits, reader.termFirstChars) match {
+      case Some(rs) if rs.nonEmpty => rs.map { case (lo, hi) =>
+        if (hi == null) col("term") >= lo else col("term") >= lo && col("term") < hi
+      }.reduce(_ || _)
+      case Some(_) => lit(false) // empty alphabet: nothing can match
+      case None => lit(true)
+    }
 }

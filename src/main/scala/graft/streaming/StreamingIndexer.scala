@@ -117,6 +117,7 @@ object StreamingIndexer {
       .repartitionByRange(math.max(1, numPartitions / 8), $"term")
       .sortWithinPartitions($"term")
     dict.write.mode(SaveMode.Overwrite).parquet(IndexPaths.termDict(outDir))
+    IndexBuilder.writeFirstChars(spark, outDir)
 
     val docAgg = spark.read.parquet(IndexPaths.docstats(outDir))
       .agg(count("*").as("maxDoc"), sum($"tokenCount").as("sumTtf")).head()

@@ -66,6 +66,46 @@ class PlanSpec extends AnyFunSuite {
     assert(planOf(joined).contains("BroadcastHashJoin"))
   }
 
+  test("multi-term dictionary scans carry pushed term ranges (seek, not scan)") {
+    // the relational AutomatonTermsEnum: wildcard/regexp push their
+    // literal prefix as a range, fuzzy pushes a union of banded ranges —
+    // parquet min/max on the sorted dictionary prunes row groups
+    val reader = new IndexReader(spark, dir)
+    val searcher = new Searcher(reader)
+    def dictPlan(q: Query): String =
+      planOf(spark.read.parquet(IndexPaths.termDict(dir))
+        .where(searcher.multiTermPred(q).get))
+    val wild = dictPlan(WildcardQ("ana*"))
+    assert(wild.contains("GreaterThanOrEqual(term,ana)") &&
+      wild.contains("LessThan(term,anb)"),
+      s"wildcard literal prefix must reach the scan:\n$wild")
+    val re = dictPlan(RegexpQ("ve.tor"))
+    assert(re.contains("GreaterThanOrEqual(term,ve)") &&
+      re.contains("LessThan(term,vf)"),
+      s"regexp literal prefix must reach the scan:\n$re")
+    // fuzzy: the banded range UNION must be pushed (an Or of term ranges
+    // right after IsNotNull); the exact ranges depend on the dictionary's
+    // alphabet, so assert the shape, not the literals
+    val fz = dictPlan(FuzzyQ("merge", 1))
+    assert(fz.contains("PushedFilters: [IsNotNull(term), Or("),
+      s"fuzzy banded range union must reach the scan:\n$fz")
+  }
+
+  test("fuzzy banding returns exactly the full-scan match set") {
+    val reader = new IndexReader(spark, dir)
+    val searcher = new Searcher(reader)
+    for ((t, e) <- Seq(("merge", 1), ("def", 1), ("intt", 2), ("qzqzq", 1))) {
+      val banded = spark.read.parquet(IndexPaths.termDict(dir))
+        .where(searcher.multiTermPred(FuzzyQ(t, e)).get)
+        .select("term").collect().map(_.getString(0)).sorted.toSeq
+      val full = spark.read.parquet(IndexPaths.termDict(dir))
+        .where(levenshtein(col("term"), lit(t)) <= e &&
+          abs(length(col("term")) - lit(t.length)) <= e)
+        .select("term").collect().map(_.getString(0)).sorted.toSeq
+      assert(banded === full, s"banded != full for $t~$e")
+    }
+  }
+
   test("no single-partition window anywhere in the gated query plans") {
     // the parity dictionaries and the pagination oracle used to run a
     // global Window.orderBy (one task owns everything at scale); they are
