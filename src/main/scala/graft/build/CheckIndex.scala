@@ -76,38 +76,44 @@ object CheckIndex {
     val sumDf = dict.agg(coalesce(sum($"df"), lit(0L))).collect()(0).getLong(0)
     if (sumDf != cs.sumDocFreq) problems += s"sumDocFreq ${cs.sumDocFreq} != Σ df $sumDf"
 
-    // 6b. positions sidecar (when present): every positions block aligns
-    //     with its posting block and per-posting position counts == tf
-    val posPath = new org.apache.hadoop.fs.Path(IndexPaths.positions(dir))
-    if (posPath.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(posPath)) {
-      val t = postings.toDF().select($"term", $"firstDocId", $"numDocs", $"bytes")
-        .toDF("term", "firstDocId", "tn", "tbytes")
-      val p = spark.read.parquet(IndexPaths.positions(dir))
-        .select($"term", $"firstDocId", $"bytes").toDF("term", "firstDocId", "pbytes")
-      // A term may legitimately have NO positions sidecar at all — keyword
-      // (StringField) terms are DOCS_ONLY even in a positions-enabled
-      // index (reference: FieldInfo.IndexOptions per field). What is NOT
-      // legal: a positions blob without its posting block (orphan), a
-      // per-posting count != tf, or a term with positions for SOME of its
-      // blocks but not others (mixed).
-      val joined = t.join(p, Seq("term", "firstDocId"), "full_outer")
-      val perBlock = joined.select($"term", $"firstDocId", $"tn", $"tbytes", $"pbytes")
-        .as[(String, Option[Long], Option[Int], Array[Byte], Array[Byte])]
-        .map { case (term, first, tn, tbytes, pbytes) =>
-          if (first.isEmpty || tn.isEmpty || tbytes == null) (term, 0L, 0L, 1L) // orphan blob
-          else if (pbytes == null) (term, 0L, 1L, 0L) // block without positions
-          else {
-            val (_, tfs, _) = PostingsCodec.decodeBlock(first.get, tn.get, tbytes)
-            val poss = PostingsCodec.decodePositionsBlock(tn.get, pbytes)
-            if (poss.indices.forall(i => poss(i).length == tfs(i)))
-              (term, 1L, 0L, 0L)
-            else (term, 0L, 0L, 1L) // counts != tf
-          }
-        }.toDF("term", "withPos", "noPos", "bad")
-      val badPos = perBlock.groupBy($"term")
-        .agg(sum($"withPos").as("w"), sum($"noPos").as("n"), sum($"bad").as("b"))
-        .filter($"b" > 0 || ($"w" > 0 && $"n" > 0)).count()
-      if (badPos > 0) problems += s"$badPos terms with misaligned/mixed positions sidecars"
+    // 6b. sidecars (positions / char offsets, when present): every blob
+    //     aligns with its posting block and per-posting entry counts ==
+    //     tf. A term may legitimately have NO sidecar at all — keyword
+    //     (StringField) terms are DOCS_ONLY even in a positions-enabled
+    //     index (reference: FieldInfo.IndexOptions per field). NOT legal:
+    //     a blob without its posting block (orphan), counts != tf, or a
+    //     term with blobs for SOME of its blocks but not others (mixed).
+    val sidecars: Seq[(String, String, (Int, Array[Byte]) => Array[Int])] = Seq(
+      (IndexPaths.positions(dir), "positions",
+        (n, bytes) => PostingsCodec.decodePositionsBlock(n, bytes).map(_.length)),
+      (IndexPaths.offsets(dir), "offsets",
+        (n, bytes) => PostingsCodec.decodeOffsetsBlock(n, bytes).map(_.length / 2)))
+    for ((pathStr, label, entryCounts) <- sidecars) {
+      val scPath = new org.apache.hadoop.fs.Path(pathStr)
+      if (scPath.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(scPath)) {
+        val t = postings.toDF().select($"term", $"firstDocId", $"numDocs", $"bytes")
+          .toDF("term", "firstDocId", "tn", "tbytes")
+        val p = spark.read.parquet(pathStr)
+          .select($"term", $"firstDocId", $"bytes").toDF("term", "firstDocId", "scbytes")
+        val joined = t.join(p, Seq("term", "firstDocId"), "full_outer")
+        val counted = entryCounts
+        val perBlock = joined.select($"term", $"firstDocId", $"tn", $"tbytes", $"scbytes")
+          .as[(String, Option[Long], Option[Int], Array[Byte], Array[Byte])]
+          .map { case (term, first, tn, tbytes, scbytes) =>
+            if (first.isEmpty || tn.isEmpty || tbytes == null) (term, 0L, 0L, 1L) // orphan blob
+            else if (scbytes == null) (term, 0L, 1L, 0L) // block without sidecar
+            else {
+              val (_, tfs, _) = PostingsCodec.decodeBlock(first.get, tn.get, tbytes)
+              val cts = counted(tn.get, scbytes)
+              if (cts.indices.forall(i => cts(i) == tfs(i))) (term, 1L, 0L, 0L)
+              else (term, 0L, 0L, 1L) // counts != tf
+            }
+          }.toDF("term", "withSc", "noSc", "bad")
+        val bad = perBlock.groupBy($"term")
+          .agg(sum($"withSc").as("w"), sum($"noSc").as("n"), sum($"bad").as("b"))
+          .filter($"b" > 0 || ($"w" > 0 && $"n" > 0)).count()
+        if (bad > 0) problems += s"$bad terms with misaligned/mixed $label sidecars"
+      }
     }
 
     // 6. sha256 per-row invariant vs the source corpus

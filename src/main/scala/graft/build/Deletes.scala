@@ -67,24 +67,34 @@ private final class PostingsReencoder(it: Iterator[(String, Long, Int, Int)],
   }
 }
 
-/** Combined postings+positions re-encoder: same contract as
-  * [[PostingsReencoder]] but the sorted rows carry position lists and
-  * every emitted posting block pairs with its aligned positions blob —
-  * one pass, so block boundaries (term, firstDocId) agree by
-  * construction. Rows whose position list is null (keyword/DOCS_ONLY
-  * terms in a positions-enabled index) emit a null blob — the caller
-  * writes no positions row for them, preserving the per-term
-  * IndexOptions through the rewrite. */
-private final class PostingsPosReencoder(
-    it: Iterator[(String, Long, Int, Int, Array[Int])], segId: Int)
-    extends Iterator[(PostingRow, Array[Byte])] {
-  private val out = scala.collection.mutable.Queue.empty[(PostingRow, Array[Byte])]
+/** Combined postings+sidecar re-encoder: same contract as
+  * [[PostingsReencoder]] but the sorted rows carry position lists and/or
+  * flattened char-offset pairs, and every emitted posting block pairs
+  * with its aligned sidecar blobs — one pass, so block boundaries
+  * (term, firstDocId) agree by construction. Rows whose sidecar entry is
+  * null (keyword/DOCS_ONLY terms, or a sidecar level the index lacks)
+  * emit a null blob — the caller writes no sidecar row for them,
+  * preserving the per-term IndexOptions through the rewrite. */
+private final class PostingsSidecarReencoder(
+    it: Iterator[(String, Long, Int, Int, Array[Int], Array[Int])], segId: Int)
+    extends Iterator[(PostingRow, Array[Byte], Array[Byte])] {
+  private val out =
+    scala.collection.mutable.Queue.empty[(PostingRow, Array[Byte], Array[Byte])]
   private var curTerm: String = null
   private var n = 0
   private var ids = new Array[Long](128)
   private var tfs = new Array[Int](128)
   private var norms = new Array[Int](128)
   private var poss = new Array[Array[Int]](128)
+  private var offs = new Array[Array[Int]](128)
+
+  private def sidecarBytes(slices: Array[Array[Int]],
+                           enc: Array[Array[Int]] => Array[Byte]): Array[Byte] = {
+    val allNull = slices.forall(_ == null)
+    require(allNull || slices.forall(_ != null),
+      s"term $curTerm mixes sidecar-carrying and sidecar-less postings")
+    if (allNull) null else enc(slices)
+  }
 
   private def flush(): Unit = {
     if (curTerm == null || n == 0) return
@@ -96,34 +106,34 @@ private final class PostingsPosReencoder(
         var s = 0L
         var i = 0
         while (i < b.numDocs) { s += bTfs(from + i); i += 1 }
-        val slice = java.util.Arrays.copyOfRange(poss, from, from + b.numDocs)
-        val allNull = slice.forall(_ == null)
-        require(allNull || slice.forall(_ != null),
-          s"term $curTerm mixes positioned and position-less postings")
+        val pSlice = java.util.Arrays.copyOfRange(poss, from, from + b.numDocs)
+        val oSlice = java.util.Arrays.copyOfRange(offs, from, from + b.numDocs)
         out.enqueue((PostingRow(curTerm, b.firstDocId, b.lastDocId, b.numDocs,
           b.maxTf, b.maxNorm, s, segId, b.bytes),
-          if (allNull) null else PostingsCodec.encodePositionsBlock(slice)))
+          sidecarBytes(pSlice, PostingsCodec.encodePositionsBlock),
+          sidecarBytes(oSlice, PostingsCodec.encodeOffsetsBlock)))
       }
     n = 0
   }
 
   override def hasNext: Boolean = {
     while (out.isEmpty && it.hasNext) {
-      val (t, id, tf, norm, ps) = it.next()
+      val (t, id, tf, norm, ps, os) = it.next()
       if (t != curTerm) { flush(); curTerm = t }
       if (n == ids.length) {
         ids = java.util.Arrays.copyOf(ids, n * 2)
         tfs = java.util.Arrays.copyOf(tfs, n * 2)
         norms = java.util.Arrays.copyOf(norms, n * 2)
         poss = java.util.Arrays.copyOf(poss, n * 2)
+        offs = java.util.Arrays.copyOf(offs, n * 2)
       }
-      ids(n) = id; tfs(n) = tf; norms(n) = norm; poss(n) = ps; n += 1
+      ids(n) = id; tfs(n) = tf; norms(n) = norm; poss(n) = ps; offs(n) = os; n += 1
     }
     if (out.isEmpty) flush()
     out.nonEmpty
   }
 
-  override def next(): (PostingRow, Array[Byte]) = {
+  override def next(): (PostingRow, Array[Byte], Array[Byte]) = {
     if (!hasNext) throw new NoSuchElementException
     out.dequeue()
   }
@@ -200,8 +210,10 @@ object Deletes {
     // partition; hot terms split across partitions at newId boundaries,
     // blocks stay self-contained)
     val posPath = new org.apache.hadoop.fs.Path(IndexPaths.positions(dir))
+    val offPath = new org.apache.hadoop.fs.Path(IndexPaths.offsets(dir))
     val hasPositions = fs.exists(posPath)
-    if (!hasPositions) {
+    val hasOffsets = fs.exists(offPath)
+    if (!hasPositions && !hasOffsets) {
       val decoded = spark.read.parquet(IndexPaths.postings(dir))
         .select($"term", $"firstDocId", $"lastDocId", $"numDocs", $"maxTf",
           $"maxNorm", $"sumTf", $"segId", $"bytes").as[PostingRow]
@@ -220,46 +232,63 @@ object Deletes {
       }
       blocks.write.mode(SaveMode.Overwrite).parquet(IndexPaths.postings(outDir))
     } else {
-      // positions sidecar present: re-encode postings AND positions in
-      // one pass so the rebuilt block boundaries stay aligned. LEFT join:
-      // keyword (DOCS_ONLY) terms legitimately have no positions blobs —
-      // their postings pass through with a null position list instead of
-      // being dropped.
+      // sidecars present (positions and/or offsets): re-encode postings
+      // AND sidecars in one pass so the rebuilt block boundaries stay
+      // aligned. LEFT joins: keyword (DOCS_ONLY) terms legitimately have
+      // no sidecar blobs — their postings pass through with null lists
+      // instead of being dropped.
       val t = spark.read.parquet(IndexPaths.postings(dir))
         .select($"term", $"firstDocId", $"numDocs", $"bytes")
         .toDF("term", "firstDocId", "tn", "tbytes")
-      val p = spark.read.parquet(IndexPaths.positions(dir))
-        .select($"term", $"firstDocId", $"bytes").toDF("term", "firstDocId", "pbytes")
-      val decoded = t.join(p, Seq("term", "firstDocId"), "left_outer")
-        .select($"term", $"firstDocId", $"tn", $"tbytes", $"pbytes")
-        .as[(String, Long, Int, Array[Byte], Array[Byte])]
-        .flatMap { case (term, firstDocId, n, tbytes, pbytes) =>
+      val withP =
+        if (hasPositions)
+          t.join(spark.read.parquet(IndexPaths.positions(dir))
+            .select($"term", $"firstDocId", $"bytes").toDF("term", "firstDocId", "pbytes"),
+            Seq("term", "firstDocId"), "left_outer")
+        else t.withColumn("pbytes", lit(null).cast("binary"))
+      val withPO =
+        if (hasOffsets)
+          withP.join(spark.read.parquet(IndexPaths.offsets(dir))
+            .select($"term", $"firstDocId", $"bytes").toDF("term", "firstDocId", "obytes"),
+            Seq("term", "firstDocId"), "left_outer")
+        else withP.withColumn("obytes", lit(null).cast("binary"))
+      val decoded = withPO
+        .select($"term", $"firstDocId", $"tn", $"tbytes", $"pbytes", $"obytes")
+        .as[(String, Long, Int, Array[Byte], Array[Byte], Array[Byte])]
+        .flatMap { case (term, firstDocId, n, tbytes, pbytes, obytes) =>
           val (ids, tfs, norms) = PostingsCodec.decodeBlock(firstDocId, n, tbytes)
           val poss =
             if (pbytes == null) Array.fill[Array[Int]](n)(null)
             else PostingsCodec.decodePositionsBlock(n, pbytes)
-          ids.indices.iterator.map(i => (term, ids(i), tfs(i), norms(i), poss(i)))
-        }.toDF("term", "oldId", "tf", "norm", "ps")
+          val offs =
+            if (obytes == null) Array.fill[Array[Int]](n)(null)
+            else PostingsCodec.decodeOffsetsBlock(n, obytes)
+          ids.indices.iterator.map(i =>
+            (term, ids(i), tfs(i), norms(i), poss(i), offs(i)))
+        }.toDF("term", "oldId", "tf", "norm", "ps", "os")
       val renumbered = decoded.join(remap, Seq("oldId"))
-        .select($"term", $"newId", $"tf", $"norm", $"ps")
+        .select($"term", $"newId", $"tf", $"norm", $"ps", $"os")
         .repartitionByRange(numPartitions, $"term", $"newId")
         .sortWithinPartitions($"term", $"newId")
-        .as[(String, Long, Int, Int, Array[Int])]
+        .as[(String, Long, Int, Int, Array[Int], Array[Int])]
       val combined = renumbered.mapPartitions { it =>
         val segId = org.apache.spark.TaskContext.getPartitionId()
-        new PostingsPosReencoder(it, segId)
-      }.toDF("post", "posBytes")
+        new PostingsSidecarReencoder(it, segId)
+      }.toDF("post", "posBytes", "offBytes")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       combined.select(col("post.*"))
         .write.mode(SaveMode.Overwrite).parquet(IndexPaths.postings(outDir))
-      combined.where(col("posBytes").isNotNull)
-        .select(col("post.term").as("term"),
-          col("post.firstDocId").as("firstDocId"),
-          col("post.lastDocId").as("lastDocId"),
-          col("post.numDocs").as("numDocs"),
-          col("post.segId").as("segId"),
-          col("posBytes").as("bytes"))
-        .write.mode(SaveMode.Overwrite).parquet(IndexPaths.positions(outDir))
+      def writeSidecar(byteCol: String, outPathStr: String): Unit =
+        combined.where(col(byteCol).isNotNull)
+          .select(col("post.term").as("term"),
+            col("post.firstDocId").as("firstDocId"),
+            col("post.lastDocId").as("lastDocId"),
+            col("post.numDocs").as("numDocs"),
+            col("post.segId").as("segId"),
+            col(byteCol).as("bytes"))
+          .write.mode(SaveMode.Overwrite).parquet(outPathStr)
+      if (hasPositions) writeSidecar("posBytes", IndexPaths.positions(outDir))
+      if (hasOffsets) writeSidecar("offBytes", IndexPaths.offsets(outDir))
       combined.unpersist()
     }
 

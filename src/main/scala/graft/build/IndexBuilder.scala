@@ -105,7 +105,8 @@ object IndexBuilder {
                  analyzerFor: String => Analyzer = Analyzer.forLang,
                  docIdBase: Long = 0L,
                  keywordFields: Seq[String] = Nil,
-                 indexPositions: Boolean = false): Unit = {
+                 indexPositions: Boolean = false,
+                 indexOffsets: Boolean = false): Unit = {
     import spark.implicits._
     val sorted = corpus
       .repartitionByRange(numPartitions, $"repo", $"path", $"commit")
@@ -115,10 +116,13 @@ object IndexBuilder {
     // checksum it would double the stage's I/O
     val acc = spark.sparkContext.collectionAccumulator[ManifestRow]("flushManifest")
     val kw = keywordFields
-    val withPos = indexPositions
+    // the offsets level implies positions (the reference's IndexOptions
+    // lattice is strictly ordered, FieldInfo.cs:373-397)
+    val withPos = indexPositions || indexOffsets
+    val withOff = indexOffsets
     val flush = sorted.mapPartitions { it =>
       val segId = TaskContext.getPartitionId()
-      new FlushIterator(it, segId, analyzerFor, row => acc.add(row), kw, withPos)
+      new FlushIterator(it, segId, analyzerFor, row => acc.add(row), kw, withPos, withOff)
     }
     flush.write.mode(SaveMode.Overwrite).partitionBy("kind")
       .parquet(IndexPaths.flush(dir))
@@ -164,20 +168,24 @@ object IndexBuilder {
       .repartitionByRange(numPartitions, $"term", $"firstDocId")
       .sortWithinPartitions($"term", $"firstDocId")
       .write.mode(SaveMode.Overwrite).parquet(IndexPaths.postings(dir))
-    // optional positions sidecar (kind 'p' blocks, aligned with the
-    // posting blocks): same offset rebase, same term-sorted layout
-    val hasPos = spark.read.parquet(IndexPaths.flush(dir))
-      .where($"kind" === "p").limit(1).count() > 0
-    if (hasPos) {
-      spark.read.parquet(IndexPaths.flush(dir))
-        .where($"kind" === "p")
-        .join(broadcast(offsetsDf(spark, dir)), $"segId" === $"pid")
-        .select($"term", ($"firstDocId" + $"offset").as("firstDocId"),
-          ($"lastDocId" + $"offset").as("lastDocId"), $"numDocs", $"segId",
-          $"bytes").as[PositionsRow]
-        .repartitionByRange(numPartitions, $"term", $"firstDocId")
-        .sortWithinPartitions($"term", $"firstDocId")
-        .write.mode(SaveMode.Overwrite).parquet(IndexPaths.positions(dir))
+    // optional sidecars (kind 'p' = positions, 'o' = char offsets),
+    // aligned 1:1 with the posting blocks: same rebase, same term-sorted
+    // layout
+    for ((kind, path) <- Seq("p" -> IndexPaths.positions(dir),
+                             "o" -> IndexPaths.offsets(dir))) {
+      val has = spark.read.parquet(IndexPaths.flush(dir))
+        .where($"kind" === kind).limit(1).count() > 0
+      if (has) {
+        spark.read.parquet(IndexPaths.flush(dir))
+          .where($"kind" === kind)
+          .join(broadcast(offsetsDf(spark, dir)), $"segId" === $"pid")
+          .select($"term", ($"firstDocId" + $"offset").as("firstDocId"),
+            ($"lastDocId" + $"offset").as("lastDocId"), $"numDocs", $"segId",
+            $"bytes").as[PositionsRow]
+          .repartitionByRange(numPartitions, $"term", $"firstDocId")
+          .sortWithinPartitions($"term", $"firstDocId")
+          .write.mode(SaveMode.Overwrite).parquet(path)
+      }
     }
     val p = spark.read.parquet(IndexPaths.postings(dir))
     val stats = p.groupBy(spark_partition_id().as("pid"))
@@ -254,7 +262,8 @@ object IndexBuilder {
             analyzerFor: String => Analyzer = Analyzer.forLang,
             docIdBase: Long = 0L,
             keywordFields: Seq[String] = Nil,
-            indexPositions: Boolean = false): Unit = {
+            indexPositions: Boolean = false,
+            indexOffsets: Boolean = false): Unit = {
     if (!resume) {
       val path = new org.apache.hadoop.fs.Path(dir)
       val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -268,7 +277,7 @@ object IndexBuilder {
     }
     if (!resume || !stageDone(spark, dir, "flush"))
       timed("flush")(buildFlush(spark, corpus, dir, numPartitions, analyzerFor,
-        docIdBase, keywordFields, indexPositions))
+        docIdBase, keywordFields, indexPositions, indexOffsets))
     if (!resume || !stageDone(spark, dir, "postings"))
       timed("postings")(buildPostings(spark, dir, numPartitions))
     if (!resume || !stageDone(spark, dir, "stats"))
@@ -286,7 +295,8 @@ private final class FlushIterator(docs: Iterator[SourceFile], segId: Int,
     analyzerFor: String => Analyzer,
     onComplete: ManifestRow => Unit = _ => (),
     keywordFields: Seq[String] = Nil,
-    indexPositions: Boolean = false) extends Iterator[FlushRow] {
+    indexPositions: Boolean = false,
+    indexOffsets: Boolean = false) extends Iterator[FlushRow] {
 
   // partition lineage, accumulated as blocks are emitted
   private var mTermMin: String = null
@@ -309,17 +319,26 @@ private final class FlushIterator(docs: Iterator[SourceFile], segId: Int,
     /** Per-posting position lists; null entries = positions not indexed
       * for this term (keyword fields are DOCS_ONLY). */
     var poss: Array[Array[Int]] = null
-    def add(d: Long, tf: Int, norm: Int, ps: Array[Int] = null): Unit = {
+    /** Per-posting flattened (start,end) char-offset pairs (the
+      * ..._AND_OFFSETS payload), aligned with poss. */
+    var offs: Array[Array[Int]] = null
+    def add(d: Long, tf: Int, norm: Int, ps: Array[Int] = null,
+            os: Array[Int] = null): Unit = {
       if (n == docIds.length) {
         val cap = n * 2
         docIds = java.util.Arrays.copyOf(docIds, cap)
         tfs = java.util.Arrays.copyOf(tfs, cap)
         norms = java.util.Arrays.copyOf(norms, cap)
         if (poss != null) poss = java.util.Arrays.copyOf(poss, cap)
+        if (offs != null) offs = java.util.Arrays.copyOf(offs, cap)
       }
       if (ps != null) {
         if (poss == null) poss = new Array[Array[Int]](docIds.length)
         poss(n) = ps
+      }
+      if (os != null) {
+        if (offs == null) offs = new Array[Array[Int]](docIds.length)
+        offs(n) = os
       }
       docIds(n) = d; tfs(n) = tf; norms(n) = norm; n += 1
     }
@@ -334,6 +353,8 @@ private final class FlushIterator(docs: Iterator[SourceFile], segId: Int,
   private def emptyD = FlushRow("d", null, -1L, -1L, -1, -1, -1, -1L, segId,
     null, -1L, null, null, null, null, null, null, -1, -1)
   private def emptyP = FlushRow("p", null, -1L, -1L, -1, -1, -1, -1L, segId,
+    null, -1L, null, null, null, null, null, null, -1, -1)
+  private def emptyO = FlushRow("o", null, -1L, -1L, -1, -1, -1, -1L, segId,
     null, -1L, null, null, null, null, null, null, -1, -1)
 
   private def flushSegment(): Unit = {
@@ -361,6 +382,13 @@ private final class FlushIterator(docs: Iterator[SourceFile], segId: Int,
           out.enqueue(emptyP.copy(term = t, firstDocId = blk.firstDocId,
             lastDocId = blk.lastDocId, numDocs = blk.numDocs,
             bytes = PostingsCodec.encodePositionsBlock(slice)))
+        }
+        if (b.offs != null) {
+          // aligned char-offset block (..._AND_OFFSETS level)
+          val slice = java.util.Arrays.copyOfRange(b.offs, off, off + blk.numDocs)
+          out.enqueue(emptyO.copy(term = t, firstDocId = blk.firstDocId,
+            lastDocId = blk.lastDocId, numDocs = blk.numDocs,
+            bytes = PostingsCodec.encodeOffsetsBlock(slice)))
         }
         off += blk.numDocs
         // lineage (≙ what segments_N records per segment)
@@ -395,12 +423,23 @@ private final class FlushIterator(docs: Iterator[SourceFile], segId: Int,
     val normByte = BM25.encodeNorm(dl) & 0xff
     // per-doc tf accumulation (≙ FreqProxTermsWriterPerField NewTerm/AddTerm)
     if (indexPositions) {
-      // positions ride along (the DOCS_AND_FREQS_AND_POSITIONS option)
+      // positions ride along (the DOCS_AND_FREQS_AND_POSITIONS option);
+      // with indexOffsets the (start,end) char pairs ride too (the
+      // ..._AND_OFFSETS level)
       val posMap = mutable.HashMap.empty[String, mutable.ArrayBuffer[Int]]
-      analyzed.tokens.foreach(t =>
-        posMap.getOrElseUpdate(t.term, mutable.ArrayBuffer.empty) += t.position)
+      val offMap = if (indexOffsets)
+        mutable.HashMap.empty[String, mutable.ArrayBuffer[Int]] else null
+      analyzed.tokens.foreach { t =>
+        posMap.getOrElseUpdate(t.term, mutable.ArrayBuffer.empty) += t.position
+        if (offMap != null) {
+          val ob = offMap.getOrElseUpdate(t.term, mutable.ArrayBuffer.empty)
+          ob += t.startOff
+          ob += t.endOff
+        }
+      }
       posMap.foreach { case (term, ps) =>
-        terms.getOrElseUpdate(term, new Buf).add(docId, ps.length, normByte, ps.toArray)
+        terms.getOrElseUpdate(term, new Buf).add(docId, ps.length, normByte,
+          ps.toArray, if (offMap != null) offMap(term).toArray else null)
         nBuffered += 1
       }
     } else {

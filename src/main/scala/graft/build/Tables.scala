@@ -112,6 +112,9 @@ object IndexPaths {
   def flush(dir: String) = s"$dir/flush"
   def postings(dir: String) = s"$dir/postings"
   def positions(dir: String) = s"$dir/positions"
+  /** Character-offset sidecar (..._AND_OFFSETS level), aligned like
+    * positions; rows share the [[PositionsRow]] schema. */
+  def offsets(dir: String) = s"$dir/offsets"
   def docstats(dir: String) = s"$dir/docstats"
   def termDict(dir: String) = s"$dir/term_dict"
   /** Distinct first characters of the dictionary (alphabet-sized) —

@@ -97,6 +97,19 @@ object DocIndex {
     dir
   }
 
+  /** Documents index with positions AND char offsets (the full
+    * ..._AND_OFFSETS IndexOptions level): highlighting reads offsets
+    * from the index instead of re-analyzing stored content. */
+  def ensureOffsets(spark: SparkSession, sfDir: String): String = synchronized {
+    val dir = cacheDir(sfDir) + "-off"
+    if (!IndexBuilder.stageDone(spark, dir, "stats")) {
+      IndexBuilder.build(spark, documentsAsCorpus(spark, sfDir), dir,
+        numPartitions = 8, resume = true, analyzerFor = _ => Analyzer.sqlParity,
+        indexPositions = true, indexOffsets = true)
+    }
+    dir
+  }
+
   def ensureWide(spark: SparkSession, sfDir: String): String = synchronized {
     val dir = cacheDir(sfDir) + "-cust"
     if (!IndexBuilder.stageDone(spark, dir, "stats")) {

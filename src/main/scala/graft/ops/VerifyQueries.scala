@@ -731,6 +731,43 @@ object VerifyQueries {
        |  substr(pre, greatest(1, length(pre) - 9), 10) AS ctx_before
        |FROM m JOIN idx USING (doc_id) ORDER BY doc_id""".stripMargin
 
+  /** Index-time highlighting over the OFFSETS-enabled index (the
+    * PostingsHighlighter idea, reference:
+    * PostingsHighlight/PostingsHighlighter.cs:74): the first whole-token
+    * occurrence of the query term comes straight from the char-offset
+    * sidecar — no re-analysis of stored content — and the snippet is cut
+    * from the stored text at that offset. The oracle reconstructs token
+    * offsets relationally: non-token chars map 1:1 to spaces, so
+    * strpos(' '||norm||' ', ' merge ') finds the first whole-token
+    * occurrence at the same character offset. */
+  def qHighlightOffsets(spark: SparkSession, sf: String): DataFrame = {
+    import spark.implicits._
+    val dir = DocIndex.ensureOffsets(spark, sf)
+    val reader = new graft.search.IndexReader(spark, dir)
+    val firstOff = reader.termOffsetRows(Seq("merge"))
+      .map { case (docId, _, offs) => (docId, offs(0).toLong) }
+      .toDF("doc_id", "off")
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    firstOff.join(docs, "doc_id")
+      .select(col("doc_id"), col("off"),
+        expr("substr(lower(text), greatest(1, cast(off as int) - 9), least(cast(off as int), 10))")
+          .as("ctx_before"))
+      .orderBy(col("doc_id"))
+  }
+  val oHighlightOffsets: String =
+    """WITH norm AS (
+      |  SELECT doc_id, lower(text) AS lt,
+      |         ' ' || regexp_replace(lower(text), '[^a-z0-9_]', ' ', 'g') || ' ' AS padded
+      |  FROM documents
+      |), hit AS (
+      |  SELECT doc_id, lt, CAST(strpos(padded, ' merge ') AS BIGINT) AS p FROM norm
+      |  WHERE strpos(padded, ' merge ') > 0
+      |)
+      |SELECT doc_id, p - 1 AS off,
+      |  substr(lt, greatest(1, CAST(p - 1 AS INT) - 9), least(CAST(p - 1 AS INT), 10)) AS ctx_before
+      |FROM hit ORDER BY doc_id""".stripMargin
+
   /** MoreLikeThis end-to-end (reference: Queries/Mlt/MoreLikeThis.cs):
     * seed doc 7 → top-5 tf·idf terms → OR query → top-10 similar docs
     * (seed excluded). */
@@ -932,6 +969,7 @@ object VerifyQueries {
     "q_common_terms" -> qCommonTerms _,
     "q_rescore" -> qRescore _,
     "q_highlight" -> qHighlight _,
+    "q_highlight_offsets" -> qHighlightOffsets _,
     "q_join_semi" -> qJoinSemi _,
     "q_join_anti" -> qJoinAnti _,
     "q_agg_q1" -> qAggQ1 _,
@@ -982,6 +1020,7 @@ object VerifyQueries {
     "q_common_terms" -> oCommonTerms,
     "q_rescore" -> oRescore,
     "q_highlight" -> oHighlight,
+    "q_highlight_offsets" -> oHighlightOffsets,
     "q_join_semi" -> oJoinSemi,
     "q_join_anti" -> oJoinAnti,
     "q_agg_q1" -> oAggQ1,

@@ -238,6 +238,55 @@ object PostingsCodec {
     out
   }
 
+  /** Encode the per-posting character-offset pairs of one block (the
+    * ..._AND_OFFSETS payload — reference: FieldInfo.IndexOptions
+    * DOCS_AND_FREQS_AND_POSITIONS_AND_OFFSETS, Index/FieldInfo.cs:373-397;
+    * Lucene41PostingsWriter interleaves startOffset deltas + lengths in
+    * the .pos stream): `offLists(i)` is the flattened
+    * [s0, e0, s1, e1, …] for posting i; encoded as VInt(pairs), then per
+    * pair VInt(start - prevStart) and VInt(end - start). */
+  def encodeOffsetsBlock(offLists: Array[Array[Int]]): Array[Byte] = {
+    val out = new ByteArrayOutputStream(offLists.length * 6)
+    var i = 0
+    while (i < offLists.length) {
+      val os = offLists(i)
+      require(os.length % 2 == 0, "offsets must be (start,end) pairs")
+      writeVLong(out, (os.length / 2).toLong)
+      var prevStart = 0
+      var j = 0
+      while (j < os.length) {
+        writeVLong(out, (os(j) - prevStart).toLong)
+        writeVLong(out, (os(j + 1) - os(j)).toLong)
+        prevStart = os(j)
+        j += 2
+      }
+      i += 1
+    }
+    out.toByteArray
+  }
+
+  /** Decode an offsets blob back to flattened per-posting pair arrays. */
+  def decodeOffsetsBlock(numDocs: Int, bytes: Array[Byte]): Array[Array[Int]] = {
+    val r = new Reader(bytes)
+    val out = new Array[Array[Int]](numDocs)
+    var i = 0
+    while (i < numDocs) {
+      val n = r.readVLong().toInt
+      val os = new Array[Int](n * 2)
+      var prevStart = 0
+      var j = 0
+      while (j < n) {
+        prevStart += r.readVLong().toInt
+        os(2 * j) = prevStart
+        os(2 * j + 1) = prevStart + r.readVLong().toInt
+        j += 1
+      }
+      out(i) = os
+      i += 1
+    }
+    out
+  }
+
   /** Decode a block back to (docIds, tfs, norms). */
   def decodeBlock(firstDocId: Long, numDocs: Int, bytes: Array[Byte])
       : (Array[Long], Array[Int], Array[Int]) = {

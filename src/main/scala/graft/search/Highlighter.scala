@@ -51,4 +51,45 @@ object Highlighter {
     }
     Some(Fragment(sb.toString, bestHits))
   }
+
+  /** Index-time highlighting (the PostingsHighlighter idea, reference:
+    * Lucene.Net.Highlighter/PostingsHighlight/PostingsHighlighter.cs:74):
+    * the query terms' (start,end) char offsets come straight from the
+    * offsets sidecar — NO re-analysis of the stored content. `hitOffsets`
+    * is the union of the matched terms' flattened [s,e,…] pairs for one
+    * doc; the best window is the char span of width <= windowChars
+    * covering the most hits (ties → earliest), hits marked back-to-front.
+    * Produces the same markup as [[bestFragment]] when the window
+    * contains the same hits (HighlighterSpec proves parity on an
+    * offsets-enabled index). */
+  def bestFragmentFromOffsets(content: String, hitOffsets: Seq[(Int, Int)],
+                              windowChars: Int = 80,
+                              preTag: String = "<b>", postTag: String = "</b>"): Option[Fragment] = {
+    if (hitOffsets.isEmpty) return None
+    val hits = hitOffsets.sorted.toArray
+    // two-pointer: densest run of hits whose char span fits windowChars
+    var best = 0
+    var bestCount = -1
+    var lo = 0
+    var hi = 0
+    while (hi < hits.length) {
+      while (hits(hi)._2 - hits(lo)._1 > windowChars && lo < hi) lo += 1
+      val count = hi - lo + 1
+      if (count > bestCount) { bestCount = count; best = lo }
+      hi += 1
+    }
+    var end = best
+    while (end + 1 < hits.length &&
+           hits(end + 1)._2 - hits(best)._1 <= windowChars) end += 1
+    val fragStart = hits(best)._1
+    val fragEnd = math.min(content.length, hits(end)._2)
+    val sb = new StringBuilder(content.substring(fragStart, fragEnd))
+    var j = end
+    while (j >= best) {
+      sb.insert(hits(j)._2 - fragStart, postTag)
+      sb.insert(hits(j)._1 - fragStart, preTag)
+      j -= 1
+    }
+    Some(Fragment(sb.toString, end - best + 1))
+  }
 }

@@ -49,6 +49,37 @@ final class IndexReader(val spark: SparkSession, val dir: String) extends Serial
   }
   def positions: DataFrame = spark.read.parquet(IndexPaths.positions(dir))
 
+  /** True when the index carries the char-offset sidecar (the
+    * ..._AND_OFFSETS level, reference: Index/FieldInfo.cs:373-397) —
+    * highlighting then reads offsets from the index instead of
+    * re-analyzing stored content (the PostingsHighlighter idea,
+    * reference: PostingsHighlight/PostingsHighlighter.cs:74). */
+  lazy val hasOffsets: Boolean = {
+    val p = new org.apache.hadoop.fs.Path(IndexPaths.offsets(dir))
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+  def offsets: DataFrame = spark.read.parquet(IndexPaths.offsets(dir))
+
+  /** (docId, term, flattened [s0,e0,s1,e1,…] char offsets) for a term
+    * set, decoded from the aligned postings/offsets blocks — both scans
+    * parquet-pruned by the sorted term column. */
+  def termOffsetRows(terms: Seq[String]): Dataset[(Long, String, Array[Int])] = {
+    val distinct = terms.distinct
+    val t = postings.where($"term".isin(distinct: _*))
+      .select($"term", $"firstDocId", $"numDocs", $"bytes")
+      .toDF("term", "firstDocId", "tn", "tbytes")
+    val o = offsets.where($"term".isin(distinct: _*))
+      .select($"term", $"firstDocId", $"bytes").toDF("term", "firstDocId", "obytes")
+    t.join(o, Seq("term", "firstDocId"))
+      .select($"term", $"firstDocId", $"tn", $"tbytes", $"obytes")
+      .as[(String, Long, Int, Array[Byte], Array[Byte])]
+      .flatMap { case (term, firstDocId, n, tbytes, obytes) =>
+        val (ids, _, _) = PostingsCodec.decodeBlock(firstDocId, n, tbytes)
+        val offs = PostingsCodec.decodeOffsetsBlock(n, obytes)
+        ids.indices.iterator.map(i => (ids(i), term, offs(i)))
+      }
+  }
+
   /** Stats pull for query terms — one tiny dictionary lookup job,
     * parquet-pruned by the sorted term column (≙ the FST term-index seek,
     * reference: Codecs/BlockTreeTermsReader.cs). */

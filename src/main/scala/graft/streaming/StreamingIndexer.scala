@@ -52,25 +52,30 @@ object StreamingIndexer {
     * Structured Streaming's at-least-once foreachBatch. */
   def appendBatch(spark: SparkSession, batch: Dataset[SourceFile], root: String,
                   batchId: Long, numPartitions: Int = 8,
-                  analyzerFor: String => Analyzer = Analyzer.forLang): Unit = {
+                  analyzerFor: String => Analyzer = Analyzer.forLang,
+                  indexPositions: Boolean = false,
+                  indexOffsets: Boolean = false): Unit = {
     val dir = genDir(root, batchId)
     if (IndexBuilder.stageDone(spark, dir, "stats")) return // replay
     val base = totalDocs(spark, root)
     IndexBuilder.build(spark, batch, dir, numPartitions, resume = false,
-      analyzerFor, docIdBase = base)
+      analyzerFor, docIdBase = base, indexPositions = indexPositions,
+      indexOffsets = indexOffsets)
   }
 
   /** Start the streaming indexer on a SourceFile stream. */
   def start(stream: Dataset[SourceFile], root: String, checkpoint: String,
             numPartitions: Int = 8,
             analyzerFor: String => Analyzer = Analyzer.forLang,
-            trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+            trigger: Trigger = Trigger.AvailableNow(),
+            indexPositions: Boolean = false,
+            indexOffsets: Boolean = false): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: Dataset[SourceFile], batchId: Long) =>
         appendBatch(batch.sparkSession, batch, root, batchId, numPartitions,
-          analyzerFor)
+          analyzerFor, indexPositions, indexOffsets)
       }
       .start()
 
@@ -100,14 +105,17 @@ object StreamingIndexer {
       .repartitionByRange(numPartitions, $"term", $"firstDocId")
       .sortWithinPartitions($"term", $"firstDocId")
       .write.mode(SaveMode.Overwrite).parquet(IndexPaths.postings(outDir))
-    // positions sidecars concatenate like postings (blocks self-contained,
-    // global docIds) — only when every generation carries them
-    val posDirs = dirs.map(IndexPaths.positions)
-    if (posDirs.forall(d => fs.exists(new org.apache.hadoop.fs.Path(d)))) {
-      spark.read.parquet(posDirs: _*)
-        .repartitionByRange(numPartitions, $"term", $"firstDocId")
-        .sortWithinPartitions($"term", $"firstDocId")
-        .write.mode(SaveMode.Overwrite).parquet(IndexPaths.positions(outDir))
+    // sidecars (positions / offsets) concatenate like postings (blocks
+    // self-contained, global docIds) — only when every generation
+    // carries them
+    for (side <- Seq(IndexPaths.positions _, IndexPaths.offsets _)) {
+      val sideDirs = dirs.map(side)
+      if (sideDirs.forall(d => fs.exists(new org.apache.hadoop.fs.Path(d)))) {
+        spark.read.parquet(sideDirs: _*)
+          .repartitionByRange(numPartitions, $"term", $"firstDocId")
+          .sortWithinPartitions($"term", $"firstDocId")
+          .write.mode(SaveMode.Overwrite).parquet(side(outDir))
+      }
     }
 
     val dict = spark.read.parquet(IndexPaths.postings(outDir))

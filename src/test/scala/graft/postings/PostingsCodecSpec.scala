@@ -86,4 +86,26 @@ class PostingsCodecSpec extends AnyFunSuite {
     val b = PostingsCodec.encodeBlocks(docIds, tfs, norms(300)).map(_.bytes.toSeq)
     assert(a == b)
   }
+
+  test("offsets blocks round-trip (pairs, deltas, empty lists)") {
+    val rnd = new scala.util.Random(42)
+    for (n <- Seq(1, 5, 128, 200)) {
+      val offLists = Array.tabulate(n) { i =>
+        val pairs = i % 7 // includes empty lists
+        var start = 0
+        val out = new Array[Int](pairs * 2)
+        var j = 0
+        while (j < pairs) {
+          start += 1 + rnd.nextInt(50)
+          out(2 * j) = start
+          out(2 * j + 1) = start + 1 + rnd.nextInt(20)
+          j += 1
+        }
+        out
+      }
+      val bytes = PostingsCodec.encodeOffsetsBlock(offLists)
+      val back = PostingsCodec.decodeOffsetsBlock(n, bytes)
+      assert(back.map(_.toSeq).toSeq === offLists.map(_.toSeq).toSeq)
+    }
+  }
 }
