@@ -302,6 +302,42 @@ object VerifyQueries {
        |WHERE a.t IN ('table', 'part') AND b.t IN ('hash', 'filter')
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Sloppy MultiPhraseQuery (reference: MultiPhraseQuery.cs SetSlop):
+    * slots ("table"|"part") then ("hash"|"filter"), slop 3 — the doc SET
+    * comes from the engine's union-positions SloppyPhrase traversal; the
+    * oracle-parity columns use the same 2-slot min-adjusted-window
+    * theorem as q_phrase_sloppy, with per-slot IN-lists (slot
+    * vocabularies are disjoint, so no repeat groups interfere). */
+  def qMultiPhraseSloppy(spark: SparkSession, sf: String): DataFrame = {
+    val dir = ensure(spark, sf)
+    val searcher = new graft.search.Searcher(new graft.search.IndexReader(spark, dir),
+      analyzerFor = _ => graft.analysis.Analyzer.sqlParity)
+    val matched = searcher.multiPhraseFreqsSloppy(
+      Seq(Seq("table", "part"), Seq("hash", "filter")), 3)
+      .toDF("doc_id", "freq").select("doc_id")
+    val pos = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"),
+        posexplode(expr("regexp_extract_all(lower(text), '[a-z0-9_]+', 0)")).as(Seq("p", "t")))
+    val a = pos.where(col("t").isin("table", "part")).select(col("doc_id"), col("p").as("pa"))
+    val b = pos.where(col("t").isin("hash", "filter")).select(col("doc_id"), col("p").as("pb"))
+    val stats = a.join(b, Seq("doc_id"))
+      .groupBy(col("doc_id"))
+      .agg(min(abs(col("pb") - col("pa") - 1)).cast("long").as("min_dist"),
+        sum(when(abs(col("pb") - col("pa") - 1) <= 3, 1L).otherwise(0L)).as("pairs"))
+    matched.join(stats, Seq("doc_id")).orderBy(col("doc_id"))
+  }
+  val oMultiPhraseSloppy: String =
+    s"""$OracleCtes, pos AS (
+       |  SELECT doc_id, CAST(generate_subscripts(ts, 1) AS BIGINT) AS p, unnest(ts) AS t
+       |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS ts FROM documents)
+       |)
+       |SELECT a.doc_id AS doc_id,
+       |  CAST(min(abs(b.p - a.p - 1)) AS BIGINT) AS min_dist,
+       |  CAST(sum(CASE WHEN abs(b.p - a.p - 1) <= 3 THEN 1 ELSE 0 END) AS BIGINT) AS pairs
+       |FROM pos a JOIN pos b ON a.doc_id = b.doc_id
+       |WHERE a.t IN ('table', 'part') AND b.t IN ('hash', 'filter')
+       |GROUP BY 1 HAVING min(abs(b.p - a.p - 1)) <= 3 ORDER BY 1""".stripMargin
+
   /** SpanNearQuery (unordered, gap <= 3): proximity pair counts. */
   def qSpanNear(spark: SparkSession, sf: String): DataFrame = {
     val dir = ensure(spark, sf)
@@ -601,6 +637,31 @@ object VerifyQueries {
     s"""$OracleCtes
        |SELECT dl // 50 AS bucket, count(*) AS docs FROM dl
        |GROUP BY bucket ORDER BY bucket""".stripMargin
+
+  /** Hierarchical (taxonomy) facets (reference:
+    * Facet/Taxonomy/TaxonomyFacetCounts.cs): hits of a term counted at
+    * EVERY depth of the source/lang taxonomy path — `src3` and
+    * `src3/en` both roll up. Engine side is the generic prefix-explode
+    * rollup (graft.search.Facets.taxonomyCounts); the oracle unions the
+    * per-depth counts explicitly. */
+  def qFacetPath(spark: SparkSession, sf: String): DataFrame = {
+    val dir = ensure(spark, sf)
+    val h = hits(spark, dir, Seq("merge")).select("doc_id")
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), concat_ws("/", col("source"), col("lang")).as("fpath"))
+    graft.search.Facets.taxonomyCounts(h.join(docs, "doc_id"), "fpath")
+      .orderBy(col("path"))
+  }
+  val oFacetPath: String =
+    s"""$OracleCtes, hit AS (
+       |  SELECT DISTINCT doc_id FROM tf WHERE term = 'merge'
+       |), pth AS (
+       |  SELECT d.source AS p1, d.source || '/' || d.lang AS p2
+       |  FROM documents d JOIN hit USING (doc_id)
+       |)
+       |SELECT path, CAST(count(*) AS BIGINT) AS hits FROM (
+       |  SELECT p1 AS path FROM pth UNION ALL SELECT p2 FROM pth
+       |) GROUP BY path ORDER BY path""".stripMargin
 
   /** Grouping: top-2 docs per lang by score (two-pass grouping collector). */
   def qGroupTop2(spark: SparkSession, sf: String): DataFrame = {
@@ -931,6 +992,7 @@ object VerifyQueries {
     "q_phrase_sloppy" -> qPhraseSloppy _,
     "q_phrase_sloppy_pos" -> qPhraseSloppyPos _,
     "q_multi_phrase" -> qMultiPhrase _,
+    "q_multi_phrase_sloppy" -> qMultiPhraseSloppy _,
     "q_span_near" -> qSpanNear _,
     "q_span_or" -> qSpanOr _,
     "q_span_first" -> qSpanFirst _,
@@ -960,6 +1022,7 @@ object VerifyQueries {
     "q_dict_topdf" -> qDictTopDf _,
     "q_facet_lang" -> qFacetLang _,
     "q_facet_dl_hist" -> qFacetDlHist _,
+    "q_facet_path" -> qFacetPath _,
     "q_group_top2" -> qGroupTop2 _,
     "q_mlt_terms" -> qMltTerms _,
     "q_mlt_query" -> qMltQuery _,
@@ -982,6 +1045,7 @@ object VerifyQueries {
     "q_phrase_sloppy" -> oPhraseSloppy,
     "q_phrase_sloppy_pos" -> oPhraseSloppyPos,
     "q_multi_phrase" -> oMultiPhrase,
+    "q_multi_phrase_sloppy" -> oMultiPhraseSloppy,
     "q_span_near" -> oSpanNear,
     "q_span_or" -> oSpanOr,
     "q_span_first" -> oSpanFirst,
@@ -1011,6 +1075,7 @@ object VerifyQueries {
     "q_dict_topdf" -> oDictTopDf,
     "q_facet_lang" -> oFacetLang,
     "q_facet_dl_hist" -> oFacetDlHist,
+    "q_facet_path" -> oFacetPath,
     "q_group_top2" -> oGroupTop2,
     "q_mlt_terms" -> oMltTerms,
     "q_mlt_query" -> oMltQuery,

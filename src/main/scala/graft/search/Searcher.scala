@@ -581,6 +581,64 @@ final class Searcher(reader: IndexReader, pruneMinBlocks: Int = 64,
     }
   }
 
+  /** MultiPhraseQuery WITH slop (reference: Search/MultiPhraseQuery.cs
+    * SetSlop — the sloppy scorer runs over union postings,
+    * UnionDocsAndPositionsEnum): slot i's position list is the sorted
+    * union over its alternatives, then the reference-exact SloppyPhrase
+    * traversal runs with slots as phrase terms. Slots with identical
+    * alternative sets share a key and therefore form repeat groups,
+    * matching the reference's repeat handling for repeated union terms.
+    * Same QUERY_FIRST frame as the exact multi-phrase; positions-enabled
+    * indexes decode the sidecar instead of re-analyzing. */
+  def multiPhraseFreqsSloppy(slots: Seq[Seq[String]], slop: Int): Dataset[(Long, Float)] = {
+    require(slots.nonEmpty && slots.forall(_.nonEmpty), "empty slot")
+    val stats = reader.termStats(slots.flatten.distinct)
+    val liveSlots = slots.map(_.filter(stats.contains))
+    if (liveSlots.exists(_.isEmpty)) return spark.emptyDataset[(Long, Float)]
+    val slotKeys: IndexedSeq[String] =
+      liveSlots.map(_.distinct.sorted.mkString("|")).toIndexedSeq
+    val altsByKey: Map[String, Seq[String]] =
+      slotKeys.zip(liveSlots.map(_.distinct)).toMap
+    def unionFreq(posBy: scala.collection.Map[String, Array[Int]]): Float = {
+      val posOf: String => Array[Int] = key =>
+        altsByKey(key).iterator
+          .flatMap(t => posBy.getOrElse(t, Array.empty[Int]).iterator)
+          .toArray.distinct.sorted
+      SloppyPhrase.freq(slotKeys, posOf, slop)
+    }
+    if (reader.hasPositions) {
+      val allTerms = liveSlots.flatten.distinct
+      termPositionRows(allTerms).groupByKey(_._1).flatMapGroups { (docId, it) =>
+        val posBy = scala.collection.mutable.HashMap.empty[String, Array[Int]]
+        it.foreach { case (_, term, ps, _) => posBy(term) = ps }
+        val f = unionFreq(posBy)
+        if (f > 0f) Iterator.single((docId, f)) else Iterator.empty
+      }
+    } else {
+      val candidates = liveSlots
+        .map(alts => alts.map(termDocIds).reduce(_ union _).distinct())
+        .reduce(_.intersect(_))
+      val termSet = liveSlots.flatten.toSet
+      val analyzers = analyzerFor
+      val docs = reader.docsTable
+        .join(candidates.toDF("cDocId"), $"docId" === $"cDocId")
+        .select($"docId", $"lang", $"content").as[(Long, String, String)]
+      docs.mapPartitions { it =>
+        val analyzerCache = scala.collection.mutable.HashMap.empty[String, graft.analysis.Analyzer]
+        it.flatMap { case (docId, lang, content) =>
+          val toks = analyzerCache.getOrElseUpdate(lang, analyzers(lang)).analyze(content).tokens
+          val posBy = scala.collection.mutable.HashMap.empty[String, scala.collection.mutable.ArrayBuffer[Int]]
+          toks.foreach { t =>
+            if (termSet.contains(t.term))
+              posBy.getOrElseUpdate(t.term, scala.collection.mutable.ArrayBuffer.empty) += t.position
+          }
+          val f = unionFreq(posBy.view.mapValues(_.toArray).toMap)
+          if (f > 0f) Iterator.single((docId, f)) else Iterator.empty
+        }
+      }
+    }
+  }
+
   /** Proximity pair count (SpanNearQuery analog for two terms, reference:
     * Search/Spans/SpanNearQuery.cs semantics restated relationally):
     * number of occurrence pairs (pa, pb) with |pa - pb| <= maxGap

@@ -178,4 +178,36 @@ class PhraseSpec extends AnyFunSuite {
     assert(p1.toSeq === t1.toSeq)
     assert(searcher.search(PhraseQ(Seq("state", "zzzz")), 10).isEmpty)
   }
+
+  test("sloppy multi-phrase: singleton slots == sloppy phrase (MultiPhraseQuery.SetSlop)") {
+    for (slop <- Seq(0, 1, 2)) {
+      val mp = searcher.multiPhraseFreqsSloppy(Seq(Seq("state"), Seq("machine")), slop)
+        .collect().map(t => t._1 -> t._2).toMap
+      val sp = searcher.sloppyPhraseFreqs(Seq("state", "machine"), slop)
+        .collect().map(t => t._1 -> t._2).toMap
+      assert(mp === sp, s"slop=$slop")
+    }
+  }
+
+  test("sloppy multi-phrase: union alternatives pick the best-positioned one") {
+    // doc4 "state alpha machine": slot (state|alpha) offers alpha@1 which
+    // sits adjacent to machine@2 — exact match despite state@0 being 1 away
+    val mp = searcher.multiPhraseFreqsSloppy(
+      Seq(Seq("state", "alpha"), Seq("machine")), 0)
+      .collect().map(t => t._1 -> t._2).toMap
+    assert(mp(4L) === 1f)
+    assert(mp(0L) === 1f) // "state machine" adjacent
+  }
+
+  test("sloppy multi-phrase: identical slots form repeat groups (LUCENE-3412 analog)") {
+    // both slots = (state|machine): union positions act as a repeated
+    // term; two distinct union occurrences must anchor each match
+    val mp = searcher.multiPhraseFreqsSloppy(
+      Seq(Seq("state", "machine"), Seq("state", "machine")), 0)
+      .collect().map(t => t._1 -> t._2).toMap
+    // doc0/doc1: one adjacent pair of union hits regardless of order;
+    // doc3 "state machine state machine": three adjacent union pairs;
+    // doc2/doc4 have a gap -> no match at slop 0
+    assert(mp === Map(0L -> 1f, 1L -> 1f, 3L -> 3f))
+  }
 }
