@@ -166,6 +166,44 @@ object VerifyQueries {
        |SELECT doc_id, round(sum(s), 6) AS score FROM lm
        |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
 
+  /** DFR I(n)L2 top-k (reference: Search/Similarities/DFRSimilarity.cs
+    * with BasicModelIn + AfterEffectL + NormalizationH2, c = 1):
+    * tfn = tf·log2(1 + avgdl/dl); per-clause score
+    * tfn·log2((N+1)/(df+0.5))/(tfn+1), summed per doc. Double-precision
+    * parity shape over the engine tables; the float similarity itself is
+    * golden-tested in SimilaritySpec. */
+  def qDfrTopk(spark: SparkSession, sf: String): DataFrame = {
+    val dir = ensure(spark, sf)
+    val cs = collectionStats(spark, dir)
+    val avgdl = cs.sumTotalTermFreq * 1.0 / cs.maxDoc
+    val h = hits(spark, dir, Seq("merge", "vector"))
+    val dict = spark.read.parquet(IndexPaths.termDict(dir))
+      .where(col("term").isin("merge", "vector"))
+      .select(col("term"), col("df"))
+    val dl = spark.read.parquet(IndexPaths.docstats(dir))
+      .select(col("docId").as("doc_id"), col("tokenCount").cast("long").as("dl"))
+    val tfn = col("tf").cast("double") *
+      log2(lit(1.0) + lit(avgdl) / col("dl").cast("double"))
+    val s = tfn * log2((lit(cs.maxDoc.toDouble) + lit(1.0)) /
+      (col("df").cast("double") + lit(0.5))) / (tfn + lit(1.0))
+    h.join(broadcast(dict), Seq("term")).join(dl, Seq("doc_id"))
+      .withColumn("s", s)
+      .groupBy(col("doc_id")).agg(sum(col("s")).as("ssum"))
+      .select(col("doc_id"), round(col("ssum"), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id")).limit(20)
+  }
+  val oDfrTopk: String =
+    s"""$OracleCtes, dfr AS (
+       |  SELECT tf.doc_id,
+       |    (tf.tf * log2(1.0e0 + (stats.sumttf * 1.0e0 / stats.maxdoc) / dl.dl))
+       |      * log2((stats.maxdoc + 1.0e0) / (df.df + 0.5e0))
+       |      / ((tf.tf * log2(1.0e0 + (stats.sumttf * 1.0e0 / stats.maxdoc) / dl.dl)) + 1.0e0) AS s
+       |  FROM tf JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN stats
+       |  WHERE tf.term IN ('merge', 'vector')
+       |)
+       |SELECT doc_id, round(sum(s), 6) AS score FROM dfr
+       |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+
   /** SearchAfter pagination: page 2 (rows 21-40) = top-40 minus top-20,
     * two TakeOrdered limits + anti-join — no single-partition window
     * (the engine path, Searcher.searchAfter, uses filter + bounded heap;
@@ -509,6 +547,30 @@ object VerifyQueries {
     s"""$OracleCtes
        |SELECT term, count(*) AS df FROM tf WHERE term LIKE 's%'
        |GROUP BY term ORDER BY df DESC, term LIMIT 8""".stripMargin
+
+  /** Fuzzy completion (FuzzySuggester analog, reference:
+    * Suggest/Analyzing/FuzzySuggester.cs): the typed prefix carries a
+    * typo ('nerge' for 'merge…'); completions whose prefix is within 1
+    * edit rank by (prefix distance, df desc, term). The candidate
+    * distance is the least over prefix lengths |input|±1 — identical
+    * expression shape in DuckDB. */
+  def qSuggestFuzzy(spark: SparkSession, sf: String): DataFrame = {
+    val dir = ensure(spark, sf)
+    graft.search.Suggest.completeFuzzy(
+      new graft.search.IndexReader(spark, dir), "nerge", 1, 8)
+      .select(col("term"), col("df"), col("dist").cast("int").as("dist"))
+      .orderBy(col("dist"), col("df").desc, col("term"))
+  }
+  val oSuggestFuzzy: String =
+    s"""$OracleCtes, cand AS (
+       |  SELECT term, df, CAST(least(
+       |    levenshtein(substr(term, 1, 4), 'nerge'),
+       |    levenshtein(substr(term, 1, 5), 'nerge'),
+       |    levenshtein(substr(term, 1, 6), 'nerge')) AS INT) AS dist
+       |  FROM df
+       |)
+       |SELECT term, df, dist FROM cand WHERE dist <= 1
+       |ORDER BY dist, df DESC, term LIMIT 8""".stripMargin
 
   /** SpellChecker: 'did you mean' for a typo, distance then popularity. */
   def qSpell(spark: SparkSession, sf: String): DataFrame = {
@@ -1003,6 +1065,7 @@ object VerifyQueries {
     "q_min_should_match" -> qMinShouldMatch _,
     "q_dismax" -> qDisMax _,
     "q_lmjm_topk" -> qLmjmTopk _,
+    "q_dfr_topk" -> qDfrTopk _,
     "q_searchafter" -> qSearchAfter _,
     "q_prefix_df" -> qPrefixDf _,
     "q_prefix_wide" -> qPrefixWide _,
@@ -1012,6 +1075,7 @@ object VerifyQueries {
     "q_wildcard_df" -> qWildcardDf _,
     "q_term_vector" -> qTermVector _,
     "q_suggest" -> qSuggest _,
+    "q_suggest_fuzzy" -> qSuggestFuzzy _,
     "q_spell" -> qSpell _,
     "q_drilldown" -> qDrilldown _,
     "q_drill_sideways" -> qDrillSideways _,
@@ -1056,6 +1120,7 @@ object VerifyQueries {
     "q_min_should_match" -> oMinShouldMatch,
     "q_dismax" -> oDisMax,
     "q_lmjm_topk" -> oLmjmTopk,
+    "q_dfr_topk" -> oDfrTopk,
     "q_searchafter" -> oSearchAfter,
     "q_prefix_df" -> oPrefixDf,
     "q_prefix_wide" -> oPrefixWide,
@@ -1065,6 +1130,7 @@ object VerifyQueries {
     "q_wildcard_df" -> oWildcardDf,
     "q_term_vector" -> oTermVector,
     "q_suggest" -> oSuggest,
+    "q_suggest_fuzzy" -> oSuggestFuzzy,
     "q_spell" -> oSpell,
     "q_drilldown" -> oDrilldown,
     "q_drill_sideways" -> oDrillSideways,

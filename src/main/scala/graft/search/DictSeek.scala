@@ -73,9 +73,16 @@ object DictSeek {
     * dictionary whose terms start with one of `firstChars`. Returns None
     * when banding is not applicable (surrogates in play, or the range set
     * exploded past `maxRanges` — caller falls back to the full scan).
-    * hi == null means "unbounded above". */
+    * hi == null means "unbounded above".
+    *
+    * `prefixMode = true` covers instead every term having SOME prefix
+    * within `maxEdits` of `q` — the FuzzySuggester candidate set
+    * (reference: Suggest/Analyzing/FuzzySuggester.cs): once a prefix
+    * itself is within budget, its whole subtree is completions, so the
+    * walk emits the subtree range and stops. */
   def fuzzyRanges(q: String, maxEdits: Int, firstChars: Seq[Char],
-                  maxRanges: Int = 512): Option[Seq[(String, String)]] = {
+                  maxRanges: Int = 512,
+                  prefixMode: Boolean = false): Option[Seq[(String, String)]] = {
     if (q.isEmpty || maxEdits <= 0) return None
     // UTF-16 surrogate pairs would break per-char DP soundness — bail out
     if (q.exists(Character.isSurrogate) || firstChars.exists(Character.isSurrogate))
@@ -130,9 +137,16 @@ object DictSeek {
         emit(prefix, succ(prefix))
         return
       }
-      // the prefix itself may be a dictionary term within budget: the
-      // range [p, p + '\u0000') admits exactly p
-      if (row(qLen) <= maxEdits) emit(prefix, prefix + "\u0000")
+      if (row(qLen) <= maxEdits) {
+        if (prefixMode && prefix.nonEmpty) {
+          // the prefix is within budget: every extension completes it
+          emit(prefix, succ(prefix))
+          return
+        }
+        // the prefix itself may be a dictionary term within budget: the
+        // range [p, p + '\u0000') admits exactly p
+        emit(prefix, prefix + "\u0000")
+      }
       val expandChars = if (prefix.isEmpty) firstChars else qChars.toSeq
       expandChars.foreach(c => explore(prefix + c, extend(row, c)))
     }

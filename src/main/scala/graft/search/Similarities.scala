@@ -186,6 +186,108 @@ final class IBLLSimilarity(avgdl: Float, c: Float = 1f) extends SimilarityLike {
   def coord(matched: Int, total: Int): Float = 1f
 }
 
+/** Information-based SPL/D(f)/H2 model (reference: IBSimilarity.cs:117-120
+  * with DistributionSPL.cs:38-42 —
+  * score = -log((λ^(tfn/(tfn+1)) - λ)/(1 - λ)) — LambdaDF.cs:38-41 —
+  * λ = (df+1)/(N+1) — and the H2 normalization, c = 1):
+  *
+  *   tfn   = tf · log2(1 + avgdl/dl)
+  *   score = Σ_terms boost · (-log((λ^(tfn/(tfn+1)) - λ)/(1 - λ)))
+  *
+  * Layout: w = [boost, λ(t1), λ(t2), …]. */
+final class IBSPLSimilarity(avgdl: Float, c: Float = 1f) extends SimilarityLike {
+  private def log2(x: Double): Double = math.log(x) / math.log(2)
+  def clauseWeights(clauses: Seq[(Seq[String], Float)],
+                    stats: Map[String, TermDictRow],
+                    maxDoc: Long, sumTotalTermFreq: Long): Seq[Array[Float]] =
+    clauses.map { case (ts, boost) =>
+      (boost +: ts.map(t => (dfOf(stats, t) + 1f) / (maxDoc + 1f))).toArray
+    }
+  def score(tf: Float, normByte: Byte, w: Array[Float]): Float = {
+    val dl = BM25.NormTable(normByte & 0xff)
+    val tfn = (tf * log2(1 + c * avgdl / dl)).toFloat
+    val boost = w(0)
+    var sum = 0f
+    var i = 1
+    while (i < w.length) {
+      val lambda = w(i)
+      sum += boost * (-math.log(
+        (math.pow(lambda, tfn / (tfn + 1)) - lambda) / (1 - lambda))).toFloat
+      i += 1
+    }
+    sum
+  }
+  def coord(matched: Int, total: Int): Float = 1f
+}
+
+/** Divergence-from-randomness I(F)L2 (reference: DFRSimilarity.cs:125-129
+  * with BasicModelIF.cs:38-43 — tfn·log2(1 + (N+1)/(F+0.5)), F = total
+  * term freq — AfterEffectL + NormalizationH2, c = 1):
+  *
+  *   tfn   = tf · log2(1 + avgdl/dl)
+  *   score = Σ_terms boost · tfn·log2(1 + (N+1)/(F+0.5)) · 1/(tfn+1)
+  *
+  * Layout: w = [boost, if(t1), if(t2), …]. */
+final class DFRIFL2Similarity(avgdl: Float, c: Float = 1f) extends SimilarityLike {
+  private def log2(x: Double): Double = math.log(x) / math.log(2)
+  def clauseWeights(clauses: Seq[(Seq[String], Float)],
+                    stats: Map[String, TermDictRow],
+                    maxDoc: Long, sumTotalTermFreq: Long): Seq[Array[Float]] =
+    clauses.map { case (ts, boost) =>
+      (boost +: ts.map(t =>
+        log2(1 + (maxDoc + 1.0) / (ttfOf(stats, t) + 0.5)).toFloat)).toArray
+    }
+  def score(tf: Float, normByte: Byte, w: Array[Float]): Float = {
+    val dl = BM25.NormTable(normByte & 0xff)
+    val tfn = (tf * log2(1 + c * avgdl / dl)).toFloat
+    val boost = w(0)
+    var sum = 0f
+    var i = 1
+    while (i < w.length) {
+      sum += boost * (tfn * w(i)) * (1f / (tfn + 1f))
+      i += 1
+    }
+    sum
+  }
+  def coord(matched: Int, total: Int): Float = 1f
+}
+
+/** Per-field similarity routing (reference:
+  * Search/Similarities/PerFieldSimilarityWrapper.cs): each clause scores
+  * under the similarity of ITS field — keyword clauses carry their field
+  * as the `"field:value"` term prefix, content clauses have none. Clause
+  * weights delegate clause-by-clause (each inner similarity sees a
+  * singleton clause list, so cross-clause couplings like TF-IDF's
+  * queryNorm stay within a field — the wrapper contract: coord/queryNorm
+  * come from the wrapper, per-clause scoring from the field similarity).
+  * Weight layout: w = [simIndex, …inner weight…]. */
+final class PerFieldSimilarity(default: SimilarityLike,
+    byField: Map[String, SimilarityLike]) extends SimilarityLike {
+  private val sims: IndexedSeq[SimilarityLike] =
+    (default +: byField.values.toSeq).distinct.toIndexedSeq
+
+  private def fieldOf(terms: Seq[String]): String = {
+    val t = terms.head
+    val i = t.indexOf(':')
+    if (i > 0) t.substring(0, i) else ""
+  }
+
+  def clauseWeights(clauses: Seq[(Seq[String], Float)],
+                    stats: Map[String, TermDictRow],
+                    maxDoc: Long, sumTotalTermFreq: Long): Seq[Array[Float]] =
+    clauses.map { c =>
+      val sim = byField.getOrElse(fieldOf(c._1), default)
+      val inner = sim.clauseWeights(Seq(c), stats, maxDoc, sumTotalTermFreq).head
+      sims.indexOf(sim).toFloat +: inner
+    }
+
+  def score(tf: Float, normByte: Byte, w: Array[Float]): Float =
+    sims(w(0).toInt).score(tf, normByte,
+      java.util.Arrays.copyOfRange(w, 1, w.length))
+
+  def coord(matched: Int, total: Int): Float = default.coord(matched, total)
+}
+
 /** Divergence-from-randomness I(n)L2 (reference: DFRSimilarity.cs:125-129
   * with BasicModelIn.cs:38-43, AfterEffectL.cs:38-41,
   * NormalizationH2.cs:56-59, c = 1):

@@ -19,6 +19,48 @@ object Suggest {
       .select(col("term"), col("df"))
       .orderBy(col("df").desc, col("term")).limit(k)
 
+  /** Analyzing completion (reference:
+    * Suggest/Analyzing/AnalyzingSuggester.cs:88): the input runs through
+    * the SAME analyzer as the index (lowercase/stop/stem parity), and the
+    * last surviving token is the completion prefix — so "The Merg" with a
+    * stemming analyzer completes over the stemmed dictionary the way the
+    * index stored it, where raw-prefix completion would miss. */
+  def completeAnalyzed(reader: IndexReader, analyzer: graft.analysis.Analyzer,
+                       input: String, k: Int): DataFrame = {
+    val terms = analyzer.analyzeTerms(input)
+    if (terms.isEmpty) reader.termDict.select(col("term"), col("df")).limit(0)
+    else complete(reader, terms.last, k)
+  }
+
+  /** Fuzzy completion (reference: Suggest/Analyzing/FuzzySuggester.cs):
+    * completions whose PREFIX is within `maxEdits` of the typed input,
+    * ranked by (prefix edit distance, df desc, term). A prefix p of term
+    * t with lev(p, input) <= e must have |p| within e of |input|, so the
+    * candidate distance is the least over the 2e+1 prefix lengths —
+    * expressible identically in SQL for the oracle. The dictionary scan
+    * is banded by [[DictSeek.fuzzyRanges]] in prefix mode (the
+    * FuzzySuggester automaton walk as pushed term ranges). */
+  def completeFuzzy(reader: IndexReader, input: String, maxEdits: Int = 1,
+                    k: Int = 8): DataFrame = {
+    val l = input.length
+    val dist = (math.max(1, l - maxEdits) to (l + maxEdits))
+      .map(n => levenshtein(substring(col("term"), 1, n), lit(input)))
+      .reduce(least(_, _))
+    val band = DictSeek.fuzzyRanges(input, maxEdits, reader.termFirstChars,
+      prefixMode = true) match {
+      case Some(rs) if rs.nonEmpty => rs.map { case (lo, hi) =>
+        if (hi == null) col("term") >= lo else col("term") >= lo && col("term") < hi
+      }.reduce(_ || _)
+      case Some(_) => lit(false)
+      case None => lit(true)
+    }
+    reader.termDict
+      .where(band)
+      .select(col("term"), col("df"), dist.as("dist"))
+      .where(col("dist") <= maxEdits)
+      .orderBy(col("dist"), col("df").desc, col("term")).limit(k)
+  }
+
   /** "Did you mean": nearest dictionary terms by edit distance, ties by
     * higher df then term (SpellChecker's distance-then-popularity
     * ranking). The candidate scan is length-banded (|len(t)-len(q)| <=

@@ -153,4 +153,52 @@ class SimilaritySpec extends AnyFunSuite {
     assert(byDoc(0L) === d0)
     assert(byDoc.keySet === Set(0L, 1L, 5L))
   }
+
+  test("IB SPL/D(f)/H2: closed form (c=1)") {
+    val hits = searcher.searchWith(new IBSPLSimilarity(avgdl), TermQ("dogs"), 10)
+    assert(hits.map(_.docId).toSeq === Seq(1L))
+    def log2(x: Double) = math.log(x) / math.log(2)
+    val dl = BM25.NormTable(BM25.encodeNorm(2) & 0xff)
+    val tfn = (2f * log2(1 + avgdl / dl)).toFloat
+    val lambda = (1L + 1f) / (6L + 1f)
+    val expected = (-math.log(
+      (math.pow(lambda, tfn / (tfn + 1)) - lambda) / (1 - lambda))).toFloat
+    assert(hits(0).score === expected)
+  }
+
+  test("DFR I(F)L2: closed form (c=1, F = totalTermFreq)") {
+    val hits = searcher.searchWith(new DFRIFL2Similarity(avgdl), TermQ("dogs"), 10)
+    assert(hits.map(_.docId).toSeq === Seq(1L))
+    def log2(x: Double) = math.log(x) / math.log(2)
+    val dl = BM25.NormTable(BM25.encodeNorm(2) & 0xff)
+    val tfn = (2f * log2(1 + avgdl / dl)).toFloat
+    val iff = log2(1 + (6L + 1.0) / (2L + 0.5)).toFloat // ttf(dogs) = 2
+    assert(hits(0).score === tfn * iff * (1f / (tfn + 1f)))
+  }
+
+  test("per-field similarity routes clauses by field prefix") {
+    // content clause under BM25, a (hypothetical) keyword-style clause
+    // under TF-IDF — mixed in one boolean, each scored by its own sim
+    val bm25 = new BM25Similarity(avgdl)
+    val perField = new PerFieldSimilarity(bm25, Map("lang" -> new TfIdfSimilarity))
+    // no keyword fields in this index: content terms route to default ==
+    // plain BM25, bit-for-bit
+    for (q <- Seq[Query](TermQ("all"),
+      BoolQ(should = Seq(TermQ("all"), TermQ("dogs"))))) {
+      assert(searcher.searchWith(perField, q, 10).toSeq ===
+        searcher.searchWith(bm25, q, 10).toSeq, s"default routing for $q")
+    }
+    // a clause with the mapped field prefix scores under ITS similarity:
+    // weights computed per clause; verify via the weight vectors directly
+    val stats = Map.empty[String, graft.build.TermDictRow]
+    val ws = perField.clauseWeights(
+      Seq((Seq("lang:en"), 1f), (Seq("dogs"), 1f)), stats, 6L, 7L)
+    val tfidfIdx = ws(0)(0).toInt
+    val bm25Idx = ws(1)(0).toInt
+    assert(tfidfIdx != bm25Idx)
+    // routed score == the field sim's own score on the same inner weights
+    val inner = java.util.Arrays.copyOfRange(ws(0), 1, ws(0).length)
+    assert(perField.score(1f, BM25.encodeNorm(1), ws(0)) ===
+      new TfIdfSimilarity().score(1f, BM25.encodeNorm(1), inner))
+  }
 }

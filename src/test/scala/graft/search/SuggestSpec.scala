@@ -1,0 +1,71 @@
+package graft.search
+
+import graft.SparkTestSession
+import graft.build.IndexBuilder
+import graft.corpus.{CorpusGen, SourceFile}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Suggesters (reference: Lucene.Net.Suggest — AnalyzingSuggester.cs,
+  * FuzzySuggester.cs, Spell/SpellChecker.cs): analyzed completion keys,
+  * fuzzy prefixes, distance-then-popularity ranking. */
+class SuggestSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def mk(i: Int, text: String) =
+    SourceFile("r", f"f$i%02d", "0" * 40, "txt", text, CorpusGen.sha256Hex(text))
+
+  // stemming index: "merging"/"merges" index as "merg", "mergers" as "merger"
+  private val fixture = Seq(
+    mk(0, "merging the branches"),
+    mk(1, "merges happen often and merges repeat"),
+    mk(2, "vector vectors victory"),
+    mk(3, "the merchant counts"))
+
+  private lazy val (reader, analyzer) = {
+    import spark.implicits._
+    val d = SparkTestSession.tmpDir("graft-suggest-")
+    val a = graft.analysis.Analyzer.englishStemming
+    IndexBuilder.build(spark, spark.createDataset(fixture), d, numPartitions = 2,
+      analyzerFor = _ => a)
+    (new IndexReader(spark, d), a)
+  }
+
+  test("analyzed completion: input analyzed with index parity (stem + stop)") {
+    // "The Merging" analyzes to ["merg"] (stop 'the', lowercase, Porter) —
+    // raw-prefix completion over "merging" would find nothing in the
+    // stemmed dictionary; analyzed completion does
+    val rows = Suggest.completeAnalyzed(reader, analyzer, "The Merging", 5)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(rows.map(_._1).toSeq.contains("merg"))
+    // and the raw dictionary really is stemmed
+    assert(reader.termDict.where(col("term") === "merging").count() === 0)
+  }
+
+  test("fuzzy completion: typo'd prefix still completes, distance-then-df ranking") {
+    // 'nerg' (typo of 'merg') within 1 edit of prefixes of merg/merchant…
+    val rows = Suggest.completeFuzzy(reader, "nerg", 1, 5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    val terms = rows.map(_._1).toSeq
+    assert(terms.contains("merg"))
+    // "merchant": best prefix "merc"/"mer" is 2 edits from "nerg" — excluded
+    assert(!terms.contains("merchant"))
+    assert(rows.forall(_._3 <= 1))
+    assert(rows.sortBy(r => (r._3, -r._2, r._1)).toSeq === rows.toSeq)
+  }
+
+  test("fuzzy completion == unbanded full-scan result") {
+    val banded = Suggest.completeFuzzy(reader, "nerg", 1, 100)
+      .collect().map(r => (r.getString(0), r.getInt(2))).toSeq
+    val l = 4
+    val dist = (math.max(1, l - 1) to (l + 1))
+      .map(n => levenshtein(substring(col("term"), 1, n), lit("nerg")))
+      .reduce(least(_, _))
+    val full = reader.termDict
+      .select(col("term"), col("df"), dist.as("dist"))
+      .where(col("dist") <= 1)
+      .orderBy(col("dist"), col("df").desc, col("term")).limit(100)
+      .collect().map(r => (r.getString(0), r.getInt(2))).toSeq
+    assert(banded === full)
+  }
+}
