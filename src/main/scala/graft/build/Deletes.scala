@@ -190,7 +190,9 @@ object Deletes {
       "oldId", "newId", numPartitions, base = 0L)
 
     // docs + docstats: inner equi-join with the remap drops dead docs and
-    // renumbers in one pass
+    // renumbers in one pass. Pending docvalue updates are FOLDED into the
+    // rewritten tables here (the reference's merge-applies-updates
+    // behavior) — the rewritten index carries no updates stream.
     def remapDocIdTable(df: DataFrame, outPathStr: String): Unit = {
       val outCols = df.columns.map(c =>
         if (c == "docId") col("newId").as("docId") else col(c))
@@ -200,8 +202,8 @@ object Deletes {
         .sortWithinPartitions(col("docId"))
         .write.mode(SaveMode.Overwrite).parquet(outPathStr)
     }
-    remapDocIdTable(DocsTable.read(spark, dir), IndexPaths.docs(outDir))
-    remapDocIdTable(spark.read.parquet(IndexPaths.docstats(dir)),
+    remapDocIdTable(DocValues.readDocs(spark, dir), IndexPaths.docs(outDir))
+    remapDocIdTable(DocValues.readDocstats(spark, dir),
       IndexPaths.docstats(outDir))
 
     // postings: decode to rows -> equi-join the remap (inner join drops

@@ -157,6 +157,20 @@ object Dedup {
 
   // ------------------------------------------------------------- simhash
 
+  /** Signature from mixed (doc_id, tf, m) rows in ONE aggregation: 32
+    * conditional sums per doc (bit b's tf-weighted ±1 tally) — all inside
+    * whole-stage codegen with map-side partial aggregation, instead of a
+    * 32× row explosion through a bit-index cross join and two shuffles.
+    * Bit b of the signature is set iff its tally is positive. */
+  private def signatureOf(mixed: DataFrame): DataFrame = {
+    val sums = (0 until 32).map(b =>
+      sum(col("tf") * (expr(s"shiftright(m, $b) & 1") * 2 - 1)).as(s"s$b"))
+    val bitVal = (0 until 32).map(b =>
+      when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
+    mixed.groupBy(col("doc_id")).agg(sums.head, sums.tail: _*)
+      .select(col("doc_id"), bitVal.as("simhash"))
+  }
+
   /** 32-bit SimHash per doc (parity path): token dictionary ids mixed by a
     * Knuth multiplicative constant; bit b of the signature is the sign of
     * the tf-weighted sum of (2*bit_b(mix)-1) over the doc's tokens. */
@@ -166,18 +180,11 @@ object Dedup {
     val dict = denseIds(toks, "t", "tid")
     val mixed = tf.join(dict, "t")
       .select(col("doc_id"), col("tf"), ((col("tid") * 2654435761L) % 4294967296L).as("m"))
-    val bits = mixed
-      .crossJoin(broadcast(mixed.sparkSession.range(32).toDF("b"))) // b: 0..31
-      .select(col("doc_id"), col("b"),
-        (col("tf") * (expr("shiftright(m, cast(b AS int)) & 1") * 2 - 1)).as("c"))
-    bits.groupBy(col("doc_id"), col("b")).agg(sum(col("c")).as("s"))
-      .select(col("doc_id"),
-        when(col("s") > 0, expr("shiftleft(1L, cast(b AS int))")).otherwise(lit(0L)).as("bv"))
-      .groupBy(col("doc_id")).agg(sum(col("bv")).as("simhash"))
+    signatureOf(mixed)
   }
 
   /** Production-path SimHash: token mix = xxhash64 folded to 32 bits —
-    * no dictionary, no shuffle beyond the tf/bit aggregations, the
+    * no dictionary, no shuffle beyond the tf aggregation, the
     * 10^12-doc shape (independent engines can't reproduce xxhash64 seeds,
     * hence rows-only in the driver gate). */
   def simhashProd(docs: DataFrame): DataFrame = {
@@ -185,14 +192,7 @@ object Dedup {
     val tf = toks.groupBy(col("doc_id"), col("t")).agg(count("*").as("tf"))
     val mixed = tf.select(col("doc_id"), col("tf"),
       pmod(xxhash64(col("t")), lit(4294967296L)).as("m"))
-    val bits = mixed
-      .crossJoin(broadcast(mixed.sparkSession.range(32).toDF("b"))) // b: 0..31
-      .select(col("doc_id"), col("b"),
-        (col("tf") * (expr("shiftright(m, cast(b AS int)) & 1") * 2 - 1)).as("c"))
-    bits.groupBy(col("doc_id"), col("b")).agg(sum(col("c")).as("s"))
-      .select(col("doc_id"),
-        when(col("s") > 0, expr("shiftleft(1L, cast(b AS int))")).otherwise(lit(0L)).as("bv"))
-      .groupBy(col("doc_id")).agg(sum(col("bv")).as("simhash"))
+    signatureOf(mixed)
   }
 
   /** Top near pairs by SimHash Hamming distance (ascending). All-pairs —

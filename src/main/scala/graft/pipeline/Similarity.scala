@@ -84,16 +84,28 @@ object Similarity {
     * oracle parity. All-pairs is verification-scale; at corpus scale
     * compose with [[lshBucket]] (join on bucket equality) to keep the
     * candidate set near-linear, exactly like Dedup.candidatePairs. */
-  def cosinePairs(vecs: DataFrame, topN: Int, numBlocks: Int = 8): DataFrame = {
+  def cosinePairs(vecs: DataFrame, topN: Int, numBlocks: Int = 8,
+                  maxRowsPerBlock: Int = 1 << 16): DataFrame = {
     val spark = vecs.sparkSession
     import spark.implicits._
     // block-pair decomposition: B blocks → B*(B+1)/2 block-pair tasks,
     // each scoring its tile with tight primitive loops. No driver
-    // materialization; tile size bounds executor memory.
+    // materialization; tile size bounds executor memory. A block is one
+    // Dataset row, so oversized inputs would hit the 2 GB row ceiling —
+    // fail fast with direction instead (this op is verification-scale by
+    // contract; the corpus-scale path is the LSH-bucketed join).
+    val cap = maxRowsPerBlock
     val blocks = vecs.select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])]
       .groupByKey { case (id, _) => (id % numBlocks).toInt }
-      .mapGroups { (bid, it) => (bid, it.toArray.sortBy(_._1)) }
+      .mapGroups { (bid, it) =>
+        val arr = it.toArray.sortBy(_._1)
+        require(arr.length <= cap,
+          s"cosinePairs block $bid holds ${arr.length} vectors (> $cap): " +
+            "all-pairs is verification-scale — raise numBlocks or use the " +
+            "sign-LSH bucketed path (Similarity.lshBucket) at corpus scale")
+        (bid, arr)
+      }
     val bdf = blocks.toDF("bid", "rows")
     val tiles = bdf.as("x").join(bdf.as("y"), col("x.bid") <= col("y.bid"))
       .select(col("x.bid"), col("x.rows"), col("y.bid"), col("y.rows"))
