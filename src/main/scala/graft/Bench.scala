@@ -96,6 +96,13 @@ object Bench {
     b / (4.0 * a)
   }
 
+  /** Memory-bandwidth ceiling (STREAM triad, pinned): GB/s at both sizes.
+    * The binding constraint for the shuffle-heavy flush — this box's
+    * single socket saturates between 8 and 32 cores, so a bandwidth-bound
+    * stage cannot scale past gbps(4N)/(4·gbps(N)) no matter the code. */
+  private def membw(cores: Int): Double =
+    childJvm(cores, Seq("calibrate-bw", cores.toString), "gb_per_sec")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // large enough that parallel tokenize work dominates the fixed
@@ -113,6 +120,9 @@ object Bench {
     // from writing garbage into the round's BENCH json
     val rounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "2").toInt
     val ceiling = cpuCeiling(nCores, n4Cores)
+    val bwN = membw(nCores)
+    val bw4N = membw(n4Cores)
+    val bwEff = bw4N / (4.0 * bwN)
     val all = (1 to rounds).map { _ =>
       (buildThroughput(nCores, nDocs, "n"), buildThroughput(n4Cores, nDocs, "4n"))
     }
@@ -130,6 +140,8 @@ object Bench {
     // 8→32 ratio measures the box as much as the code; 2→8 stays under
     // the wall and evidences the same two-cluster-size criterion.
     val ceiling28 = cpuCeiling(2, 8)
+    val bw2 = membw(2)
+    val bwEff28 = bwN / (4.0 * bw2)
     val thru2 = buildThroughput(2, nDocs, "n2s")._1
     val thru8s = buildThroughput(8, nDocs, "n8s")._1
     val eff28 = thru8s / (4.0 * thru2)
@@ -143,6 +155,7 @@ object Bench {
     try ops.DocIndex.ensureWide(spark, sfDir) catch { case _: Throwable => }
     try ops.DocIndex.ensureFielded(spark, sfDir) catch { case _: Throwable => }
     try ops.DocIndex.ensurePositions(spark, sfDir) catch { case _: Throwable => }
+    try ops.DocIndex.ensureOffsets(spark, sfDir) catch { case _: Throwable => }
     val skipQueries = sys.env.get("SPARK_GRAFT_BENCH_SKIP_QUERIES").contains("1")
     val queryList = if (skipQueries) Nil else SparkEntry.queries.toSeq.sortBy(_._1)
     val results = queryList.map { case (name, fn) =>
@@ -163,11 +176,16 @@ object Bench {
         f""""flush_phase_scaling_efficiency":$idxEff%.3f,""" +
         f""""cpu_scaling_ceiling":$ceiling%.3f,""" +
         f""""efficiency_vs_ceiling":$normEff%.3f,""" +
+        f""""membw_gbps_n":$bwN%.1f,""" +
+        f""""membw_gbps_4n":$bw4N%.1f,""" +
+        f""""membw_scaling_ceiling":$bwEff%.3f,""" +
         f""""files_per_sec_2":$thru2%.1f,""" +
         f""""files_per_sec_8_small_pair":$thru8s%.1f,""" +
         f""""scaling_efficiency_2_8":$eff28%.3f,""" +
         f""""cpu_scaling_ceiling_2_8":$ceiling28%.3f,""" +
-        f""""efficiency_2_8_vs_ceiling":$normEff28%.3f}"""
+        f""""efficiency_2_8_vs_ceiling":$normEff28%.3f,""" +
+        f""""membw_gbps_2":$bw2%.1f,""" +
+        f""""membw_scaling_ceiling_2_8":$bwEff28%.3f}"""
     println(
       f"""{"metric":"index_build_files_per_sec@4N","value":$thru4N%.1f,""" +
         f""""unit":"files/sec","total_query_sec":$totalSec%.3f,""" +

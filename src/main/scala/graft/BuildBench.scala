@@ -40,8 +40,44 @@ object BuildBench {
     println(f"hashes_per_sec=${counts.get() / sec}%.1f")
   }
 
+  /** Memory-bandwidth calibration (STREAM-triad shape): `cores` threads
+    * each stream a(i) = b(i) + s·c(i) over private 16 MiB double arrays
+    * (way past L3 per thread) for ~3 s; prints aggregate GB/s of array
+    * traffic (24 B per element nominal). Run pinned at two cluster
+    * sizes, the ratio measures how much of the socket's bandwidth is
+    * already saturated at the smaller size — the ceiling that binds a
+    * shuffle-heavy build long before the pure-CPU (cache-resident
+    * SHA-256) ceiling does. */
+  def calibrateBandwidth(cores: Int): Unit = {
+    val elems = (16 << 20) / 8 // 16 MiB per array, 3 arrays per thread
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val bytes = new java.util.concurrent.atomic.AtomicLong(0)
+    val threads = (0 until cores).map { _ =>
+      new Thread(() => {
+        val a = new Array[Double](elems)
+        val b = Array.tabulate(elems)(_.toDouble)
+        val c = Array.tabulate(elems)(i => (i * 2).toDouble)
+        var moved = 0L
+        while (!stop.get()) {
+          var i = 0
+          while (i < elems) { a(i) = b(i) + 3.0 * c(i); i += 1 }
+          moved += elems.toLong * 24L
+        }
+        bytes.addAndGet(moved)
+      })
+    }
+    val t0 = System.nanoTime()
+    threads.foreach(_.start())
+    Thread.sleep(3000)
+    stop.set(true)
+    threads.foreach(_.join())
+    val sec = (System.nanoTime() - t0) / 1e9
+    println(f"gb_per_sec=${bytes.get() / sec / 1e9}%.2f")
+  }
+
   def main(args: Array[String]): Unit = {
     if (args(0) == "calibrate") { calibrate(args(1).toInt); return }
+    if (args(0) == "calibrate-bw") { calibrateBandwidth(args(1).toInt); return }
     val Array(nDocsS, coresS, workDir) = args
     val nDocs = nDocsS.toLong
     val cores = coresS.toInt
@@ -56,6 +92,13 @@ object BuildBench {
         sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_CODEC", "lz4"))
       .config("spark.sql.parquet.compression.codec",
         sys.env.getOrElse("SPARK_GRAFT_PARQUET_CODEC", "snappy"))
+      // the flush write is dynamic-partitioned by `kind` (2-4 values);
+      // without concurrent writers Spark SORTS each task's whole output
+      // by the partition column first — an extra serialize+spill of the
+      // corpus payload per task. Concurrent writers keep one open file
+      // per kind and stream rows straight through.
+      .config("spark.sql.maxConcurrentOutputFileWriters",
+        sys.env.getOrElse("SPARK_GRAFT_CONCURRENT_WRITERS", "8"))
       // shuffle/spill on tmpfs: the measurement targets compute scaling,
       // not this container's single virtual disk (a real cluster has a
       // disk per executor; here 32 tasks would share one /dev/vda)

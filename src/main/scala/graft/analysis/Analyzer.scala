@@ -129,6 +129,16 @@ object Analyzer {
 
   def forLang(lang: String): Analyzer = new Analyzer(perLang(lang))
 
+  /** Stemming per-language chain (reference per-language analyzer shape:
+    * tokenize → lowercase → stop → stemmer): Porter for English,
+    * Savoy-style light stemmers for fr/es/de ([[LightStemmers]]);
+    * languages without a stemmer fall back to the stop-only chain.
+    * Opt-in, like [[englishStemming]] — the default index stays
+    * unstemmed for exact-term parity. */
+  def stemmingForLang(lang: String): Analyzer =
+    new Analyzer(perLang(lang), 255, UAX29Tokenizer.tokenize,
+      LightStemmers.byLang.get(lang))
+
   /** SQL-replicable tokenization: `[a-z0-9_]+` runs over the lowercased
     * text — exactly `regexp_extract_all(lower(text), '[a-z0-9_]+')` in
     * ANSI-ish SQL. Used for the driver's DuckDB-oracled queries, where the

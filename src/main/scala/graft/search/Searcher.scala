@@ -677,7 +677,26 @@ final class Searcher(reader: IndexReader, pruneMinBlocks: Int = 64,
     * sets, NEAR intersects them, NOT/FIRST prune on the positive branch —
     * then candidates are re-analyzed and [[Spans.eval]] runs the interval
     * algebra per doc (the QUERY_FIRST frame phrases use). */
-  def spanCount(q: SpanQuery): Dataset[(Long, Int)] = {
+  def spanCount(q0: SpanQuery): Dataset[(Long, Int)] = {
+    // SpanMultiTermQueryWrapper analog: expand wildcard/prefix/fuzzy
+    // nodes against the dictionary into a SpanOr of term spans BEFORE
+    // evaluation (reference: Spans/SpanMultiTermQueryWrapper.cs — the
+    // wrapped query's rewrite feeds the span algebra)
+    def expandMulti(sq: SpanQuery): SpanQuery = sq match {
+      case SpanMultiTermQ(mq) => multiTermPred(mq) match {
+        case Some(pred) =>
+          SpanOrQ(reader.expandTerms(pred, maxClauseCount).map(SpanTermQ))
+        case None =>
+          throw new IllegalArgumentException(s"not a multi-term query: $mq")
+      }
+      case SpanOrQ(cs) => SpanOrQ(cs.map(expandMulti))
+      case SpanNotQ(i, e) => SpanNotQ(expandMulti(i), expandMulti(e))
+      case SpanFirstQ(s, e) => SpanFirstQ(expandMulti(s), e)
+      case SpanPositionRangeQ(s, a, b) => SpanPositionRangeQ(expandMulti(s), a, b)
+      case SpanNearQ(cs, sl, o) => SpanNearQ(cs.map(expandMulti), sl, o)
+      case t: SpanTermQ => t
+    }
+    val q = expandMulti(q0)
     val allTerms = Spans.terms(q).toSeq
     val stats = reader.termStats(allTerms)
     val live = allTerms.filter(stats.contains).toSet
@@ -692,6 +711,8 @@ final class Searcher(reader: IndexReader, pruneMinBlocks: Int = 64,
         else Some(subs.flatten.reduce(_ intersect _))
       case SpanNotQ(inc, _) => cands(inc)
       case SpanFirstQ(sub, _) => cands(sub)
+      case SpanPositionRangeQ(sub, _, _) => cands(sub)
+      case SpanMultiTermQ(_) => None // unreachable after expandMulti
     }
     val query = q
     if (reader.hasPositions) {

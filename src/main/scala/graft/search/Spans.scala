@@ -28,16 +28,30 @@ final case class SpanNotQ(include: SpanQuery, exclude: SpanQuery) extends SpanQu
 final case class SpanFirstQ(sub: SpanQuery, end: Int) extends SpanQuery
 final case class SpanNearQ(clauses: Seq[SpanQuery], slop: Int,
                            inOrder: Boolean) extends SpanQuery
+/** Sub-spans lying wholly inside the position window [start, end)
+  * (reference: Search/Spans/SpanPositionRangeQuery.cs — SpanFirst is its
+  * start=0 special case). */
+final case class SpanPositionRangeQ(sub: SpanQuery, start: Int,
+                                    end: Int) extends SpanQuery
+/** A multi-term query (prefix/wildcard/regexp/fuzzy) inside span algebra
+  * (reference: Search/Spans/SpanMultiTermQueryWrapper.cs): the searcher
+  * expands it against the term dictionary into a SpanOr of term spans
+  * before evaluation. */
+final case class SpanMultiTermQ(q: Query) extends SpanQuery
 
 object Spans {
 
-  /** All terms mentioned anywhere in the query. */
+  /** All terms mentioned anywhere in the query (multi-term wrappers must
+    * be expanded first — [[graft.search.Searcher.spanCount]] does). */
   def terms(q: SpanQuery): Set[String] = q match {
     case SpanTermQ(t) => Set(t)
     case SpanOrQ(cs) => cs.flatMap(terms).toSet
     case SpanNotQ(inc, exc) => terms(inc) ++ terms(exc)
     case SpanFirstQ(sub, _) => terms(sub)
     case SpanNearQ(cs, _, _) => cs.flatMap(terms).toSet
+    case SpanPositionRangeQ(sub, _, _) => terms(sub)
+    case SpanMultiTermQ(_) =>
+      throw new IllegalStateException("unexpanded SpanMultiTermQ")
   }
 
   /** Spans of `q` in one doc, sorted by (start, end). `posOf` returns the
@@ -46,6 +60,10 @@ object Spans {
     case SpanTermQ(t) => posOf(t).map(p => (p, p + 1))
     case SpanOrQ(cs) => cs.flatMap(c => eval(c, posOf)).toArray.sorted
     case SpanFirstQ(sub, end) => eval(sub, posOf).filter(_._2 <= end)
+    case SpanPositionRangeQ(sub, start, end) =>
+      eval(sub, posOf).filter(s => s._1 >= start && s._2 <= end)
+    case SpanMultiTermQ(_) =>
+      throw new IllegalStateException("unexpanded SpanMultiTermQ")
     case SpanNotQ(inc, exc) =>
       val ex = eval(exc, posOf)
       eval(inc, posOf).filter(s => !ex.exists(e => e._1 < s._2 && s._1 < e._2))

@@ -98,4 +98,48 @@ class StemmerSpec extends AnyFunSuite {
     assert(Analyzer.standard.analyze("running dogs").tokens.map(_.term).toSeq ===
       Seq("running", "dogs"))
   }
+
+  test("light stemmers (fr/es/de): vectors derived from the stated Savoy-style rules") {
+    // French: -aux plural, -s plural, mute -e/-é, final undoubling
+    val fr = Seq(
+      "chevaux" -> "cheval", "journaux" -> "journal", "maisons" -> "maison",
+      "portes" -> "port", "porte" -> "port", "belle" -> "bel",
+      "belles" -> "bel", "générales" -> "général", "française" -> "français",
+      "livres" -> "livr", "livre" -> "livr", "chats" -> "chat",
+      "voix" -> "voix", "actualités" -> "actualit")
+    fr.foreach { case (in, out) =>
+      assert(LightStemmers.french(in) === out, s"fr: $in") }
+
+    // Spanish: accent folding, -ces→z, -es/-os/-as, final gender vowel
+    val es = Seq(
+      "luces" -> "luz", "veces" -> "vez", "canciones" -> "cancion",
+      "canción" -> "cancion", "libros" -> "libr", "libro" -> "libr",
+      "casas" -> "cas", "casa" -> "cas", "papeles" -> "papel",
+      "papel" -> "papel", "rápido" -> "rapid", "rápida" -> "rapid")
+    es.foreach { case (in, out) =>
+      assert(LightStemmers.spanish(in) === out, s"es: $in") }
+
+    // German: umlaut/ß fold, -ern/-em/-er/-en/-es, mute -e; stem-final
+    // s/n NEVER stripped (haus stays haus)
+    val de = Seq(
+      "häuser" -> "haus", "hauses" -> "haus", "haus" -> "haus",
+      "kindern" -> "kind", "kinder" -> "kind", "kindes" -> "kind",
+      "kind" -> "kind", "frauen" -> "frau", "blumen" -> "blum",
+      "blume" -> "blum", "straße" -> "strass", "straßen" -> "strass",
+      "schönem" -> "schon", "schöner" -> "schon", "schöne" -> "schon")
+    de.foreach { case (in, out) =>
+      assert(LightStemmers.german(in) === out, s"de: $in") }
+  }
+
+  test("stemmingForLang wires the right stemmer into the chain") {
+    val fr = Analyzer.stemmingForLang("fr")
+    assert(fr.analyzeTerms("les maisons belles").toSeq === Seq("maison", "bel"))
+    val de = Analyzer.stemmingForLang("de")
+    assert(de.analyzeTerms("die Häuser").toSeq === Seq("haus"))
+    val en = Analyzer.stemmingForLang("en")
+    assert(en.analyzeTerms("merging branches").toSeq === Seq("merg", "branch"))
+    // unknown language: stop-only fallback, no stemmer
+    val zz = Analyzer.stemmingForLang("zz")
+    assert(zz.analyzeTerms("running dogs").toSeq === Seq("running", "dogs"))
+  }
 }

@@ -129,4 +129,22 @@ class SpanSpec extends AnyFunSuite {
     val tight = SpanNearQ(Seq(SpanTermQ("a"), inner, SpanTermQ("g")), 1, inOrder = true)
     assert(Spans.eval(tight, posOf).isEmpty)
   }
+
+  test("spanPositionRange: window filter; spanFirst is its start=0 case") {
+    val alpha = SpanTermQ("alpha")
+    // alpha positions: doc0 {0,3}, doc1 {1}, doc2 {2} — window [2,5)
+    val r = counts(SpanPositionRangeQ(alpha, 2, 5))
+    assert(r === Map(0L -> 1, 2L -> 1))
+    for (n <- Seq(2, 4))
+      assert(counts(SpanFirstQ(alpha, n)) === counts(SpanPositionRangeQ(alpha, 0, n)))
+  }
+
+  test("spanMultiTerm: wildcard inside span algebra expands via the dictionary") {
+    val viaWrapper = counts(SpanNearQ(
+      Seq(SpanMultiTermQ(PrefixQ("alph")), SpanTermQ("beta")), 1, inOrder = true))
+    val viaTerm = counts(SpanNearQ(
+      Seq(SpanTermQ("alpha"), SpanTermQ("beta")), 1, inOrder = true))
+    assert(viaWrapper === viaTerm)
+    assert(viaWrapper.nonEmpty)
+  }
 }
