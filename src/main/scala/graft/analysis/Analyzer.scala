@@ -127,7 +127,15 @@ object Analyzer {
     "de" -> GermanStopWords,
   ).withDefaultValue(EnglishStopWords)
 
-  def forLang(lang: String): Analyzer = new Analyzer(perLang(lang))
+  /** CJK chain (reference CJKAnalyzer shape: tokenize → bigram → lowercase
+    * → stop): overlapping Han bigrams as the indexing unit, Latin tokens
+    * untouched — mixed-script docs analyze each script its own way. */
+  val cjk: Analyzer = new Analyzer(EnglishStopWords, 255, CJKBigram.Tokenize)
+
+  def forLang(lang: String): Analyzer = lang match {
+    case "zh" | "ja" | "ko" => cjk
+    case l => new Analyzer(perLang(l))
+  }
 
   /** Stemming per-language chain (reference per-language analyzer shape:
     * tokenize → lowercase → stop → stemmer): Porter for English,

@@ -181,4 +181,29 @@ class AnalyzerSpec extends AnyFunSuite {
     val de = Analyzer.forLang("de").analyze("für den Hund")
     assert(de.tokens.map(_.term).toSeq == Seq("hund"))
   }
+
+  test("CJK bigrams: overlapping Han pairs, unigram fallback, mixed scripts") {
+    val toks = CJKBigram.Tokenize("中文分词测试")
+    assert(toks.map(_.term).toSeq === Seq("中文", "文分", "分词", "词测", "测试"))
+    assert(toks.forall(_.tpe == CJKBigram.DOUBLE))
+    // offsets span both source characters
+    assert(toks.head.startOff === 0 && toks.head.endOff === 2)
+    assert(toks.last.startOff === 4 && toks.last.endOff === 6)
+    // lone ideograph: unigram
+    val lone = CJKBigram.Tokenize("alpha 中 beta")
+    assert(lone.map(_.term).toSeq === Seq("alpha", "中", "beta"))
+    assert(lone(1).tpe === CJKBigram.SINGLE)
+    // mixed script: each script its own way
+    val mixed = CJKBigram.Tokenize("spark中文引擎fast")
+    assert(mixed.map(_.term).toSeq ===
+      Seq("spark", "中文", "文引", "引擎", "fast"))
+    // ideographs across punctuation still bigram (reference behavior)
+    val punct = CJKBigram.Tokenize("中。国")
+    assert(punct.map(_.term).toSeq === Seq("中国"))
+    // full chain: positions advance per emitted token, bigrams searchable
+    val analyzed = Analyzer.cjk.analyze("搜索引擎 the query")
+    assert(analyzed.tokens.map(_.term).toSeq === Seq("搜索", "索引", "引擎", "query"))
+    assert(analyzed.tokens.map(_.position).toSeq === Seq(0, 1, 2, 4)) // 'the' gap
+    assert(Analyzer.forLang("zh") eq Analyzer.cjk)
+  }
 }
