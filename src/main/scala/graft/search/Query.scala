@@ -45,6 +45,18 @@ final case class TermRangeQ(lower: String, upper: String,
   * positions-enabled index. */
 final case class PhraseQ(terms: Seq[String], slop: Int = 0, boost: Float = 1f) extends Query
 
+/** Phrase whose slot i accepts ANY of `slots(i)` (MultiPhraseQuery.cs);
+  * slop > 0 runs the sloppy traversal over per-slot position unions. */
+final case class MultiPhraseQ(slots: Seq[Seq[String]], slop: Int = 0,
+                              boost: Float = 1f) extends Query
+
+/** Phrase whose parts may be multi-term sub-queries — `"merg* table"~2`
+  * (reference: QueryParsers/ComplexPhrase/ComplexPhraseQueryParser.cs):
+  * rewrite expands each multi-term part against the dictionary into a
+  * [[MultiPhraseQ]] slot. */
+final case class ComplexPhraseQ(parts: Seq[Query], slop: Int = 0,
+                                boost: Float = 1f) extends Query
+
 /** A scored hit; ordering contract = score desc, then docId asc
   * (reference: Search/HitQueue.cs:82-91). */
 final case class ScoreDoc(docId: Long, score: Float)

@@ -144,8 +144,29 @@ final class QueryParser(analyzer: Analyzer = Analyzer.standard,
           slop = cur.peek.get.drop(1).toInt
           cur = cur.advance
         }
-        val terms = analyzer.analyzeTerms(inner).toSeq
-        (if (terms.isEmpty) None else Some(PhraseQ(terms, slop)), cur)
+        val words = inner.split("\\s+").filter(_.nonEmpty).toSeq
+        if (words.exists(w => w.contains("*") || w.contains("?") || w.contains("~"))) {
+          // complex phrase (ComplexPhraseQueryParser syntax): wildcard /
+          // prefix / fuzzy parts expand into multi-phrase slots at rewrite
+          val parts = words.flatMap { w =>
+            val lowered = Analyzer.lowerCase(w)
+            if (w.contains("~")) {
+              val i = w.lastIndexOf('~')
+              val tail = w.substring(i + 1)
+              val edits = if (tail.isEmpty) 2 else tail.toInt
+              Seq(FuzzyQ(Analyzer.lowerCase(w.substring(0, i)), edits))
+            } else if (w.contains("*") || w.contains("?")) {
+              if (lowered.endsWith("*") &&
+                  !lowered.dropRight(1).exists(c => c == '*' || c == '?'))
+                Seq(PrefixQ(lowered.dropRight(1)))
+              else Seq(WildcardQ(lowered))
+            } else analyzer.analyzeTerms(w).toSeq.map(TermQ(_))
+          }
+          (if (parts.isEmpty) None else Some(ComplexPhraseQ(parts, slop)), cur)
+        } else {
+          val terms = analyzer.analyzeTerms(inner).toSeq
+          (if (terms.isEmpty) None else Some(PhraseQ(terms, slop)), cur)
+        }
       case t if t.startsWith("[") || t.startsWith("{") =>
         // range token is pre-assembled by the lexer: [lo TO hi] / {lo TO hi}
         val inclLo = t.startsWith("[")
@@ -189,6 +210,8 @@ final class QueryParser(analyzer: Analyzer = Analyzer.standard,
     case t: TermQ => t.copy(boost = t.boost * boost)
     case b: BoolQ => b.copy(boost = b.boost * boost)
     case p: PhraseQ => p.copy(boost = p.boost * boost)
+    case m: MultiPhraseQ => m.copy(boost = m.boost * boost)
+    case c: ComplexPhraseQ => c.copy(boost = c.boost * boost)
     case p: PrefixQ => p.copy(boost = p.boost * boost)
     case w: WildcardQ => w.copy(boost = w.boost * boost)
     case r: RegexpQ => r.copy(boost = r.boost * boost)

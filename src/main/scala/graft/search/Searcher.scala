@@ -270,6 +270,20 @@ final class Searcher(reader: IndexReader, pruneMinBlocks: Int = 64,
         case Some(ts) => orOf(ts, multiTermBoost(mt))
         case None => mt // wide: constant-score semi-join in scoredRaw
       }
+    // ComplexPhraseQueryParser semantics: each part expands to a
+    // MultiPhraseQ slot (a multi-term part → its dictionary matches); an
+    // empty expansion means the phrase can never match
+    case ComplexPhraseQ(parts, slop, b) =>
+      val slots = parts.map {
+        case TermQ(t, _) => Seq(t)
+        case PhraseQ(Seq(t), _, _) => Seq(t)
+        case mt if multiTermPred(mt).isDefined =>
+          reader.expandTerms(multiTermPred(mt).get, maxClauseCount)
+        case other => throw new IllegalArgumentException(
+          s"complex-phrase part must be a term or multi-term query: $other")
+      }
+      if (slots.exists(_.isEmpty)) BoolQ() // matches nothing
+      else MultiPhraseQ(slots, slop, b)
     // minNrShouldMatch above the SHOULD-clause count can never be
     // satisfied — the reference matches nothing (BooleanQuery.cs
     // minimumNumberShouldMatch contract); without this guard the
@@ -316,6 +330,7 @@ final class Searcher(reader: IndexReader, pruneMinBlocks: Int = 64,
       }
     case bq: BoolQ => scoredBool(bq)
     case PhraseQ(terms, slop, boost) => scoredPhrase(terms, slop, boost)
+    case MultiPhraseQ(slots, slop, boost) => scoredMultiPhrase(slots, slop, boost)
     case mt if multiTermPred(mt).isDefined =>
       // CONSTANT_SCORE_AUTO fallback: a wide multi-term query (dictionary
       // match past the clause budget) scores constant over the docs of
@@ -508,6 +523,34 @@ final class Searcher(reader: IndexReader, pruneMinBlocks: Int = 64,
         if (freq > 0) Iterator.single((docId, freq, norm)) else Iterator.empty
       }
     }
+  }
+
+  /** Scored MultiPhraseQuery (reference: MultiPhraseQuery.cs
+    * MultiPhraseWeight): phrase freq plays tf; the weight's idf is the
+    * sum over EVERY term in every slot, unindexed alternatives included
+    * with df = 0 (the reference's TermContext behavior); the norm byte
+    * joins in from docstats (the multi-phrase freq paths don't carry
+    * it). */
+  private def scoredMultiPhrase(slots: Seq[Seq[String]], slop: Int,
+                                boost: Float): Dataset[ScoreDoc] = {
+    require(slots.nonEmpty && slots.forall(_.nonEmpty), "empty slot")
+    val flat = slots.flatten
+    val stats = reader.termStats(flat.distinct)
+    val liveSlots = slots.map(_.filter(stats.contains))
+    if (liveSlots.exists(_.isEmpty)) return spark.emptyDataset[ScoreDoc]
+    val weight = BM25.weightValue(
+      flat.map(t => BM25.idf(stats.get(t).map(_.df).getOrElse(0L), cs.maxDoc)).sum,
+      boost)
+    val freqs: Dataset[(Long, Float)] =
+      if (slop == 0) multiPhraseFreqs(liveSlots).map(t => (t._1, t._2.toFloat))
+      else multiPhraseFreqsSloppy(liveSlots, slop)
+    val localCache = cache
+    freqs.toDF("docId", "freq")
+      .join(reader.docstats.select($"docId", $"norm"), Seq("docId"))
+      .as[(Long, Float, Int)]
+      .map { case (docId, freq, norm) =>
+        ScoreDoc(docId, BM25.score(freq, norm.toByte, weight, localCache))
+      }
   }
 
   /** MultiPhraseQuery analog (reference: Search/MultiPhraseQuery.cs):

@@ -210,4 +210,21 @@ class PhraseSpec extends AnyFunSuite {
     // doc2/doc4 have a gap -> no match at slop 0
     assert(mp === Map(0L -> 1f, 1L -> 1f, 3L -> 3f))
   }
+
+  test("complex phrase scores == the expanded plain phrase (exact and sloppy)") {
+    // 'stat*' expands to {state} in this fixture, so the complex phrase
+    // must score exactly like the plain phrase (same idf sum, same freq,
+    // same norm path)
+    val cp = searcher.search(ComplexPhraseQ(Seq(PrefixQ("stat"), TermQ("machine"))), 10)
+    val pp = searcher.search(PhraseQ(Seq("state", "machine")), 10)
+    assert(cp.toSeq === pp.toSeq)
+    val cps = searcher.search(ComplexPhraseQ(Seq(PrefixQ("stat"), TermQ("machine")), 2), 10)
+    val pps = searcher.search(PhraseQ(Seq("state", "machine"), 2), 10)
+    assert(cps.toSeq === pps.toSeq)
+    // a part that expands to nothing → the phrase matches nothing
+    assert(searcher.search(ComplexPhraseQ(Seq(PrefixQ("zzz"), TermQ("machine"))), 10).isEmpty)
+    // genuine multi-alternative slot through the ADT path
+    val mp = searcher.search(MultiPhraseQ(Seq(Seq("state", "alpha"), Seq("machine"))), 10)
+    assert(mp.nonEmpty)
+  }
 }

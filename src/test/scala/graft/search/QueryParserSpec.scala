@@ -74,4 +74,14 @@ class QueryParserSpec extends AnyFunSuite {
   test("dangling input / unbalanced parens rejected") {
     intercept[IllegalArgumentException](p.parse("(foo"))
   }
+
+  test("complex phrase: wildcard/prefix/fuzzy parts inside quotes") {
+    val p = new QueryParser()
+    assert(p.parse("\"merg* table\"") ===
+      ComplexPhraseQ(Seq(PrefixQ("merg"), TermQ("table"))))
+    assert(p.parse("\"wi?ld merge~1 exact\"~2") ===
+      ComplexPhraseQ(Seq(WildcardQ("wi?ld"), FuzzyQ("merge", 1), TermQ("exact")), 2))
+    // stopword parts vanish like in plain phrases
+    assert(p.parse("\"a merg*\"") === ComplexPhraseQ(Seq(PrefixQ("merg"))))
+  }
 }
