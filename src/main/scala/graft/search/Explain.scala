@@ -51,6 +51,27 @@ trait Explains { self: Searcher =>
             s"phraseFreq=$freq, weight(idfSum=${idfs.sum})",
             terms.zip(idfs).map { case (t, i) => Explanation(i, s"idf(term=$t)") })
       }
+    case MultiPhraseQ(slots, slop, boost) =>
+      val freq: Option[Float] =
+        if (slop == 0)
+          multiPhraseFreqs(slots).filter(_._1 == docId).collect()
+            .headOption.map(_._2.toFloat)
+        else
+          multiPhraseFreqsSloppy(slots, slop).filter(_._1 == docId).collect()
+            .headOption.map(_._2)
+      (freq, docNorm(docId)) match {
+        case (Some(f), Some(norm)) =>
+          val flat = slots.flatten
+          val stats = readerTermStats(flat.distinct)
+          val idfs = flat.map(t =>
+            BM25.idf(stats.get(t).map(_.df).getOrElse(0L), maxDocStat))
+          val w = BM25.weightValue(idfs.sum, boost)
+          Explanation(BM25.score(f, norm.toByte, w, normCacheStat),
+            s"multiPhraseFreq=$f, weight(idfSum=${idfs.sum})",
+            flat.zip(idfs).map { case (t, i) => Explanation(i, s"idf(term=$t)") })
+        case _ => Explanation(0f,
+          s"no multi-phrase match for ${slots.map(_.mkString("|")).mkString(" ")}")
+      }
     case other => Explanation(0f, s"explain unsupported for $other")
   }
 

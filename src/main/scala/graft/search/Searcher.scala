@@ -939,6 +939,11 @@ final class Searcher(reader: IndexReader, pruneMinBlocks: Int = 64,
   private[search] def maxDocStat: Long = cs.maxDoc
   private[search] def normCacheStat: Array[Float] = cache
 
+  /** Norm byte of one doc — docstats point lookup (explain support). */
+  private[search] def docNorm(docId: Long): Option[Int] =
+    reader.docstats.where($"docId" === docId).select($"norm")
+      .as[Int].collect().headOption
+
   /** (tf, normByte) of one (term, doc) — block-pruned point lookup. */
   private[search] def termHit(t: String, docId: Long): Option[(Int, Int)] = {
     val rows = reader.postings

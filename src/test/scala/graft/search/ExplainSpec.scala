@@ -53,4 +53,15 @@ class ExplainSpec extends AnyFunSuite {
     assert(e.details.exists(d => d.description == "tf" && d.value == 2f))
     assert(e.format().linesIterator.size >= 5)
   }
+
+  test("explain == score for multi-phrase (exact and sloppy)") {
+    // doc1 "dogs dogs": slot (dogs|all) then (dogs) matches at position 0
+    val q = MultiPhraseQ(Seq(Seq("dogs", "all"), Seq("dogs")))
+    val hits = searcher.search(q, 10)
+    assert(hits.nonEmpty)
+    hits.foreach(h => assert(searcher.explain(q, h.docId).value === h.score))
+    val qs = MultiPhraseQ(Seq(Seq("dogs"), Seq("dogs")), slop = 2)
+    searcher.search(qs, 10).foreach(h =>
+      assert(searcher.explain(qs, h.docId).value === h.score))
+  }
 }
