@@ -9,8 +9,9 @@ import org.apache.spark.sql.functions._
 /** Point-in-time view over the index tables (≙ IndexReader/MultiFields,
   * reference: /root/reference/src/Lucene.Net/Index/IndexReader.cs). Pulls
   * global statistics once per query, like CreateNormalizedWeight
-  * (IndexSearcher.cs:720-732). */
-final class IndexReader(val spark: SparkSession, val dir: String) extends Serializable {
+  * (IndexSearcher.cs:720-732). [[MultiIndexReader]] overrides the table
+  * accessors to span several segment-generation indexes. */
+class IndexReader(val spark: SparkSession, val dir: String) extends Serializable {
   import spark.implicits._
 
   lazy val collectionStats: CollectionStatsRow =
@@ -119,6 +120,86 @@ final class IndexReader(val spark: SparkSession, val dir: String) extends Serial
         .where(length($"c") > 0).distinct()
     df.as[String].collect().toSeq.filter(_.nonEmpty).map(_.charAt(0)).sorted
   }
+
+  /** Directories whose tombstone tables apply to this view. */
+  def tombstoneDirs: Seq[String] = Seq(dir)
+}
+
+object IndexReader {
+  /** NRT view over multiple segment-generation indexes WITHOUT compaction
+    * (≙ DirectoryReader over uncommitted DWPT segments — reference:
+    * Index/DirectoryReader.cs:113 `Open(writer, …)` + MultiFields): the
+    * streaming indexer's generations are searchable as one index the
+    * moment each commits. */
+  def multi(spark: SparkSession, dirs: Seq[String]): IndexReader =
+    new MultiIndexReader(spark, dirs)
+}
+
+/** Union view over generation indexes: docId spaces are disjoint ascending
+  * by construction (each generation built with `docIdBase` past its
+  * predecessors), so postings/docstats/sidecar tables simply union, while
+  * the dictionary and collection stats re-aggregate on the fly — exactly
+  * what [[graft.streaming.StreamingIndexer.compact]] materializes, read
+  * virtually. Scores equal the compacted index's bit-for-bit because the
+  * aggregated statistics are the same sums. */
+final class MultiIndexReader(spark0: SparkSession, dirs: Seq[String])
+    extends IndexReader(spark0, dirs.head) {
+  require(dirs.nonEmpty, "no generation dirs")
+  import spark.implicits._
+
+  private def unionOf(path: String => String): DataFrame =
+    spark.read.parquet(dirs.map(path): _*)
+
+  override lazy val collectionStats: CollectionStatsRow = {
+    val all = dirs.map(d =>
+      spark.read.parquet(IndexPaths.collectionStats(d)).as[CollectionStatsRow].head())
+    CollectionStatsRow(
+      maxDoc = all.map(_.maxDoc).sum,
+      docCount = all.map(_.docCount).sum,
+      sumTotalTermFreq = all.map(_.sumTotalTermFreq).sum,
+      sumDocFreq = all.map(_.sumDocFreq).sum)
+  }
+
+  override def postings: DataFrame = unionOf(IndexPaths.postings)
+  override def docstats: DataFrame = unionOf(IndexPaths.docstats)
+  override def docsTable: DataFrame =
+    dirs.map(d => graft.build.DocsTable.read(spark, d)).reduce(_ unionByName _)
+
+  /** Per-term stats re-aggregate across generations (df/ttf sum, bounds
+    * max) — the MultiFields.Terms merge, done relationally. */
+  override def termDict: DataFrame =
+    unionOf(IndexPaths.termDict)
+      .groupBy($"term")
+      .agg(sum($"df").as("df"), sum($"totalTf").as("totalTf"),
+        max($"maxTf").as("maxTf"), max($"maxNorm").as("maxNorm"))
+
+  override lazy val hasPositions: Boolean = dirs.forall { d =>
+    val p = new org.apache.hadoop.fs.Path(IndexPaths.positions(d))
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+  override def positions: DataFrame = unionOf(IndexPaths.positions)
+
+  override lazy val hasOffsets: Boolean = dirs.forall { d =>
+    val p = new org.apache.hadoop.fs.Path(IndexPaths.offsets(d))
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+  override def offsets: DataFrame = unionOf(IndexPaths.offsets)
+
+  override lazy val termFirstChars: Seq[Char] = {
+    val haveAll = dirs.forall { d =>
+      val p = new org.apache.hadoop.fs.Path(IndexPaths.termFirstChars(d))
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    }
+    if (haveAll)
+      unionOf(IndexPaths.termFirstChars).distinct().as[String]
+        .collect().toSeq.filter(_.nonEmpty).map(_.charAt(0)).distinct.sorted
+    else // legacy generation without the sidecar: derive from the dict
+      termDict.select(substring($"term", 1, 1).as("c"))
+        .where(length($"c") > 0).distinct().as[String]
+        .collect().toSeq.filter(_.nonEmpty).map(_.charAt(0)).sorted
+  }
+
+  override def tombstoneDirs: Seq[String] = dirs
 }
 
 private final case class ClauseHit(docId: Long, idx: Int, score: Float)
@@ -160,14 +241,18 @@ final class Searcher(reader: IndexReader, pruneMinBlocks: Int = 64,
 
   /** liveDocs analog: tombstoned docIds are filtered out of every result
     * (stats intentionally unchanged until Deletes.expunge, like the
-    * reference's deleted-docs-still-count-in-idf behavior). */
+    * reference's deleted-docs-still-count-in-idf behavior). A multi-
+    * generation reader unions every generation's tombstones. */
   private lazy val tombstones: Option[DataFrame] = {
-    val p = new org.apache.hadoop.fs.Path(graft.build.Deletes.tombstonesPath(reader.dir))
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p))
-      Some(spark.read.parquet(graft.build.Deletes.tombstonesPath(reader.dir))
-        .select($"docId".as("exDocId")).distinct())
-    else None
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val paths = reader.tombstoneDirs.map(graft.build.Deletes.tombstonesPath)
+      .filter { s =>
+        val p = new org.apache.hadoop.fs.Path(s)
+        p.getFileSystem(hconf).exists(p)
+      }
+    if (paths.isEmpty) None
+    else Some(spark.read.parquet(paths: _*)
+      .select($"docId".as("exDocId")).distinct())
   }
 
   private def liveOnly(ds: Dataset[ScoreDoc]): Dataset[ScoreDoc] = tombstones match {

@@ -66,5 +66,22 @@ class StreamingIndexerSpec extends AnyFunSuite {
     val csC = spark.read.parquet(s"$compacted/collection_stats").as[CollectionStatsRow].head()
     val csB = spark.read.parquet(s"$batchDir/collection_stats").as[CollectionStatsRow].head()
     assert(csC === csB)
+
+    // NRT: the uncompacted generations are searchable as ONE index
+    // (DirectoryReader-over-segments analog) — same docIds, same scores,
+    // bit-for-bit, as the compacted index, because the virtual view
+    // aggregates the same statistics the compaction materializes
+    val nrt = new Searcher(IndexReader.multi(spark,
+      StreamingIndexer.generations(spark, root).map(StreamingIndexer.genDir(root, _))))
+    val viaGens = nrt.search(TermQ("def"), 90)
+    val viaCompact = sc.search(TermQ("def"), 90)
+    assert(viaGens.toSeq === viaCompact.toSeq)
+    // deletes apply across generations too
+    graft.build.Deletes.deleteDocs(spark,
+      StreamingIndexer.genDir(root, StreamingIndexer.generations(spark, root).head),
+      spark.createDataset(Seq(viaGens.head.docId)))
+    val nrt2 = new Searcher(IndexReader.multi(spark,
+      StreamingIndexer.generations(spark, root).map(StreamingIndexer.genDir(root, _))))
+    assert(!nrt2.search(TermQ("def"), 90).map(_.docId).contains(viaGens.head.docId))
   }
 }
