@@ -1,6 +1,6 @@
 package graft.ops
 
-import graft.pipeline.{Classify, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.pipeline.{Classify, Dedup, Multimodal, Packing, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -436,7 +436,40 @@ object PipelineQueries {
 
   // ------------------------------------------------------------- registry
 
+  // --------------------------------------------- dataset assembly
+
+  /** Deterministic content-hash train/val split (leakage-safe: identical
+    * content always lands on the same side; first md5 hex digit in
+    * {0,1} => 'val', 2/16 of the corpus in expectation). */
+  def qSplit(spark: SparkSession, sf: String): DataFrame =
+    Packing.deterministicSplit(docs(spark, sf)).orderBy(col("doc_id"))
+  val oSplit: String =
+    """SELECT doc_id,
+      |  CASE WHEN substr(md5(text), 1, 1) IN ('0', '1') THEN 'val' ELSE 'train' END AS split
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Token-budget window packing: window_id = exclusive-prefix-sum of
+    * token counts in doc_id order, integer-divided by the budget. The
+    * engine computes the prefix sum scale-shaped (range partitions +
+    * partitioned running sum + driver-rebased offsets, no global
+    * window); the oracle is the literal global window SQL. */
+  def qPackWindows(spark: SparkSession, sf: String): DataFrame =
+    Packing.packIntoWindows(docs(spark, sf), budgetTokens = 2048L)
+      .orderBy(col("doc_id"))
+  val oPackWindows: String =
+    """WITH n AS (
+      |  SELECT doc_id,
+      |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS BIGINT) AS n_tokens
+      |  FROM documents
+      |)
+      |SELECT doc_id, n_tokens,
+      |  CAST(coalesce(SUM(n_tokens) OVER (ORDER BY doc_id
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2048 AS BIGINT) AS window_id
+      |FROM n ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_split" -> qSplit _,
+    "q_pack_windows" -> qPackWindows _,
     "q_dedup_exact" -> qDedupExact _,
     "q_dedup_minhash" -> qDedupMinhash _,
     "q_dedup_minhash_prod" -> qDedupMinhashProd _,
@@ -458,6 +491,8 @@ object PipelineQueries {
     "q_multimodal_stats" -> qMultimodalStats _)
 
   val oracles: Map[String, String] = Map(
+    "q_split" -> oSplit,
+    "q_pack_windows" -> oPackWindows,
     "q_dedup_exact" -> oDedupExact,
     "q_dedup_minhash" -> oDedupMinhash,
     "q_dedup_simhash" -> oDedupSimhash,

@@ -1,0 +1,61 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Dataset-assembly operators a training pipeline runs after filtering:
+  * deterministic train/validation splits and token-budget sequence
+  * packing (assigning documents to fixed-token-budget context windows).
+  * Both are reproducible from the data alone — no RNG state, no driver
+  * bookkeeping — so re-runs and independent engines agree exactly. */
+object Packing {
+
+  /** Deterministic content-hash split: a doc goes to 'val' iff the first
+    * hex digit of md5(text) falls in `valDigits` (k digits ⇒ k/16 of the
+    * corpus, stable under any reordering or re-partitioning). The
+    * standard leakage-safe alternative to random splits — identical
+    * content always lands on the same side. */
+  def deterministicSplit(docs: DataFrame,
+                         valDigits: Seq[String] = Seq("0", "1")): DataFrame =
+    docs.select(col("doc_id"),
+      when(substring(md5(col("text")), 1, 1).isin(valDigits: _*), "val")
+        .otherwise("train").as("split"))
+
+  /** Token-budget window packing: documents in doc_id order fill
+    * fixed-budget context windows; a doc belongs to the window in which
+    * it STARTS (window_id = exclusive-prefix-sum(tokens) div budget).
+    * The prefix sum is computed scale-shaped — range-partition by
+    * doc_id, a PARTITIONED running-sum window within each partition,
+    * plus tiny per-partition totals rebased on the driver (the DenseIds
+    * offset pattern) — no single-partition global window anywhere, so
+    * the op survives any corpus size. */
+  def packIntoWindows(docs: DataFrame, budgetTokens: Long,
+                      numPartitions: Int = 32): DataFrame = {
+    val spark = docs.sparkSession
+    val parted = docs
+      .select(col("doc_id"),
+        size(Dedup.tokensCol("text")).cast("long").as("n_tokens"))
+      .repartitionByRange(numPartitions, col("doc_id"))
+      .sortWithinPartitions(col("doc_id"))
+      .select(col("doc_id"), col("n_tokens"), spark_partition_id().as("pid"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val w = Window.partitionBy(col("pid")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = parted.withColumn("localPrefix",
+      coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+    // per-partition token totals → cumulative offsets (partition count
+    // rows on the driver — the same tiny commit DenseIds does)
+    val counts = parted.groupBy(col("pid")).agg(sum(col("n_tokens")).as("t"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var off = 0L
+    val offsets = counts.map { case (pid, t) => val o = (pid, off); off += t; o }
+    val offDf = spark.createDataFrame(offsets.toSeq).toDF("pid", "offset")
+    val result = local.join(broadcast(offDf), Seq("pid"))
+      .select(col("doc_id"), col("n_tokens"),
+        expr(s"(offset + localPrefix) div ${budgetTokens}L").as("window_id"))
+      .localCheckpoint(true)
+    parted.unpersist(blocking = false)
+    result
+  }
+}

@@ -234,4 +234,22 @@ class PipelineSpec extends AnyFunSuite {
       stats.map(_.getAs[String]("modality")).toSeq.sorted)
     assert(stats.map(_.getAs[Long]("n")).sum === docs.count())
   }
+
+  test("packing: exclusive-prefix windows in doc order; split is content-deterministic") {
+    import spark.implicits._
+    val docs = Seq((0L, "a b c"), (1L, "d e"), (2L, "f g h i"), (3L, "j"))
+      .toDF("doc_id", "text")
+    // token counts 3,2,4,1 -> exclusive prefixes 0,3,5,9 -> budget 4 ->
+    // windows 0,0,1,2 (a doc belongs to the window it STARTS in)
+    val packed = Packing.packIntoWindows(docs, budgetTokens = 4, numPartitions = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(packed === Map(0L -> 0L, 1L -> 0L, 2L -> 1L, 3L -> 2L))
+    // identical content always lands on the same split side
+    val twice = Seq((10L, "same words here"), (11L, "same words here"),
+      (12L, "other content"))
+      .toDF("doc_id", "text")
+    val split = Packing.deterministicSplit(twice)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(split(10L) === split(11L))
+  }
 }
