@@ -115,7 +115,7 @@ class PlanSpec extends AnyFunSuite {
     val sf = "/root/testdata/sf0.001"
     for (name <- Seq("q_dedup_minhash", "q_dedup_simhash", "q_fingerprint",
       "q_searchafter", "q_dedup_ngram", "q_facet_path", "q_multi_phrase_sloppy",
-      "q_suggest_fuzzy", "q_highlight_offsets", "q_dfr_topk")) {
+      "q_suggest_fuzzy", "q_highlight_offsets", "q_dfr_topk", "q_pack_windows")) {
       val df = (VerifyQueries.queries ++ PipelineQueries.queries)(name)(spark, sf)
       val windows = df.queryExecution.sparkPlan.collect {
         case w: org.apache.spark.sql.execution.window.WindowExec => w
