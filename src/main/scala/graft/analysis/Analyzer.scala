@@ -127,6 +127,14 @@ object Analyzer {
     "de" -> GermanStopWords,
   ).withDefaultValue(EnglishStopWords)
 
+  /** Source-code chain (the WordDelimiterFilter analog for the code
+    * corpus): identifiers split into sub-words (camelCase, UPPER-runs,
+    * snake_case, digits) WITH the original kept, so both
+    * `parseHTTPResponse` and `response` find the same doc; no stopwords
+    * (code identifiers are never function words). */
+  val sourceCode: Analyzer = new Analyzer(Set.empty, 255,
+    WordDelimiter.tokenizer(UAX29Tokenizer.tokenize, preserveOriginal = true))
+
   /** CJK chain (reference CJKAnalyzer shape: tokenize → bigram → lowercase
     * → stop): overlapping Han bigrams as the indexing unit, Latin tokens
     * untouched — mixed-script docs analyze each script its own way. */

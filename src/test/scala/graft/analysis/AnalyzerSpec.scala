@@ -206,4 +206,26 @@ class AnalyzerSpec extends AnyFunSuite {
     assert(analyzed.tokens.map(_.position).toSeq === Seq(0, 1, 2, 4)) // 'the' gap
     assert(Analyzer.forLang("zh") eq Analyzer.cjk)
   }
+
+  test("word delimiter: identifier sub-words (camelCase, UPPER runs, snake, digits)") {
+    def split(s: String): Seq[String] =
+      WordDelimiter.subWords(s).map { case (a, b) => s.substring(a, b) }
+    assert(split("parseHTTPResponse") === Seq("parse", "HTTP", "Response"))
+    assert(split("CamelCase") === Seq("Camel", "Case"))
+    assert(split("snake_case") === Seq("snake", "case"))
+    assert(split("foo2bar") === Seq("foo", "2", "bar"))
+    assert(split("XMLHttpRequest2") === Seq("XML", "Http", "Request", "2"))
+    assert(split("simpleword") === Seq("simpleword"))
+    assert(split("UPPER") === Seq("UPPER"))
+    assert(split("kebab-case") === Seq("kebab", "case"))
+    // offsets are exact source slices
+    val toks = WordDelimiter.Tokenize("getHTTPCode")
+    assert(toks.map(_.term).toSeq === Seq("get", "HTTP", "Code"))
+    assert(toks.map(t => (t.startOff, t.endOff)).toSeq ===
+      Seq((0, 3), (3, 7), (7, 11)))
+    // sourceCode chain: original preserved alongside parts, lowercased
+    val analyzed = Analyzer.sourceCode.analyze("def parseHTTPResponse(x)")
+    assert(analyzed.tokens.map(_.term).toSeq ===
+      Seq("def", "parsehttpresponse", "parse", "http", "response", "x"))
+  }
 }
