@@ -7,7 +7,8 @@ import scala.collection.mutable.ArrayBuffer
   * still advance positions — reference behavior:
   * /root/reference/src/Lucene.Net.Analysis.Common/Analysis/Util/
   * FilteringTokenFilter.cs:37-60). */
-final case class Token(term: String, position: Int, startOff: Int, endOff: Int)
+final case class Token(term: String, position: Int, startOff: Int, endOff: Int,
+                       payload: Array[Byte] = null)
 
 /** Per-document field-invert state, mirroring what the reference's
   * DocInverterPerField accumulates for norms (reference:
@@ -51,7 +52,7 @@ final class Analyzer(val stopWords: Set[String], val maxTokenLength: Int = 255,
           // stem AFTER the stop filter (reference EnglishAnalyzer chain:
           // ...LowerCase → Stop → PorterStemFilter)
           val emitted = stemmer.fold(lowered)(f => f(lowered))
-          out += Token(emitted, pos, t.startOff, t.endOff)
+          out += Token(emitted, pos, t.startOff, t.endOff, t.payload)
           length += 1
           // synonym injection at the SAME position (posIncr == 0): the
           // injected tokens count in Length AND NumOverlap, so the BM25

@@ -9,7 +9,8 @@ import scala.collection.mutable.ArrayBuffer
   * @param endOff   UTF-16 end offset (exclusive)
   * @param tpe      token type (ALPHANUM / NUM / KATAKANA / ...)
   */
-final case class RawToken(term: String, startOff: Int, endOff: Int, tpe: String)
+final case class RawToken(term: String, startOff: Int, endOff: Int, tpe: String,
+                          payload: Array[Byte] = null)
 
 /** UAX#29 (Unicode 6.3) word-break tokenizer, StandardTokenizer-equivalent.
   *

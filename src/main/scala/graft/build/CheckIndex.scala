@@ -87,7 +87,9 @@ object CheckIndex {
       (IndexPaths.positions(dir), "positions",
         (n, bytes) => PostingsCodec.decodePositionsBlock(n, bytes).map(_.length)),
       (IndexPaths.offsets(dir), "offsets",
-        (n, bytes) => PostingsCodec.decodeOffsetsBlock(n, bytes).map(_.length / 2)))
+        (n, bytes) => PostingsCodec.decodeOffsetsBlock(n, bytes).map(_.length / 2)),
+      (IndexPaths.payloads(dir), "payloads",
+        (n, bytes) => PostingsCodec.decodePayloadsBlock(n, bytes).map(_.length)))
     for ((pathStr, label, entryCounts) <- sidecars) {
       val scPath = new org.apache.hadoop.fs.Path(pathStr)
       if (scPath.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(scPath)) {

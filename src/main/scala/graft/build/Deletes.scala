@@ -76,10 +76,11 @@ private final class PostingsReencoder(it: Iterator[(String, Long, Int, Int)],
   * emit a null blob — the caller writes no sidecar row for them,
   * preserving the per-term IndexOptions through the rewrite. */
 private final class PostingsSidecarReencoder(
-    it: Iterator[(String, Long, Int, Int, Array[Int], Array[Int])], segId: Int)
-    extends Iterator[(PostingRow, Array[Byte], Array[Byte])] {
-  private val out =
-    scala.collection.mutable.Queue.empty[(PostingRow, Array[Byte], Array[Byte])]
+    it: Iterator[(String, Long, Int, Int, Array[Int], Array[Int], Array[Array[Byte]])],
+    segId: Int)
+    extends Iterator[(PostingRow, Array[Byte], Array[Byte], Array[Byte])] {
+  private val out = scala.collection.mutable
+    .Queue.empty[(PostingRow, Array[Byte], Array[Byte], Array[Byte])]
   private var curTerm: String = null
   private var n = 0
   private var ids = new Array[Long](128)
@@ -87,9 +88,10 @@ private final class PostingsSidecarReencoder(
   private var norms = new Array[Int](128)
   private var poss = new Array[Array[Int]](128)
   private var offs = new Array[Array[Int]](128)
+  private var pays = new Array[Array[Array[Byte]]](128)
 
-  private def sidecarBytes(slices: Array[Array[Int]],
-                           enc: Array[Array[Int]] => Array[Byte]): Array[Byte] = {
+  private def sidecarBytes[T <: AnyRef](slices: Array[T],
+                                        enc: Array[T] => Array[Byte]): Array[Byte] = {
     val allNull = slices.forall(_ == null)
     require(allNull || slices.forall(_ != null),
       s"term $curTerm mixes sidecar-carrying and sidecar-less postings")
@@ -108,17 +110,19 @@ private final class PostingsSidecarReencoder(
         while (i < b.numDocs) { s += bTfs(from + i); i += 1 }
         val pSlice = java.util.Arrays.copyOfRange(poss, from, from + b.numDocs)
         val oSlice = java.util.Arrays.copyOfRange(offs, from, from + b.numDocs)
+        val ySlice = java.util.Arrays.copyOfRange(pays, from, from + b.numDocs)
         out.enqueue((PostingRow(curTerm, b.firstDocId, b.lastDocId, b.numDocs,
           b.maxTf, b.maxNorm, s, segId, b.bytes),
           sidecarBytes(pSlice, PostingsCodec.encodePositionsBlock),
-          sidecarBytes(oSlice, PostingsCodec.encodeOffsetsBlock)))
+          sidecarBytes(oSlice, PostingsCodec.encodeOffsetsBlock),
+          sidecarBytes(ySlice, PostingsCodec.encodePayloadsBlock)))
       }
     n = 0
   }
 
   override def hasNext: Boolean = {
     while (out.isEmpty && it.hasNext) {
-      val (t, id, tf, norm, ps, os) = it.next()
+      val (t, id, tf, norm, ps, os, ys) = it.next()
       if (t != curTerm) { flush(); curTerm = t }
       if (n == ids.length) {
         ids = java.util.Arrays.copyOf(ids, n * 2)
@@ -126,14 +130,16 @@ private final class PostingsSidecarReencoder(
         norms = java.util.Arrays.copyOf(norms, n * 2)
         poss = java.util.Arrays.copyOf(poss, n * 2)
         offs = java.util.Arrays.copyOf(offs, n * 2)
+        pays = java.util.Arrays.copyOf(pays, n * 2)
       }
-      ids(n) = id; tfs(n) = tf; norms(n) = norm; poss(n) = ps; offs(n) = os; n += 1
+      ids(n) = id; tfs(n) = tf; norms(n) = norm
+      poss(n) = ps; offs(n) = os; pays(n) = ys; n += 1
     }
     if (out.isEmpty) flush()
     out.nonEmpty
   }
 
-  override def next(): (PostingRow, Array[Byte], Array[Byte]) = {
+  override def next(): (PostingRow, Array[Byte], Array[Byte], Array[Byte]) = {
     if (!hasNext) throw new NoSuchElementException
     out.dequeue()
   }
@@ -213,9 +219,11 @@ object Deletes {
     // blocks stay self-contained)
     val posPath = new org.apache.hadoop.fs.Path(IndexPaths.positions(dir))
     val offPath = new org.apache.hadoop.fs.Path(IndexPaths.offsets(dir))
+    val payPath = new org.apache.hadoop.fs.Path(IndexPaths.payloads(dir))
     val hasPositions = fs.exists(posPath)
     val hasOffsets = fs.exists(offPath)
-    if (!hasPositions && !hasOffsets) {
+    val hasPayloads = fs.exists(payPath)
+    if (!hasPositions && !hasOffsets && !hasPayloads) {
       val decoded = spark.read.parquet(IndexPaths.postings(dir))
         .select($"term", $"firstDocId", $"lastDocId", $"numDocs", $"maxTf",
           $"maxNorm", $"sumTf", $"segId", $"bytes").as[PostingRow]
@@ -254,10 +262,16 @@ object Deletes {
             .select($"term", $"firstDocId", $"bytes").toDF("term", "firstDocId", "obytes"),
             Seq("term", "firstDocId"), "left_outer")
         else withP.withColumn("obytes", lit(null).cast("binary"))
-      val decoded = withPO
-        .select($"term", $"firstDocId", $"tn", $"tbytes", $"pbytes", $"obytes")
-        .as[(String, Long, Int, Array[Byte], Array[Byte], Array[Byte])]
-        .flatMap { case (term, firstDocId, n, tbytes, pbytes, obytes) =>
+      val withPOY =
+        if (hasPayloads)
+          withPO.join(spark.read.parquet(IndexPaths.payloads(dir))
+            .select($"term", $"firstDocId", $"bytes").toDF("term", "firstDocId", "ybytes"),
+            Seq("term", "firstDocId"), "left_outer")
+        else withPO.withColumn("ybytes", lit(null).cast("binary"))
+      val decoded = withPOY
+        .select($"term", $"firstDocId", $"tn", $"tbytes", $"pbytes", $"obytes", $"ybytes")
+        .as[(String, Long, Int, Array[Byte], Array[Byte], Array[Byte], Array[Byte])]
+        .flatMap { case (term, firstDocId, n, tbytes, pbytes, obytes, ybytes) =>
           val (ids, tfs, norms) = PostingsCodec.decodeBlock(firstDocId, n, tbytes)
           val poss =
             if (pbytes == null) Array.fill[Array[Int]](n)(null)
@@ -265,18 +279,21 @@ object Deletes {
           val offs =
             if (obytes == null) Array.fill[Array[Int]](n)(null)
             else PostingsCodec.decodeOffsetsBlock(n, obytes)
+          val pays =
+            if (ybytes == null) Array.fill[Array[Array[Byte]]](n)(null)
+            else PostingsCodec.decodePayloadsBlock(n, ybytes)
           ids.indices.iterator.map(i =>
-            (term, ids(i), tfs(i), norms(i), poss(i), offs(i)))
-        }.toDF("term", "oldId", "tf", "norm", "ps", "os")
+            (term, ids(i), tfs(i), norms(i), poss(i), offs(i), pays(i)))
+        }.toDF("term", "oldId", "tf", "norm", "ps", "os", "ys")
       val renumbered = decoded.join(remap, Seq("oldId"))
-        .select($"term", $"newId", $"tf", $"norm", $"ps", $"os")
+        .select($"term", $"newId", $"tf", $"norm", $"ps", $"os", $"ys")
         .repartitionByRange(numPartitions, $"term", $"newId")
         .sortWithinPartitions($"term", $"newId")
-        .as[(String, Long, Int, Int, Array[Int], Array[Int])]
+        .as[(String, Long, Int, Int, Array[Int], Array[Int], Array[Array[Byte]])]
       val combined = renumbered.mapPartitions { it =>
         val segId = org.apache.spark.TaskContext.getPartitionId()
         new PostingsSidecarReencoder(it, segId)
-      }.toDF("post", "posBytes", "offBytes")
+      }.toDF("post", "posBytes", "offBytes", "payBytes")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       combined.select(col("post.*"))
         .write.mode(SaveMode.Overwrite).parquet(IndexPaths.postings(outDir))
@@ -291,6 +308,7 @@ object Deletes {
           .write.mode(SaveMode.Overwrite).parquet(outPathStr)
       if (hasPositions) writeSidecar("posBytes", IndexPaths.positions(outDir))
       if (hasOffsets) writeSidecar("offBytes", IndexPaths.offsets(outDir))
+      if (hasPayloads) writeSidecar("payBytes", IndexPaths.payloads(outDir))
       combined.unpersist()
     }
 

@@ -106,7 +106,8 @@ object IndexBuilder {
                  docIdBase: Long = 0L,
                  keywordFields: Seq[String] = Nil,
                  indexPositions: Boolean = false,
-                 indexOffsets: Boolean = false): Unit = {
+                 indexOffsets: Boolean = false,
+                 indexPayloads: Boolean = false): Unit = {
     import spark.implicits._
     val sorted = corpus
       .repartitionByRange(numPartitions, $"repo", $"path", $"commit")
@@ -116,13 +117,16 @@ object IndexBuilder {
     // checksum it would double the stage's I/O
     val acc = spark.sparkContext.collectionAccumulator[ManifestRow]("flushManifest")
     val kw = keywordFields
-    // the offsets level implies positions (the reference's IndexOptions
-    // lattice is strictly ordered, FieldInfo.cs:373-397)
-    val withPos = indexPositions || indexOffsets
+    // offsets/payloads imply positions (the reference's IndexOptions
+    // lattice is strictly ordered, FieldInfo.cs:373-397; payloads live
+    // in the positions stream)
+    val withPos = indexPositions || indexOffsets || indexPayloads
     val withOff = indexOffsets
+    val withPay = indexPayloads
     val flush = sorted.mapPartitions { it =>
       val segId = TaskContext.getPartitionId()
-      new FlushIterator(it, segId, analyzerFor, row => acc.add(row), kw, withPos, withOff)
+      new FlushIterator(it, segId, analyzerFor, row => acc.add(row), kw,
+        withPos, withOff, withPay)
     }
     flush.write.mode(SaveMode.Overwrite).partitionBy("kind")
       .parquet(IndexPaths.flush(dir))
@@ -172,7 +176,8 @@ object IndexBuilder {
     // aligned 1:1 with the posting blocks: same rebase, same term-sorted
     // layout
     for ((kind, path) <- Seq("p" -> IndexPaths.positions(dir),
-                             "o" -> IndexPaths.offsets(dir))) {
+                             "o" -> IndexPaths.offsets(dir),
+                             "y" -> IndexPaths.payloads(dir))) {
       val has = spark.read.parquet(IndexPaths.flush(dir))
         .where($"kind" === kind).limit(1).count() > 0
       if (has) {
@@ -263,7 +268,8 @@ object IndexBuilder {
             docIdBase: Long = 0L,
             keywordFields: Seq[String] = Nil,
             indexPositions: Boolean = false,
-            indexOffsets: Boolean = false): Unit = {
+            indexOffsets: Boolean = false,
+            indexPayloads: Boolean = false): Unit = {
     if (!resume) {
       val path = new org.apache.hadoop.fs.Path(dir)
       val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -277,7 +283,7 @@ object IndexBuilder {
     }
     if (!resume || !stageDone(spark, dir, "flush"))
       timed("flush")(buildFlush(spark, corpus, dir, numPartitions, analyzerFor,
-        docIdBase, keywordFields, indexPositions, indexOffsets))
+        docIdBase, keywordFields, indexPositions, indexOffsets, indexPayloads))
     if (!resume || !stageDone(spark, dir, "postings"))
       timed("postings")(buildPostings(spark, dir, numPartitions))
     if (!resume || !stageDone(spark, dir, "stats"))
@@ -296,7 +302,8 @@ private final class FlushIterator(docs: Iterator[SourceFile], segId: Int,
     onComplete: ManifestRow => Unit = _ => (),
     keywordFields: Seq[String] = Nil,
     indexPositions: Boolean = false,
-    indexOffsets: Boolean = false) extends Iterator[FlushRow] {
+    indexOffsets: Boolean = false,
+    indexPayloads: Boolean = false) extends Iterator[FlushRow] {
 
   // partition lineage, accumulated as blocks are emitted
   private var mTermMin: String = null
@@ -322,8 +329,11 @@ private final class FlushIterator(docs: Iterator[SourceFile], segId: Int,
     /** Per-posting flattened (start,end) char-offset pairs (the
       * ..._AND_OFFSETS payload), aligned with poss. */
     var offs: Array[Array[Int]] = null
+    /** Per-posting, per-position payload byte arrays (the .pay stream
+      * analog), aligned with poss. */
+    var pays: Array[Array[Array[Byte]]] = null
     def add(d: Long, tf: Int, norm: Int, ps: Array[Int] = null,
-            os: Array[Int] = null): Unit = {
+            os: Array[Int] = null, ys: Array[Array[Byte]] = null): Unit = {
       if (n == docIds.length) {
         val cap = n * 2
         docIds = java.util.Arrays.copyOf(docIds, cap)
@@ -331,6 +341,7 @@ private final class FlushIterator(docs: Iterator[SourceFile], segId: Int,
         norms = java.util.Arrays.copyOf(norms, cap)
         if (poss != null) poss = java.util.Arrays.copyOf(poss, cap)
         if (offs != null) offs = java.util.Arrays.copyOf(offs, cap)
+        if (pays != null) pays = java.util.Arrays.copyOf(pays, cap)
       }
       if (ps != null) {
         if (poss == null) poss = new Array[Array[Int]](docIds.length)
@@ -339,6 +350,10 @@ private final class FlushIterator(docs: Iterator[SourceFile], segId: Int,
       if (os != null) {
         if (offs == null) offs = new Array[Array[Int]](docIds.length)
         offs(n) = os
+      }
+      if (ys != null) {
+        if (pays == null) pays = new Array[Array[Array[Byte]]](docIds.length)
+        pays(n) = ys
       }
       docIds(n) = d; tfs(n) = tf; norms(n) = norm; n += 1
     }
@@ -355,6 +370,8 @@ private final class FlushIterator(docs: Iterator[SourceFile], segId: Int,
   private def emptyP = FlushRow("p", null, -1L, -1L, -1, -1, -1, -1L, segId,
     null, -1L, null, null, null, null, null, null, -1, -1)
   private def emptyO = FlushRow("o", null, -1L, -1L, -1, -1, -1, -1L, segId,
+    null, -1L, null, null, null, null, null, null, -1, -1)
+  private def emptyY = FlushRow("y", null, -1L, -1L, -1, -1, -1, -1L, segId,
     null, -1L, null, null, null, null, null, null, -1, -1)
 
   private def flushSegment(): Unit = {
@@ -389,6 +406,13 @@ private final class FlushIterator(docs: Iterator[SourceFile], segId: Int,
           out.enqueue(emptyO.copy(term = t, firstDocId = blk.firstDocId,
             lastDocId = blk.lastDocId, numDocs = blk.numDocs,
             bytes = PostingsCodec.encodeOffsetsBlock(slice)))
+        }
+        if (b.pays != null) {
+          // aligned payloads block (the .pay stream analog)
+          val slice = java.util.Arrays.copyOfRange(b.pays, off, off + blk.numDocs)
+          out.enqueue(emptyY.copy(term = t, firstDocId = blk.firstDocId,
+            lastDocId = blk.lastDocId, numDocs = blk.numDocs,
+            bytes = PostingsCodec.encodePayloadsBlock(slice)))
         }
         off += blk.numDocs
         // lineage (≙ what segments_N records per segment)
@@ -425,10 +449,13 @@ private final class FlushIterator(docs: Iterator[SourceFile], segId: Int,
     if (indexPositions) {
       // positions ride along (the DOCS_AND_FREQS_AND_POSITIONS option);
       // with indexOffsets the (start,end) char pairs ride too (the
-      // ..._AND_OFFSETS level)
+      // ..._AND_OFFSETS level); with indexPayloads the per-position
+      // payload byte arrays ride (the .pay stream analog)
       val posMap = mutable.HashMap.empty[String, mutable.ArrayBuffer[Int]]
       val offMap = if (indexOffsets)
         mutable.HashMap.empty[String, mutable.ArrayBuffer[Int]] else null
+      val payMap = if (indexPayloads)
+        mutable.HashMap.empty[String, mutable.ArrayBuffer[Array[Byte]]] else null
       analyzed.tokens.foreach { t =>
         posMap.getOrElseUpdate(t.term, mutable.ArrayBuffer.empty) += t.position
         if (offMap != null) {
@@ -436,10 +463,14 @@ private final class FlushIterator(docs: Iterator[SourceFile], segId: Int,
           ob += t.startOff
           ob += t.endOff
         }
+        if (payMap != null)
+          payMap.getOrElseUpdate(t.term, mutable.ArrayBuffer.empty) += t.payload
       }
       posMap.foreach { case (term, ps) =>
         terms.getOrElseUpdate(term, new Buf).add(docId, ps.length, normByte,
-          ps.toArray, if (offMap != null) offMap(term).toArray else null)
+          ps.toArray,
+          if (offMap != null) offMap(term).toArray else null,
+          if (payMap != null) payMap(term).toArray else null)
         nBuffered += 1
       }
     } else {

@@ -115,6 +115,9 @@ object IndexPaths {
   /** Character-offset sidecar (..._AND_OFFSETS level), aligned like
     * positions; rows share the [[PositionsRow]] schema. */
   def offsets(dir: String) = s"$dir/offsets"
+  /** Per-position payload sidecar (the .pay stream analog), aligned like
+    * positions; rows share the [[PositionsRow]] schema. */
+  def payloads(dir: String) = s"$dir/payloads"
   def docstats(dir: String) = s"$dir/docstats"
   def termDict(dir: String) = s"$dir/term_dict"
   /** Distinct first characters of the dictionary (alphabet-sized) —

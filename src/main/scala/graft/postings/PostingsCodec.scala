@@ -287,6 +287,53 @@ object PostingsCodec {
     out
   }
 
+  /** Encode the per-posting, per-position payload bytes of one block
+    * (the reference's .pay stream idea — payloads are per-position opaque
+    * byte arrays, Index/Payload semantics): per posting VInt(count), then
+    * per position VInt(len) + raw bytes. `payLists(i)` holds posting i's
+    * payloads aligned with its positions; a null entry inside a list
+    * encodes as length 0. */
+  def encodePayloadsBlock(payLists: Array[Array[Array[Byte]]]): Array[Byte] = {
+    val out = new ByteArrayOutputStream(payLists.length * 8)
+    var i = 0
+    while (i < payLists.length) {
+      val ps = payLists(i)
+      writeVLong(out, ps.length.toLong)
+      var j = 0
+      while (j < ps.length) {
+        val b = if (ps(j) == null) Array.emptyByteArray else ps(j)
+        writeVLong(out, b.length.toLong)
+        out.write(b, 0, b.length)
+        j += 1
+      }
+      i += 1
+    }
+    out.toByteArray
+  }
+
+  /** Decode a payloads blob back to per-posting payload arrays. */
+  def decodePayloadsBlock(numDocs: Int, bytes: Array[Byte]): Array[Array[Array[Byte]]] = {
+    val r = new Reader(bytes)
+    val out = new Array[Array[Array[Byte]]](numDocs)
+    var i = 0
+    while (i < numDocs) {
+      val n = r.readVLong().toInt
+      val ps = new Array[Array[Byte]](n)
+      var j = 0
+      while (j < n) {
+        val len = r.readVLong().toInt
+        val b = new Array[Byte](len)
+        var k = 0
+        while (k < len) { b(k) = r.readByte().toByte; k += 1 }
+        ps(j) = b
+        j += 1
+      }
+      out(i) = ps
+      i += 1
+    }
+    out
+  }
+
   /** Decode a block back to (docIds, tfs, norms). */
   def decodeBlock(firstDocId: Long, numDocs: Int, bytes: Array[Byte])
       : (Array[Long], Array[Int], Array[Int]) = {

@@ -61,6 +61,35 @@ class IndexReader(val spark: SparkSession, val dir: String) extends Serializable
   }
   def offsets: DataFrame = spark.read.parquet(IndexPaths.offsets(dir))
 
+  /** True when the index carries the per-position payload sidecar (the
+    * .pay stream analog — reference: Index/Payload semantics and the
+    * Search/Payloads query family). */
+  lazy val hasPayloads: Boolean = {
+    val p = new org.apache.hadoop.fs.Path(IndexPaths.payloads(dir))
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+  def payloads: DataFrame = spark.read.parquet(IndexPaths.payloads(dir))
+
+  /** (docId, term, tf, normByte, per-position payloads) for a term set,
+    * decoded from the aligned postings/payloads blocks. */
+  def termPayloadRows(terms: Seq[String])
+      : Dataset[(Long, String, Int, Int, Array[Array[Byte]])] = {
+    val distinct = terms.distinct
+    val t = postings.where($"term".isin(distinct: _*))
+      .select($"term", $"firstDocId", $"numDocs", $"bytes")
+      .toDF("term", "firstDocId", "tn", "tbytes")
+    val y = payloads.where($"term".isin(distinct: _*))
+      .select($"term", $"firstDocId", $"bytes").toDF("term", "firstDocId", "ybytes")
+    t.join(y, Seq("term", "firstDocId"))
+      .select($"term", $"firstDocId", $"tn", $"tbytes", $"ybytes")
+      .as[(String, Long, Int, Array[Byte], Array[Byte])]
+      .flatMap { case (term, firstDocId, n, tbytes, ybytes) =>
+        val (ids, tfs, norms) = PostingsCodec.decodeBlock(firstDocId, n, tbytes)
+        val pays = PostingsCodec.decodePayloadsBlock(n, ybytes)
+        ids.indices.iterator.map(i => (ids(i), term, tfs(i), norms(i), pays(i)))
+      }
+  }
+
   /** (docId, term, flattened [s0,e0,s1,e1,…] char offsets) for a term
     * set, decoded from the aligned postings/offsets blocks — both scans
     * parquet-pruned by the sorted term column. */
@@ -883,6 +912,39 @@ final class Searcher(reader: IndexReader, pruneMinBlocks: Int = 64,
         }
     }
   }
+
+  /** PayloadTermQuery analog (reference:
+    * Search/Payloads/PayloadTermQuery.cs with
+    * AveragePayloadFunction/Min/MaxPayloadFunction and PayloadHelper
+    * float decoding; includeSpanScore = true): score = the term's BM25
+    * score × the aggregate of its per-occurrence payload floats in the
+    * doc (docs whose occurrences carry no payloads keep factor 1, the
+    * reference's scorePayload-default behavior). */
+  def payloadTermScores(t: String, agg: String = "avg",
+                        boost: Float = 1f): Dataset[ScoreDoc] = {
+    require(reader.hasPayloads, "index has no payloads sidecar")
+    val stats = reader.termStats(Seq(t))
+    if (!stats.contains(t)) return spark.emptyDataset[ScoreDoc]
+    val w = BM25.weightValue(BM25.idf(stats(t).df, cs.maxDoc), boost)
+    val localCache = cache
+    val aggKind = agg
+    liveOnly(reader.termPayloadRows(Seq(t)).map { case (docId, _, tf, norm, pays) =>
+      val vals = pays.iterator.filter(p => p != null && p.length >= 4)
+        .map(graft.analysis.DelimitedPayload.decodeFloat).toArray
+      val pf =
+        if (vals.isEmpty) 1f
+        else aggKind match {
+          case "min" => vals.min
+          case "max" => vals.max
+          case _ => vals.sum / vals.length
+        }
+      ScoreDoc(docId, BM25.score(tf.toFloat, norm.toByte, w, localCache) * pf)
+    })
+  }
+
+  def payloadTermTopK(t: String, k: Int, agg: String = "avg",
+                      boost: Float = 1f): Array[ScoreDoc] =
+    payloadTermScores(t, agg, boost).select(new TopKAggregator(k).toColumn).head()
 
   /** DocIds of one term, decoded from the pruned postings scan. */
   private def termDocIds(t: String): Dataset[Long] =

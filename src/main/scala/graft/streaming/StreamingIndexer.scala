@@ -108,7 +108,8 @@ object StreamingIndexer {
     // sidecars (positions / offsets) concatenate like postings (blocks
     // self-contained, global docIds) — only when every generation
     // carries them
-    for (side <- Seq(IndexPaths.positions _, IndexPaths.offsets _)) {
+    for (side <- Seq(IndexPaths.positions _, IndexPaths.offsets _,
+                     IndexPaths.payloads _)) {
       val sideDirs = dirs.map(side)
       if (sideDirs.forall(d => fs.exists(new org.apache.hadoop.fs.Path(d)))) {
         spark.read.parquet(sideDirs: _*)

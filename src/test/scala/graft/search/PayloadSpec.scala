@@ -1,0 +1,82 @@
+package graft.search
+
+import graft.SparkTestSession
+import graft.analysis.{Analyzer, DelimitedPayload}
+import graft.bm25.BM25
+import graft.build.{CheckIndex, Deletes, IndexBuilder, IndexPaths}
+import graft.corpus.{CorpusGen, SourceFile}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Payload queries (reference: Search/Payloads/PayloadTermQuery.cs +
+  * Analysis/Payloads/DelimitedPayloadTokenFilter.cs): `term|x` tokens
+  * carry float payloads into a per-position sidecar; payload term
+  * queries multiply the BM25 score by the payload aggregate; the sidecar
+  * survives CheckIndex and expunge. */
+class PayloadSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def mk(i: Int, text: String) =
+    SourceFile("r", f"f$i%02d", "0" * 40, "txt", text, CorpusGen.sha256Hex(text))
+
+  private val fixture = Seq(
+    mk(0, "alpha|2.0 beta"),          // alpha payload 2.0
+    mk(1, "alpha|0.5 alpha|1.5 beta"), // two occurrences: avg 1.0, min 0.5, max 1.5
+    mk(2, "beta gamma"),
+    mk(3, "alpha beta"))              // alpha with NO payload → factor 1
+
+  private lazy val (searcher, dir) = {
+    import spark.implicits._
+    val d = SparkTestSession.tmpDir("graft-pay-")
+    IndexBuilder.build(spark, spark.createDataset(fixture), d, numPartitions = 2,
+      analyzerFor = _ => PayloadSpec.analyzer, indexPayloads = true)
+    (new Searcher(new IndexReader(spark, d),
+      analyzerFor = _ => PayloadSpec.analyzer), d)
+  }
+
+  test("payloads index checks clean and implies positions") {
+    val reader = new IndexReader(spark, dir)
+    assert(reader.hasPayloads && reader.hasPositions)
+    val report = CheckIndex.check(spark, dir)
+    assert(report.ok, report.problems.mkString("; "))
+  }
+
+  test("payload term scores = BM25 × payload aggregate (avg/min/max)") {
+    def base(docId: Long): Float =
+      searcher.search(TermQ("alpha"), 10).find(_.docId == docId).get.score
+    val avg = searcher.payloadTermTopK("alpha", 10).map(h => h.docId -> h.score).toMap
+    assert(avg(0L) === base(0L) * 2.0f)
+    assert(avg(1L) === base(1L) * 1.0f)
+    assert(avg(3L) === base(3L) * 1f) // no payload → factor 1
+    val mn = searcher.payloadTermTopK("alpha", 10, "min").map(h => h.docId -> h.score).toMap
+    assert(mn(1L) === base(1L) * 0.5f)
+    val mx = searcher.payloadTermTopK("alpha", 10, "max").map(h => h.docId -> h.score).toMap
+    assert(mx(1L) === base(1L) * 1.5f)
+  }
+
+  test("phrase matching still works through the payload-bearing positions") {
+    // positions are real (payloads imply positions): "alpha beta" adjacency
+    val freqs = searcher.phraseFreqsFromIndex(Seq("alpha", "beta"), 0)
+      .collect().map(t => t._1 -> t._2).toMap
+    assert(freqs.keySet === Set(0L, 1L, 3L)) // doc1: alpha@1 beta@2 adjacent
+  }
+
+  test("expunge keeps the payloads sidecar aligned") {
+    import spark.implicits._
+    Deletes.deleteDocs(spark, dir, spark.createDataset(Seq(0L)))
+    val exp = SparkTestSession.tmpDir("graft-pay-exp-")
+    Deletes.expunge(spark, dir, exp, numPartitions = 2)
+    val report = CheckIndex.check(spark, exp)
+    assert(report.ok, report.problems.mkString("; "))
+    val s2 = new Searcher(new IndexReader(spark, exp),
+      analyzerFor = _ => PayloadSpec.analyzer)
+    // old doc1 is now doc0; its min-payload score still uses 0.5
+    val mn = s2.payloadTermTopK("alpha", 10, "min").map(h => h.docId -> h.score).toMap
+    val b0 = s2.search(TermQ("alpha"), 10).find(_.docId == 0L).get.score
+    assert(mn(0L) === b0 * 0.5f)
+  }
+}
+
+object PayloadSpec {
+  /** Static so executor closures reference the module, not the suite. */
+  val analyzer: Analyzer = new Analyzer(Set.empty, 255, DelimitedPayload.tokenizer())
+}
