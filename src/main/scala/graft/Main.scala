@@ -26,11 +26,16 @@ object MainSupport {
 
 object BuildMain {
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: BuildMain <corpusParquet> <indexDir> [partitions] [--resume]")
+    require(args.length >= 2, "usage: BuildMain <corpusParquet> <indexDir> " +
+      "[partitions] [--resume] [--positions] [--offsets] [--keyword-fields=f1,f2]")
     val corpusPath = args(0)
     val indexDir = args(1)
     val partitions = args.drop(2).find(!_.startsWith("--")).map(_.toInt).getOrElse(32)
     val resume = args.contains("--resume")
+    val positions = args.contains("--positions")
+    val offsets = args.contains("--offsets")
+    val keywordFields = args.find(_.startsWith("--keyword-fields="))
+      .map(_.split("=", 2)(1).split(",").toSeq.filter(_.nonEmpty)).getOrElse(Nil)
     val spark = MainSupport.session("graft-build")
     import spark.implicits._
     val raw = spark.read.parquet(corpusPath)
@@ -39,8 +44,11 @@ object BuildMain {
       else raw.withColumn("sha256", sha2(col("content"), 256)))
       .select("repo", "path", "commit", "lang", "content", "sha256")
       .as[SourceFile]
-    IndexBuilder.build(spark, corpus, indexDir, partitions, resume = resume)
-    println(s"""{"built":"$indexDir","partitions":$partitions,"resume":$resume}""")
+    IndexBuilder.build(spark, corpus, indexDir, partitions, resume = resume,
+      keywordFields = keywordFields, indexPositions = positions,
+      indexOffsets = offsets)
+    println(s"""{"built":"$indexDir","partitions":$partitions,"resume":$resume,""" +
+      s""""positions":${positions || offsets},"offsets":$offsets}""")
     spark.stop()
   }
 }
