@@ -163,13 +163,18 @@ final class LMJelinekMercerSimilarity(lambda: Float = 0.1f) extends SimilarityLi
   *   score = Σ_terms boost · (-log(λ / (tfn + λ)))
   *
   * Layout: w = [boost, λ(t1), λ(t2), …]. */
-final class IBLLSimilarity(avgdl: Float, c: Float = 1f) extends SimilarityLike {
+final class IBLLSimilarity(avgdl: Float, c: Float = 1f,
+                           useTtfLambda: Boolean = false) extends SimilarityLike {
   private def log2(x: Double): Double = math.log(x) / math.log(2)
   def clauseWeights(clauses: Seq[(Seq[String], Float)],
                     stats: Map[String, TermDictRow],
                     maxDoc: Long, sumTotalTermFreq: Long): Seq[Array[Float]] =
     clauses.map { case (ts, boost) =>
-      (boost +: ts.map(t => (dfOf(stats, t) + 1f) / (maxDoc + 1f))).toArray
+      // LambdaDF (df-based) or LambdaTTF (reference: LambdaTTF.cs —
+      // λ = (ttf+1)/(N+1))
+      (boost +: ts.map(t =>
+        ((if (useTtfLambda) ttfOf(stats, t) else dfOf(stats, t)) + 1f) /
+          (maxDoc + 1f))).toArray
     }
   def score(tf: Float, normByte: Byte, w: Array[Float]): Float = {
     val dl = BM25.NormTable(normByte & 0xff)
@@ -195,13 +200,16 @@ final class IBLLSimilarity(avgdl: Float, c: Float = 1f) extends SimilarityLike {
   *   score = Σ_terms boost · (-log((λ^(tfn/(tfn+1)) - λ)/(1 - λ)))
   *
   * Layout: w = [boost, λ(t1), λ(t2), …]. */
-final class IBSPLSimilarity(avgdl: Float, c: Float = 1f) extends SimilarityLike {
+final class IBSPLSimilarity(avgdl: Float, c: Float = 1f,
+                            useTtfLambda: Boolean = false) extends SimilarityLike {
   private def log2(x: Double): Double = math.log(x) / math.log(2)
   def clauseWeights(clauses: Seq[(Seq[String], Float)],
                     stats: Map[String, TermDictRow],
                     maxDoc: Long, sumTotalTermFreq: Long): Seq[Array[Float]] =
     clauses.map { case (ts, boost) =>
-      (boost +: ts.map(t => (dfOf(stats, t) + 1f) / (maxDoc + 1f))).toArray
+      (boost +: ts.map(t =>
+        ((if (useTtfLambda) ttfOf(stats, t) else dfOf(stats, t)) + 1f) /
+          (maxDoc + 1f))).toArray
     }
   def score(tf: Float, normByte: Byte, w: Array[Float]): Float = {
     val dl = BM25.NormTable(normByte & 0xff)
@@ -250,6 +258,95 @@ final class DFRIFL2Similarity(avgdl: Float, c: Float = 1f) extends SimilarityLik
     sum
   }
   def coord(matched: Int, total: Int): Float = 1f
+}
+
+/** Divergence-from-randomness G·L·H2 (reference: BasicModelG.cs:38-47 —
+  * λ = (F+1)/(N + F+1), score = log2(λ+1) + tfn·log2((1+λ)/λ) — with
+  * AfterEffectL and NormalizationH2, c = 1). Layout: w = [boost, λ…]. */
+final class DFRGL2Similarity(avgdl: Float, c: Float = 1f) extends SimilarityLike {
+  private def log2(x: Double): Double = math.log(x) / math.log(2)
+  def clauseWeights(clauses: Seq[(Seq[String], Float)],
+                    stats: Map[String, TermDictRow],
+                    maxDoc: Long, sumTotalTermFreq: Long): Seq[Array[Float]] =
+    clauses.map { case (ts, boost) =>
+      (boost +: ts.map { t =>
+        val f = ttfOf(stats, t) + 1.0
+        (f / (maxDoc + f)).toFloat
+      }).toArray
+    }
+  def score(tf: Float, normByte: Byte, w: Array[Float]): Float = {
+    val dl = BM25.NormTable(normByte & 0xff)
+    val tfn = (tf * log2(1 + c * avgdl / dl)).toFloat
+    val boost = w(0)
+    var sum = 0f
+    var i = 1
+    while (i < w.length) {
+      val lambda = w(i)
+      sum += boost *
+        ((log2(lambda + 1) + tfn * log2((1 + lambda) / lambda)) *
+          (1.0 / (1 + tfn))).toFloat
+      i += 1
+    }
+    sum
+  }
+  def coord(matched: Int, total: Int): Float = 1f
+}
+
+/** Divergence-from-randomness I(n)·L·H1 (reference: NormalizationH1.cs —
+  * tfn = tf·avgdl/dl, the linear normalization — with BasicModelIn +
+  * AfterEffectL). Layout: w = [boost, in(t)…]. */
+final class DFRInH1Similarity(avgdl: Float) extends SimilarityLike {
+  private def log2(x: Double): Double = math.log(x) / math.log(2)
+  def clauseWeights(clauses: Seq[(Seq[String], Float)],
+                    stats: Map[String, TermDictRow],
+                    maxDoc: Long, sumTotalTermFreq: Long): Seq[Array[Float]] =
+    clauses.map { case (ts, boost) =>
+      (boost +: ts.map(t =>
+        log2((maxDoc + 1) / (dfOf(stats, t) + 0.5)).toFloat)).toArray
+    }
+  def score(tf: Float, normByte: Byte, w: Array[Float]): Float = {
+    val dl = BM25.NormTable(normByte & 0xff)
+    val tfn = tf * avgdl / dl
+    val boost = w(0)
+    var sum = 0f
+    var i = 1
+    while (i < w.length) {
+      sum += boost * (tfn * w(i)) * (1f / (tfn + 1f))
+      i += 1
+    }
+    sum
+  }
+  def coord(matched: Int, total: Int): Float = 1f
+}
+
+/** Average-of-similarities wrapper (reference: MultiSimilarity.cs —
+  * per-hit score is the SUM over the sub-scorers, MultiSimilarity.cs
+  * MultiSimScorer.Score). Weight layout concatenates each sub-sim's
+  * clause weight behind its length: w = [len1, w1…, len2, w2…]. */
+final class MultiSimilarity(sims: Seq[SimilarityLike]) extends SimilarityLike {
+  require(sims.nonEmpty, "no sub-similarities")
+  def clauseWeights(clauses: Seq[(Seq[String], Float)],
+                    stats: Map[String, TermDictRow],
+                    maxDoc: Long, sumTotalTermFreq: Long): Seq[Array[Float]] = {
+    val per = sims.map(_.clauseWeights(clauses, stats, maxDoc, sumTotalTermFreq))
+    clauses.indices.map { ci =>
+      per.flatMap(ws => ws(ci).length.toFloat +: ws(ci).toSeq).toArray
+    }
+  }
+  def score(tf: Float, normByte: Byte, w: Array[Float]): Float = {
+    var sum = 0f
+    var i = 0
+    var s = 0
+    while (s < sims.length) {
+      val len = w(i).toInt
+      sum += sims(s).score(tf, normByte,
+        java.util.Arrays.copyOfRange(w, i + 1, i + 1 + len))
+      i += 1 + len
+      s += 1
+    }
+    sum
+  }
+  def coord(matched: Int, total: Int): Float = sims.head.coord(matched, total)
 }
 
 /** Per-field similarity routing (reference:

@@ -201,4 +201,40 @@ class SimilaritySpec extends AnyFunSuite {
     assert(perField.score(1f, BM25.encodeNorm(1), ws(0)) ===
       new TfIdfSimilarity().score(1f, BM25.encodeNorm(1), inner))
   }
+
+  test("DFR G·L·H2 and I(n)·L·H1: closed forms") {
+    def log2(x: Double) = math.log(x) / math.log(2)
+    val dl = BM25.NormTable(BM25.encodeNorm(2) & 0xff)
+    // G model: λ = (F+1)/(N + F+1), ttf(dogs)=2, N=6
+    val g = searcher.searchWith(new DFRGL2Similarity(avgdl), TermQ("dogs"), 10)
+    assert(g.map(_.docId).toSeq === Seq(1L))
+    val tfn2 = (2f * log2(1 + avgdl / dl)).toFloat
+    val lam = ((2L + 1.0) / (6L + 2L + 1.0)).toFloat
+    val expG = ((log2(lam + 1) + tfn2 * log2((1 + lam) / lam)) * (1.0 / (1 + tfn2))).toFloat
+    assert(g(0).score === expG)
+    // H1 normalization: tfn = tf·avgdl/dl (linear)
+    val h1 = searcher.searchWith(new DFRInH1Similarity(avgdl), TermQ("dogs"), 10)
+    val tfnH1 = 2f * avgdl / dl
+    val in = log2((6L + 1) / (1L + 0.5)).toFloat
+    assert(h1(0).score === tfnH1 * in * (1f / (tfnH1 + 1f)))
+  }
+
+  test("IB LambdaTTF variant and MultiSimilarity sum") {
+    def log2(x: Double) = math.log(x) / math.log(2)
+    val dl = BM25.NormTable(BM25.encodeNorm(2) & 0xff)
+    val tfn = (2f * log2(1 + avgdl / dl)).toFloat
+    // LambdaTTF: λ = (ttf+1)/(N+1) = 3/7 for 'dogs'
+    val ll = searcher.searchWith(new IBLLSimilarity(avgdl, useTtfLambda = true),
+      TermQ("dogs"), 10)
+    val lamT = (2L + 1f) / (6L + 1f)
+    assert(ll(0).score === (-math.log(lamT / (tfn + lamT))).toFloat)
+    // MultiSimilarity: per-hit score = SUM over sub-scorers
+    val bm25 = new BM25Similarity(avgdl)
+    val dfr = new DFRInL2Similarity(avgdl)
+    val multi = searcher.searchWith(new MultiSimilarity(Seq(bm25, dfr)),
+      TermQ("dogs"), 10)
+    val sBm = searcher.searchWith(bm25, TermQ("dogs"), 10)(0).score
+    val sDfr = searcher.searchWith(dfr, TermQ("dogs"), 10)(0).score
+    assert(multi(0).score === sBm + sDfr)
+  }
 }
