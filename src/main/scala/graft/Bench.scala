@@ -156,6 +156,7 @@ object Bench {
     try ops.DocIndex.ensureFielded(spark, sfDir) catch { case _: Throwable => }
     try ops.DocIndex.ensurePositions(spark, sfDir) catch { case _: Throwable => }
     try ops.DocIndex.ensureOffsets(spark, sfDir) catch { case _: Throwable => }
+    try ops.DocIndex.ensureNrt(spark, sfDir) catch { case _: Throwable => }
     val skipQueries = sys.env.get("SPARK_GRAFT_BENCH_SKIP_QUERIES").contains("1")
     val queryList = if (skipQueries) Nil else SparkEntry.queries.toSeq.sortBy(_._1)
     val results = queryList.map { case (name, fn) =>

@@ -110,6 +110,29 @@ object DocIndex {
     dir
   }
 
+  /** Two-generation STREAMING index over the documents table (NRT path):
+    * the corpus split into two micro-batches by doc_id, each a committed
+    * generation under `root/gen=NNNNNN`. Because the split respects the
+    * global corpus sort order and generation 1 builds with docIdBase past
+    * generation 0, the union view's docIds equal the single-index ids —
+    * so the NRT reader must reproduce single-index answers exactly. */
+  def ensureNrt(spark: SparkSession, sfDir: String): String = synchronized {
+    val root = cacheDir(sfDir) + "-nrt"
+    if (graft.streaming.StreamingIndexer.generations(spark, root).size < 2) {
+      import spark.implicits._
+      val corpus = documentsAsCorpus(spark, sfDir)
+      val n = spark.read.parquet(s"$sfDir/documents.parquet").count()
+      val cut = format_string("%010d", lit(n / 2))
+      graft.streaming.StreamingIndexer.appendBatch(spark,
+        corpus.filter(col("path") < cut), root, batchId = 0,
+        numPartitions = 4, analyzerFor = _ => Analyzer.sqlParity)
+      graft.streaming.StreamingIndexer.appendBatch(spark,
+        corpus.filter(col("path") >= cut), root, batchId = 1,
+        numPartitions = 4, analyzerFor = _ => Analyzer.sqlParity)
+    }
+    root
+  }
+
   def ensureWide(spark: SparkSession, sfDir: String): String = synchronized {
     val dir = cacheDir(sfDir) + "-cust"
     if (!IndexBuilder.stageDone(spark, dir, "stats")) {

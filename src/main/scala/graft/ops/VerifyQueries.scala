@@ -31,6 +31,40 @@ object VerifyQueries {
        |SELECT doc_id, round(score, 6) AS score FROM scored
        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
 
+  /** TermQuery top-k through the NRT MULTI-GENERATION reader (reference:
+    * DirectoryReader over uncommitted segments): the documents corpus is
+    * indexed as TWO streaming generations, never compacted; the union
+    * view re-aggregates dictionary + collection stats on the fly and
+    * must reproduce the single-index answer — same oracle as
+    * q_term_topk, bit for bit. */
+  def qNrtTopk(spark: SparkSession, sf: String): DataFrame = {
+    import spark.implicits._
+    val root = DocIndex.ensureNrt(spark, sf)
+    val gens = graft.streaming.StreamingIndexer.generations(spark, root)
+      .map(g => graft.streaming.StreamingIndexer.genDir(root, g))
+    val reader = graft.search.IndexReader.multi(spark, gens)
+    val cs = reader.collectionStats
+    val avgdl = cs.sumTotalTermFreq * 1.0 / cs.maxDoc
+    val h = reader.postings.where(col("term") === "merge")
+      .select(col("term"), col("firstDocId"), col("lastDocId"), col("numDocs"),
+        col("maxTf"), col("maxNorm"), col("sumTf"), col("segId"), col("bytes"))
+      .as[graft.build.PostingRow]
+      .flatMap { r =>
+        val (ids, tfs, _) = graft.postings.PostingsCodec.decodeBlock(r.firstDocId, r.numDocs, r.bytes)
+        ids.indices.map(i => (ids(i), tfs(i).toLong))
+      }.toDF("doc_id", "tf")
+    val dict = reader.termDict.where(col("term") === "merge").select(col("df"))
+    val df0 = dict.head().getLong(0)
+    val dl = reader.docstats
+      .select(col("docId").as("doc_id"), col("tokenCount").cast("long").as("dl"))
+    h.join(dl, Seq("doc_id"))
+      .withColumn("score", DocIndex.bm25d(col("tf").cast("double"), lit(df0.toDouble),
+        col("dl").cast("double"), cs.maxDoc, avgdl))
+      .select(col("doc_id"), round(col("score"), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id")).limit(20)
+  }
+  val oNrtTopk: String = oTermTopk
+
   /** BooleanQuery SHOULD: union + per-doc sum (DisjunctionSumScorer). */
   def qBoolShould(spark: SparkSession, sf: String): DataFrame = {
     scoredHits(spark, sf, Seq("merge", "vector"))
@@ -1049,6 +1083,7 @@ object VerifyQueries {
 
   val queries: Map[String, Q] = Map(
     "q_term_topk" -> qTermTopk _,
+    "q_nrt_topk" -> qNrtTopk _,
     "q_phrase" -> qPhrase _,
     "q_phrase_pos" -> qPhrasePos _,
     "q_phrase_sloppy" -> qPhraseSloppy _,
@@ -1104,6 +1139,7 @@ object VerifyQueries {
 
   val oracles: Map[String, String] = Map(
     "q_term_topk" -> oTermTopk,
+    "q_nrt_topk" -> oNrtTopk,
     "q_phrase" -> oPhrase,
     "q_phrase_pos" -> oPhrasePos,
     "q_phrase_sloppy" -> oPhraseSloppy,
