@@ -228,4 +228,21 @@ class AnalyzerSpec extends AnyFunSuite {
     assert(analyzed.tokens.map(_.term).toSeq ===
       Seq("def", "parsehttpresponse", "parse", "http", "response", "x"))
   }
+
+  test("soundex: NARA-standard golden vectors") {
+    // the canonical examples from the published American Soundex standard
+    val vectors = Seq(
+      "Robert" -> "R163", "Rupert" -> "R163", "Rubin" -> "R150",
+      "Ashcraft" -> "A261", "Ashcroft" -> "A261", // h does not separate
+      "Tymczak" -> "T522",  // cz same code through adjacency
+      "Pfister" -> "P236",  // pf same code, f dropped
+      "Honeyman" -> "H555",
+      "Washington" -> "W252", "Lee" -> "L000", "Gutierrez" -> "G362",
+      "Jackson" -> "J250", "a" -> "A000")
+    vectors.foreach { case (in, out) =>
+      assert(Phonetic.soundex(in) === out, s"soundex($in)") }
+    // sound-alike names collide through the analyzer chain
+    val a = Phonetic.analyzer
+    assert(a.analyzeTerms("Robert").toSeq === a.analyzeTerms("Rupert").toSeq)
+  }
 }
