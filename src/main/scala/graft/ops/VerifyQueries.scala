@@ -431,6 +431,29 @@ object VerifyQueries {
        |WHERE a.t = 'table' AND b.t = 'hash'
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** SpanPositionRangeQuery: spans of 'merge' lying wholly inside the
+    * position window [5, 15) (reference: Spans/SpanPositionRangeQuery.cs;
+    * SpanFirst is its start=0 case). Engine positions are 0-based; the
+    * oracle's generate_subscripts is 1-based, so window [5,15) maps to
+    * p BETWEEN 6 AND 15. */
+  def qSpanRange(spark: SparkSession, sf: String): DataFrame = {
+    val dir = ensure(spark, sf)
+    val searcher = new graft.search.Searcher(new graft.search.IndexReader(spark, dir),
+      analyzerFor = _ => graft.analysis.Analyzer.sqlParity)
+    searcher.spanCount(graft.search.SpanPositionRangeQ(
+      graft.search.SpanTermQ("merge"), 5, 15))
+      .toDF("doc_id", "spans")
+      .select(col("doc_id"), col("spans").cast("long").as("spans"))
+      .orderBy(col("doc_id"))
+  }
+  val oSpanRange: String =
+    s"""$OracleCtes, pos AS (
+       |  SELECT doc_id, CAST(generate_subscripts(ts, 1) AS BIGINT) AS p, unnest(ts) AS t
+       |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS ts FROM documents)
+       |)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS spans FROM pos
+       |WHERE t = 'merge' AND p BETWEEN 6 AND 15 GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Fielded query (`lang:en AND content:merge`) over the multi-field
     * index — the FieldInfos/StringField analog: 'lang:en' is an exact
     * keyword term living in the same postings table as analyzed content
@@ -1093,6 +1116,7 @@ object VerifyQueries {
     "q_span_near" -> qSpanNear _,
     "q_span_or" -> qSpanOr _,
     "q_span_first" -> qSpanFirst _,
+    "q_span_range" -> qSpanRange _,
     "q_field_term" -> qFieldTerm _,
     "q_bool_should" -> qBoolShould _,
     "q_bool_must" -> qBoolMust _,
@@ -1149,6 +1173,7 @@ object VerifyQueries {
     "q_span_near" -> oSpanNear,
     "q_span_or" -> oSpanOr,
     "q_span_first" -> oSpanFirst,
+    "q_span_range" -> oSpanRange,
     "q_field_term" -> oFieldTerm,
     "q_bool_should" -> oBoolShould,
     "q_bool_must" -> oBoolMust,
