@@ -69,6 +69,13 @@ object BM25 extends Serializable {
     cache
   }
 
+  /** Doc length decoded from the norm byte for the SimilarityBase family
+    * (LM/DFR/IB): the omit-norms sentinel decodes to 1 — the reference
+    * supplies docLen = 1F when norms are omitted
+    * (SimilarityBase.cs BasicSimScorer.Score). */
+  def docLen(normByte: Byte): Float =
+    if ((normByte & 0xff) == OmitNormsByte) 1f else NormTable(normByte & 0xff)
+
   /** Per-hit score: weightValue * tf / (tf + cache[normByte]) with
     * weightValue = boost * idf * (k1+1) (BM25Similarity.cs:264-274).
     * If the doc has no norm, the reference uses k1 in place of the cache

@@ -42,5 +42,9 @@ object TfIdf extends Serializable {
   }
 
   def score(freq: Float, normByte: Byte, weightValue: Float): Float =
-    tf(freq) * weightValue * NormTable(normByte & 0xff)
+    // omit-norms sentinel (byte 0, unreachable from encodeNorm): the
+    // reference with norms==null applies NO length normalization
+    // (TFIDFSimilarity raw score; StringField sets OmitNorms)
+    tf(freq) * weightValue *
+      (if ((normByte & 0xff) == BM25.OmitNormsByte) 1f else NormTable(normByte & 0xff))
 }

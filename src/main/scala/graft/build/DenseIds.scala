@@ -38,7 +38,12 @@ object DenseIds {
     // repeated assign calls in one session (every dedup/fingerprint query,
     // every expunge) would otherwise stack cached RDDs. The checkpoint
     // blocks themselves are key-cardinality-sized and are reclaimed as
-    // soon as the caller's reference drops.
+    // soon as the caller's reference drops. Known trade: localCheckpoint
+    // blocks are executor-local, so on a cluster with executor churn a
+    // lost block fails the consuming job instead of recomputing — set a
+    // reliable spark.checkpoint.dir and swap to checkpoint() in such
+    // deployments; the lineage-backed alternative was the cache-leak this
+    // replaces.
     val result = sorted.join(broadcast(offDf), Seq("pid"))
       .select(col(keyCol), (col("offset") + col("localIdx")).as(idCol))
       .localCheckpoint(true)

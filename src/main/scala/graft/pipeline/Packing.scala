@@ -45,7 +45,9 @@ object Packing {
     val local = parted.withColumn("localPrefix",
       coalesce(sum(col("n_tokens")).over(w), lit(0L)))
     // per-partition token totals → cumulative offsets (partition count
-    // rows on the driver — the same tiny commit DenseIds does)
+    // rows on the driver — the same tiny commit DenseIds does; the eager
+    // localCheckpoint below shares DenseIds' documented executor-churn
+    // trade)
     val counts = parted.groupBy(col("pid")).agg(sum(col("n_tokens")).as("t"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     var off = 0L

@@ -55,8 +55,13 @@ object DictSeek {
 
   /** Leading literal run of a regex that is anchored at ^: plain chars
     * whose following char is not a quantifier. Conservative — stops at
-    * any metacharacter. */
+    * any metacharacter, and yields NO prefix at all when the pattern
+    * contains an alternation anywhere ('|', even escaped — conservative),
+    * because a top-level `foo|bar` makes the leading literals optional
+    * and a range on them would silently drop the other branch's
+    * matches. */
   def regexpPrefix(rx: String): String = {
+    if (rx.indexOf('|') >= 0) return ""
     val meta = ".?*+(){}[]|^$\\"
     val sb = new StringBuilder
     var i = 0

@@ -66,7 +66,18 @@ object Highlighter {
                               windowChars: Int = 80,
                               preTag: String = "<b>", postTag: String = "</b>"): Option[Fragment] = {
     if (hitOffsets.isEmpty) return None
-    val hits = hitOffsets.sorted.toArray
+    // overlapping/nested hits (e.g. an analyzer that keeps the original
+    // identifier alongside its sub-words) cannot be marked up with flat
+    // tags — keep the earliest-starting hit of each overlap group, so
+    // the surviving hits are disjoint and ends are monotone (which the
+    // two-pointer window and back-to-front inserts below rely on)
+    val sorted = hitOffsets.sorted
+    val keep = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    var lastEnd = -1
+    sorted.foreach { h =>
+      if (h._1 >= lastEnd) { keep += h; lastEnd = h._2 }
+    }
+    val hits = keep.toArray
     // two-pointer: densest run of hits whose char span fits windowChars
     var best = 0
     var bestCount = -1

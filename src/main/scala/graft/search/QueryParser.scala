@@ -148,20 +148,10 @@ final class QueryParser(analyzer: Analyzer = Analyzer.standard,
         if (words.exists(w => w.contains("*") || w.contains("?") || w.contains("~"))) {
           // complex phrase (ComplexPhraseQueryParser syntax): wildcard /
           // prefix / fuzzy parts expand into multi-phrase slots at rewrite
-          val parts = words.flatMap { w =>
-            val lowered = Analyzer.lowerCase(w)
-            if (w.contains("~")) {
-              val i = w.lastIndexOf('~')
-              val tail = w.substring(i + 1)
-              val edits = if (tail.isEmpty) 2 else tail.toInt
-              Seq(FuzzyQ(Analyzer.lowerCase(w.substring(0, i)), edits))
-            } else if (w.contains("*") || w.contains("?")) {
-              if (lowered.endsWith("*") &&
-                  !lowered.dropRight(1).exists(c => c == '*' || c == '?'))
-                Seq(PrefixQ(lowered.dropRight(1)))
-              else Seq(WildcardQ(lowered))
-            } else analyzer.analyzeTerms(w).toSeq.map(TermQ(_))
-          }
+          val parts = words.flatMap(w => wordToQuery(w).toSeq.flatMap {
+            case BoolQ(_, should, _, _, _) => should // multi-token word → one slot each
+            case q => Seq(q)
+          })
           (if (parts.isEmpty) None else Some(ComplexPhraseQ(parts, slop)), cur)
         } else {
           val terms = analyzer.analyzeTerms(inner).toSeq
@@ -179,30 +169,38 @@ final class QueryParser(analyzer: Analyzer = Analyzer.standard,
         (Some(TermRangeQ(side(parts(0)), side(parts(1)), inclLo, inclHi)), lx.advance)
       case t if t.startsWith("/") && t.endsWith("/") && t.length >= 2 =>
         (Some(RegexpQ(t.substring(1, t.length - 1))), lx.advance)
-      case t =>
-        var cur = lx.advance
-        // fuzzy suffix
-        val (word, fuzzy) = t.lastIndexOf('~') match {
-          case -1 => (t, None)
-          case i =>
-            val tail = t.substring(i + 1)
-            val edits = if (tail.isEmpty) 2 else tail.toInt
-            (t.substring(0, i), Some(edits))
-        }
-        if (fuzzy.isDefined)
-          (Some(FuzzyQ(Analyzer.lowerCase(word), fuzzy.get)), cur)
-        else if (word.contains("*") || word.contains("?")) {
-          val lowered = Analyzer.lowerCase(word)
-          if (lowered.endsWith("*") && !lowered.dropRight(1).exists(c => c == '*' || c == '?'))
-            (Some(PrefixQ(lowered.dropRight(1))), cur)
-          else (Some(WildcardQ(lowered)), cur)
-        } else {
-          analyzer.analyzeTerms(word).toSeq match {
-            case Seq() => (None, cur) // stopword-only clause vanishes
-            case Seq(one) => (Some(TermQ(one)), cur)
-            case many => (Some(BoolQ(should = many.map(TermQ(_)))), cur)
-          }
-        }
+      case t => (wordToQuery(t), lx.advance)
+    }
+  }
+
+  /** `~N` / `~` / classic `~0.8` fuzzy suffix → edit budget (the classic
+    * parser's float-similarity syntax maps into the modern 0-2 edit
+    * range; a malformed suffix is rejected with a parse error instead of
+    * a raw NumberFormatException). */
+  private def fuzzyEdits(tail: String): Int =
+    if (tail.isEmpty) 2
+    else tail.toIntOption.getOrElse {
+      val f = tail.toFloatOption.getOrElse(
+        throw new IllegalArgumentException(s"bad fuzzy suffix '~$tail'"))
+      require(f >= 0f && f < 1f, s"fuzzy similarity out of range: $f")
+      if (f >= 0.5f) 1 else 2
+    }
+
+  /** One bare word → its query: fuzzy suffix, prefix/wildcard syntax, or
+    * analyzed term(s). Shared by the clause and complex-phrase grammars. */
+  private def wordToQuery(t: String): Option[Query] = t.lastIndexOf('~') match {
+    case i if i >= 0 =>
+      Some(FuzzyQ(Analyzer.lowerCase(t.substring(0, i)),
+        fuzzyEdits(t.substring(i + 1))))
+    case _ if t.contains("*") || t.contains("?") =>
+      val lowered = Analyzer.lowerCase(t)
+      if (lowered.endsWith("*") && !lowered.dropRight(1).exists(c => c == '*' || c == '?'))
+        Some(PrefixQ(lowered.dropRight(1)))
+      else Some(WildcardQ(lowered))
+    case _ => analyzer.analyzeTerms(t).toSeq match {
+      case Seq() => None // stopword-only clause vanishes
+      case Seq(one) => Some(TermQ(one))
+      case many => Some(BoolQ(should = many.map(TermQ(_))))
     }
   }
 

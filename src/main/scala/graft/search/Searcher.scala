@@ -214,6 +214,12 @@ final class MultiIndexReader(spark0: SparkSession, dirs: Seq[String])
   }
   override def offsets: DataFrame = unionOf(IndexPaths.offsets)
 
+  override lazy val hasPayloads: Boolean = dirs.forall { d =>
+    val p = new org.apache.hadoop.fs.Path(IndexPaths.payloads(d))
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+  override def payloads: DataFrame = unionOf(IndexPaths.payloads)
+
   override lazy val termFirstChars: Seq[Char] = {
     val haveAll = dirs.forall { d =>
       val p = new org.apache.hadoop.fs.Path(IndexPaths.termFirstChars(d))
@@ -656,8 +662,8 @@ final class Searcher(reader: IndexReader, pruneMinBlocks: Int = 64,
       flat.map(t => BM25.idf(stats.get(t).map(_.df).getOrElse(0L), cs.maxDoc)).sum,
       boost)
     val freqs: Dataset[(Long, Float)] =
-      if (slop == 0) multiPhraseFreqs(liveSlots).map(t => (t._1, t._2.toFloat))
-      else multiPhraseFreqsSloppy(liveSlots, slop)
+      if (slop == 0) multiPhraseFreqsWith(liveSlots, stats).map(t => (t._1, t._2.toFloat))
+      else multiPhraseFreqsSloppyWith(liveSlots, slop, stats)
     val localCache = cache
     freqs.toDF("docId", "freq")
       .join(reader.docstats.select($"docId", $"norm"), Seq("docId"))
@@ -673,9 +679,15 @@ final class Searcher(reader: IndexReader, pruneMinBlocks: Int = 64,
     * unions); match = consecutive positions with per-slot membership.
     * On a positions-enabled index the match runs over decoded position
     * lists instead of re-analysis. */
-  def multiPhraseFreqs(slots: Seq[Seq[String]]): Dataset[(Long, Int)] = {
+  def multiPhraseFreqs(slots: Seq[Seq[String]]): Dataset[(Long, Int)] =
+    multiPhraseFreqsWith(slots, reader.termStats(slots.flatten.distinct))
+
+  /** As [[multiPhraseFreqs]] with the dictionary stats already pulled —
+    * scoring paths that need the stats themselves pass them through
+    * instead of paying a second dictionary job. */
+  private[search] def multiPhraseFreqsWith(slots: Seq[Seq[String]],
+      stats: Map[String, graft.build.TermDictRow]): Dataset[(Long, Int)] = {
     require(slots.nonEmpty && slots.forall(_.nonEmpty), "empty slot")
-    val stats = reader.termStats(slots.flatten.distinct)
     val liveSlots = slots.map(_.filter(stats.contains))
     if (liveSlots.exists(_.isEmpty)) return spark.emptyDataset[(Long, Int)]
     if (reader.hasPositions) {
@@ -747,9 +759,12 @@ final class Searcher(reader: IndexReader, pruneMinBlocks: Int = 64,
     * matching the reference's repeat handling for repeated union terms.
     * Same QUERY_FIRST frame as the exact multi-phrase; positions-enabled
     * indexes decode the sidecar instead of re-analyzing. */
-  def multiPhraseFreqsSloppy(slots: Seq[Seq[String]], slop: Int): Dataset[(Long, Float)] = {
+  def multiPhraseFreqsSloppy(slots: Seq[Seq[String]], slop: Int): Dataset[(Long, Float)] =
+    multiPhraseFreqsSloppyWith(slots, slop, reader.termStats(slots.flatten.distinct))
+
+  private[search] def multiPhraseFreqsSloppyWith(slots: Seq[Seq[String]], slop: Int,
+      stats: Map[String, graft.build.TermDictRow]): Dataset[(Long, Float)] = {
     require(slots.nonEmpty && slots.forall(_.nonEmpty), "empty slot")
-    val stats = reader.termStats(slots.flatten.distinct)
     val liveSlots = slots.map(_.filter(stats.contains))
     if (liveSlots.exists(_.isEmpty)) return spark.emptyDataset[(Long, Float)]
     val slotKeys: IndexedSeq[String] =

@@ -109,7 +109,7 @@ final class LMDirichletSimilarity(mu: Float = 2000f) extends SimilarityLike {
         mu * ((ttfOf(stats, t) + 1f) / (sumTotalTermFreq + 1f)))).toArray
     }
   def score(tf: Float, normByte: Byte, w: Array[Float]): Float = {
-    val dl = BM25.NormTable(normByte & 0xff)
+    val dl = BM25.docLen(normByte)
     val boost = w(0)
     var sum = 0f
     var i = 1
@@ -140,7 +140,7 @@ final class LMJelinekMercerSimilarity(lambda: Float = 0.1f) extends SimilarityLi
         (ttfOf(stats, t) + 1f) / (sumTotalTermFreq + 1f))).toArray
     }
   def score(tf: Float, normByte: Byte, w: Array[Float]): Float = {
-    val dl = BM25.NormTable(normByte & 0xff)
+    val dl = BM25.docLen(normByte)
     val boost = w(0)
     var sum = 0f
     var i = 1
@@ -177,7 +177,7 @@ final class IBLLSimilarity(avgdl: Float, c: Float = 1f,
           (maxDoc + 1f))).toArray
     }
   def score(tf: Float, normByte: Byte, w: Array[Float]): Float = {
-    val dl = BM25.NormTable(normByte & 0xff)
+    val dl = BM25.docLen(normByte)
     val tfn = (tf * log2(1 + c * avgdl / dl)).toFloat
     val boost = w(0)
     var sum = 0f
@@ -212,7 +212,7 @@ final class IBSPLSimilarity(avgdl: Float, c: Float = 1f,
           (maxDoc + 1f))).toArray
     }
   def score(tf: Float, normByte: Byte, w: Array[Float]): Float = {
-    val dl = BM25.NormTable(normByte & 0xff)
+    val dl = BM25.docLen(normByte)
     val tfn = (tf * log2(1 + c * avgdl / dl)).toFloat
     val boost = w(0)
     var sum = 0f
@@ -246,7 +246,7 @@ final class DFRIFL2Similarity(avgdl: Float, c: Float = 1f) extends SimilarityLik
         log2(1 + (maxDoc + 1.0) / (ttfOf(stats, t) + 0.5)).toFloat)).toArray
     }
   def score(tf: Float, normByte: Byte, w: Array[Float]): Float = {
-    val dl = BM25.NormTable(normByte & 0xff)
+    val dl = BM25.docLen(normByte)
     val tfn = (tf * log2(1 + c * avgdl / dl)).toFloat
     val boost = w(0)
     var sum = 0f
@@ -275,7 +275,7 @@ final class DFRGL2Similarity(avgdl: Float, c: Float = 1f) extends SimilarityLike
       }).toArray
     }
   def score(tf: Float, normByte: Byte, w: Array[Float]): Float = {
-    val dl = BM25.NormTable(normByte & 0xff)
+    val dl = BM25.docLen(normByte)
     val tfn = (tf * log2(1 + c * avgdl / dl)).toFloat
     val boost = w(0)
     var sum = 0f
@@ -305,7 +305,7 @@ final class DFRInH1Similarity(avgdl: Float) extends SimilarityLike {
         log2((maxDoc + 1) / (dfOf(stats, t) + 0.5)).toFloat)).toArray
     }
   def score(tf: Float, normByte: Byte, w: Array[Float]): Float = {
-    val dl = BM25.NormTable(normByte & 0xff)
+    val dl = BM25.docLen(normByte)
     val tfn = tf * avgdl / dl
     val boost = w(0)
     var sum = 0f
@@ -405,7 +405,7 @@ final class DFRInL2Similarity(avgdl: Float, c: Float = 1f) extends SimilarityLik
         log2((maxDoc + 1) / (dfOf(stats, t) + 0.5)).toFloat)).toArray
     }
   def score(tf: Float, normByte: Byte, w: Array[Float]): Float = {
-    val dl = BM25.NormTable(normByte & 0xff)
+    val dl = BM25.docLen(normByte)
     val tfn = (tf * log2(1 + c * avgdl / dl)).toFloat
     val boost = w(0)
     var sum = 0f

@@ -75,6 +75,10 @@ class DictSeekSpec extends AnyFunSuite {
     assert(DictSeek.regexpPrefix("ab?c") === "a")
     assert(DictSeek.regexpPrefix("(ab)c") === "")
     assert(DictSeek.regexpPrefix("a\\d") === "a")
+    // alternation makes the leading literal OPTIONAL — no prefix at all,
+    // or `foo|bar` would range-exclude every 'bar' match
+    assert(DictSeek.regexpPrefix("foo|bar") === "")
+    assert(DictSeek.regexpPrefix("fo(o|b)ar") === "")
   }
 
   test("succ produces the least upper bound of a prefix subtree") {

@@ -76,6 +76,19 @@ class FieldSpec extends AnyFunSuite {
     assert(hits.forall(_.score === expected))
   }
 
+  test("keyword terms score under non-BM25 similarities too (omit-norms decode)") {
+    // the sentinel norm byte must decode to factor 1 (TF-IDF) / docLen 1
+    // (SimilarityBase family), not 0 or infinity
+    val tfidf = searcher.searchWith(new TfIdfSimilarity, TermQ("lang:scala"), N)
+    assert(tfidf.nonEmpty && tfidf.forall(h => h.score > 0f && !h.score.isNaN))
+    val cs2 = new IndexReader(spark, dir).collectionStats
+    val avgdl = graft.bm25.BM25.avgFieldLength(cs2.sumTotalTermFreq, cs2.maxDoc)
+    val lm = searcher.searchWith(new LMJelinekMercerSimilarity(), TermQ("lang:scala"), N)
+    assert(lm.nonEmpty && lm.forall(h => !h.score.isNaN && !h.score.isInfinite))
+    val dfr = searcher.searchWith(new DFRInL2Similarity(avgdl), TermQ("lang:scala"), N)
+    assert(dfr.nonEmpty && dfr.forall(h => h.score > 0f && h.score.isFinite))
+  }
+
   test("keyword fields + positions index: DOCS_ONLY keywords stay checkable and expungeable") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

@@ -37,4 +37,13 @@ class HighlighterSpec extends AnyFunSuite {
     assert(f.text.split("\\s+").length <= 9)
     assert(f.text.contains("<b>merge</b>"))
   }
+
+  test("offsets highlighter survives overlapping/nested hits (preserveOriginal analyzers)") {
+    // nested (0,17) original + (0,5)/(5,9) sub-words: keep disjoint hits,
+    // drop the overlapping original — no crash, clean markup
+    val f = Highlighter.bestFragmentFromOffsets("parseHTTPResponse x",
+      Seq((0, 17), (0, 5), (5, 9)), 80).get
+    assert(f.hits === 2)
+    assert(f.text === "<b>parse</b><b>HTTP</b>")
+  }
 }

@@ -106,6 +106,18 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("regexp alternation keeps both branches (no unsound prefix range)") {
+    val reader = new IndexReader(spark, dir)
+    val searcher = new Searcher(reader)
+    def terms(pred: org.apache.spark.sql.Column): Seq[String] =
+      spark.read.parquet(IndexPaths.termDict(dir)).where(pred)
+        .select("term").collect().map(_.getString(0)).sorted.toSeq
+    val banded = terms(searcher.multiTermPred(RegexpQ("def|int")).get)
+    val full = terms(col("term").rlike("^(?:def|int)$"))
+    assert(banded === full)
+    assert(banded.nonEmpty)
+  }
+
   test("no single-partition window anywhere in the gated query plans") {
     // the parity dictionaries and the pagination oracle used to run a
     // global Window.orderBy (one task owns everything at scale); they are

@@ -84,4 +84,14 @@ class QueryParserSpec extends AnyFunSuite {
     // stopword parts vanish like in plain phrases
     assert(p.parse("\"a merg*\"") === ComplexPhraseQ(Seq(PrefixQ("merg"))))
   }
+
+  test("classic float fuzzy suffix maps to edits; malformed suffix rejected") {
+    val p = new QueryParser()
+    assert(p.parse("roam~0.8") === FuzzyQ("roam", 1))
+    assert(p.parse("roam~0.3") === FuzzyQ("roam", 2))
+    // the lexer attaches only digit/dot suffixes — '~abc' lexes as a
+    // default fuzzy plus a separate term, never a NumberFormatException
+    assert(p.parse("roam~abc") ===
+      BoolQ(should = Seq(FuzzyQ("roam", 2), TermQ("abc"))))
+  }
 }
