@@ -363,7 +363,9 @@ object PipelineQueries {
   /** Naive Bayes per-label log-likelihoods for a fixed query (the
     * Classification module's scoring surface, relational form). */
   def qNbScores(spark: SparkSession, sf: String): DataFrame = {
-    val model = Classify.trainNaiveBayes(docs(spark, sf), labelCol = "lang")
+    // one-shot: the model tables feed exactly one job — don't cache (leak)
+    val model = Classify.trainNaiveBayes(docs(spark, sf), labelCol = "lang",
+      cache = false)
     Classify.naiveBayesScores(model, Map("merge" -> 1, "vector" -> 1, "scan" -> 1))
       .orderBy(col("label"))
   }

@@ -17,9 +17,21 @@ object Classify {
   /** Per-(label, term) counts + per-label totals + vocabulary size —
     * everything multinomial Naive Bayes with add-one smoothing needs. */
   final case class NaiveBayesModel(termCounts: DataFrame, labelTotals: DataFrame,
-      vocabSize: Long, nDocs: Long)
+      vocabSize: Long, nDocs: Long) {
+    /** Release the cached training tables. A model is a handle on two
+      * cached DataFrames; callers that are done scoring must close it or
+      * the executor storage leaks across trainings. */
+    def close(): Unit = {
+      termCounts.unpersist()
+      labelTotals.unpersist()
+    }
+  }
 
-  def trainNaiveBayes(docs: DataFrame, labelCol: String = "lang"): NaiveBayesModel = {
+  /** `cache = false` skips persisting the model tables — right for
+    * one-shot scoring jobs where the tables are consumed exactly once
+    * (nothing to reuse, nothing to leak). */
+  def trainNaiveBayes(docs: DataFrame, labelCol: String = "lang",
+      cache: Boolean = true): NaiveBayesModel = {
     val toks = docs.select(col(labelCol).as("label"),
       explode(Dedup.tokensCol("text")).as("t"))
     val termCounts = toks.groupBy(col("label"), col("t")).agg(count("*").as("c"))
@@ -28,7 +40,8 @@ object Classify {
       .drop("_v")
       .join(docs.groupBy(col(labelCol).as("label")).agg(count("*").as("docs")), "label")
     val vocab = toks.select(col("t")).distinct().count()
-    NaiveBayesModel(termCounts.cache(), labelTotals.cache(), vocab, docs.count())
+    NaiveBayesModel(if (cache) termCounts.cache() else termCounts,
+      if (cache) labelTotals.cache() else labelTotals, vocab, docs.count())
   }
 
   /** argmax_label [ log P(label) + Σ_t log P(t|label) ], add-one smoothed.

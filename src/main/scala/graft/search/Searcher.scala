@@ -366,6 +366,11 @@ final class Searcher(reader: IndexReader, pruneMinBlocks: Int = 64,
       // driver. Sort key d/min(len,|q|) asc is order-equivalent to the
       // float similarity desc (distinct small-integer ratios are spaced
       // far wider than float epsilon), with the same term-asc tie-break.
+      // `length` here counts CODEPOINTS, same as the boost's
+      // codePointCount below: Spark strings are UTF8String and
+      // Length → UTF8String.numChars() walks UTF-8 lead bytes, so a
+      // supplementary-plane char is 1 — asserted by SearchSpec
+      // ("fuzzy ranking key counts codepoints").
       val qLen = t.codePointCount(0, t.length)
       val cand = reader.termDict
         .where(multiTermPred(q).get)
@@ -443,9 +448,14 @@ final class Searcher(reader: IndexReader, pruneMinBlocks: Int = 64,
     case dm @ DisMaxQ(qs, tieBreak) =>
       val hits = unionClauses(qs)
       hits.groupByKey(_.docId).mapGroups { (docId, it) =>
+        // the reference sums sub-scorer scores in clause order
+        // (DisjunctionMaxScorer.cs) — buffer and sort by clause idx so the
+        // float sum under tieBreak > 0 is shuffle-arrival-order independent
+        val buf = it.toArray
+        java.util.Arrays.sort(buf, Ordering.by((h: ClauseHit) => h.idx))
         var max = Float.NegativeInfinity
         var sum = 0f
-        it.foreach { h => sum += h.score; if (h.score > max) max = h.score }
+        buf.foreach { h => sum += h.score; if (h.score > max) max = h.score }
         ScoreDoc(docId, max + tieBreak * (sum - max))
       }
     case bq: BoolQ => scoredBool(bq)
@@ -1188,13 +1198,22 @@ final class Searcher(reader: IndexReader, pruneMinBlocks: Int = 64,
     val stats = reader.termStats(terms.map(_._1))
     val live = terms.filter(t => stats.contains(t._1)) // df=0 → no hits, no NaN
     if (live.isEmpty) return spark.emptyDataset[ClauseHit]
-    val weights: Map[String, (Float, Int)] = live.map { case (t, b, i) =>
-      t -> (BM25.weightValue(BM25.idf(stats(t).df, cs.maxDoc), b), i)
-    }.toMap
-    val termUB: Map[String, Float] = live.map { case (t, _, _) =>
+    // per-term ARRAY of (weightValue, clauseIdx): a term shared by several
+    // clauses fans each decoded posting out to every clause entry, so
+    // duplicates keep their own boost and slot (same rule as scoredBool's
+    // liveByTerm — one Weight per BooleanClause in the reference)
+    val weights: Map[String, Array[(Float, Int)]] =
+      live.groupBy(_._1).map { case (t, xs) =>
+        t -> xs.map { case (_, b, i) =>
+          (BM25.weightValue(BM25.idf(stats(t).df, cs.maxDoc), b), i)
+        }.toArray
+      }
+    val termUB: Map[String, Float] = weights.map { case (t, entries) =>
       val s = stats(t)
-      t -> BM25.blockMaxScore(s.maxTf, cache(s.maxNorm & 0xff), weights(t)._1)
-    }.toMap
+      // duplicate clauses each contribute; the union's UB for this term
+      // is the sum over its clause entries
+      t -> entries.map(e => BM25.blockMaxScore(s.maxTf, cache(s.maxNorm & 0xff), e._1)).sum
+    }
     val sumUB = termUB.values.sum
     val localCache = cache
     val rows = reader.postings.where($"term".isin(live.map(_._1).distinct: _*))
@@ -1202,17 +1221,26 @@ final class Searcher(reader: IndexReader, pruneMinBlocks: Int = 64,
         $"maxNorm", $"sumTf", $"segId", $"bytes").as[PostingRow]
     rows.mapPartitions { it =>
       it.flatMap { r =>
-        val (w, idx) = weights(r.term)
-        val blockUB = BM25.blockMaxScore(r.maxTf, localCache(r.maxNorm & 0xff), w)
+        val entries = weights(r.term)
+        var blockUB = 0f
+        entries.foreach(e =>
+          blockUB += BM25.blockMaxScore(r.maxTf, localCache(r.maxNorm & 0xff), e._1))
         val othersUB = sumUB - termUB(r.term)
         if (theta > 0f && blockUB + othersUB < theta) Iterator.empty
         else {
           val (docIds, tfs, norms) = PostingsCodec.decodeBlock(r.firstDocId, r.numDocs, r.bytes)
+          val out = new Array[ClauseHit](docIds.length * entries.length)
           var i = 0
-          val out = new Array[ClauseHit](docIds.length)
+          var o = 0
           while (i < docIds.length) {
-            out(i) = ClauseHit(docIds(i),
-              idx, BM25.score(tfs(i).toFloat, norms(i).toByte, w, localCache))
+            var e = 0
+            while (e < entries.length) {
+              val (w, idx) = entries(e)
+              out(o) = ClauseHit(docIds(i),
+                idx, BM25.score(tfs(i).toFloat, norms(i).toByte, w, localCache))
+              o += 1
+              e += 1
+            }
             i += 1
           }
           out.iterator

@@ -23,6 +23,15 @@ class ClassifySpec extends AnyFunSuite {
     assert(Classify.naiveBayes(model, "executor task shuffle") === "infra")
     assert(Classify.naiveBayes(model, "corpus lemma vocabulary") === "nlp")
     assert(Classify.naiveBayes(model, "") === "und")
+    model.close()
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "model.close() must release both cached tables")
+  }
+
+  test("cache=false trains without persisting anything") {
+    val model = Classify.trainNaiveBayes(docs, cache = false)
+    assert(Classify.naiveBayes(model, "executor task shuffle") === "infra")
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
   }
 
   test("kNN majority vote recovers the class; empty/no-overlap falls back") {

@@ -134,6 +134,39 @@ class SearchSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(searcher.search(MatchAllQ(), 10).length == 6)
   }
 
+  test("DisMax tieBreak>0 sums sub-scores in clause order, run-stable") {
+    // three clauses hitting the same docs with distinct boosts — the sum
+    // under tieBreak must be the CLAUSE-ORDER float sum (reference
+    // DisjunctionMaxScorer sums sub-scorers in order), not whatever order
+    // the shuffle delivered. Per-clause scores come from solo runs of the
+    // exact same TermQ, so the oracle is bit-exact.
+    val clauses = Seq(TermQ("all", 1f), TermQ("all", 2f), TermQ("all", 0.5f))
+    val perClause = clauses.map(c =>
+      searcher.search(c, 10).map(h => h.docId -> h.score).toMap)
+    val tieBreak = 0.37f
+    val expected = perClause.head.keys.map { d =>
+      val ss = perClause.map(_(d))
+      var max = Float.NegativeInfinity; var sum = 0f
+      ss.foreach { s => sum += s; if (s > max) max = s } // clause order
+      d -> (max + tieBreak * (sum - max))
+    }.toMap
+    (1 to 3).foreach { _ =>
+      val hits = searcher.search(DisMaxQ(clauses, tieBreak), 10)
+      assert(hits.map(h => h.docId -> h.score).toMap === expected)
+    }
+  }
+
+  test("fuzzy ranking key counts codepoints (Spark length == codePointCount)") {
+    // the TOP_TERMS sort key uses length($"term") while the boost uses
+    // codePointCount — this pins that Spark's length IS codepoint count
+    // (UTF8String.numChars walks lead bytes), incl. supplementary plane
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{length => sqlLength, col}
+    val terms = Seq("abc", "a😀c", "😀😀", "café")
+    val got = terms.toDF("term").select(sqlLength(col("term"))).as[Int].collect().toSeq
+    assert(got === terms.map(t => t.codePointCount(0, t.length)))
+  }
+
   test("boost multiplies scores") {
     val plain = searcher.search(TermQ("all"), 10)
     val boosted = searcher.search(TermQ("all", boost = 2f), 10)
