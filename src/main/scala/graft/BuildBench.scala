@@ -48,7 +48,13 @@ object BuildBench {
     * already saturated at the smaller size — the ceiling that binds a
     * shuffle-heavy build long before the pure-CPU (cache-resident
     * SHA-256) ceiling does. */
-  def calibrateBandwidth(cores: Int): Unit = {
+  def calibrateBandwidth(cores: Int): Unit =
+    println(f"gb_per_sec=${triadGbps(cores)}%.2f")
+
+  /** STREAM-triad aggregate GB/s at `cores` pinned threads (the
+    * measurement behind [[calibrateBandwidth]], callable in-process so a
+    * build leg can probe the wall in its OWN window). */
+  def triadGbps(cores: Int): Double = {
     val elems = (16 << 20) / 8 // 16 MiB per array, 3 arrays per thread
     val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
     val bytes = new java.util.concurrent.atomic.AtomicLong(0)
@@ -72,7 +78,7 @@ object BuildBench {
     stop.set(true)
     threads.foreach(_.join())
     val sec = (System.nanoTime() - t0) / 1e9
-    println(f"gb_per_sec=${bytes.get() / sec / 1e9}%.2f")
+    bytes.get() / sec / 1e9
   }
 
   def main(args: Array[String]): Unit = {
@@ -81,6 +87,11 @@ object BuildBench {
     val Array(nDocsS, coresS, workDir) = args
     val nDocs = nDocsS.toLong
     val cores = coresS.toInt
+    // bandwidth probe in the SAME pinned window as the build it brackets —
+    // the round's BENCH json carries (files/sec, GB/s) pairs per leg, so a
+    // noisy-neighbor window is self-documenting instead of inferred from
+    // probes taken minutes apart
+    val bwPre = triadGbps(cores)
     val spark = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(s"graft-buildbench-$cores")
@@ -134,6 +145,8 @@ object BuildBench {
     println(f"flush_files_per_sec=${nDocs / ((tFlush - t0) / 1e9)}%.1f")
     println(f"merge_sec=${(tEnd - tFlush) / 1e9}%.3f")
     spark.stop()
+    println(f"bw_pre_gbps=$bwPre%.2f")
+    println(f"bw_post_gbps=${triadGbps(cores)}%.2f")
     org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(workDir))
   }
 }
