@@ -238,6 +238,49 @@ object VerifyQueries {
        |SELECT doc_id, round(sum(s), 6) AS score FROM dfr
        |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
 
+  /** Function query: relevance × doc-length prior (reference:
+    * Queries/CustomScoreQuery.cs — customScore(doc, subQueryScore,
+    * valSrcScore); the FunctionScoreQ ADT node is golden-tested in
+    * FunctionQuerySpec, this is the double-precision relational twin:
+    * BM25 clause sum × 1/(1+dl) over the exact docstats length). */
+  def qCustomScore(spark: SparkSession, sf: String): DataFrame = {
+    scoredHits(spark, sf, Seq("merge", "vector"))
+      .groupBy(col("doc_id"), col("dl"))
+      .agg(sum(col("score")).as("s"))
+      .select(col("doc_id"),
+        round(col("s") * (lit(1.0) / (lit(1.0) + col("dl").cast("double"))), 6)
+          .as("score"))
+      .orderBy(col("score").desc, col("doc_id")).limit(20)
+  }
+  val oCustomScore: String =
+    s"""${oracleScored(Seq("merge", "vector"))}
+       |SELECT doc_id, round(sum(score) * (1.0e0 / (1.0e0 + dl)), 6) AS score
+       |FROM scored GROUP BY doc_id, dl
+       |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+
+  /** Boosting query: demote hits whose doc also matches the context
+    * (reference: Queries/BoostingQuery.cs — context match × boost, the
+    * context alone never matches; BoostingQ node in FunctionQuerySpec). */
+  def qBoosting(spark: SparkSession, sf: String): DataFrame = {
+    val dir = ensure(spark, sf)
+    val ctx = hits(spark, dir, Seq("filter")).select(col("doc_id")).distinct()
+      .withColumn("m", lit(1))
+    scoredHits(spark, sf, Seq("merge", "vector"))
+      .groupBy(col("doc_id")).agg(sum(col("score")).as("s"))
+      .join(ctx, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        round(col("s") * when(col("m").isNotNull, lit(0.5)).otherwise(lit(1.0)), 6)
+          .as("score"))
+      .orderBy(col("score").desc, col("doc_id")).limit(20)
+  }
+  val oBoosting: String =
+    s"""${oracleScored(Seq("merge", "vector"))}
+       |SELECT doc_id, round(sum(score) *
+       |  (CASE WHEN doc_id IN (SELECT doc_id FROM tf WHERE term = 'filter')
+       |        THEN 0.5e0 ELSE 1.0e0 END), 6) AS score
+       |FROM scored GROUP BY doc_id
+       |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+
   /** SearchAfter pagination: page 2 (rows 21-40) = top-40 minus top-20,
     * two TakeOrdered limits + anti-join — no single-partition window
     * (the engine path, Searcher.searchAfter, uses filter + bounded heap;
@@ -1125,6 +1168,8 @@ object VerifyQueries {
     "q_dismax" -> qDisMax _,
     "q_lmjm_topk" -> qLmjmTopk _,
     "q_dfr_topk" -> qDfrTopk _,
+    "q_custom_score" -> qCustomScore _,
+    "q_boosting" -> qBoosting _,
     "q_searchafter" -> qSearchAfter _,
     "q_prefix_df" -> qPrefixDf _,
     "q_prefix_wide" -> qPrefixWide _,
@@ -1182,6 +1227,8 @@ object VerifyQueries {
     "q_dismax" -> oDisMax,
     "q_lmjm_topk" -> oLmjmTopk,
     "q_dfr_topk" -> oDfrTopk,
+    "q_custom_score" -> oCustomScore,
+    "q_boosting" -> oBoosting,
     "q_searchafter" -> oSearchAfter,
     "q_prefix_df" -> oPrefixDf,
     "q_prefix_wide" -> oPrefixWide,

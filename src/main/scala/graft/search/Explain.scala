@@ -31,6 +31,21 @@ trait Explains { self: Searcher =>
         val sum = ds.map(_.value).sum
         Explanation(mx + tb * (sum - mx), s"max plus $tb times others", ds)
       }
+    case FunctionScoreQ(sub, expr) =>
+      val m = explain(sub, docId)
+      if (m.value <= 0f) Explanation(0f, "no match for function-score sub-query", Seq(m))
+      else {
+        val len = docLenOf(docId)
+        Explanation(ScoreExpr.eval(expr, m.value, len),
+          s"FunctionScore($expr) over subScore=${m.value}, docLen=$len", Seq(m))
+      }
+    case BoostingQ(pos, ctx, b) =>
+      val m = explain(pos, docId)
+      val c = explain(ctx, docId)
+      if (m.value <= 0f) Explanation(0f, "no match for boosting positive query", Seq(m))
+      else if (c.value > 0f)
+        Explanation(m.value * b, s"Boosting: context matched, × $b", Seq(m, c))
+      else Explanation(m.value, "Boosting: context not matched", Seq(m))
     case bq: BoolQ => explainBool(bq, docId)
     case PhraseQ(terms, slop, boost) =>
       // one-doc point lookup: push the docId predicate, don't collect all

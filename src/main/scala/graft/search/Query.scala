@@ -57,6 +57,50 @@ final case class MultiPhraseQ(slots: Seq[Seq[String]], slop: Int = 0,
 final case class ComplexPhraseQ(parts: Seq[Query], slop: Int = 0,
                                 boost: Float = 1f) extends Query
 
+/** Score-function expression over a sub-query's score and per-doc values
+  * (reference: Queries/Function/ValueSources/ — the 45 ValueSource
+  * classes reduce to this vocabulary for scoring purposes; the reference
+  * composes them as an expression tree exactly like this ADT). Evaluated
+  * per hit inside the distributed scan — never on the driver. */
+sealed trait ScoreExpr
+object ScoreExpr {
+  /** The wrapped query's own score (CustomScoreQuery's subQueryScore). */
+  case object SubScore extends ScoreExpr
+  /** Exact document length in tokens (≙ a stored numeric ValueSource —
+    * the docstats tokenCount, not the lossy norm byte). */
+  case object DocLen extends ScoreExpr
+  final case class Const(v: Float) extends ScoreExpr
+  final case class Add(a: ScoreExpr, b: ScoreExpr) extends ScoreExpr
+  final case class Mul(a: ScoreExpr, b: ScoreExpr) extends ScoreExpr
+  final case class Div(a: ScoreExpr, b: ScoreExpr) extends ScoreExpr
+  final case class Log1p(a: ScoreExpr) extends ScoreExpr
+  final case class Pow(a: ScoreExpr, e: Float) extends ScoreExpr
+
+  def eval(expr: ScoreExpr, subScore: Float, docLen: Float): Float = expr match {
+    case SubScore => subScore
+    case DocLen => docLen
+    case Const(v) => v
+    case Add(a, b) => eval(a, subScore, docLen) + eval(b, subScore, docLen)
+    case Mul(a, b) => eval(a, subScore, docLen) * eval(b, subScore, docLen)
+    case Div(a, b) => eval(a, subScore, docLen) / eval(b, subScore, docLen)
+    case Log1p(a) => math.log1p(eval(a, subScore, docLen)).toFloat
+    case Pow(a, e) => math.pow(eval(a, subScore, docLen), e).toFloat
+  }
+}
+
+/** Score rewiring: hits are the sub-query's hits, score = expr(subScore,
+  * doc values) — "relevance × recency/length prior" without leaving the
+  * engine API (reference: Queries/CustomScoreQuery.cs:338-345, whose
+  * CustomScore(doc, subQueryScore, valSrcScore) is exactly this hook). */
+final case class FunctionScoreQ(q: Query, expr: ScoreExpr) extends Query
+
+/** Demote (or promote) hits that also match `context`: match scores
+  * normally, then × contextBoost iff the doc matches context; context
+  * alone never produces a hit (reference: Queries/BoostingQuery.cs:49-77,
+  * implemented there as a 0-boost SHOULD clause + per-doc multiplier). */
+final case class BoostingQ(positive: Query, context: Query,
+                           contextBoost: Float) extends Query
+
 /** A scored hit; ordering contract = score desc, then docId asc
   * (reference: Search/HitQueue.cs:82-91). */
 final case class ScoreDoc(docId: Long, score: Float)

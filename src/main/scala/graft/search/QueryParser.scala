@@ -218,6 +218,12 @@ final class QueryParser(analyzer: Analyzer = Analyzer.standard,
     case c: ConstantScoreQ => c.copy(boost = c.boost * boost)
     case m: MatchAllQ => m.copy(boost = m.boost * boost)
     case d: DisMaxQ => ConstantScoreQ(d, boost) // no boost field; wrap
+    // function-query nodes: a boost is score × const — fold it into the
+    // expression (FunctionScoreQ) or wrap (BoostingQ keeps its semantics)
+    case fq: FunctionScoreQ =>
+      fq.copy(expr = ScoreExpr.Mul(ScoreExpr.Const(boost), fq.expr))
+    case bq: BoostingQ =>
+      FunctionScoreQ(bq, ScoreExpr.Mul(ScoreExpr.Const(boost), ScoreExpr.SubScore))
   }
 
   // -------------------------------------------------------------- lexer

@@ -419,6 +419,8 @@ final class Searcher(reader: IndexReader, pruneMinBlocks: Int = 64,
       should = bq.should.map(rewrite), mustNot = bq.mustNot.map(rewrite))
     case ConstantScoreQ(sub, b) => ConstantScoreQ(rewrite(sub), b)
     case DisMaxQ(qs, tb) => DisMaxQ(qs.map(rewrite), tb)
+    case FunctionScoreQ(sub, e) => FunctionScoreQ(rewrite(sub), e)
+    case BoostingQ(pos, ctx, b) => BoostingQ(rewrite(pos), rewrite(ctx), b)
     case other => other
   }
 
@@ -458,6 +460,28 @@ final class Searcher(reader: IndexReader, pruneMinBlocks: Int = 64,
         buf.foreach { h => sum += h.score; if (h.score > max) max = h.score }
         ScoreDoc(docId, max + tieBreak * (sum - max))
       }
+    case FunctionScoreQ(subQ, expr) =>
+      // hits = the sub-query's hits; score = expr(subScore, doc values).
+      // The doc-length value source reads the EXACT docstats tokenCount
+      // (a stored numeric, like the reference's ValueSource), not the
+      // lossy norm byte; evaluated per hit inside the join, no driver hop.
+      val dl = reader.docstats
+        .select($"docId", $"tokenCount".cast("float").as("dl")).as[(Long, Float)]
+      val subScores = scoredRaw(subQ)
+      subScores.joinWith(dl, subScores("docId") === dl("docId"))
+        .map { case (sd, (_, len)) =>
+          ScoreDoc(sd.docId, ScoreExpr.eval(expr, sd.score, len)) }
+    case BoostingQ(pos, ctx, b) =>
+      // reference BoostingQuery: context matches multiply the positive
+      // score by contextBoost; context alone never matches — a left outer
+      // join against the context's docId set (tuple-typed so an unmatched
+      // row decodes as a null tuple, not a primitive default)
+      val posScores = scoredRaw(pos)
+      val ctxDocs = scoredRaw(ctx).map(_.docId).distinct().map(id => (id, true))
+      posScores.joinWith(ctxDocs, posScores("docId") === ctxDocs("_1"), "left_outer")
+        .map { case (sd, matched) =>
+          if (matched == null) sd else ScoreDoc(sd.docId, sd.score * b)
+        }
     case bq: BoolQ => scoredBool(bq)
     case PhraseQ(terms, slop, boost) => scoredPhrase(terms, slop, boost)
     case MultiPhraseQ(slots, slop, boost) => scoredMultiPhrase(slots, slop, boost)
@@ -1108,6 +1132,12 @@ final class Searcher(reader: IndexReader, pruneMinBlocks: Int = 64,
   // ------------------------------------------------------ explain support
 
   private[search] def readerTermStats(ts: Seq[String]) = reader.termStats(ts)
+
+  /** Exact token count of one doc (the Explain-side doc-length value
+    * source; one-row lookup, driver-sized). */
+  private[search] def docLenOf(docId: Long): Float =
+    reader.docstats.where($"docId" === docId)
+      .select($"tokenCount".cast("float")).head().getFloat(0)
   private[search] def maxDocStat: Long = cs.maxDoc
   private[search] def normCacheStat: Array[Float] = cache
 

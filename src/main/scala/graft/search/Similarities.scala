@@ -228,91 +228,185 @@ final class IBSPLSimilarity(avgdl: Float, c: Float = 1f,
   def coord(matched: Int, total: Int): Float = 1f
 }
 
-/** Divergence-from-randomness I(F)L2 (reference: DFRSimilarity.cs:125-129
-  * with BasicModelIF.cs:38-43 — tfn·log2(1 + (N+1)/(F+0.5)), F = total
-  * term freq — AfterEffectL + NormalizationH2, c = 1):
-  *
-  *   tfn   = tf · log2(1 + avgdl/dl)
-  *   score = Σ_terms boost · tfn·log2(1 + (N+1)/(F+0.5)) · 1/(tfn+1)
-  *
-  * Layout: w = [boost, if(t1), if(t2), …]. */
-final class DFRIFL2Similarity(avgdl: Float, c: Float = 1f) extends SimilarityLike {
-  private def log2(x: Double): Double = math.log(x) / math.log(2)
-  def clauseWeights(clauses: Seq[(Seq[String], Float)],
-                    stats: Map[String, TermDictRow],
-                    maxDoc: Long, sumTotalTermFreq: Long): Seq[Array[Float]] =
-    clauses.map { case (ts, boost) =>
-      (boost +: ts.map(t =>
-        log2(1 + (maxDoc + 1.0) / (ttfOf(stats, t) + 0.5)).toFloat)).toArray
-    }
-  def score(tf: Float, normByte: Byte, w: Array[Float]): Float = {
-    val dl = BM25.docLen(normByte)
-    val tfn = (tf * log2(1 + c * avgdl / dl)).toFloat
-    val boost = w(0)
-    var sum = 0f
-    var i = 1
-    while (i < w.length) {
-      sum += boost * (tfn * w(i)) * (1f / (tfn + 1f))
-      i += 1
-    }
-    sum
+/** Composable divergence-from-randomness framework (reference:
+  * Search/Similarities/DFRSimilarity.cs:125-129 — score =
+  * boost · basicModel(tfn) · afterEffect(tfn), with the basic model,
+  * after-effect, and tf normalization each a pluggable strategy exactly
+  * as the reference constructor takes them). Every model follows the
+  * reference class's own op order and float casts, so a combination that
+  * the old per-combination classes covered (In·L·H2, IF·L·H2, In·L·H1)
+  * scores bit-identically to them. */
+object DFR {
+  private[search] def log2(x: Double): Double = math.log(x) / math.log(2)
+  private val Log2E: Double = log2(math.E)
+
+  /** −log2 Prob1(tfn) (reference: BasicModel.cs subclasses; df/ttf/N
+    * arrive as exact small integers carried in doubles). */
+  sealed trait BasicModel extends Serializable {
+    def score(nDocs: Double, df: Double, ttf: Double, tfn: Float): Float
   }
-  def coord(matched: Int, total: Int): Float = 1f
+
+  /** Poisson approximation (BasicModelP.cs:42-48). */
+  case object ModelP extends BasicModel {
+    def score(nDocs: Double, df: Double, ttf: Double, tfn: Float): Float = {
+      val lambda = (ttf + 1).toFloat / (nDocs + 1).toFloat
+      (tfn * log2(tfn / lambda) +
+        (lambda + 1f / (12f * tfn) - tfn) * Log2E +
+        0.5 * log2(2 * math.Pi * tfn)).toFloat
+    }
+  }
+
+  /** Divergence approximation of the binomial (BasicModelD.cs:45-52). */
+  case object ModelD extends BasicModel {
+    def score(nDocs: Double, df: Double, ttf: Double, tfn: Float): Float = {
+      // tfn smoothed into F so the approximation stays finite (reference
+      // comment: "tfn + 1" and "F + 1" keep the log arguments positive)
+      val F = ttf + 1 + tfn
+      val phi = tfn / F
+      val nphi = 1 - phi
+      val p = 1.0 / (nDocs + 1)
+      val d = phi * log2(phi / p) + nphi * log2(nphi / (1 - p))
+      (d * F + 0.5 * log2(1 + 2 * math.Pi * tfn)).toFloat
+    }
+  }
+
+  /** Bose-Einstein, limiting form (BasicModelBE.cs:46-55; the reference
+    * inflates N by F because the approximation needs F ≪ N). */
+  case object ModelBE extends BasicModel {
+    private def f(n: Double, m: Double): Double =
+      (m + 0.5) * log2(n / m) + (n - m) * log2(n)
+    def score(nDocs: Double, df: Double, ttf: Double, tfn: Float): Float = {
+      val F = ttf + 1 + tfn
+      val n = F + nDocs
+      (-log2((n - 1) * math.E) +
+        f(n + F - 1, n + F - tfn - 2) - f(F, F - tfn)).toFloat
+    }
+  }
+
+  /** Geometric (Bose-Einstein limit) (BasicModelG.cs:43-49). */
+  case object ModelG extends BasicModel {
+    def score(nDocs: Double, df: Double, ttf: Double, tfn: Float): Float = {
+      val F = ttf + 1
+      val lambda = F / (nDocs + F)
+      (log2(lambda + 1) + tfn * log2((1 + lambda) / lambda)).toFloat
+    }
+  }
+
+  /** Inverse document frequency (BasicModelIn.cs:38-41). */
+  case object ModelIn extends BasicModel {
+    def score(nDocs: Double, df: Double, ttf: Double, tfn: Float): Float =
+      tfn * log2((nDocs + 1) / (df + 0.5)).toFloat
+  }
+
+  /** Inverse term frequency, approximation of I(ne)
+    * (BasicModelIF.cs:38-41). */
+  case object ModelIF extends BasicModel {
+    def score(nDocs: Double, df: Double, ttf: Double, tfn: Float): Float =
+      tfn * log2(1 + (nDocs + 1) / (ttf + 0.5)).toFloat
+  }
+
+  /** Inverse expected document frequency (BasicModelIne.cs:38-43):
+    * ne = N·(1 − ((N−1)/N)^F). */
+  case object ModelIne extends BasicModel {
+    def score(nDocs: Double, df: Double, ttf: Double, tfn: Float): Float = {
+      val ne = nDocs * (1 - math.pow((nDocs - 1) / nDocs, ttf))
+      tfn * log2((nDocs + 1) / (ne + 0.5)).toFloat
+    }
+  }
+
+  /** First normalization: information-gain factor (AfterEffect.cs). */
+  sealed trait AfterEffect extends Serializable {
+    def score(df: Double, ttf: Double, tfn: Float): Float
+  }
+
+  /** Laplace law of succession (AfterEffectL.cs:36-39). */
+  case object AfterEffectL extends AfterEffect {
+    def score(df: Double, ttf: Double, tfn: Float): Float = 1f / (tfn + 1f)
+  }
+
+  /** Ratio of two Bernoulli processes (AfterEffectB.cs:38-43:
+    * (F+1)/(n·(tfn+1)) over the +1-smoothed F = ttf+1, n = df+1). */
+  case object AfterEffectB extends AfterEffect {
+    def score(df: Double, ttf: Double, tfn: Float): Float =
+      (ttf + 2).toFloat / ((df + 1).toFloat * (tfn + 1f))
+  }
+
+  /** No first normalization (AfterEffect.NoAfterEffect). */
+  case object NoAfterEffect extends AfterEffect {
+    def score(df: Double, ttf: Double, tfn: Float): Float = 1f
+  }
+
+  /** Second (length) normalization: tf → tfn (Normalization.cs). */
+  sealed trait Normalization extends Serializable {
+    def tfn(tf: Float, dl: Float, ttf: Double, sumTtf: Double, avgdl: Float): Float
+  }
+
+  /** Uniform distribution of frequency (NormalizationH1.cs:44-47). */
+  final case class NormalizationH1(c: Float = 1f) extends Normalization {
+    def tfn(tf: Float, dl: Float, ttf: Double, sumTtf: Double, avgdl: Float): Float =
+      c * tf * (avgdl / dl)
+  }
+
+  /** Logarithmic density decay (NormalizationH2.cs:56-59). */
+  final case class NormalizationH2(c: Float = 1f) extends Normalization {
+    def tfn(tf: Float, dl: Float, ttf: Double, sumTtf: Double, avgdl: Float): Float =
+      (tf * DFR.log2(1 + c * avgdl / dl)).toFloat
+  }
+
+  /** Dirichlet-prior normalization (NormalizationH3.cs:45-48, default
+    * mu = 800; mixes the collection model (ttf+1)/(sumTtf+1) in). */
+  final case class NormalizationH3(mu: Float = 800f) extends Normalization {
+    def tfn(tf: Float, dl: Float, ttf: Double, sumTtf: Double, avgdl: Float): Float =
+      (tf + mu * ((ttf.toFloat + 1f) / (sumTtf.toFloat + 1f))) / (dl + mu) * mu
+  }
+
+  /** Pareto-Zipf normalization (NormalizationZ.cs:46-49, default
+    * z = 0.30). */
+  final case class NormalizationZ(z: Float = 0.30f) extends Normalization {
+    def tfn(tf: Float, dl: Float, ttf: Double, sumTtf: Double, avgdl: Float): Float = {
+      val r = avgdl / dl
+      (tf * math.pow(r, z)).toFloat
+    }
+  }
+
+  /** No length normalization (Normalization.NoNormalization). */
+  case object NoNormalization extends Normalization {
+    def tfn(tf: Float, dl: Float, ttf: Double, sumTtf: Double, avgdl: Float): Float = tf
+  }
 }
 
-/** Divergence-from-randomness G·L·H2 (reference: BasicModelG.cs:38-47 —
-  * λ = (F+1)/(N + F+1), score = log2(λ+1) + tfn·log2((1+λ)/λ) — with
-  * AfterEffectL and NormalizationH2, c = 1). Layout: w = [boost, λ…]. */
-final class DFRGL2Similarity(avgdl: Float, c: Float = 1f) extends SimilarityLike {
-  private def log2(x: Double): Double = math.log(x) / math.log(2)
+/** DFR similarity over any (basicModel, afterEffect, normalization)
+  * combination (reference: DFRSimilarity.cs:125-129 — Score =
+  * TotalBoost · BasicModel.Score · AfterEffect.Score at
+  * tfn = Normalization.Tfn). Per-term stats ride the weight vector so
+  * BE/D (which need raw F at score time), AfterEffectB (raw df) and H3
+  * (collection model) all compose. Layout:
+  * w = [boost, N, sumTtf, df1, ttf1, df2, ttf2, …] — exact for stats
+  * < 2²⁴ (the float mantissa); past that the formulas are already
+  * double-rounded in the reference, so the drift is ulp-class. */
+final class DFRSimilarity(model: DFR.BasicModel, afterEffect: DFR.AfterEffect,
+    normalization: DFR.Normalization, avgdl: Float) extends SimilarityLike {
   def clauseWeights(clauses: Seq[(Seq[String], Float)],
                     stats: Map[String, TermDictRow],
                     maxDoc: Long, sumTotalTermFreq: Long): Seq[Array[Float]] =
     clauses.map { case (ts, boost) =>
-      (boost +: ts.map { t =>
-        val f = ttfOf(stats, t) + 1.0
-        (f / (maxDoc + f)).toFloat
-      }).toArray
+      (Seq(boost, maxDoc.toFloat, sumTotalTermFreq.toFloat) ++
+        ts.flatMap(t => Seq(dfOf(stats, t).toFloat, ttfOf(stats, t).toFloat))).toArray
     }
   def score(tf: Float, normByte: Byte, w: Array[Float]): Float = {
     val dl = BM25.docLen(normByte)
-    val tfn = (tf * log2(1 + c * avgdl / dl)).toFloat
     val boost = w(0)
+    val nDocs = w(1).toDouble
+    val sumTtf = w(2).toDouble
     var sum = 0f
-    var i = 1
+    var i = 3
     while (i < w.length) {
-      val lambda = w(i)
-      sum += boost *
-        ((log2(lambda + 1) + tfn * log2((1 + lambda) / lambda)) *
-          (1.0 / (1 + tfn))).toFloat
-      i += 1
-    }
-    sum
-  }
-  def coord(matched: Int, total: Int): Float = 1f
-}
-
-/** Divergence-from-randomness I(n)·L·H1 (reference: NormalizationH1.cs —
-  * tfn = tf·avgdl/dl, the linear normalization — with BasicModelIn +
-  * AfterEffectL). Layout: w = [boost, in(t)…]. */
-final class DFRInH1Similarity(avgdl: Float) extends SimilarityLike {
-  private def log2(x: Double): Double = math.log(x) / math.log(2)
-  def clauseWeights(clauses: Seq[(Seq[String], Float)],
-                    stats: Map[String, TermDictRow],
-                    maxDoc: Long, sumTotalTermFreq: Long): Seq[Array[Float]] =
-    clauses.map { case (ts, boost) =>
-      (boost +: ts.map(t =>
-        log2((maxDoc + 1) / (dfOf(stats, t) + 0.5)).toFloat)).toArray
-    }
-  def score(tf: Float, normByte: Byte, w: Array[Float]): Float = {
-    val dl = BM25.docLen(normByte)
-    val tfn = tf * avgdl / dl
-    val boost = w(0)
-    var sum = 0f
-    var i = 1
-    while (i < w.length) {
-      sum += boost * (tfn * w(i)) * (1f / (tfn + 1f))
-      i += 1
+      val df = w(i).toDouble
+      val ttf = w(i + 1).toDouble
+      val tfn = normalization.tfn(tf, dl, ttf, sumTtf, avgdl)
+      sum += boost * model.score(nDocs, df, ttf, tfn) *
+        afterEffect.score(df, ttf, tfn)
+      i += 2
     }
     sum
   }
@@ -385,36 +479,3 @@ final class PerFieldSimilarity(default: SimilarityLike,
   def coord(matched: Int, total: Int): Float = default.coord(matched, total)
 }
 
-/** Divergence-from-randomness I(n)L2 (reference: DFRSimilarity.cs:125-129
-  * with BasicModelIn.cs:38-43, AfterEffectL.cs:38-41,
-  * NormalizationH2.cs:56-59, c = 1):
-  *
-  *   tfn   = tf · log2(1 + avgdl/dl)
-  *   score = Σ_terms boost · tfn·log2((N+1)/(df+0.5)) · 1/(tfn+1)
-  *
-  * The per-term log2((N+1)/(df+0.5)) factor precomputes into the weight
-  * (double math, cast to float like the reference).
-  * Layout: w = [boost, in(t1), in(t2), …]. */
-final class DFRInL2Similarity(avgdl: Float, c: Float = 1f) extends SimilarityLike {
-  private def log2(x: Double): Double = math.log(x) / math.log(2)
-  def clauseWeights(clauses: Seq[(Seq[String], Float)],
-                    stats: Map[String, TermDictRow],
-                    maxDoc: Long, sumTotalTermFreq: Long): Seq[Array[Float]] =
-    clauses.map { case (ts, boost) =>
-      (boost +: ts.map(t =>
-        log2((maxDoc + 1) / (dfOf(stats, t) + 0.5)).toFloat)).toArray
-    }
-  def score(tf: Float, normByte: Byte, w: Array[Float]): Float = {
-    val dl = BM25.docLen(normByte)
-    val tfn = (tf * log2(1 + c * avgdl / dl)).toFloat
-    val boost = w(0)
-    var sum = 0f
-    var i = 1
-    while (i < w.length) {
-      sum += boost * (tfn * w(i)) * (1f / (tfn + 1f))
-      i += 1
-    }
-    sum
-  }
-  def coord(matched: Int, total: Int): Float = 1f
-}

@@ -85,7 +85,7 @@ class FieldSpec extends AnyFunSuite {
     val avgdl = graft.bm25.BM25.avgFieldLength(cs2.sumTotalTermFreq, cs2.maxDoc)
     val lm = searcher.searchWith(new LMJelinekMercerSimilarity(), TermQ("lang:scala"), N)
     assert(lm.nonEmpty && lm.forall(h => !h.score.isNaN && !h.score.isInfinite))
-    val dfr = searcher.searchWith(new DFRInL2Similarity(avgdl), TermQ("lang:scala"), N)
+    val dfr = searcher.searchWith(new DFRSimilarity(DFR.ModelIn, DFR.AfterEffectL, DFR.NormalizationH2(), avgdl), TermQ("lang:scala"), N)
     assert(dfr.nonEmpty && dfr.forall(h => h.score > 0f && h.score.isFinite))
   }
 

@@ -74,7 +74,7 @@ class SimilaritySpec extends AnyFunSuite {
   }
 
   test("DFR I(n)L2: closed form (c=1)") {
-    val hits = searcher.searchWith(new DFRInL2Similarity(avgdl), TermQ("dogs"), 10)
+    val hits = searcher.searchWith(new DFRSimilarity(DFR.ModelIn, DFR.AfterEffectL, DFR.NormalizationH2(), avgdl), TermQ("dogs"), 10)
     assert(hits.map(_.docId).toSeq === Seq(1L))
     def log2(x: Double) = math.log(x) / math.log(2)
     val dl = BM25.NormTable(BM25.encodeNorm(2) & 0xff)
@@ -167,7 +167,7 @@ class SimilaritySpec extends AnyFunSuite {
   }
 
   test("DFR I(F)L2: closed form (c=1, F = totalTermFreq)") {
-    val hits = searcher.searchWith(new DFRIFL2Similarity(avgdl), TermQ("dogs"), 10)
+    val hits = searcher.searchWith(new DFRSimilarity(DFR.ModelIF, DFR.AfterEffectL, DFR.NormalizationH2(), avgdl), TermQ("dogs"), 10)
     assert(hits.map(_.docId).toSeq === Seq(1L))
     def log2(x: Double) = math.log(x) / math.log(2)
     val dl = BM25.NormTable(BM25.encodeNorm(2) & 0xff)
@@ -202,21 +202,79 @@ class SimilaritySpec extends AnyFunSuite {
       new TfIdfSimilarity().score(1f, BM25.encodeNorm(1), inner))
   }
 
-  test("DFR G·L·H2 and I(n)·L·H1: closed forms") {
+  test("DFR G·L·H2 and I(n)·L·H1: closed forms (reference op order)") {
     def log2(x: Double) = math.log(x) / math.log(2)
     val dl = BM25.NormTable(BM25.encodeNorm(2) & 0xff)
-    // G model: λ = (F+1)/(N + F+1), ttf(dogs)=2, N=6
-    val g = searcher.searchWith(new DFRGL2Similarity(avgdl), TermQ("dogs"), 10)
+    // G model (BasicModelG.cs): λ = F/(N+F) with F = ttf+1 kept double
+    val g = searcher.searchWith(
+      new DFRSimilarity(DFR.ModelG, DFR.AfterEffectL, DFR.NormalizationH2(), avgdl),
+      TermQ("dogs"), 10)
     assert(g.map(_.docId).toSeq === Seq(1L))
     val tfn2 = (2f * log2(1 + avgdl / dl)).toFloat
-    val lam = ((2L + 1.0) / (6L + 2L + 1.0)).toFloat
-    val expG = ((log2(lam + 1) + tfn2 * log2((1 + lam) / lam)) * (1.0 / (1 + tfn2))).toFloat
-    assert(g(0).score === expG)
-    // H1 normalization: tfn = tf·avgdl/dl (linear)
-    val h1 = searcher.searchWith(new DFRInH1Similarity(avgdl), TermQ("dogs"), 10)
-    val tfnH1 = 2f * avgdl / dl
-    val in = log2((6L + 1) / (1L + 0.5)).toFloat
-    assert(h1(0).score === tfnH1 * in * (1f / (tfnH1 + 1f)))
+    val lam = (2L + 1.0) / (6L + (2L + 1.0))
+    val modelG = (log2(lam + 1) + tfn2 * log2((1 + lam) / lam)).toFloat
+    assert(g(0).score === modelG * (1f / (tfn2 + 1f)))
+    // H1 normalization (NormalizationH1.cs): tfn = c·tf·(avgdl/dl)
+    val h1 = searcher.searchWith(
+      new DFRSimilarity(DFR.ModelIn, DFR.AfterEffectL, DFR.NormalizationH1(), avgdl),
+      TermQ("dogs"), 10)
+    val tfnH1 = 1f * 2f * (avgdl / dl)
+    val in = tfnH1 * log2((6L + 1) / (1L + 0.5)).toFloat
+    assert(h1(0).score === in * (1f / (tfnH1 + 1f)))
+  }
+
+  test("composable DFR: P/D/BE/Ine models, AfterEffectB, H3/Z/None norms") {
+    // 'dogs': df=1, ttf=2, N=6, sumTtf=7, tf=2 — every golden mirrors the
+    // reference model class's op order (BasicModel*.cs, AfterEffectB.cs,
+    // NormalizationH3/Z.cs) by hand
+    def log2(x: Double) = math.log(x) / math.log(2)
+    val dl = BM25.NormTable(BM25.encodeNorm(2) & 0xff)
+    val tfn = (2f * log2(1 + avgdl / dl)).toFloat
+    val aeL = 1f / (tfn + 1f)
+    def run(m: DFR.BasicModel, ae: DFR.AfterEffect = DFR.AfterEffectL,
+        n: DFR.Normalization = DFR.NormalizationH2()): Float =
+      searcher.searchWith(new DFRSimilarity(m, ae, n, avgdl), TermQ("dogs"), 10)(0).score
+    // P (Poisson): λ = (F+1)/(N+1) float
+    val lambdaP = (2.0 + 1).toFloat / (6.0 + 1).toFloat
+    val modelP = (tfn * log2(tfn / lambdaP) +
+      (lambdaP + 1f / (12f * tfn) - tfn) * log2(math.E) +
+      0.5 * log2(2 * math.Pi * tfn)).toFloat
+    assert(run(DFR.ModelP) === modelP * aeL)
+    // D (binomial divergence)
+    val fD = 2.0 + 1 + tfn
+    val phi = tfn / fD
+    val dTerm = phi * log2(phi / (1.0 / 7)) + (1 - phi) * log2((1 - phi) / (1 - 1.0 / 7))
+    val modelD = (dTerm * fD + 0.5 * log2(1 + 2 * math.Pi * tfn)).toFloat
+    assert(run(DFR.ModelD) === modelD * aeL)
+    // BE (Bose-Einstein limiting form)
+    def fBE(n: Double, m: Double) = (m + 0.5) * log2(n / m) + (n - m) * log2(n)
+    val fBe = 2.0 + 1 + tfn
+    val nBe = fBe + 6
+    val modelBE = (-log2((nBe - 1) * math.E) +
+      fBE(nBe + fBe - 1, nBe + fBe - tfn - 2) - fBE(fBe, fBe - tfn)).toFloat
+    assert(run(DFR.ModelBE) === modelBE * aeL)
+    // Ine: ne = N·(1 − ((N−1)/N)^F)
+    val ne = 6.0 * (1 - math.pow(5.0 / 6.0, 2))
+    val modelIne = tfn * log2((6.0 + 1) / (ne + 0.5)).toFloat
+    assert(run(DFR.ModelIne) === modelIne * aeL)
+    // AfterEffectB: (F+1)/(n·(tfn+1)) over F = ttf+1, n = df+1
+    val modelIn = tfn * log2((6.0 + 1) / (1.0 + 0.5)).toFloat
+    val aeB = (2.0 + 2).toFloat / ((1.0 + 1).toFloat * (tfn + 1f))
+    assert(run(DFR.ModelIn, ae = DFR.AfterEffectB) === modelIn * aeB)
+    // NoAfterEffect
+    assert(run(DFR.ModelIn, ae = DFR.NoAfterEffect) === modelIn)
+    // H3 (Dirichlet prior, mu=800): mixes the collection model in
+    val tfnH3 = (2f + 800f * ((2f + 1f) / (7f + 1f))) / (dl + 800f) * 800f
+    val inH3 = tfnH3 * log2((6.0 + 1) / (1.0 + 0.5)).toFloat
+    assert(run(DFR.ModelIn, n = DFR.NormalizationH3()) === inH3 * (1f / (tfnH3 + 1f)))
+    // Z (Pareto-Zipf, z=0.30)
+    val r = avgdl / dl
+    val tfnZ = (2f * math.pow(r, 0.30f)).toFloat
+    val inZ = tfnZ * log2((6.0 + 1) / (1.0 + 0.5)).toFloat
+    assert(run(DFR.ModelIn, n = DFR.NormalizationZ()) === inZ * (1f / (tfnZ + 1f)))
+    // NoNormalization: tfn = tf
+    val inNo = 2f * log2((6.0 + 1) / (1.0 + 0.5)).toFloat
+    assert(run(DFR.ModelIn, n = DFR.NoNormalization) === inNo * (1f / (2f + 1f)))
   }
 
   test("IB LambdaTTF variant and MultiSimilarity sum") {
@@ -230,7 +288,7 @@ class SimilaritySpec extends AnyFunSuite {
     assert(ll(0).score === (-math.log(lamT / (tfn + lamT))).toFloat)
     // MultiSimilarity: per-hit score = SUM over sub-scorers
     val bm25 = new BM25Similarity(avgdl)
-    val dfr = new DFRInL2Similarity(avgdl)
+    val dfr = new DFRSimilarity(DFR.ModelIn, DFR.AfterEffectL, DFR.NormalizationH2(), avgdl)
     val multi = searcher.searchWith(new MultiSimilarity(Seq(bm25, dfr)),
       TermQ("dogs"), 10)
     val sBm = searcher.searchWith(bm25, TermQ("dogs"), 10)(0).score
