@@ -687,6 +687,58 @@ object VerifyQueries {
        |WHERE dist <= 2 AND dist > 0
        |ORDER BY dist, df DESC, term LIMIT 5""".stripMargin
 
+  /** Infix completion (reference:
+    * Suggest/Analyzing/AnalyzingInfixSuggester.cs): mid-word input 'erge'
+    * completes to 'merge…', df-ranked. The engine side runs the SCALE
+    * path — the suffix sidecar turning the infix probe into a
+    * range-prunable prefix probe (SuggestSpec proves it equal to the
+    * contains-scan); the oracle is the direct LIKE '%erge%' scan. */
+  def qSuggestInfix(spark: SparkSession, sf: String): DataFrame = {
+    val dir = ensure(spark, sf)
+    val reader = new graft.search.IndexReader(spark, dir)
+    graft.search.Suggest.completeInfixIndexed(
+      graft.search.Suggest.suffixTable(reader), "erge", 10)
+      .orderBy(col("df").desc, col("term"))
+  }
+  val oSuggestInfix: String =
+    s"""$OracleCtes
+       |SELECT term, df FROM df WHERE term LIKE '%erge%'
+       |ORDER BY df DESC, term LIMIT 10""".stripMargin
+
+  /** AllGroupsCollector (reference:
+    * Lucene.Net.Grouping/Term/TermAllGroupsCollector.cs): the number of
+    * distinct group values among a query's hits. */
+  def qGroupDistinct(spark: SparkSession, sf: String): DataFrame = {
+    val dir = ensure(spark, sf)
+    val h = hits(spark, dir, Seq("merge")).select("doc_id")
+    val langs = spark.read.parquet(IndexPaths.docstats(dir))
+      .select(col("docId").as("doc_id"), col("lang"))
+    graft.search.Grouping.allGroupsCount(
+      h.join(broadcast(langs), Seq("doc_id")), "lang")
+  }
+  val oGroupDistinct: String =
+    s"""$OracleCtes
+       |SELECT count(DISTINCT d.lang) AS groups
+       |FROM tf JOIN documents d USING (doc_id) WHERE tf.term = 'merge'""".stripMargin
+
+  /** GroupFacetCollector (reference:
+    * Lucene.Net.Grouping/AbstractGroupFacetCollector.cs): facet counts
+    * WITHIN each group — hits of 'merge' grouped by lang, faceted by
+    * source. */
+  def qGroupFacet(spark: SparkSession, sf: String): DataFrame = {
+    val dir = ensure(spark, sf)
+    val h = hits(spark, dir, Seq("merge")).select("doc_id")
+    val meta = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("lang"), col("source"))
+    graft.search.Grouping.groupFacets(h.join(meta, Seq("doc_id")), "lang", "source")
+      .orderBy(col("lang"), col("source"))
+  }
+  val oGroupFacet: String =
+    s"""$OracleCtes
+       |SELECT d.lang, d.source, count(*) AS hits
+       |FROM tf JOIN documents d USING (doc_id) WHERE tf.term = 'merge'
+       |GROUP BY d.lang, d.source ORDER BY d.lang, d.source""".stripMargin
+
   /** Facet drill-down (FacetsCollector + DrillDownQuery analog): restrict
     * the term query to one lang, facet the OTHER dimension (doc-length
     * deciles) — the drill-down shape. */
@@ -1170,6 +1222,9 @@ object VerifyQueries {
     "q_dfr_topk" -> qDfrTopk _,
     "q_custom_score" -> qCustomScore _,
     "q_boosting" -> qBoosting _,
+    "q_suggest_infix" -> qSuggestInfix _,
+    "q_group_distinct" -> qGroupDistinct _,
+    "q_group_facet" -> qGroupFacet _,
     "q_searchafter" -> qSearchAfter _,
     "q_prefix_df" -> qPrefixDf _,
     "q_prefix_wide" -> qPrefixWide _,
@@ -1229,6 +1284,9 @@ object VerifyQueries {
     "q_dfr_topk" -> oDfrTopk,
     "q_custom_score" -> oCustomScore,
     "q_boosting" -> oBoosting,
+    "q_suggest_infix" -> oSuggestInfix,
+    "q_group_distinct" -> oGroupDistinct,
+    "q_group_facet" -> oGroupFacet,
     "q_searchafter" -> oSearchAfter,
     "q_prefix_df" -> oPrefixDf,
     "q_prefix_wide" -> oPrefixWide,

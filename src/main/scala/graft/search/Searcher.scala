@@ -995,6 +995,73 @@ final class Searcher(reader: IndexReader, pruneMinBlocks: Int = 64,
                       boost: Float = 1f): Array[ScoreDoc] =
     payloadTermScores(t, agg, boost).select(new TopKAggregator(k).toColumn).head()
 
+  /** PayloadNearQuery analog (reference:
+    * Search/Payloads/PayloadNearQuery.cs, includeSpanScore = true):
+    * evaluate the span-near over the positions sidecar, collect the
+    * payloads of every term occurrence INSIDE a matching span
+    * (PayloadNearSpanScorer.ProcessPayloads), and score each doc as the
+    * span score — BM25 over (span freq, Σ idf of the near's terms), the
+    * engine's phrase-weight shape — times the payload aggregate
+    * (avg/min/max; docs whose in-span occurrences carry no payloads keep
+    * factor 1). One aligned positions⋈payloads scan; the span algebra and
+    * payload collection run per doc inside the group, no driver hop. */
+  def payloadNearScores(q: SpanNearQ, agg: String = "avg",
+                        boost: Float = 1f): Dataset[ScoreDoc] = {
+    require(reader.hasPositions, "index has no positions sidecar")
+    require(reader.hasPayloads, "index has no payloads sidecar")
+    val terms = Spans.terms(q).toSeq.sorted
+    val stats = reader.termStats(terms)
+    val live = terms.filter(stats.contains)
+    if (live.isEmpty) return spark.emptyDataset[ScoreDoc]
+    val idfSum = live.map(t => BM25.idf(stats(t).df, cs.maxDoc)).sum
+    val w = BM25.weightValue(idfSum, boost)
+    val localCache = cache
+    val aggKind = agg
+    val query = q
+    val pos = termPositionRows(live).toDF("docId", "term", "ps", "norm")
+    val pay = reader.termPayloadRows(live).toDF("docId", "term", "tf", "norm2", "pays")
+    val joined = pos.join(pay, Seq("docId", "term"))
+      .select($"docId", $"term", $"ps", $"norm", $"pays")
+      .as[(Long, String, Array[Int], Int, Array[Array[Byte]])]
+    liveOnly(joined.groupByKey(_._1).flatMapGroups { (docId, it) =>
+      val rows = it.toArray
+      val posOf: String => Array[Int] = {
+        val m = rows.map(r => r._2 -> r._3).toMap
+        t => m.getOrElse(t, Array.empty)
+      }
+      val spans = Spans.eval(query, posOf)
+      if (spans.isEmpty) Iterator.empty
+      else {
+        // collect payloads of occurrences inside ANY matching span, in
+        // (term asc, occurrence) order — a fixed order so the float avg
+        // is run-stable (the reference collects in span-walk order; the
+        // aggregate families used here are order-insensitive up to float
+        // association)
+        val vals = scala.collection.mutable.ArrayBuffer.empty[Float]
+        rows.sortBy(_._2).foreach { case (_, _, ps, _, pays) =>
+          var i = 0
+          while (i < ps.length) {
+            val p = ps(i)
+            if (i < pays.length && pays(i) != null && pays(i).length >= 4 &&
+                spans.exists(s => p >= s._1 && p < s._2))
+              vals += graft.analysis.DelimitedPayload.decodeFloat(pays(i))
+            i += 1
+          }
+        }
+        val pf =
+          if (vals.isEmpty) 1f
+          else aggKind match {
+            case "min" => vals.min
+            case "max" => vals.max
+            case _ => vals.sum / vals.length
+          }
+        val norm = rows.head._4
+        Iterator.single(ScoreDoc(docId,
+          BM25.score(spans.length.toFloat, norm.toByte, w, localCache) * pf))
+      }
+    })
+  }
+
   /** DocIds of one term, decoded from the pruned postings scan. */
   private def termDocIds(t: String): Dataset[Long] =
     reader.postings.where($"term" === t)

@@ -61,6 +61,42 @@ object Suggest {
       .orderBy(col("dist"), col("df").desc, col("term")).limit(k)
   }
 
+  /** Infix completion (reference:
+    * Suggest/Analyzing/AnalyzingInfixSuggester.cs — completions may match
+    * mid-word: "erge" → "merge…"), ranked by popularity (df desc) like
+    * the reference's weight-sorted hits. Toy-scale path: a df-ranked
+    * contains-scan of the dictionary (one column, parquet-pruned to the
+    * term+df projection); at dictionary scale use the suffix sidecar
+    * ([[suffixTable]] + [[completeInfixIndexed]]), which turns the infix
+    * probe into a range-prunable PREFIX probe. */
+  def completeInfix(reader: IndexReader, fragment: String, k: Int): DataFrame =
+    reader.termDict
+      .where(col("term").contains(fragment))
+      .select(col("term"), col("df"))
+      .orderBy(col("df").desc, col("term")).limit(k)
+
+  /** The infix scale path's index: every suffix of every dictionary term
+    * as a (suffix, term, df) table — the relational form of the
+    * reference suggester's substring index. Σ|term| rows (suffix-array
+    * size, not Σ|term|²: each row HOLDS a suffix, it doesn't expand it);
+    * persisted sorted by suffix, a parquet min/max prune answers an
+    * infix query as a prefix range — the same seek shape term_dict gives
+    * prefix queries. Pure column expressions, no UDF. */
+  def suffixTable(reader: IndexReader): DataFrame =
+    reader.termDict
+      .select(col("term"), col("df"),
+        explode(sequence(lit(1), length(col("term")))).as("p"))
+      .select(col("term").substr(col("p"), length(col("term"))).as("suffix"),
+        col("term"), col("df"))
+
+  /** Infix completion over a [[suffixTable]] (optionally persisted +
+    * sorted): suffix-prefix probe → distinct terms → df ranking. */
+  def completeInfixIndexed(suffixes: DataFrame, fragment: String, k: Int): DataFrame =
+    suffixes
+      .where(col("suffix").startsWith(fragment))
+      .select(col("term"), col("df")).distinct()
+      .orderBy(col("df").desc, col("term")).limit(k)
+
   /** "Did you mean": nearest dictionary terms by edit distance, ties by
     * higher df then term (SpellChecker's distance-then-popularity
     * ranking). The candidate scan is length-banded (|len(t)-len(q)| <=

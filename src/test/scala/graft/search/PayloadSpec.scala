@@ -53,6 +53,34 @@ class PayloadSpec extends AnyFunSuite {
     assert(mx(1L) === base(1L) * 1.5f)
   }
 
+  test("PayloadNearQuery: span score × in-span payload aggregate") {
+    // slop 0, ordered: exactly one span per matching doc, so the span
+    // score equals the exact-phrase score (same Σidf weight, freq 1) and
+    // the factor is the avg payload of occurrences INSIDE the span —
+    // doc1's alpha@0 (payload 0.5) is OUTSIDE its only span [1,3) and
+    // must not be collected
+    val base = searcher.search(PhraseQ(Seq("alpha", "beta")), 10)
+      .map(h => h.docId -> h.score).toMap
+    val near = SpanNearQ(Seq(SpanTermQ("alpha"), SpanTermQ("beta")), 0, inOrder = true)
+    val avg = searcher.payloadNearScores(near).collect().map(h => h.docId -> h.score).toMap
+    assert(avg.keySet === Set(0L, 1L, 3L))
+    assert(avg(0L) === base(0L) * 2.0f)
+    assert(avg(1L) === base(1L) * 1.5f)
+    assert(avg(3L) === base(3L) * 1f) // no payloads in span → factor 1
+    // slop 1: doc1 gains the anchor-0 span → both alpha payloads are
+    // in-span (avg 1.0, min 0.5, max 1.5) and the span freq is 2
+    val near1 = SpanNearQ(Seq(SpanTermQ("alpha"), SpanTermQ("beta")), 1, inOrder = true)
+    val w = BM25.weightValue(BM25.idf(3, 4) + BM25.idf(4, 4), 1f) // df(alpha)=3, df(beta)=4
+    val cache = BM25.normCache(BM25.avgFieldLength(9, 4)) // 9 tokens / 4 docs
+    val span2 = BM25.score(2f, BM25.encodeNorm(3), w, cache)
+    val a1 = searcher.payloadNearScores(near1).collect().map(h => h.docId -> h.score).toMap
+    assert(a1(1L) === span2 * 1.0f)
+    val mn = searcher.payloadNearScores(near1, "min").collect().map(h => h.docId -> h.score).toMap
+    val mx = searcher.payloadNearScores(near1, "max").collect().map(h => h.docId -> h.score).toMap
+    assert(mn(1L) === span2 * 0.5f)
+    assert(mx(1L) === span2 * 1.5f)
+  }
+
   test("phrase matching still works through the payload-bearing positions") {
     // positions are real (payloads imply positions): "alpha beta" adjacency
     val freqs = searcher.phraseFreqsFromIndex(Seq("alpha", "beta"), 0)

@@ -54,6 +54,37 @@ class SuggestSpec extends AnyFunSuite {
     assert(rows.sortBy(r => (r._3, -r._2, r._1)).toSeq === rows.toSeq)
   }
 
+  test("infix completion: mid-word input, df ranking; indexed == scan") {
+    // 'erg' matches merg/merger… mid-word (AnalyzingInfixSuggester shape)
+    val scan = Suggest.completeInfix(reader, "erg", 10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(scan.map(_._1).contains("merg"))
+    assert(scan === scan.sortBy { case (t, df) => (-df, t) })
+    // the suffix-sidecar (scale) path returns the identical page
+    val indexed = Suggest.completeInfixIndexed(Suggest.suffixTable(reader), "erg", 10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(indexed === scan)
+    // a term containing the fragment twice still appears once
+    val vv = Suggest.completeInfixIndexed(Suggest.suffixTable(reader), "c", 10)
+      .collect().map(_.getString(0)).toSeq
+    assert(vv.distinct === vv)
+    // suffix table is exactly Σ|term| rows (suffix-array size)
+    val nSuffix = Suggest.suffixTable(reader).count()
+    val sumLen = reader.termDict.agg(sum(length(col("term")))).head().getLong(0)
+    assert(nSuffix === sumLen)
+  }
+
+  test("grouping collectors: allGroups / count / groupFacets") {
+    import spark.implicits._
+    val hits = Seq((1L, "en", "s1"), (2L, "en", "s2"), (3L, "fr", "s1"),
+      (4L, "en", "s1")).toDF("doc_id", "lang", "source")
+    assert(Grouping.allGroups(hits, "lang").as[String].collect().toSet === Set("en", "fr"))
+    assert(Grouping.allGroupsCount(hits, "lang").head().getLong(0) === 2L)
+    val gf = Grouping.groupFacets(hits, "lang", "source")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(gf === Map(("en", "s1") -> 2L, ("en", "s2") -> 1L, ("fr", "s1") -> 1L))
+  }
+
   test("fuzzy completion == unbanded full-scan result") {
     val banded = Suggest.completeFuzzy(reader, "nerg", 1, 100)
       .collect().map(r => (r.getString(0), r.getInt(2))).toSeq
