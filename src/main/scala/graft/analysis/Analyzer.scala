@@ -33,7 +33,8 @@ final case class AnalyzedDoc(tokens: Array[Token], length: Int, numOverlap: Int)
 final class Analyzer(val stopWords: Set[String], val maxTokenLength: Int = 255,
     val tokenizer: String => Array[RawToken] = UAX29Tokenizer.tokenize,
     val stemmer: Option[String => String] = None,
-    val synonyms: Map[String, Seq[String]] = Map.empty)
+    val synonyms: Map[String, Seq[String]] = Map.empty,
+    val fold: Boolean = false)
     extends Serializable {
 
   def analyze(text: String): AnalyzedDoc = {
@@ -47,7 +48,11 @@ final class Analyzer(val stopWords: Set[String], val maxTokenLength: Int = 255,
       val t = raw(idx)
       pos += 1 // every raw token advances the position, even if dropped below
       if (t.term.length <= maxTokenLength) {
-        val lowered = Analyzer.lowerCase(t.term)
+        // fold AFTER lowercase (reference ICUFoldingFilter chain order);
+        // the stop check then sees folded terms, so a folding chain's
+        // stop list must itself be folded (foldingForLang does this)
+        val lowered0 = Analyzer.lowerCase(t.term)
+        val lowered = if (fold) Folding.fold(lowered0) else lowered0
         if (!stopWords.contains(lowered)) {
           // stem AFTER the stop filter (reference EnglishAnalyzer chain:
           // ...LowerCase → Stop → PorterStemFilter)
@@ -105,14 +110,13 @@ object Analyzer {
     * words (compact public Snowball-style subsets); source-code languages
     * and unknown tags fall back to English (comments/identifiers are
     * English-dominant). */
+  // Pure Snowball accented forms only — unaccented informal text is the
+  // folding chain's job ([[foldingForLang]] folds both the tokens and the
+  // stop entries), not an ASCII-duplicate hack in the lists.
   val SpanishStopWords: Set[String] = Set(
     "de", "la", "que", "el", "en", "y", "a", "los", "del", "se", "las",
     "por", "un", "para", "con", "no", "una", "su", "al", "lo", "como",
-    "más", "pero", "sus", "le", "ya", "o", "este", "sí", "porque", "está", "es",
-    // the analyzer lowercases but does not fold diacritics, so the
-    // accented Snowball forms above are the live entries; keep the ASCII
-    // variants too for unaccented informal text
-    "mas", "si", "esta")
+    "más", "pero", "sus", "le", "ya", "o", "este", "sí", "porque", "está", "es")
   val FrenchStopWords: Set[String] = Set(
     "de", "la", "le", "et", "les", "des", "en", "un", "du", "une", "que",
     "est", "pour", "qui", "dans", "a", "par", "plus", "pas", "au", "sur",
@@ -120,12 +124,31 @@ object Analyzer {
   val GermanStopWords: Set[String] = Set(
     "der", "die", "und", "in", "den", "von", "zu", "das", "mit", "sich",
     "des", "auf", "für", "ist", "im", "dem", "nicht", "ein", "eine", "als",
-    "auch", "es", "an", "werden", "aus", "er", "hat", "dass", "sie", "nach",
-    "fur") // ASCII variant of "für" kept for unaccented text
+    "auch", "es", "an", "werden", "aus", "er", "hat", "dass", "sie", "nach")
+  val RussianStopWords: Set[String] = Set(
+    "и", "в", "во", "не", "что", "он", "на", "я", "с", "со", "как", "а",
+    "то", "все", "она", "так", "его", "но", "да", "ты", "к", "у", "же",
+    "вы", "за", "бы", "по", "только", "ее", "мне", "было", "вот", "от")
+  val PortugueseStopWords: Set[String] = Set(
+    "de", "a", "o", "que", "e", "do", "da", "em", "um", "para", "é",
+    "com", "não", "uma", "os", "no", "se", "na", "por", "mais", "as",
+    "dos", "como", "mas", "foi", "ao", "ele", "das", "tem", "à", "seu")
+  val ItalianStopWords: Set[String] = Set(
+    "di", "a", "da", "in", "con", "su", "per", "tra", "fra", "il", "lo",
+    "la", "i", "gli", "le", "un", "uno", "una", "e", "che", "è", "non",
+    "si", "del", "della", "dei", "delle", "al", "alla", "nel", "come", "più")
+  val DutchStopWords: Set[String] = Set(
+    "de", "en", "van", "ik", "te", "dat", "die", "in", "een", "hij",
+    "het", "niet", "zijn", "is", "was", "op", "aan", "met", "als", "voor",
+    "had", "er", "maar", "om", "hem", "dan", "zou", "of", "wat", "mijn")
   val perLang: Map[String, Set[String]] = Map(
     "es" -> SpanishStopWords,
     "fr" -> FrenchStopWords,
     "de" -> GermanStopWords,
+    "ru" -> RussianStopWords,
+    "pt" -> PortugueseStopWords,
+    "it" -> ItalianStopWords,
+    "nl" -> DutchStopWords,
   ).withDefaultValue(EnglishStopWords)
 
   /** Source-code chain (the WordDelimiterFilter analog for the code
@@ -144,6 +167,16 @@ object Analyzer {
   def forLang(lang: String): Analyzer = lang match {
     case "zh" | "ja" | "ko" => cjk
     case l => new Analyzer(perLang(l))
+  }
+
+  /** Folding chain (reference ICUFoldingFilter placement: tokenize →
+    * lowercase → fold → stop): tokens AND stop entries are folded, so
+    * "más"/"mas", "für"/"fur" all hit the same stop entry and accented
+    * and unaccented spellings of a content word index to one term. */
+  def foldingForLang(lang: String): Analyzer = lang match {
+    case "zh" | "ja" | "ko" => cjk // CJK bigrams carry no diacritics
+    case l => new Analyzer(perLang(l).map(Folding.fold), 255,
+      UAX29Tokenizer.tokenize, None, Map.empty, fold = true)
   }
 
   /** Stemming per-language chain (reference per-language analyzer shape:

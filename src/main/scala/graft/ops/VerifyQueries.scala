@@ -705,6 +705,31 @@ object VerifyQueries {
        |SELECT term, df FROM df WHERE term LIKE '%erge%'
        |ORDER BY df DESC, term LIMIT 10""".stripMargin
 
+  /** Diacritic folding parity (reference: ICUFoldingFilter /
+    * ASCIIFoldingFilter — the engine's [[graft.analysis.Folding]]): the
+    * corpus is ASCII, so the query MAKES accented variants of dictionary
+    * terms (the same `translate` on both sides) and folds them back —
+    * the engine's NFKD+strip-marks fold against DuckDB's independent
+    * strip_accents, term for term. */
+  def qFoldTerm(spark: SparkSession, sf: String): DataFrame = {
+    val dir = ensure(spark, sf)
+    import spark.implicits._
+    val accMap = "aeiounc".zip("áéíóúñç").toMap
+    spark.read.parquet(IndexPaths.termDict(dir))
+      .select(col("term"), col("df")).as[(String, Long)]
+      .map { case (t, df) =>
+        val accented = t.map(c => accMap.getOrElse(c, c))
+        (t, accented, graft.analysis.Folding.fold(accented), df)
+      }
+      .toDF("term", "accented", "folded", "df")
+      .orderBy(col("df").desc, col("term")).limit(50)
+  }
+  val oFoldTerm: String =
+    s"""$OracleCtes
+       |SELECT term, translate(term, 'aeiounc', 'áéíóúñç') AS accented,
+       |  strip_accents(translate(term, 'aeiounc', 'áéíóúñç')) AS folded, df
+       |FROM df ORDER BY df DESC, term LIMIT 50""".stripMargin
+
   /** AllGroupsCollector (reference:
     * Lucene.Net.Grouping/Term/TermAllGroupsCollector.cs): the number of
     * distinct group values among a query's hits. */
@@ -1223,6 +1248,7 @@ object VerifyQueries {
     "q_custom_score" -> qCustomScore _,
     "q_boosting" -> qBoosting _,
     "q_suggest_infix" -> qSuggestInfix _,
+    "q_fold_term" -> qFoldTerm _,
     "q_group_distinct" -> qGroupDistinct _,
     "q_group_facet" -> qGroupFacet _,
     "q_searchafter" -> qSearchAfter _,
@@ -1285,6 +1311,7 @@ object VerifyQueries {
     "q_custom_score" -> oCustomScore,
     "q_boosting" -> oBoosting,
     "q_suggest_infix" -> oSuggestInfix,
+    "q_fold_term" -> oFoldTerm,
     "q_group_distinct" -> oGroupDistinct,
     "q_group_facet" -> oGroupFacet,
     "q_searchafter" -> oSearchAfter,
