@@ -181,7 +181,9 @@ object Analyzer {
 
   /** Stemming per-language chain (reference per-language analyzer shape:
     * tokenize → lowercase → stop → stemmer): Porter for English,
-    * Savoy-style light stemmers for fr/es/de ([[LightStemmers]]);
+    * Savoy-style light stemmers for fr/es/de ([[LightStemmers]]),
+    * published Snowball algorithms for ru/pt/it/nl ([[SnowballRussian]],
+    * [[SnowballPortuguese]], [[SnowballItalian]], [[SnowballDutch]]);
     * languages without a stemmer fall back to the stop-only chain.
     * Opt-in, like [[englishStemming]] — the default index stays
     * unstemmed for exact-term parity. */

@@ -74,7 +74,12 @@ object LightStemmers {
     w
   }
 
+  /** Per-language stemmer registry: Porter (en), the light stemmers
+    * above (fr/es/de), and the full Snowball algorithms ([[SnowballRussian]]
+    * etc.) for ru/pt/it/nl. */
   val byLang: Map[String, String => String] = Map(
     "fr" -> french, "es" -> spanish, "de" -> german,
-    "en" -> PorterStemmer.stem)
+    "en" -> PorterStemmer.stem,
+    "ru" -> SnowballRussian.stem, "pt" -> SnowballPortuguese.stem,
+    "it" -> SnowballItalian.stem, "nl" -> SnowballDutch.stem)
 }

@@ -1,0 +1,605 @@
+package graft.analysis
+
+/** Snowball stemmers for Russian, Portuguese, Italian and Dutch — the
+  * published Snowball algorithms (M.F. Porter, "Snowball: A language for
+  * stemming algorithms", 2001; snowballstem.org per-language definitions),
+  * the same algorithm family the reference ships as generated Tartarus
+  * classes (Tartarus/Snowball/Ext/RussianStemmer.cs, PortugueseStemmer.cs,
+  * ItalianStemmer.cs, DutchStemmer.cs — consulted for the exact
+  * era-correct suffix tables and step conditions; re-expressed here as
+  * direct per-step functions over strings rather than a stack-machine
+  * interpreter). Validated against the official Snowball voc/output
+  * vectors (StemmerSpec, ~160k words across the four languages).
+  *
+  * Shared Snowball notions:
+  *  - R1: region after the first non-vowel following a vowel; R2: the
+  *    same, computed within R1; RV: language-specific verb region.
+  *  - Backward "among" matching picks the LONGEST listed suffix that
+  *    matches; if that entry's condition (R1/R2/RV/preceding-letter)
+  *    fails, the step fails without falling back to a shorter entry —
+  *    except where the match itself is region-limited (Russian's whole
+  *    backward pass, the Romance verb-suffix steps), where a too-long
+  *    candidate simply never matches and shorter entries stay in play.
+  *  - Deletions are destructive: a step that deletes and THEN fails a
+  *    later test keeps the deletion (Snowball `do`/`try` semantics).
+  *
+  * All stemmers expect lowercased input (they run after LowerCaseFilter).
+  */
+private[analysis] object SnowballRegions {
+
+  /** Position after the first [vowel followed by non-vowel] at or after
+    * `from`; `n` if not found. This is Snowball's `gopast v gopast non-v`. */
+  def regionAfterVC(w: String, from: Int, isVowel: Char => Boolean): Int = {
+    val n = w.length
+    var i = from
+    while (i < n && !isVowel(w.charAt(i))) i += 1
+    if (i >= n) return n
+    i += 1 // passed the vowel
+    while (i < n && isVowel(w.charAt(i))) i += 1
+    if (i >= n) return n
+    i + 1 // passed the non-vowel
+  }
+
+  /** Romance RV (Spanish/Portuguese/Italian definition): if the second
+    * letter is a consonant, after the next following vowel; if the first
+    * two letters are vowels, after the next consonant; otherwise
+    * (consonant-vowel) after the third letter. End of word if absent. */
+  def romanceRV(w: String, isVowel: Char => Boolean): Int = {
+    val n = w.length
+    if (n < 2) return n
+    def goPast(from: Int, in: Boolean): Int = { // position after first char with isVowel==in
+      var i = from
+      while (i < n && isVowel(w.charAt(i)) != in) i += 1
+      if (i >= n) n else i + 1
+    }
+    if (isVowel(w.charAt(0))) {
+      if (!isVowel(w.charAt(1))) goPast(2, in = true)
+      else goPast(2, in = false)
+    } else {
+      if (!isVowel(w.charAt(1))) goPast(2, in = true)
+      else if (n >= 3) 3
+      else n
+    }
+  }
+
+  /** Longest suffix of `w` from `entries` whose start index is >= `lb`
+    * (the backward matching limit; 0 = unrestricted). `entries` must be
+    * pre-sorted by length descending. Returns (suffix, code). */
+  def amongB(w: String, lb: Int, entries: Array[(String, Int)]): Option[(String, Int)] = {
+    var i = 0
+    while (i < entries.length) {
+      val (s, code) = entries(i)
+      if (w.length - s.length >= lb && w.endsWith(s)) return Some((s, code))
+      i += 1
+    }
+    None
+  }
+
+  def sortDesc(entries: Seq[(String, Int)]): Array[(String, Int)] =
+    entries.sortBy(-_._1.length).toArray
+}
+
+/** Russian Snowball stemmer (reference: Tartarus/Snowball/Ext/
+  * RussianStemmer.cs; published russian.sbl). Steps, all confined to RV
+  * (the region after the first vowel): perfective gerund OR
+  * (reflexive?, adjectival|verb|noun); drop final и; derivational
+  * ост/ость in R2; tidy (undouble нн, strip superlative ейш/ейше then
+  * undouble, drop soft sign). */
+object SnowballRussian {
+  import SnowballRegions._
+
+  private val V = "аеиоуыэюя".toSet
+  private def isV(c: Char) = V(c)
+
+  // group 1 entries require а/я immediately before (left in place)
+  private val Gerund = sortDesc(Seq(
+    "в" -> 1, "вши" -> 1, "вшись" -> 1,
+    "ив" -> 2, "ыв" -> 2, "ивши" -> 2, "ывши" -> 2, "ившись" -> 2, "ывшись" -> 2))
+  private val Adjective = sortDesc(Seq(
+    "ее", "ие", "ое", "ые", "ими", "ыми", "ей", "ий", "ой", "ый", "ем", "им",
+    "ом", "ым", "его", "ого", "ему", "ому", "их", "ых", "ею", "ою", "ую", "юю",
+    "ая", "яя").map(_ -> 1))
+  private val Participle = sortDesc(Seq(
+    "ем" -> 1, "нн" -> 1, "вш" -> 1, "щ" -> 1, "ющ" -> 1,
+    "ивш" -> 2, "ывш" -> 2, "ующ" -> 2))
+  private val Verb = sortDesc(Seq(
+    "ла" -> 1, "на" -> 1, "ете" -> 1, "йте" -> 1, "ли" -> 1, "й" -> 1, "л" -> 1,
+    "ем" -> 1, "н" -> 1, "ло" -> 1, "но" -> 1, "ет" -> 1, "ют" -> 1, "ны" -> 1,
+    "ть" -> 1, "ешь" -> 1, "нно" -> 1,
+    "ила" -> 2, "ыла" -> 2, "ена" -> 2, "ейте" -> 2, "уйте" -> 2, "ите" -> 2,
+    "или" -> 2, "ыли" -> 2, "ей" -> 2, "уй" -> 2, "ил" -> 2, "ыл" -> 2,
+    "им" -> 2, "ым" -> 2, "ен" -> 2, "ило" -> 2, "ыло" -> 2, "ено" -> 2,
+    "ят" -> 2, "ует" -> 2, "уют" -> 2, "ит" -> 2, "ыт" -> 2, "ены" -> 2,
+    "ить" -> 2, "ыть" -> 2, "ишь" -> 2, "ю" -> 2, "ую" -> 2))
+  private val Noun = sortDesc(Seq(
+    "а", "ев", "ов", "ие", "ье", "е", "иями", "ями", "ами", "еи", "ии", "и",
+    "ией", "ей", "ой", "ий", "й", "иям", "ям", "ием", "ем", "ам", "ом", "о",
+    "у", "ах", "иях", "ях", "ы", "ь", "ию", "ью", "ю", "ия", "ья", "я")
+    .map(_ -> 1))
+  private val Derivational = sortDesc(Seq("ост" -> 1, "ость" -> 1))
+  private val Tidy = sortDesc(Seq("ейше" -> 1, "ейш" -> 1, "н" -> 2, "ь" -> 3))
+
+  def stem(word: String): String = {
+    var w = word
+    val n = w.length
+    // mark regions: pV after first vowel; p2 after the second
+    // vowel-nonvowel sequence past pV
+    var i = 0
+    while (i < n && !isV(w.charAt(i))) i += 1
+    if (i >= n) return w // no vowel: RV empty, nothing ever matches
+    val pV = i + 1
+    i += 1
+    while (i < n && isV(w.charAt(i))) i += 1
+    var p2 = n
+    if (i < n) {
+      i += 1 // passed the non-vowel: that's p1 (unused by Russian)
+      p2 = regionAfterVC(w, i, isV)
+    }
+
+    // within-RV grouped among (gerund/participle/verb tables): code 1
+    // entries need а/я immediately before (left in place)
+    def groupDel(entries: Array[(String, Int)]): Boolean =
+      amongB(w, pV, entries) match {
+        case Some((s, 1)) =>
+          val j = w.length - s.length - 1
+          if (j >= pV && (w.charAt(j) == 'а' || w.charAt(j) == 'я')) {
+            w = w.substring(0, w.length - s.length); true
+          } else false
+        case Some((s, _)) => w = w.substring(0, w.length - s.length); true
+        case None => false
+      }
+    // plain within-RV delete (adjective/noun tables)
+    def plainDel(entries: Array[(String, Int)]): Boolean =
+      amongB(w, pV, entries) match {
+        case Some((s, _)) => w = w.substring(0, w.length - s.length); true
+        case None => false
+      }
+
+    // step 1: perfective gerund, else (reflexive?, adjectival|verb|noun)
+    if (!groupDel(Gerund)) {
+      amongB(w, pV, Array("ся" -> 1, "сь" -> 1)).foreach { case (s, _) =>
+        w = w.substring(0, w.length - s.length)
+      }
+      val adjectival = if (plainDel(Adjective)) {
+        groupDel(Participle) // try; failure keeps the adjective removal
+        true
+      } else false
+      if (!adjectival && !groupDel(Verb)) plainDel(Noun)
+    }
+
+    // step 2: final и
+    if (w.endsWith("и") && w.length - 1 >= pV) w = w.substring(0, w.length - 1)
+
+    // step 3: derivational, in R2
+    amongB(w, pV, Derivational).foreach { case (s, _) =>
+      if (w.length - s.length >= p2) w = w.substring(0, w.length - s.length)
+    }
+
+    // step 4: tidy up
+    amongB(w, pV, Tidy) match {
+      case Some((s, 1)) => // superlative; then undouble нн
+        w = w.substring(0, w.length - s.length)
+        if (w.endsWith("нн") && w.length - 2 >= pV) w = w.substring(0, w.length - 1)
+      case Some((_, 2)) => // matched final н: undouble only if нн
+        if (w.endsWith("нн") && w.length - 2 >= pV) w = w.substring(0, w.length - 1)
+      case Some((_, 3)) => w = w.substring(0, w.length - 1) // soft sign
+      case _ =>
+    }
+    w
+  }
+}
+
+/** Portuguese Snowball stemmer (reference: Tartarus/Snowball/Ext/
+  * PortugueseStemmer.cs; published portuguese.sbl). Nasal vowels ã/õ are
+  * spelt a~/o~ during the algorithm. */
+object SnowballPortuguese {
+  import SnowballRegions._
+
+  private val V = "aeiouáéíóúâêô".toSet
+  private def isV(c: Char) = V(c)
+
+  private val Standard = sortDesc(Seq(
+    "eza" -> 1, "ezas" -> 1, "ico" -> 1, "ica" -> 1, "icos" -> 1, "icas" -> 1,
+    "ismo" -> 1, "ismos" -> 1, "ável" -> 1, "ível" -> 1, "ista" -> 1,
+    "istas" -> 1, "oso" -> 1, "osa" -> 1, "osos" -> 1, "osas" -> 1,
+    "amento" -> 1, "amentos" -> 1, "imento" -> 1, "imentos" -> 1,
+    "adora" -> 1, "ador" -> 1, "aça~o" -> 1, "adoras" -> 1, "adores" -> 1,
+    "aço~es" -> 1, "ante" -> 1, "antes" -> 1, "ância" -> 1,
+    "logía" -> 2, "logías" -> 2,
+    "ución" -> 3, "uciones" -> 3,
+    "ência" -> 4, "ências" -> 4,
+    "amente" -> 5,
+    "mente" -> 6,
+    "idade" -> 7, "idades" -> 7,
+    "iva" -> 8, "ivo" -> 8, "ivas" -> 8, "ivos" -> 8,
+    "ira" -> 9, "iras" -> 9))
+  private val Verb = sortDesc(Seq(
+    "ada", "ida", "ia", "aria", "eria", "iria", "ara", "era", "ira", "ava",
+    "asse", "esse", "isse", "aste", "este", "iste", "ei", "arei", "erei",
+    "irei", "am", "iam", "ariam", "eriam", "iriam", "aram", "eram", "iram",
+    "avam", "em", "arem", "erem", "irem", "assem", "essem", "issem", "ado",
+    "ido", "ando", "endo", "indo", "ara~o", "era~o", "ira~o", "ar", "er",
+    "ir", "as", "adas", "idas", "ias", "arias", "erias", "irias", "aras",
+    "eras", "iras", "avas", "es", "ardes", "erdes", "irdes", "ares", "eres",
+    "ires", "asses", "esses", "isses", "astes", "estes", "istes", "is",
+    "ais", "eis", "areis", "ereis", "ireis", "áreis", "éreis", "íreis",
+    "ásseis", "ésseis", "ísseis", "áveis", "íeis", "aríeis", "eríeis",
+    "iríeis", "ados", "idos", "amos", "áramos", "éramos", "íramos",
+    "ávamos", "íamos", "aríamos", "eríamos", "iríamos", "emos", "aremos",
+    "eremos", "iremos", "ássemos", "êssemos", "íssemos", "imos", "armos",
+    "ermos", "irmos", "ámos", "arás", "erás", "irás", "eu", "iu", "ou",
+    "ará", "erá", "irá").map(_ -> 1))
+  private val Residual = sortDesc(
+    Seq("os", "a", "i", "o", "á", "í", "ó").map(_ -> 1))
+
+  def stem(word: String): String = {
+    var w = word.replace("ã", "a~").replace("õ", "o~")
+    val rv = romanceRV(w, isV)
+    val r1 = regionAfterVC(w, 0, isV)
+    val r2 = regionAfterVC(w, r1, isV)
+
+    def inR2(sufLen: Int) = w.length - sufLen >= r2
+    def inRV(sufLen: Int) = w.length - sufLen >= rv
+    def del(k: Int): Unit = w = w.substring(0, w.length - k)
+
+    // step 1: standard suffix (longest match; failed condition = step fails)
+    def standardSuffix(): Boolean = amongB(w, 0, Standard) match {
+      case Some((s, code)) => code match {
+        case 1 => if (inR2(s.length)) { del(s.length); true } else false
+        case 2 => if (inR2(s.length)) { w = w.substring(0, w.length - s.length) + "log"; true } else false
+        case 3 => if (inR2(s.length)) { w = w.substring(0, w.length - s.length) + "u"; true } else false
+        case 4 => if (inR2(s.length)) { w = w.substring(0, w.length - s.length) + "ente"; true } else false
+        case 5 => // amente: R1 delete; then ic/ad/os/iv chains in R2
+          if (w.length - s.length < r1) false
+          else {
+            del(s.length)
+            amongB(w, 0, sortDesc(Seq("ic" -> 0, "ad" -> 0, "os" -> 0, "iv" -> 1))) match {
+              case Some((p, c)) if inR2(p.length) =>
+                del(p.length)
+                if (c == 1 && w.endsWith("at") && inR2(2)) del(2)
+              case _ =>
+            }
+            true
+          }
+        case 6 => // mente: R2 delete; then ante/avel/ível in R2
+          if (!inR2(s.length)) false
+          else {
+            del(s.length)
+            amongB(w, 0, sortDesc(Seq("ante" -> 1, "avel" -> 1, "ível" -> 1))) match {
+              case Some((p, _)) if inR2(p.length) => del(p.length)
+              case _ =>
+            }
+            true
+          }
+        case 7 => // idade(s): R2 delete; then ic/abil/iv in R2
+          if (!inR2(s.length)) false
+          else {
+            del(s.length)
+            amongB(w, 0, sortDesc(Seq("ic" -> 1, "abil" -> 1, "iv" -> 1))) match {
+              case Some((p, _)) if inR2(p.length) => del(p.length)
+              case _ =>
+            }
+            true
+          }
+        case 8 => // iva/ivo(s): R2 delete; then at in R2
+          if (!inR2(s.length)) false
+          else {
+            del(s.length)
+            if (w.endsWith("at") && inR2(2)) del(2)
+            true
+          }
+        case 9 => // (e)ira(s) -> (e)ir: RV, preceded by e
+          if (inRV(s.length) && w.length - s.length >= 1 &&
+              w.charAt(w.length - s.length - 1) == 'e') {
+            w = w.substring(0, w.length - s.length) + "ir"; true
+          } else false
+      }
+      case None => false
+    }
+
+    // step 2: verb suffixes, matched entirely within RV
+    def verbSuffix(): Boolean = amongB(w, rv, Verb) match {
+      case Some((s, _)) => del(s.length); true
+      case None => false
+    }
+
+    val s12 = standardSuffix() || verbSuffix()
+    if (s12) {
+      // step 3: final i preceded by c (the era's definition carries no RV
+      // guard here — PortugueseStemmer.cs r_stem step 3)
+      if (w.endsWith("ci")) del(1)
+    } else {
+      // step 4: residual suffix in RV
+      amongB(w, 0, Residual) match {
+        case Some((s, _)) if inRV(s.length) => del(s.length)
+        case _ =>
+      }
+    }
+
+    // step 5: residual form
+    amongB(w, 0, sortDesc(Seq("e" -> 1, "é" -> 1, "ê" -> 1, "ç" -> 2))) match {
+      case Some((s, 1)) if inRV(s.length) =>
+        del(s.length)
+        if (w.endsWith("gu") && inRV(1)) del(1)
+        else if (w.endsWith("ci") && inRV(1)) del(1)
+      case Some((_, 2)) => w = w.substring(0, w.length - 1) + "c"
+      case _ =>
+    }
+
+    w.replace("a~", "ã").replace("o~", "õ")
+  }
+}
+
+/** Italian Snowball stemmer (reference: Tartarus/Snowball/Ext/
+  * ItalianStemmer.cs; published italian.sbl). The prelude marks u-after-q
+  * and u/i between vowels as U/I so they are consonants for the steps. */
+object SnowballItalian {
+  import SnowballRegions._
+
+  private val V = "aeiouàèìòù".toSet
+  private def isV(c: Char) = V(c)
+
+  private val Pronoun = sortDesc(Seq(
+    "ci", "gli", "la", "le", "li", "lo", "mi", "ne", "si", "ti", "vi",
+    "sene", "gliela", "gliele", "glieli", "glielo", "gliene", "mela",
+    "mele", "meli", "melo", "mene", "tela", "tele", "teli", "telo", "tene",
+    "cela", "cele", "celi", "celo", "cene", "vela", "vele", "veli", "velo",
+    "vene").map(_ -> 1))
+  private val PronounPrev = sortDesc(Seq(
+    "ando" -> 1, "endo" -> 1, "ar" -> 2, "er" -> 2, "ir" -> 2))
+  private val Standard = sortDesc(Seq(
+    "anza" -> 1, "anze" -> 1, "ico" -> 1, "ici" -> 1, "ica" -> 1, "ice" -> 1,
+    "iche" -> 1, "ichi" -> 1, "ismo" -> 1, "ismi" -> 1, "abile" -> 1,
+    "abili" -> 1, "ibile" -> 1, "ibili" -> 1, "ista" -> 1, "iste" -> 1,
+    "isti" -> 1, "istà" -> 1, "istè" -> 1, "istì" -> 1, "oso" -> 1,
+    "osi" -> 1, "osa" -> 1, "ose" -> 1, "mente" -> 1, "atrice" -> 1,
+    "atrici" -> 1, "ante" -> 1, "anti" -> 1,
+    "azione" -> 2, "azioni" -> 2, "atore" -> 2, "atori" -> 2,
+    "logia" -> 3, "logie" -> 3,
+    "uzione" -> 4, "uzioni" -> 4, "usione" -> 4, "usioni" -> 4,
+    "enza" -> 5, "enze" -> 5,
+    "amento" -> 6, "amenti" -> 6, "imento" -> 6, "imenti" -> 6,
+    "amente" -> 7,
+    "ità" -> 8,
+    "ivo" -> 9, "ivi" -> 9, "iva" -> 9, "ive" -> 9))
+  private val Verb = sortDesc(Seq(
+    "isca", "enda", "ata", "ita", "uta", "ava", "eva", "iva", "erebbe",
+    "irebbe", "isce", "ende", "are", "ere", "ire", "asse", "ate", "avate",
+    "evate", "ivate", "ete", "erete", "irete", "ite", "ereste", "ireste",
+    "ute", "erai", "irai", "isci", "endi", "erei", "irei", "assi", "ati",
+    "iti", "eresti", "iresti", "uti", "avi", "evi", "ivi", "isco", "ando",
+    "endo", "Yamo", "iamo", "avamo", "evamo", "ivamo", "eremo", "iremo",
+    "assimo", "ammo", "emmo", "eremmo", "iremmo", "immo", "ano", "iscano",
+    "avano", "evano", "ivano", "eranno", "iranno", "ono", "iscono",
+    "arono", "erono", "irono", "erebbero", "irebbero", "assero", "essero",
+    "issero", "ato", "ito", "uto", "avo", "evo", "ivo", "ar", "ir", "erà",
+    "irà", "erò", "irò").map(_ -> 1))
+
+  private def prelude(word: String): String = {
+    val w = word.map {
+      case 'á' => 'à'; case 'é' => 'è'; case 'í' => 'ì'
+      case 'ó' => 'ò'; case 'ú' => 'ù'; case c => c
+    }.replace("qu", "qU")
+    val a = w.toCharArray
+    var i = 1
+    while (i < a.length - 1) {
+      if (isV(a(i - 1)) && isV(a(i + 1))) {
+        if (a(i) == 'u') a(i) = 'U' else if (a(i) == 'i') a(i) = 'I'
+      }
+      i += 1
+    }
+    new String(a)
+  }
+
+  def stem(word: String): String = {
+    var w = prelude(word)
+    val rv = romanceRV(w, isV)
+    val r1 = regionAfterVC(w, 0, isV)
+    val r2 = regionAfterVC(w, r1, isV)
+
+    def inR2(k: Int) = w.length - k >= r2
+    def inRV(k: Int) = w.length - k >= rv
+    def del(k: Int): Unit = w = w.substring(0, w.length - k)
+
+    // step 0: attached pronoun — preceded by ando/endo (delete) or
+    // ar/er/ir (replace with e), the preceding part in RV
+    amongB(w, 0, Pronoun).foreach { case (p, _) =>
+      val base = w.substring(0, w.length - p.length)
+      amongB(base, 0, PronounPrev) match {
+        case Some((q, code)) if base.length - q.length >= rv =>
+          if (code == 1) w = base // ando/endo: drop the pronoun
+          else w = base + "e" // ar/er/ir: pronoun becomes e
+        case _ =>
+      }
+    }
+
+    // step 1: standard suffixes
+    def standardSuffix(): Boolean = amongB(w, 0, Standard) match {
+      case Some((s, code)) => code match {
+        case 1 => if (inR2(s.length)) { del(s.length); true } else false
+        case 2 => // azione/atore family: R2 delete, then ic in R2
+          if (!inR2(s.length)) false
+          else { del(s.length); if (w.endsWith("ic") && inR2(2)) del(2); true }
+        case 3 => if (inR2(s.length)) { w = w.substring(0, w.length - s.length) + "log"; true } else false
+        case 4 => if (inR2(s.length)) { w = w.substring(0, w.length - s.length) + "u"; true } else false
+        case 5 => if (inR2(s.length)) { w = w.substring(0, w.length - s.length) + "ente"; true } else false
+        case 6 => if (inRV(s.length)) { del(s.length); true } else false // amento family
+        case 7 => // amente: R1 delete; then iv(at)/os/ic/abil in R2
+          if (w.length - s.length < r1) false
+          else {
+            del(s.length)
+            amongB(w, 0, sortDesc(Seq("ic" -> 0, "abil" -> 0, "os" -> 0, "iv" -> 1))) match {
+              case Some((p, c)) if inR2(p.length) =>
+                del(p.length)
+                if (c == 1 && w.endsWith("at") && inR2(2)) del(2)
+              case _ =>
+            }
+            true
+          }
+        case 8 => // ità: R2 delete; then ic/abil/iv in R2
+          if (!inR2(s.length)) false
+          else {
+            del(s.length)
+            amongB(w, 0, sortDesc(Seq("ic" -> 1, "abil" -> 1, "iv" -> 1))) match {
+              case Some((p, _)) if inR2(p.length) => del(p.length)
+              case _ =>
+            }
+            true
+          }
+        case 9 => // ivo/ivi/iva/ive: R2 delete; then at in R2, then ic in R2
+          if (!inR2(s.length)) false
+          else {
+            del(s.length)
+            if (w.endsWith("at") && inR2(2)) {
+              del(2)
+              if (w.endsWith("ic") && inR2(2)) del(2)
+            }
+            true
+          }
+      }
+      case None => false
+    }
+
+    // step 2: verb suffixes, matched entirely within RV
+    def verbSuffix(): Boolean = amongB(w, rv, Verb) match {
+      case Some((s, _)) => del(s.length); true
+      case None => false
+    }
+
+    if (!standardSuffix()) verbSuffix()
+
+    // step 3a: final vowel (and a preceding i), in RV
+    val last = if (w.nonEmpty) w.charAt(w.length - 1) else ' '
+    if ("aeioàèìò".indexOf(last.toInt) >= 0 && inRV(1)) {
+      del(1)
+      if (w.endsWith("i") && inRV(1)) del(1)
+    }
+    // step 3b: ch/gh -> c/g; the backward cursor sits before the c/g when
+    // RV is tested, so the c/g itself must lie in RV
+    if ((w.endsWith("ch") || w.endsWith("gh")) && inRV(2)) del(1)
+
+    w.map { case 'I' => 'i'; case 'U' => 'u'; case c => c }
+  }
+}
+
+/** Dutch Snowball stemmer (reference: Tartarus/Snowball/Ext/
+  * DutchStemmer.cs; published dutch.sbl). The prelude folds umlauts and
+  * acutes and marks consonantal i/y as I/Y; R1 starts no earlier than
+  * position 3; en/e removals undouble a final dd/kk/tt. */
+object SnowballDutch {
+  import SnowballRegions._
+
+  private val V = "aeiouyè".toSet
+  private def isV(c: Char) = V(c)
+
+  private def prelude(word: String): String = {
+    val folded = word.map {
+      case 'á' | 'ä' => 'a'; case 'é' | 'ë' => 'e'; case 'í' | 'ï' => 'i'
+      case 'ó' | 'ö' => 'o'; case 'ú' | 'ü' => 'u'; case c => c
+    }
+    val a = folded.toCharArray
+    if (a.nonEmpty && a(0) == 'y') a(0) = 'Y'
+    var i = 1
+    while (i < a.length) {
+      if (isV(a(i - 1))) {
+        if (a(i) == 'i' && i + 1 < a.length && isV(a(i + 1))) a(i) = 'I'
+        else if (a(i) == 'y') a(i) = 'Y'
+      }
+      i += 1
+    }
+    new String(a)
+  }
+
+  def stem(word: String): String = {
+    var w = prelude(word)
+    var r1 = regionAfterVC(w, 0, isV)
+    if (r1 < 3) r1 = 3 // at least 3 letters before R1
+    val r2 = regionAfterVC(w, regionAfterVC(w, 0, isV), isV)
+
+    var eFound = false
+    def inR1(k: Int) = w.length - k >= r1
+    def inR2(k: Int) = w.length - k >= r2
+    def del(k: Int): Unit = w = w.substring(0, w.length - k)
+
+    // undouble a final dd/kk/tt (after en/e removal)
+    def undouble(): Unit = {
+      if (w.endsWith("dd") || w.endsWith("kk") || w.endsWith("tt")) del(1)
+    }
+    // en/ene: R1, preceded by a non-vowel, and not by "gem"
+    def enEnding(sufLen: Int): Boolean = {
+      val j = w.length - sufLen - 1
+      if (inR1(sufLen) && j >= 0 && !isV(w.charAt(j)) &&
+          !w.regionMatches(w.length - sufLen - 3, "gem", 0, 3)) {
+        del(sufLen); undouble(); true
+      } else false
+    }
+    // e: R1, preceded by a non-vowel
+    def eEnding(): Boolean = {
+      eFound = false
+      val j = w.length - 2
+      if (w.endsWith("e") && inR1(1) && j >= 0 && !isV(w.charAt(j))) {
+        del(1); eFound = true; undouble(); true
+      } else false
+    }
+
+    // step 1
+    amongB(w, 0, sortDesc(Seq(
+      "heden" -> 1, "ene" -> 2, "en" -> 2, "se" -> 3, "s" -> 3))) match {
+      case Some((s, 1)) =>
+        if (inR1(s.length)) w = w.substring(0, w.length - s.length) + "heid"
+      case Some((s, 2)) => enEnding(s.length)
+      case Some((s, 3)) => // valid s-ending: a non-vowel other than j
+        val j = w.length - s.length - 1
+        if (inR1(s.length) && j >= 0 && !isV(w.charAt(j)) && w.charAt(j) != 'j')
+          del(s.length)
+      case _ =>
+    }
+
+    // step 2
+    eEnding()
+
+    // step 3a: heid (R2, not after c), then en
+    if (w.endsWith("heid") && inR2(4) &&
+        !(w.length >= 5 && w.charAt(w.length - 5) == 'c')) {
+      del(4)
+      if (w.endsWith("en")) enEnding(2)
+    }
+
+    // step 3b: d-suffixes
+    amongB(w, 0, sortDesc(Seq(
+      "end" -> 1, "ing" -> 1, "ig" -> 2, "lijk" -> 3, "baar" -> 4,
+      "bar" -> 5))) match {
+      case Some((s, 1)) =>
+        if (inR2(s.length)) {
+          del(s.length)
+          if (w.endsWith("ig") && inR2(2) &&
+              !(w.length >= 3 && w.charAt(w.length - 3) == 'e')) del(2)
+          else undouble()
+        }
+      case Some((s, 2)) =>
+        if (inR2(s.length) &&
+            !(w.length - s.length >= 1 && w.charAt(w.length - s.length - 1) == 'e'))
+          del(s.length)
+      case Some((s, 3)) =>
+        if (inR2(s.length)) { del(s.length); eEnding() }
+      case Some((s, 4)) =>
+        if (inR2(s.length)) del(s.length)
+      case Some((s, 5)) =>
+        if (inR2(s.length) && eFound) del(s.length)
+      case _ =>
+    }
+
+    // step 4: undouble vowel — CVD with C non-vowel, V in aa/ee/oo/uu,
+    // D a non-vowel other than I
+    if (w.length >= 4) {
+      val d = w.charAt(w.length - 1)
+      val v1 = w.charAt(w.length - 2); val v0 = w.charAt(w.length - 3)
+      val c = w.charAt(w.length - 4)
+      if (!isV(d) && d != 'I' && v1 == v0 && "aeou".indexOf(v1.toInt) >= 0 &&
+          !isV(c))
+        w = w.substring(0, w.length - 2) + d
+    }
+
+    w.map { case 'Y' => 'y'; case 'I' => 'i'; case c => c }
+  }
+}

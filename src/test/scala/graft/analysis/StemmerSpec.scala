@@ -62,6 +62,37 @@ class StemmerSpec extends AnyFunSuite {
     assert(bad.isEmpty, s"${bad.length} mismatches; first 10:\n${bad.take(10).mkString("\n")}")
   }
 
+  test("snowball ru/pt/it/nl: full official vocabularies when the archive is present") {
+    val zipPath = new java.io.File("/root/reference/src/" +
+      "Lucene.Net.Tests.Analysis.Common/Analysis/Snowball/TestSnowballVocabData.zip")
+    assume(zipPath.exists(), "reference test archive unavailable")
+    val zf = new java.util.zip.ZipFile(zipPath)
+    def lines(name: String): Seq[String] = {
+      val e = zf.getEntry(name)
+      val src = scala.io.Source.fromInputStream(zf.getInputStream(e), "UTF-8")
+      try src.getLines().map(_.trim).filter(_.nonEmpty).toList finally src.close()
+    }
+    val langs: Seq[(String, String => String)] = Seq(
+      "russian" -> SnowballRussian.stem,
+      "portuguese" -> SnowballPortuguese.stem,
+      "italian" -> SnowballItalian.stem,
+      "dutch" -> SnowballDutch.stem)
+    val report = langs.map { case (lang, stem) =>
+      val voc = lines(s"$lang/voc.txt")
+      val out = lines(s"$lang/output.txt")
+      assert(voc.length === out.length, s"$lang vector count")
+      val bad = voc.zip(out).collect {
+        case (v, o) if stem(v) != o => s"$v -> ${stem(v)} (want $o)"
+      }
+      (lang, voc.length, bad)
+    }
+    zf.close()
+    val failing = report.filter(_._3.nonEmpty)
+    assert(failing.isEmpty, failing.map { case (l, n, bad) =>
+      s"$l: ${bad.length}/$n mismatches; first 10:\n${bad.take(10).mkString("\n")}"
+    }.mkString("\n\n"))
+  }
+
   test("stemmed index build: morphological variants unify for recall") {
     import graft.build.IndexBuilder
     import graft.search.{IndexReader, Searcher, TermQ, PhraseQ}
@@ -138,6 +169,16 @@ class StemmerSpec extends AnyFunSuite {
     assert(de.analyzeTerms("die Häuser").toSeq === Seq("haus"))
     val en = Analyzer.stemmingForLang("en")
     assert(en.analyzeTerms("merging branches").toSeq === Seq("merg", "branch"))
+    // Snowball languages: stop filter drops function words, stemmer
+    // conflates inflection (outputs match the official vocab pairs)
+    val ru = Analyzer.stemmingForLang("ru")
+    assert(ru.analyzeTerms("не авторы книги").toSeq === Seq("автор", "книг"))
+    val pt = Analyzer.stemmingForLang("pt")
+    assert(pt.analyzeTerms("as bibliotecas digitais").toSeq === Seq("bibliotec", "digit"))
+    val it = Analyzer.stemmingForLang("it")
+    assert(it.analyzeTerms("le abbandonate").toSeq === Seq("abbandon"))
+    val nl = Analyzer.stemmingForLang("nl")
+    assert(nl.analyzeTerms("de lichamelijke").toSeq === Seq("licham"))
     // unknown language: stop-only fallback, no stemmer
     val zz = Analyzer.stemmingForLang("zz")
     assert(zz.analyzeTerms("running dogs").toSeq === Seq("running", "dogs"))
