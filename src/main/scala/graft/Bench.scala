@@ -177,6 +177,10 @@ object Bench {
     val bwEff28 = leg8s.bw / (4.0 * bw2)
     val eff28 = thru8s / (4.0 * thru2)
     val normEff28 = if (ceiling28 > 0) eff28 / ceiling28 else eff28
+    // like efficiency_vs_membw_8_32: the 2→8 ratio against the SAME
+    // window's measured bandwidth wall — ~1.0 means the build scales as
+    // well as the memory system does between those core counts
+    val eff28VsWall = if (bwEff28 > 0) eff28 / bwEff28 else eff28
 
     // ---- query timings at 4N over the driver's sf dir ----
     val spark = session(n4Cores)
@@ -218,6 +222,7 @@ object Bench {
         f""""efficiency_2_8_vs_ceiling":$normEff28%.3f,""" +
         f""""membw_gbps_2":$bw2%.1f,""" +
         f""""membw_scaling_ceiling_2_8":$bwEff28%.3f,""" +
+        f""""efficiency_2_8_vs_membw":$eff28VsWall%.3f,""" +
         f""""efficiency_vs_membw_8_32":$effVsWall%.3f,""" +
         f""""flush_efficiency_vs_membw_8_32":$flushEffVsWall%.3f,""" +
         "\"legs\":" + legs.map(_.json).mkString("[", ",", "]") + "}"

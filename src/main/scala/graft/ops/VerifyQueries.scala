@@ -705,6 +705,56 @@ object VerifyQueries {
        |SELECT term, df FROM df WHERE term LIKE '%erge%'
        |ORDER BY df DESC, term LIMIT 10""".stripMargin
 
+  /** BlendedInfixSuggester (reference: Suggest/Analyzing/
+    * BlendedInfixSuggester.cs, POSITION_RECIPROCAL blender): infix
+    * completions ranked by df × 1/position instead of raw df — an early
+    * match of the fragment outranks an equally-popular late one. */
+  def qSuggestBlended(spark: SparkSession, sf: String): DataFrame = {
+    val dir = ensure(spark, sf)
+    graft.search.Suggest.completeBlended(
+      new graft.search.IndexReader(spark, dir), "erge", 10)
+      .orderBy(col("score").desc, col("term"))
+  }
+  val oSuggestBlended: String =
+    s"""$OracleCtes
+       |SELECT term, df, round(df * 1.0e0 / instr(term, 'erge'), 6) AS score
+       |FROM df WHERE term LIKE '%erge%'
+       |ORDER BY score DESC, term LIMIT 10""".stripMargin
+
+  /** FreeTextSuggester (reference: Suggest/Analyzing/
+    * FreeTextSuggester.cs): next-word completion from a bigram model
+    * with stupid-backoff (ALPHA=0.4) to the unigram model; the oracle
+    * rebuilds the identical model from the same token stream. */
+  def qSuggestFreetext(spark: SparkSession, sf: String): DataFrame = {
+    val tokens = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"),
+        expr("regexp_extract_all(lower(text), '[a-z0-9_]+', 0)").as("terms"))
+    graft.search.Suggest.freeText(tokens, "hash", 10)
+      .orderBy(col("score").desc, col("word"))
+  }
+  val oSuggestFreetext: String =
+    s"""WITH pos AS (
+       |  SELECT doc_id, CAST(generate_subscripts(ts, 1) AS BIGINT) AS p, unnest(ts) AS t
+       |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS ts FROM documents)
+       |), pairs AS (
+       |  SELECT a.doc_id, a.t AS t1, b.t AS t2
+       |  FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+       |), big AS (
+       |  SELECT t2 AS word, CAST(count(*) AS BIGINT) AS c12 FROM pairs
+       |  WHERE t1 = 'hash' GROUP BY 1
+       |), c1 AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS c FROM pairs WHERE t1 = 'hash'
+       |), uni AS (
+       |  SELECT t AS word, CAST(count(*) AS BIGINT) AS cw FROM pos GROUP BY 1
+       |), tot AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n FROM pos
+       |)
+       |SELECT word, round(CASE WHEN b.c12 IS NOT NULL
+       |    THEN b.c12 * 1.0e0 / c1.c
+       |    ELSE 0.4e0 * u.cw * 1.0e0 / tot.n END, 6) AS score
+       |FROM uni u LEFT JOIN big b USING (word) CROSS JOIN c1 CROSS JOIN tot
+       |ORDER BY score DESC, word LIMIT 10""".stripMargin
+
   /** Diacritic folding parity (reference: ICUFoldingFilter /
     * ASCIIFoldingFilter — the engine's [[graft.analysis.Folding]]): the
     * corpus is ASCII, so the query MAKES accented variants of dictionary
@@ -920,6 +970,31 @@ object VerifyQueries {
        |    row_number() OVER (PARTITION BY d.lang ORDER BY s.score DESC, s.doc_id) AS rn
        |  FROM scored s JOIN documents d USING (doc_id))
        |WHERE rn <= 2 ORDER BY lang, rn""".stripMargin
+
+  /** Search-after WITHIN groups (reference:
+    * Lucene.Net.Grouping/AbstractSecondPassGroupingCollector.cs +
+    * GroupingSearch paging — the page after each group's top-2): rows
+    * 3..4 per group in (score desc, doc_id) order, i.e. page 2 with the
+    * page-1 cursor already consumed. Same window shape as q_group_top2 —
+    * pagination is a predicate on the rank, not a re-sort. */
+  def qGroupSearchAfter(spark: SparkSession, sf: String): DataFrame = {
+    val dir = ensure(spark, sf)
+    val langs = spark.read.parquet(IndexPaths.docstats(dir))
+      .select(col("docId").as("doc_id"), col("lang"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("score").desc, col("doc_id"))
+    scoredHits(spark, sf, Seq("merge")).join(broadcast(langs), Seq("doc_id"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") > 2 && col("rn") <= 4)
+      .select(col("lang"), col("doc_id"), col("rn")).orderBy(col("lang"), col("rn"))
+  }
+  val oGroupSearchAfter: String =
+    s"""${oracleScored(Seq("merge"))}
+       |SELECT lang, doc_id, rn FROM (
+       |  SELECT d.lang, s.doc_id,
+       |    row_number() OVER (PARTITION BY d.lang ORDER BY s.score DESC, s.doc_id) AS rn
+       |  FROM scored s JOIN documents d USING (doc_id))
+       |WHERE rn > 2 AND rn <= 4 ORDER BY lang, rn""".stripMargin
 
   /** MoreLikeThis: top-5 tf·idf terms of one doc → the OR-query seeds. */
   def qMltTerms(spark: SparkSession, sf: String): DataFrame = {
@@ -1248,8 +1323,11 @@ object VerifyQueries {
     "q_custom_score" -> qCustomScore _,
     "q_boosting" -> qBoosting _,
     "q_suggest_infix" -> qSuggestInfix _,
+    "q_suggest_blended" -> qSuggestBlended _,
+    "q_suggest_freetext" -> qSuggestFreetext _,
     "q_fold_term" -> qFoldTerm _,
     "q_group_distinct" -> qGroupDistinct _,
+    "q_group_searchafter" -> qGroupSearchAfter _,
     "q_group_facet" -> qGroupFacet _,
     "q_searchafter" -> qSearchAfter _,
     "q_prefix_df" -> qPrefixDf _,
@@ -1311,8 +1389,11 @@ object VerifyQueries {
     "q_custom_score" -> oCustomScore,
     "q_boosting" -> oBoosting,
     "q_suggest_infix" -> oSuggestInfix,
+    "q_suggest_blended" -> oSuggestBlended,
+    "q_suggest_freetext" -> oSuggestFreetext,
     "q_fold_term" -> oFoldTerm,
     "q_group_distinct" -> oGroupDistinct,
+    "q_group_searchafter" -> oGroupSearchAfter,
     "q_group_facet" -> oGroupFacet,
     "q_searchafter" -> oSearchAfter,
     "q_prefix_df" -> oPrefixDf,

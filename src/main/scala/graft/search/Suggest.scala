@@ -97,6 +97,21 @@ object Suggest {
       .select(col("term"), col("df")).distinct()
       .orderBy(col("df").desc, col("term")).limit(k)
 
+  /** Blended infix completion (reference: Suggest/Analyzing/
+    * BlendedInfixSuggester.cs — the hit weight is blended with a
+    * position coefficient so early matches of the fragment outrank
+    * equally-popular later ones; POSITION_RECIPROCAL: coef = 1/(p+1)).
+    * `instr` is 1-based, so df/instr IS df × 1/(position+1) — one pure
+    * column expression, same contains-scan (or [[suffixTable]] probe at
+    * dictionary scale) as [[completeInfix]]. */
+  def completeBlended(reader: IndexReader, fragment: String, k: Int): DataFrame =
+    reader.termDict
+      .where(col("term").contains(fragment))
+      .select(col("term"), col("df"),
+        round(col("df").cast("double") / instr(col("term"), fragment), 6)
+          .as("score"))
+      .orderBy(col("score").desc, col("term")).limit(k)
+
   /** "Did you mean": nearest dictionary terms by edit distance, ties by
     * higher df then term (SpellChecker's distance-then-popularity
     * ranking). The candidate scan is length-banded (|len(t)-len(q)| <=
@@ -111,6 +126,49 @@ object Suggest {
         levenshtein(col("term"), lit(term)).as("dist"))
       .where(col("dist") <= maxEdits && col("dist") > 0)
       .orderBy(col("dist"), col("df").desc, col("term")).limit(k)
+
+  /** Free-text (n-gram language model) suggestion (reference:
+    * Suggest/Analyzing/FreeTextSuggester.cs — an n-gram model over the
+    * corpus token stream ranks next-word continuations, backing off to
+    * lower orders with ALPHA=0.4 "stupid backoff", Brants et al. 2007;
+    * documents are separate n-gram streams, no cross-doc grams).
+    *
+    * Spark-first shape: the model is two map-side-combinable aggregates
+    * over the analyzed token stream — bigram counts (doc-local `lead`
+    * window: partitions are doc-sized, no global window) and unigram
+    * counts — and scoring one context is an equi-join of the vocabulary
+    * against that context's bigram row-group plus two scalar broadcasts.
+    * Every stage is a pure column expression; scales like any
+    * count-aggregation over the corpus.
+    *
+    * @param tokens (doc_id, terms array&lt;string&gt;) — the analyzed
+    *               token stream, any analyzer
+    * @return (word, score) — P(word|context) where the bigram exists,
+    *         else ALPHA × P(word); top-k by (score desc, word)
+    */
+  def freeText(tokens: DataFrame, context: String, k: Int,
+               alpha: Double = 0.4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pos = tokens.select(col("doc_id"),
+      posexplode(col("terms")).as(Seq("p", "t")))
+    val pairs = pos
+      .withColumn("next", lead(col("t"), 1)
+        .over(Window.partitionBy(col("doc_id")).orderBy(col("p"))))
+      .where(col("next").isNotNull)
+    val ctx = pairs.where(col("t") === context)
+    val big = ctx.groupBy(col("next").as("word")).agg(count(lit(1)).as("c12"))
+    val c1 = ctx.agg(count(lit(1)).as("c1"))
+    val uni = pos.groupBy(col("t").as("word")).agg(count(lit(1)).as("cw"))
+    val tot = pos.agg(count(lit(1)).as("n"))
+    uni.join(big, Seq("word"), "left")
+      .crossJoin(broadcast(c1)).crossJoin(broadcast(tot))
+      .select(col("word"),
+        round(when(col("c12").isNotNull,
+            col("c12").cast("double") / col("c1"))
+          .otherwise(lit(alpha) * col("cw").cast("double") / col("n")), 6)
+          .as("score"))
+      .orderBy(col("score").desc, col("word")).limit(k)
+  }
 
   /** Range-banding conjunct for a fuzzy dictionary probe — a sound
     * superset of the match set as parquet-prunable term ranges

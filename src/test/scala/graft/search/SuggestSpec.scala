@@ -85,6 +85,38 @@ class SuggestSpec extends AnyFunSuite {
     assert(gf === Map(("en", "s1") -> 2L, ("en", "s2") -> 1L, ("fr", "s1") -> 1L))
   }
 
+  test("blended infix: position-reciprocal coefficient reorders equal-df terms") {
+    val rows = Suggest.completeBlended(reader, "e", 10)
+      .collect().map(r => (r.getString(0), r.getDouble(2)))
+    // merg df=2 e@2 → 1.0; merchant/repeat/vector df=1 e@2 → 0.5;
+    // often e@4 → 0.25; happen e@5 → 0.2 — same-df terms ranked by how
+    // early the fragment appears, which raw-df infix ranking can't do
+    assert(rows.take(6).toSeq === Seq(("merg", 1.0), ("merchant", 0.5),
+      ("repeat", 0.5), ("vector", 0.5), ("often", 0.25), ("happen", 0.2)))
+  }
+
+  test("free-text: bigram probability with stupid-backoff to unigrams") {
+    import spark.implicits._
+    val tokens = Seq(
+      (1L, Seq("a", "b", "c")),
+      (2L, Seq("a", "b", "d")),
+      (3L, Seq("x", "b"))).toDF("doc_id", "terms")
+    val rows = Suggest.freeText(tokens, "a", 10)
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    // bigram (a,b) twice out of c1=2 → P(b|a)=1.0; everything else backs
+    // off to 0.4 × unigram: a 0.4·2/8=0.1, b?—has the bigram, c/d/x 0.05
+    assert(rows.head === ("b", 1.0))
+    assert(rows(1) === ("a", 0.1))
+    assert(rows.drop(2).toSeq === Seq(("c", 0.05), ("d", 0.05), ("x", 0.05)))
+    // no cross-document bigram: doc1 ends "c", doc2 starts "a" — if the
+    // stream were global, (c,a) would exist; "c" as context must back off
+    val cCtx = Suggest.freeText(tokens, "c", 3)
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    // pure backoff scores: 0.4 × cw/8 — b(3)=0.15 top, not 1.0
+    assert(cCtx.head === ("b", 0.15))
+    assert(cCtx.forall(_._2 < 0.2), s"c has no continuations: ${cCtx.toSeq}")
+  }
+
   test("fuzzy completion == unbanded full-scan result") {
     val banded = Suggest.completeFuzzy(reader, "nerg", 1, 100)
       .collect().map(r => (r.getString(0), r.getInt(2))).toSeq
