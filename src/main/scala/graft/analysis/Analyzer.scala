@@ -141,6 +141,21 @@ object Analyzer {
     "de", "en", "van", "ik", "te", "dat", "die", "in", "een", "hij",
     "het", "niet", "zijn", "is", "was", "op", "aan", "met", "als", "voor",
     "had", "er", "maar", "om", "hem", "dan", "zou", "of", "wat", "mijn")
+  val DanishStopWords: Set[String] = Set(
+    "og", "i", "jeg", "det", "at", "en", "den", "til", "er", "som", "på",
+    "de", "med", "han", "af", "for", "ikke", "der", "var", "mig", "sig",
+    "men", "et", "har", "om", "vi", "min", "havde", "ham", "hun", "nu",
+    "over", "da", "fra", "du", "ud", "sin", "dem", "os", "op", "man")
+  val NorwegianStopWords: Set[String] = Set(
+    "og", "i", "jeg", "det", "at", "en", "et", "den", "til", "er", "som",
+    "på", "de", "med", "han", "av", "ikke", "der", "så", "var", "meg",
+    "seg", "men", "har", "om", "vi", "min", "hadde", "hun", "nå", "over",
+    "da", "ved", "fra", "du", "ut", "sin", "dem", "oss", "opp", "man")
+  val SwedishStopWords: Set[String] = Set(
+    "och", "det", "att", "i", "en", "jag", "hon", "som", "han", "på",
+    "den", "med", "var", "sig", "för", "så", "till", "är", "men", "ett",
+    "om", "hade", "de", "av", "icke", "mig", "du", "henne", "då", "sin",
+    "nu", "har", "inte", "hans", "honom", "skulle", "där", "min", "man")
   val perLang: Map[String, Set[String]] = Map(
     "es" -> SpanishStopWords,
     "fr" -> FrenchStopWords,
@@ -149,6 +164,9 @@ object Analyzer {
     "pt" -> PortugueseStopWords,
     "it" -> ItalianStopWords,
     "nl" -> DutchStopWords,
+    "da" -> DanishStopWords,
+    "no" -> NorwegianStopWords,
+    "sv" -> SwedishStopWords,
   ).withDefaultValue(EnglishStopWords)
 
   /** Source-code chain (the WordDelimiterFilter analog for the code
@@ -190,6 +208,13 @@ object Analyzer {
   def stemmingForLang(lang: String): Analyzer =
     new Analyzer(perLang(lang), 255, UAX29Tokenizer.tokenize,
       LightStemmers.byLang.get(lang))
+
+  /** Full-Snowball per-language chain (reference SnowballFilter shape:
+    * tokenize → lowercase → stop → SnowballStemmer) — opt-in where
+    * [[stemmingForLang]]'s default is a light stemmer (es/de). */
+  def snowballForLang(lang: String): Analyzer =
+    new Analyzer(perLang(lang), 255, UAX29Tokenizer.tokenize,
+      LightStemmers.snowball.get(lang))
 
   /** SQL-replicable tokenization: `[a-z0-9_]+` runs over the lowercased
     * text — exactly `regexp_extract_all(lower(text), '[a-z0-9_]+')` in

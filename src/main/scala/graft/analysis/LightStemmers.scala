@@ -74,12 +74,26 @@ object LightStemmers {
     w
   }
 
-  /** Per-language stemmer registry: Porter (en), the light stemmers
-    * above (fr/es/de), and the full Snowball algorithms ([[SnowballRussian]]
-    * etc.) for ru/pt/it/nl. */
+  /** Per-language default-chain stemmer registry: Porter (en), the light
+    * stemmers above for fr/es/de (the reference's FrenchAnalyzer/
+    * SpanishAnalyzer/GermanAnalyzer default to the *LightStemFilter
+    * variants too), and the full Snowball algorithms where no light
+    * variant exists here. */
   val byLang: Map[String, String => String] = Map(
     "fr" -> french, "es" -> spanish, "de" -> german,
     "en" -> PorterStemmer.stem,
     "ru" -> SnowballRussian.stem, "pt" -> SnowballPortuguese.stem,
-    "it" -> SnowballItalian.stem, "nl" -> SnowballDutch.stem)
+    "it" -> SnowballItalian.stem, "nl" -> SnowballDutch.stem,
+    "da" -> SnowballDanish.stem, "no" -> SnowballNorwegian.stem,
+    "sv" -> SnowballSwedish.stem)
+
+  /** Full Snowball registry (the SnowballFilter analog — opt-in where the
+    * default chain uses a light stemmer): every algorithm validated
+    * against its complete official voc/output vector set. */
+  val snowball: Map[String, String => String] = Map(
+    "es" -> SnowballSpanish.stem, "de" -> SnowballGerman.stem,
+    "ru" -> SnowballRussian.stem, "pt" -> SnowballPortuguese.stem,
+    "it" -> SnowballItalian.stem, "nl" -> SnowballDutch.stem,
+    "da" -> SnowballDanish.stem, "no" -> SnowballNorwegian.stem,
+    "sv" -> SnowballSwedish.stem)
 }

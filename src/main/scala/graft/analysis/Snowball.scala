@@ -482,6 +482,436 @@ object SnowballItalian {
   }
 }
 
+/** Spanish Snowball stemmer (reference: Tartarus/Snowball/Ext/
+  * SpanishStemmer.cs; published spanish.sbl). Attached pronouns come off
+  * with their gerund/infinitive accent repaired; the postlude strips the
+  * remaining acute accents. */
+object SnowballSpanish {
+  import SnowballRegions._
+
+  private val V = "aeiouáéíóúü".toSet
+  private def isV(c: Char) = V(c)
+
+  private val Pronoun = sortDesc(Seq(
+    "me", "se", "sela", "selo", "selas", "selos", "la", "le", "lo", "las",
+    "les", "los", "nos").map(_ -> 1))
+  private val PronounPrev = sortDesc(Seq(
+    "iéndo" -> 1, "ándo" -> 2, "ár" -> 3, "ér" -> 4, "ír" -> 5,
+    "ando" -> 6, "iendo" -> 6, "ar" -> 6, "er" -> 6, "ir" -> 6,
+    "yendo" -> 7))
+  private val Standard = sortDesc(Seq(
+    "ica" -> 1, "icas" -> 1, "ico" -> 1, "icos" -> 1, "osa" -> 1,
+    "osas" -> 1, "oso" -> 1, "osos" -> 1, "ista" -> 1, "istas" -> 1,
+    "ismo" -> 1, "ismos" -> 1, "able" -> 1, "ables" -> 1, "ible" -> 1,
+    "ibles" -> 1, "anza" -> 1, "anzas" -> 1, "amiento" -> 1,
+    "amientos" -> 1, "imiento" -> 1, "imientos" -> 1,
+    "ancia" -> 2, "ancias" -> 2, "adora" -> 2, "adoras" -> 2, "ador" -> 2,
+    "adores" -> 2, "ante" -> 2, "antes" -> 2, "ación" -> 2,
+    "aciones" -> 2,
+    "logía" -> 3, "logías" -> 3,
+    "ución" -> 4, "uciones" -> 4,
+    "encia" -> 5, "encias" -> 5,
+    "amente" -> 6,
+    "mente" -> 7,
+    "idad" -> 8, "idades" -> 8,
+    "iva" -> 9, "ivas" -> 9, "ivo" -> 9, "ivos" -> 9))
+  private val YVerb = sortDesc(Seq(
+    "ya", "ye", "yan", "yen", "yeron", "yendo", "yo", "yas", "yes",
+    "yais", "yamos", "yó").map(_ -> 1))
+  private val Verb = sortDesc(Seq(
+    "en" -> 1, "es" -> 1, "éis" -> 1, "emos" -> 1) ++ Seq(
+    "aba", "ada", "ida", "ara", "iera", "ía", "aría", "ería", "iría",
+    "ad", "ed", "id", "ase", "iese", "aste", "iste", "an", "aban", "aran",
+    "ieran", "ían", "arían", "erían", "irían", "asen", "iesen", "aron",
+    "ieron", "arán", "erán", "irán", "ado", "ido", "ando", "iendo", "ar",
+    "er", "ir", "as", "abas", "adas", "idas", "aras", "ieras", "ías",
+    "arías", "erías", "irías", "ases", "ieses", "abais", "arais",
+    "ierais", "íais", "aríais", "eríais", "iríais", "aseis", "ieseis",
+    "asteis", "isteis", "áis", "aréis", "eréis", "iréis", "ados", "idos",
+    "amos", "aremos", "eremos", "iremos", "ábamos", "áramos", "iéramos",
+    "íamos", "aríamos", "eríamos",
+    "iríamos", "ásemos", "iésemos", "imos", "arás", "erás", "irás", "ís",
+    "ará", "erá", "irá", "aré", "eré", "iré", "ió").map(_ -> 2))
+  private val Residual = sortDesc(Seq(
+    "a" -> 1, "o" -> 1, "os" -> 1, "á" -> 1, "í" -> 1, "ó" -> 1,
+    "e" -> 2, "é" -> 2))
+
+  def stem(word: String): String = {
+    var w = word
+    val rv = romanceRV(w, isV)
+    val r1 = regionAfterVC(w, 0, isV)
+    val r2 = regionAfterVC(w, r1, isV)
+
+    def inR2(k: Int) = w.length - k >= r2
+    def inRV(k: Int) = w.length - k >= rv
+    def del(k: Int): Unit = w = w.substring(0, w.length - k)
+
+    // step 0: attached pronoun; accented gerund/infinitive repaired
+    amongB(w, 0, Pronoun).foreach { case (p, _) =>
+      val base = w.substring(0, w.length - p.length)
+      amongB(base, 0, PronounPrev) match {
+        case Some((q, code)) if base.length - q.length >= rv =>
+          val stemPart = base.substring(0, base.length - q.length)
+          code match {
+            case 1 => w = stemPart + "iendo"
+            case 2 => w = stemPart + "ando"
+            case 3 => w = stemPart + "ar"
+            case 4 => w = stemPart + "er"
+            case 5 => w = stemPart + "ir"
+            case 6 => w = base
+            case 7 => if (stemPart.nonEmpty && stemPart.last == 'u') w = base
+          }
+        case _ =>
+      }
+    }
+
+    def standardSuffix(): Boolean = amongB(w, 0, Standard) match {
+      case Some((s, code)) => code match {
+        case 1 => if (inR2(s.length)) { del(s.length); true } else false
+        case 2 => // ancia/ador/ante/ación family: R2 delete, then ic in R2
+          if (!inR2(s.length)) false
+          else { del(s.length); if (w.endsWith("ic") && inR2(2)) del(2); true }
+        case 3 => if (inR2(s.length)) { w = w.substring(0, w.length - s.length) + "log"; true } else false
+        case 4 => if (inR2(s.length)) { w = w.substring(0, w.length - s.length) + "u"; true } else false
+        case 5 => if (inR2(s.length)) { w = w.substring(0, w.length - s.length) + "ente"; true } else false
+        case 6 => // amente: R1 delete; then iv(at)/os/ic/ad in R2
+          if (w.length - s.length < r1) false
+          else {
+            del(s.length)
+            amongB(w, 0, sortDesc(Seq("ic" -> 0, "ad" -> 0, "os" -> 0, "iv" -> 1))) match {
+              case Some((p, c)) if inR2(p.length) =>
+                del(p.length)
+                if (c == 1 && w.endsWith("at") && inR2(2)) del(2)
+              case _ =>
+            }
+            true
+          }
+        case 7 => // mente: R2 delete; then able/ible/ante in R2
+          if (!inR2(s.length)) false
+          else {
+            del(s.length)
+            amongB(w, 0, sortDesc(Seq("able" -> 1, "ible" -> 1, "ante" -> 1))) match {
+              case Some((p, _)) if inR2(p.length) => del(p.length)
+              case _ =>
+            }
+            true
+          }
+        case 8 => // idad(es): R2 delete; then ic/abil/iv in R2
+          if (!inR2(s.length)) false
+          else {
+            del(s.length)
+            amongB(w, 0, sortDesc(Seq("ic" -> 1, "abil" -> 1, "iv" -> 1))) match {
+              case Some((p, _)) if inR2(p.length) => del(p.length)
+              case _ =>
+            }
+            true
+          }
+        case 9 => // iva/ivo(s): R2 delete; then at in R2
+          if (!inR2(s.length)) false
+          else { del(s.length); if (w.endsWith("at") && inR2(2)) del(2); true }
+      }
+      case None => false
+    }
+
+    // step 2a: y-verb forms matched within RV, preceded by u
+    def yVerbSuffix(): Boolean = amongB(w, rv, YVerb) match {
+      case Some((s, _)) if w.length - s.length >= 1 &&
+          w.charAt(w.length - s.length - 1) == 'u' =>
+        del(s.length); true
+      case _ => false
+    }
+
+    // step 2b: verb suffixes matched within RV; en/es/éis/emos also eat
+    // a preceding gu's u
+    def verbSuffix(): Boolean = amongB(w, rv, Verb) match {
+      case Some((s, code)) =>
+        if (code == 1 && w.length - s.length >= 2 &&
+            w.regionMatches(w.length - s.length - 2, "gu", 0, 2))
+          del(s.length + 1)
+        else del(s.length)
+        true
+      case None => false
+    }
+
+    if (!standardSuffix() && !yVerbSuffix()) verbSuffix()
+
+    // step 3: residual vowel; e/é also eat a preceding gu's u if in RV
+    amongB(w, 0, Residual) match {
+      case Some((s, 1)) if inRV(s.length) => del(s.length)
+      case Some((s, 2)) if inRV(s.length) =>
+        del(s.length)
+        if (w.endsWith("gu") && inRV(1)) del(1)
+      case _ =>
+    }
+
+    w.map {
+      case 'á' => 'a'; case 'é' => 'e'; case 'í' => 'i'
+      case 'ó' => 'o'; case 'ú' => 'u'; case c => c
+    }
+  }
+}
+
+/** German Snowball stemmer (reference: Tartarus/Snowball/Ext/
+  * GermanStemmer.cs; published german.sbl — the standard variant: umlauts
+  * are kept through the steps and stripped in the postlude). */
+object SnowballGerman {
+  import SnowballRegions._
+  import SnowballScandi.r1Min3
+
+  private val V = "aeiouyäöü".toSet
+  private def isV(c: Char) = V(c)
+  private val SEnding = "bdfghklmnrt".toSet
+  private val StEnding = "bdfghklmnt".toSet
+
+  private val Step1 = sortDesc(Seq(
+    "e" -> 1, "em" -> 1, "en" -> 1, "ern" -> 1, "er" -> 1, "es" -> 1,
+    "s" -> 2))
+  private val Step2 = sortDesc(Seq(
+    "en" -> 1, "er" -> 1, "est" -> 1, "st" -> 2))
+  private val Step3 = sortDesc(Seq(
+    "end" -> 1, "ung" -> 1, "ig" -> 2, "ik" -> 2, "isch" -> 2,
+    "lich" -> 3, "heit" -> 3, "keit" -> 4))
+
+  private def prelude(word: String): String = {
+    val ss = word.replace("ß", "ss")
+    val a = ss.toCharArray
+    var i = 1
+    while (i < a.length - 1) {
+      if (isV(a(i - 1)) && isV(a(i + 1))) {
+        if (a(i) == 'u') a(i) = 'U' else if (a(i) == 'y') a(i) = 'Y'
+      }
+      i += 1
+    }
+    new String(a)
+  }
+
+  def stem(word: String): String = {
+    var w = prelude(word)
+    val r1 = r1Min3(w, isV)
+    val r2 = regionAfterVC(w, regionAfterVC(w, 0, isV), isV)
+
+    def inR1(k: Int) = w.length - k >= r1
+    def inR2(k: Int) = w.length - k >= r2
+    def del(k: Int): Unit = w = w.substring(0, w.length - k)
+
+    // step 1
+    amongB(w, 0, Step1) match {
+      case Some((s, 1)) => if (inR1(s.length)) del(s.length)
+      case Some((s, 2)) =>
+        val j = w.length - s.length - 1
+        if (inR1(s.length) && j >= 0 && SEnding(w.charAt(j))) del(s.length)
+      case _ =>
+    }
+    // step 2: st only after a valid st-ending with >= 3 letters before it
+    amongB(w, 0, Step2) match {
+      case Some((s, 1)) => if (inR1(s.length)) del(s.length)
+      case Some((s, 2)) =>
+        val j = w.length - s.length - 1
+        if (inR1(s.length) && j >= 3 && StEnding(w.charAt(j))) del(s.length)
+      case _ =>
+    }
+    // step 3: d-suffixes in R2 with their chains
+    amongB(w, 0, Step3) match {
+      case Some((s, code)) if inR2(s.length) => code match {
+        case 1 => // end/ung; then ig (not after e) in R2
+          del(s.length)
+          if (w.endsWith("ig") && inR2(2) &&
+              !(w.length >= 3 && w.charAt(w.length - 3) == 'e')) del(2)
+        case 2 => // ig/ik/isch, not after e
+          if (!(w.length - s.length >= 1 &&
+              w.charAt(w.length - s.length - 1) == 'e')) del(s.length)
+        case 3 => // lich/heit; then er/en in R1
+          del(s.length)
+          amongB(w, 0, Array("er" -> 1, "en" -> 1)) match {
+            case Some((p, _)) if inR1(p.length) => del(p.length)
+            case _ =>
+          }
+        case 4 => // keit; then lich/ig in R2
+          del(s.length)
+          amongB(w, 0, sortDesc(Seq("lich" -> 1, "ig" -> 1))) match {
+            case Some((p, _)) if inR2(p.length) => del(p.length)
+            case _ =>
+          }
+      }
+      case _ =>
+    }
+
+    w.map {
+      case 'Y' => 'y'; case 'U' => 'u'
+      case 'ä' => 'a'; case 'ö' => 'o'; case 'ü' => 'u'; case c => c
+    }
+  }
+}
+
+/** The Scandinavian Snowball stemmers share one skeleton (reference:
+  * Tartarus/Snowball/Ext/{Danish,Norwegian,Swedish}Stemmer.cs; published
+  * danish/norwegian/swedish.sbl): R1 starts no earlier than position 3;
+  * step 1 strips a case/definiteness suffix matched WITHIN R1 (an `s`
+  * only after a language-specific valid s-ending letter); step 2 drops
+  * the last letter of a listed consonant pair in R1; step 3 strips
+  * derivational leftovers in R1. Danish adds a final undouble step. */
+private[analysis] object SnowballScandi {
+  import SnowballRegions._
+
+  def r1Min3(w: String, isVowel: Char => Boolean): Int =
+    math.max(regionAfterVC(w, 0, isVowel), 3)
+
+  /** Step 2: if a listed pair matches within R1, drop the last letter. */
+  def consonantPair(w: String, r1: Int, pairs: Array[(String, Int)]): String =
+    if (amongB(w, r1, pairs).isDefined) w.substring(0, w.length - 1) else w
+}
+
+/** Danish Snowball stemmer (reference: Tartarus/Snowball/Ext/
+  * DanishStemmer.cs; published danish.sbl). */
+object SnowballDanish {
+  import SnowballRegions._
+  import SnowballScandi._
+
+  private val V = "aeiouyæåø".toSet
+  private def isV(c: Char) = V(c)
+  private val SEnding = "abcdfghjklmnoprtvyzå".toSet
+
+  private val Main = sortDesc(Seq(
+    "hed" -> 1, "ethed" -> 1, "ered" -> 1, "e" -> 1, "erede" -> 1,
+    "ende" -> 1, "erende" -> 1, "ene" -> 1, "erne" -> 1, "ere" -> 1,
+    "en" -> 1, "heden" -> 1, "eren" -> 1, "er" -> 1, "heder" -> 1,
+    "erer" -> 1, "heds" -> 1, "es" -> 1, "endes" -> 1, "erendes" -> 1,
+    "enes" -> 1, "ernes" -> 1, "eres" -> 1, "ens" -> 1, "hedens" -> 1,
+    "erens" -> 1, "ers" -> 1, "ets" -> 1, "erets" -> 1, "et" -> 1,
+    "eret" -> 1, "s" -> 2))
+  private val Pairs = sortDesc(Seq("gd" -> 1, "dt" -> 1, "gt" -> 1, "kt" -> 1))
+  private val Other = sortDesc(Seq(
+    "ig" -> 1, "lig" -> 1, "elig" -> 1, "els" -> 1, "løst" -> 2))
+
+  def stem(word: String): String = {
+    var w = word
+    val r1 = r1Min3(w, isV)
+    def del(k: Int): Unit = w = w.substring(0, w.length - k)
+
+    // step 1: main suffix, matched within R1; s only after a valid s-ending
+    amongB(w, r1, Main) match {
+      case Some((s, 1)) => del(s.length)
+      case Some((s, 2)) =>
+        val j = w.length - s.length - 1
+        if (j >= 0 && SEnding(w.charAt(j))) del(s.length)
+      case _ =>
+    }
+    // step 2
+    w = consonantPair(w, r1, Pairs)
+    // step 3: igst loses st (anywhere), then R1-matched leftovers
+    if (w.endsWith("igst")) del(2)
+    amongB(w, r1, Other) match {
+      case Some((s, 1)) => del(s.length); w = consonantPair(w, r1, Pairs)
+      case Some((_, 2)) => del(1) // løst -> løs
+      case _ =>
+    }
+    // step 4: undouble — final consonant in R1 equal to its predecessor
+    if (w.length >= 2) {
+      val c = w.charAt(w.length - 1)
+      if (!isV(c) && w.length - 1 >= r1 && w.charAt(w.length - 2) == c) del(1)
+    }
+    w
+  }
+}
+
+/** Norwegian Snowball stemmer (reference: Tartarus/Snowball/Ext/
+  * NorwegianStemmer.cs; published norwegian.sbl). */
+object SnowballNorwegian {
+  import SnowballRegions._
+  import SnowballScandi._
+
+  private val V = "aeiouyæåø".toSet
+  private def isV(c: Char) = V(c)
+  private val SEnding = "bcdfghjlmnoprtvyz".toSet
+
+  private val Main = sortDesc(Seq(
+    "a" -> 1, "e" -> 1, "ede" -> 1, "ande" -> 1, "ende" -> 1, "ane" -> 1,
+    "ene" -> 1, "hetene" -> 1, "en" -> 1, "heten" -> 1, "ar" -> 1,
+    "er" -> 1, "heter" -> 1, "as" -> 1, "es" -> 1, "edes" -> 1,
+    "endes" -> 1, "enes" -> 1, "hetenes" -> 1, "ens" -> 1, "hetens" -> 1,
+    "ers" -> 1, "ets" -> 1, "et" -> 1, "het" -> 1, "ast" -> 1,
+    "s" -> 2, "erte" -> 3, "ert" -> 3))
+  private val Pairs = sortDesc(Seq("dt" -> 1, "vt" -> 1))
+  private val Other = sortDesc(Seq(
+    "leg" -> 1, "eleg" -> 1, "ig" -> 1, "eig" -> 1, "lig" -> 1,
+    "elig" -> 1, "els" -> 1, "lov" -> 1, "elov" -> 1, "slov" -> 1,
+    "hetslov" -> 1).map(e => e))
+
+  def stem(word: String): String = {
+    var w = word
+    val r1 = r1Min3(w, isV)
+    def del(k: Int): Unit = w = w.substring(0, w.length - k)
+
+    // step 1; s after an s-ending letter, or after k itself preceded by
+    // a non-vowel
+    amongB(w, r1, Main) match {
+      case Some((s, 1)) => del(s.length)
+      case Some((s, 2)) =>
+        val j = w.length - s.length - 1
+        val valid = j >= 0 && (SEnding(w.charAt(j)) ||
+          (w.charAt(j) == 'k' && j >= 1 && !isV(w.charAt(j - 1))))
+        if (valid) del(s.length)
+      case Some((s, 3)) => w = w.substring(0, w.length - s.length) + "er"
+      case _ =>
+    }
+    // step 2
+    w = consonantPair(w, r1, Pairs)
+    // step 3
+    amongB(w, r1, Other) match {
+      case Some((s, _)) => del(s.length)
+      case None =>
+    }
+    w
+  }
+}
+
+/** Swedish Snowball stemmer (reference: Tartarus/Snowball/Ext/
+  * SwedishStemmer.cs; published swedish.sbl). */
+object SnowballSwedish {
+  import SnowballRegions._
+  import SnowballScandi._
+
+  private val V = "aeiouyäåö".toSet
+  private def isV(c: Char) = V(c)
+  private val SEnding = "bcdfghjklmnoprtvy".toSet
+
+  private val Main = sortDesc(Seq(
+    "a" -> 1, "arna" -> 1, "erna" -> 1, "heterna" -> 1, "orna" -> 1,
+    "ad" -> 1, "e" -> 1, "ade" -> 1, "ande" -> 1, "arne" -> 1, "are" -> 1,
+    "aste" -> 1, "en" -> 1, "anden" -> 1, "aren" -> 1, "heten" -> 1,
+    "ern" -> 1, "ar" -> 1, "er" -> 1, "heter" -> 1, "or" -> 1, "as" -> 1,
+    "arnas" -> 1, "ernas" -> 1, "ornas" -> 1, "es" -> 1, "ades" -> 1,
+    "andes" -> 1, "ens" -> 1, "arens" -> 1, "hetens" -> 1, "erns" -> 1,
+    "at" -> 1, "andet" -> 1, "het" -> 1, "ast" -> 1, "s" -> 2))
+  private val Pairs = sortDesc(Seq(
+    "dd" -> 1, "gd" -> 1, "nn" -> 1, "dt" -> 1, "gt" -> 1, "kt" -> 1,
+    "tt" -> 1))
+  private val Other = sortDesc(Seq(
+    "ig" -> 1, "lig" -> 1, "els" -> 1, "löst" -> 2, "fullt" -> 3))
+
+  def stem(word: String): String = {
+    var w = word
+    val r1 = r1Min3(w, isV)
+    def del(k: Int): Unit = w = w.substring(0, w.length - k)
+
+    amongB(w, r1, Main) match {
+      case Some((s, 1)) => del(s.length)
+      case Some((s, 2)) =>
+        val j = w.length - s.length - 1
+        if (j >= 0 && SEnding(w.charAt(j))) del(s.length)
+      case _ =>
+    }
+    w = consonantPair(w, r1, Pairs)
+    amongB(w, r1, Other) match {
+      case Some((s, 1)) => del(s.length)
+      case Some((_, 2)) => del(1) // löst -> lös
+      case Some((_, 3)) => del(1) // fullt -> full
+      case _ =>
+    }
+    w
+  }
+}
+
 /** Dutch Snowball stemmer (reference: Tartarus/Snowball/Ext/
   * DutchStemmer.cs; published dutch.sbl). The prelude folds umlauts and
   * acutes and marks consonantal i/y as I/Y; R1 starts no earlier than

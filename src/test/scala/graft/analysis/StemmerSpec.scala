@@ -76,7 +76,12 @@ class StemmerSpec extends AnyFunSuite {
       "russian" -> SnowballRussian.stem,
       "portuguese" -> SnowballPortuguese.stem,
       "italian" -> SnowballItalian.stem,
-      "dutch" -> SnowballDutch.stem)
+      "dutch" -> SnowballDutch.stem,
+      "danish" -> SnowballDanish.stem,
+      "norwegian" -> SnowballNorwegian.stem,
+      "swedish" -> SnowballSwedish.stem,
+      "spanish" -> SnowballSpanish.stem,
+      "german" -> SnowballGerman.stem)
     val report = langs.map { case (lang, stem) =>
       val voc = lines(s"$lang/voc.txt")
       val out = lines(s"$lang/output.txt")
@@ -179,6 +184,14 @@ class StemmerSpec extends AnyFunSuite {
     assert(it.analyzeTerms("le abbandonate").toSeq === Seq("abbandon"))
     val nl = Analyzer.stemmingForLang("nl")
     assert(nl.analyzeTerms("de lichamelijke").toSeq === Seq("licham"))
+    val sv = Analyzer.stemmingForLang("sv")
+    assert(sv.analyzeTerms("och klockorna").toSeq === Seq("klock"))
+    // full-Snowball chain where the default is light: es strips verb
+    // morphology the light stemmer leaves
+    assert(Analyzer.snowballForLang("es").analyzeTerms("buscaremos").toSeq
+      === Seq("busc"))
+    assert(Analyzer.snowballForLang("de").analyzeTerms("aufeinanderfolgender")
+      .toSeq === Seq("aufeinanderfolg"))
     // unknown language: stop-only fallback, no stemmer
     val zz = Analyzer.stemmingForLang("zz")
     assert(zz.analyzeTerms("running dogs").toSeq === Seq("running", "dogs"))
