@@ -156,6 +156,11 @@ object Analyzer {
     "den", "med", "var", "sig", "för", "så", "till", "är", "men", "ett",
     "om", "hade", "de", "av", "icke", "mig", "du", "henne", "då", "sin",
     "nu", "har", "inte", "hans", "honom", "skulle", "där", "min", "man")
+  val RomanianStopWords: Set[String] = Set(
+    "şi", "în", "a", "fi", "de", "la", "cu", "pe", "un", "o", "că", "nu",
+    "este", "mai", "pentru", "ce", "se", "sau", "din", "care", "dar",
+    "au", "fost", "sunt", "ca", "îi", "lui", "său", "dacă", "el", "ea",
+    "le", "al", "ale", "către", "după", "până", "fără", "când")
   val perLang: Map[String, Set[String]] = Map(
     "es" -> SpanishStopWords,
     "fr" -> FrenchStopWords,
@@ -167,6 +172,7 @@ object Analyzer {
     "da" -> DanishStopWords,
     "no" -> NorwegianStopWords,
     "sv" -> SwedishStopWords,
+    "ro" -> RomanianStopWords,
   ).withDefaultValue(EnglishStopWords)
 
   /** Source-code chain (the WordDelimiterFilter analog for the code

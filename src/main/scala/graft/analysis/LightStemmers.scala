@@ -85,15 +85,16 @@ object LightStemmers {
     "ru" -> SnowballRussian.stem, "pt" -> SnowballPortuguese.stem,
     "it" -> SnowballItalian.stem, "nl" -> SnowballDutch.stem,
     "da" -> SnowballDanish.stem, "no" -> SnowballNorwegian.stem,
-    "sv" -> SnowballSwedish.stem)
+    "sv" -> SnowballSwedish.stem, "ro" -> SnowballRomanian.stem)
 
   /** Full Snowball registry (the SnowballFilter analog — opt-in where the
     * default chain uses a light stemmer): every algorithm validated
     * against its complete official voc/output vector set. */
   val snowball: Map[String, String => String] = Map(
+    "fr" -> SnowballFrench.stem,
     "es" -> SnowballSpanish.stem, "de" -> SnowballGerman.stem,
     "ru" -> SnowballRussian.stem, "pt" -> SnowballPortuguese.stem,
     "it" -> SnowballItalian.stem, "nl" -> SnowballDutch.stem,
     "da" -> SnowballDanish.stem, "no" -> SnowballNorwegian.stem,
-    "sv" -> SnowballSwedish.stem)
+    "sv" -> SnowballSwedish.stem, "ro" -> SnowballRomanian.stem)
 }

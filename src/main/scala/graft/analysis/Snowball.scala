@@ -651,6 +651,406 @@ object SnowballSpanish {
   }
 }
 
+/** French Snowball stemmer (reference: Tartarus/Snowball/Ext/
+  * FrenchStemmer.cs; published french.sbl). The prelude marks
+  * consonantal u/i/y (and u-after-q) as U/I/Y; RV starts after the third
+  * letter when the word opens with two vowels or with par/col/tap. */
+object SnowballFrench {
+  import SnowballRegions._
+
+  private val V = "aeiouyàâèéêëîïôùû".toSet
+  private def isV(c: Char) = V(c)
+  private val KeepWithS = "aiosuè".toSet
+
+  private val Standard = sortDesc(Seq(
+    "iqUe" -> 1, "iqUes" -> 1, "ance" -> 1, "ances" -> 1, "able" -> 1,
+    "ables" -> 1, "isme" -> 1, "ismes" -> 1, "iste" -> 1, "istes" -> 1,
+    "eux" -> 1,
+    "atrice" -> 2, "atrices" -> 2, "ation" -> 2, "ations" -> 2,
+    "ateur" -> 2, "ateurs" -> 2,
+    "logie" -> 3, "logies" -> 3,
+    "usion" -> 4, "usions" -> 4, "ution" -> 4, "utions" -> 4,
+    "ence" -> 5, "ences" -> 5,
+    "ement" -> 6, "ements" -> 6,
+    "ité" -> 7, "ités" -> 7,
+    "ive" -> 8, "ives" -> 8, "if" -> 8, "ifs" -> 8,
+    "eaux" -> 9,
+    "aux" -> 10,
+    "euse" -> 11, "euses" -> 11,
+    "issement" -> 12, "issements" -> 12,
+    "amment" -> 13,
+    "emment" -> 14,
+    "ment" -> 15, "ments" -> 15))
+  private val Ement = sortDesc(Seq(
+    "iv" -> 1, "eus" -> 2, "abl" -> 3, "iqU" -> 3, "ièr" -> 4,
+    "Ièr" -> 4))
+  private val Ite = sortDesc(Seq("abil" -> 1, "ic" -> 2, "iv" -> 3))
+  private val IVerb = sortDesc(Seq(
+    "ira", "ie", "isse", "issante", "i", "irai", "ir", "iras", "ies",
+    "îmes", "isses", "issantes", "îtes", "is", "irais", "issais",
+    "irions", "issions", "irons", "issons", "issants", "it", "irait",
+    "issait", "issant", "iraIent", "issaIent", "irent", "issent",
+    "iront", "ît", "iriez", "issiez", "irez", "issez").map(_ -> 1))
+  private val Verb = sortDesc(Seq(
+    "ions" -> 1) ++ Seq(
+    "era", "ée", "erai", "er", "eras", "ées", "erais", "erions",
+    "erons", "és", "erait", "eraIent", "èrent", "eront", "ez", "iez",
+    "eriez", "erez", "é").map(_ -> 2) ++ Seq(
+    "a", "asse", "ante", "ai", "as", "âmes", "asses", "antes", "âtes",
+    "ais", "assions", "ants", "ait", "ant", "aIent", "assent", "ât",
+    "assiez").map(_ -> 3))
+  private val Residual = sortDesc(Seq(
+    "ion" -> 1, "Ière" -> 2, "ière" -> 2, "Ier" -> 2, "ier" -> 2,
+    "e" -> 3, "ë" -> 4))
+  private val Doubles = sortDesc(Seq(
+    "ell" -> 1, "eill" -> 1, "enn" -> 1, "onn" -> 1, "ett" -> 1))
+
+  private def prelude(word: String): String = {
+    val a = word.toCharArray
+    var i = 0
+    while (i < a.length) {
+      if (isV(a(i)) && i + 1 < a.length) {
+        val c = a(i + 1)
+        if (c == 'u' && i + 2 < a.length && isV(a(i + 2))) a(i + 1) = 'U'
+        else if (c == 'i' && i + 2 < a.length && isV(a(i + 2))) a(i + 1) = 'I'
+        else if (c == 'y') a(i + 1) = 'Y'
+      }
+      if (a(i) == 'y' && i + 1 < a.length && isV(a(i + 1))) a(i) = 'Y'
+      if (a(i) == 'q' && i + 1 < a.length && a(i + 1) == 'u') a(i + 1) = 'U'
+      i += 1
+    }
+    new String(a)
+  }
+
+  def stem(word: String): String = {
+    var w = prelude(word)
+    val n = w.length
+    // RV: after the third letter when the word opens with two vowels or
+    // par/col/tap; else after the first vowel past position 0
+    val rv =
+      if (n >= 3 && isV(w.charAt(0)) && isV(w.charAt(1))) 3
+      else if (w.startsWith("par") || w.startsWith("col") ||
+        w.startsWith("tap")) 3
+      else {
+        var i = 1
+        while (i < n && !isV(w.charAt(i))) i += 1
+        if (i < n) i + 1 else n
+      }
+    val r1 = regionAfterVC(w, 0, isV)
+    val r2 = regionAfterVC(w, r1, isV)
+
+    def inR1(k: Int) = w.length - k >= r1
+    def inR2(k: Int) = w.length - k >= r2
+    def inRV(k: Int) = w.length - k >= rv
+    def del(k: Int): Unit = w = w.substring(0, w.length - k)
+    def repl(k: Int, to: String): Unit = w = w.substring(0, w.length - k) + to
+
+    def standardSuffix(): Boolean = amongB(w, 0, Standard) match {
+      case Some((s, code)) => code match {
+        case 1 => if (inR2(s.length)) { del(s.length); true } else false
+        case 2 => // atrice/ation/ateur: R2 delete; then ic -> (del | iqU)
+          if (!inR2(s.length)) false
+          else {
+            del(s.length)
+            if (w.endsWith("ic")) {
+              if (inR2(2)) del(2) else repl(2, "iqU")
+            }
+            true
+          }
+        case 3 => if (inR2(s.length)) { repl(s.length, "log"); true } else false
+        case 4 => if (inR2(s.length)) { repl(s.length, "u"); true } else false
+        case 5 => if (inR2(s.length)) { repl(s.length, "ent"); true } else false
+        case 6 => // ement(s): RV delete; then the iv/eus/abl/iqU/ièr chain
+          if (!inRV(s.length)) false
+          else {
+            del(s.length)
+            amongB(w, 0, Ement) match {
+              case Some((p, 1)) if inR2(p.length) =>
+                del(p.length)
+                if (w.endsWith("at") && inR2(2)) del(2)
+              case Some((p, 2)) =>
+                if (inR2(p.length)) del(p.length)
+                else if (inR1(p.length)) repl(p.length, "eux")
+              case Some((p, 3)) if inR2(p.length) => del(p.length)
+              case Some((p, 4)) if inRV(p.length) => repl(p.length, "i")
+              case _ =>
+            }
+            true
+          }
+        case 7 => // ité(s): R2 delete; then abil/ic/iv chain
+          if (!inR2(s.length)) false
+          else {
+            del(s.length)
+            amongB(w, 0, Ite) match {
+              case Some((p, 1)) =>
+                if (inR2(p.length)) del(p.length) else repl(p.length, "abl")
+              case Some((p, 2)) =>
+                if (inR2(p.length)) del(p.length) else repl(p.length, "iqU")
+              case Some((p, 3)) if inR2(p.length) => del(p.length)
+              case _ =>
+            }
+            true
+          }
+        case 8 => // ive/if: R2 delete; then at(ic) chain with iqU fallback
+          if (!inR2(s.length)) false
+          else {
+            del(s.length)
+            if (w.endsWith("at") && inR2(2)) {
+              del(2)
+              if (w.endsWith("ic")) {
+                if (inR2(2)) del(2) else repl(2, "iqU")
+              }
+            }
+            true
+          }
+        case 9 => repl(s.length, "eau"); true
+        case 10 => if (inR1(s.length)) { repl(s.length, "al"); true } else false
+        case 11 => // euse(s): R2 delete, else R1 -> eux
+          if (inR2(s.length)) { del(s.length); true }
+          else if (inR1(s.length)) { repl(s.length, "eux"); true }
+          else false
+        case 12 => // issement(s): R1, preceded by a non-vowel
+          if (inR1(s.length) && w.length - s.length >= 1 &&
+              !isV(w.charAt(w.length - s.length - 1))) {
+            del(s.length); true
+          } else false
+        // 13-15 substitute and then FAIL on purpose (the .sbl returns
+        // false after the slice) so the verb steps keep stripping the
+        // exposed ant/ent/vowel
+        case 13 => if (inRV(s.length)) repl(s.length, "ant"); false
+        case 14 => if (inRV(s.length)) repl(s.length, "ent"); false
+        case 15 => // ment(s): preceded by a vowel in RV; delete suffix only
+          val j = w.length - s.length - 1
+          if (j >= 0 && isV(w.charAt(j)) && j >= rv) del(s.length)
+          false
+      }
+      case None => false
+    }
+
+    // i-verb forms matched within RV, preceded by a non-vowel also in RV
+    def iVerbSuffix(): Boolean = amongB(w, rv, IVerb) match {
+      case Some((s, _)) =>
+        val j = w.length - s.length - 1
+        if (j >= rv && !isV(w.charAt(j))) { del(s.length); true } else false
+      case None => false
+    }
+
+    def verbSuffix(): Boolean = amongB(w, rv, Verb) match {
+      case Some((s, 1)) => if (inR2(s.length)) { del(s.length); true } else false
+      case Some((s, 2)) => del(s.length); true
+      case Some((s, 3)) =>
+        del(s.length)
+        // a preceding e (still within RV) comes off too
+        if (w.endsWith("e") && w.length - 1 >= rv) del(1)
+        true
+      case _ => false
+    }
+
+    val removed = standardSuffix() || iVerbSuffix() || verbSuffix()
+    if (removed) {
+      // post-fix: a bare trailing Y -> i, ç -> c
+      if (w.endsWith("Y")) repl(1, "i")
+      else if (w.endsWith("ç")) repl(1, "c")
+    } else {
+      // residual: trailing s (unless kept by a/i/o/u/s/è), then the
+      // RV-matched leftovers
+      if (w.endsWith("s") && w.length >= 2 &&
+          !KeepWithS(w.charAt(w.length - 2))) del(1)
+      amongB(w, rv, Residual) match {
+        case Some((s, 1)) =>
+          val j = w.length - s.length - 1
+          if (inR2(s.length) && j >= rv &&
+              (w.charAt(j) == 's' || w.charAt(j) == 't')) del(s.length)
+        case Some((s, 2)) => repl(s.length, "i")
+        case Some((s, 3)) => del(s.length)
+        case Some((s, 4)) =>
+          if (w.length - s.length >= 2 &&
+              w.regionMatches(w.length - s.length - 2, "gu", 0, 2))
+            del(s.length)
+        case _ =>
+      }
+    }
+
+    // un_double: ell/eill/enn/onn/ett lose the last letter
+    if (amongB(w, 0, Doubles).isDefined) del(1)
+
+    // un_accent: é/è before >= 1 trailing non-vowels becomes e
+    var k = 0
+    while (k < w.length && !isV(w.charAt(w.length - 1 - k))) k += 1
+    if (k >= 1 && k < w.length) {
+      val c = w.charAt(w.length - 1 - k)
+      if (c == 'é' || c == 'è')
+        w = w.substring(0, w.length - 1 - k) + "e" + w.substring(w.length - k)
+    }
+
+    w.map { case 'I' => 'i'; case 'U' => 'u'; case 'Y' => 'y'; case c => c }
+  }
+}
+
+/** Romanian Snowball stemmer (reference: Tartarus/Snowball/Ext/
+  * RomanianStemmer.cs; published romanian.sbl — cedilla-era ş/ţ forms,
+  * matching the official vocabulary). Distinctive shape: a REPEATED
+  * combining-suffix reduction (abilitate→abil, icaţiune→ic…) before the
+  * standard pass, and verb suffixes gated on a preceding non-vowel/u
+  * within RV. */
+object SnowballRomanian {
+  import SnowballRegions._
+
+  private val V = "aeiouâîă".toSet
+  private def isV(c: Char) = V(c)
+
+  private val Step0 = sortDesc(Seq(
+    "ul" -> 1, "ului" -> 1,
+    "aua" -> 2,
+    "ea" -> 3, "ele" -> 3, "elor" -> 3,
+    "iua" -> 4, "iile" -> 4, "iei" -> 4, "ii" -> 4, "ilor" -> 4,
+    "iilor" -> 4,
+    "ile" -> 5,
+    "atei" -> 6,
+    "aţie" -> 7, "aţia" -> 7))
+  private val Combo = sortDesc(Seq(
+    "abilitate" -> 1, "abilitati" -> 1, "abilităi" -> 1, "abilităţi" -> 1,
+    "ibilitate" -> 2,
+    "ivitate" -> 3, "ivitati" -> 3, "ivităi" -> 3, "ivităţi" -> 3,
+    "icitate" -> 4, "icitati" -> 4, "icităi" -> 4, "icităţi" -> 4,
+    "icatori" -> 4, "icator" -> 4,
+    "icala" -> 4, "icale" -> 4, "icali" -> 4, "ical" -> 4, "icală" -> 4,
+    "iciva" -> 4, "icive" -> 4, "icivi" -> 4, "iciv" -> 4, "icivă" -> 4,
+    "ativa" -> 5, "ative" -> 5, "ativi" -> 5, "ativ" -> 5, "ativă" -> 5,
+    "aţiune" -> 5, "atoare" -> 5, "ătoare" -> 5, "atori" -> 5,
+    "ători" -> 5, "ator" -> 5, "ător" -> 5,
+    "itiva" -> 6, "itive" -> 6, "itivi" -> 6, "itiv" -> 6, "itivă" -> 6,
+    "iţiune" -> 6, "itoare" -> 6, "itori" -> 6, "itor" -> 6))
+  private val ComboRepl = Map(1 -> "abil", 2 -> "ibil", 3 -> "iv",
+    4 -> "ic", 5 -> "at", 6 -> "it")
+  private val Standard = sortDesc(Seq(
+    "ica", "ic", "ice", "ici", "ică",
+    "abila", "abile", "abili", "abil", "abilă",
+    "ibila", "ibile", "ibili", "ibil", "ibilă",
+    "oasa", "oase", "osi", "os", "oasă", "oşi",
+    "ata", "ate", "ati", "at", "ată",
+    "ita", "ite", "iti", "it", "ită",
+    "anta", "ante", "anti", "ant", "antă",
+    "uta", "ute", "uti", "ut", "ută",
+    "iva", "ive", "ivi", "iv", "ivă",
+    "itate", "itati", "ităi", "ităţi",
+    "atori", "ator").map(_ -> 1) ++
+    Seq("iune" -> 2, "iuni" -> 2) ++
+    Seq("isme", "iste", "isti", "işti", "ism", "ist", "ista", "istă")
+      .map(_ -> 3))
+  private val Verb = sortDesc(Seq(
+    "ea" -> 1, "ia" -> 1, "esc" -> 1, "ăsc" -> 1, "ind" -> 1, "ând" -> 1,
+    "are" -> 1, "ere" -> 1, "ire" -> 1, "âre" -> 1, "ase" -> 1,
+    "ise" -> 1, "use" -> 1, "âse" -> 1, "eşte" -> 1, "ăşte" -> 1,
+    "eze" -> 1, "ai" -> 1, "eai" -> 1, "iai" -> 1, "eşti" -> 1,
+    "ăşti" -> 1, "ui" -> 1, "ezi" -> 1, "âi" -> 1, "aşi" -> 1,
+    "aseşi" -> 1, "iseşi" -> 1, "useşi" -> 1, "âseşi" -> 1, "işi" -> 1,
+    "uşi" -> 1, "âşi" -> 1, "eaţi" -> 1, "iaţi" -> 1, "arăţi" -> 1,
+    "aserăţi" -> 1, "iserăţi" -> 1, "userăţi" -> 1, "âserăţi" -> 1,
+    "irăţi" -> 1, "urăţi" -> 1, "ârăţi" -> 1, "am" -> 1, "eam" -> 1,
+    "iam" -> 1, "asem" -> 1, "isem" -> 1, "usem" -> 1, "âsem" -> 1,
+    "arăm" -> 1, "aserăm" -> 1, "iserăm" -> 1, "userăm" -> 1,
+    "âserăm" -> 1, "irăm" -> 1, "urăm" -> 1, "ârăm" -> 1, "au" -> 1,
+    "eau" -> 1, "iau" -> 1, "indu" -> 1, "ându" -> 1, "ez" -> 1,
+    "ească" -> 1, "ară" -> 1, "aseră" -> 1, "iseră" -> 1, "useră" -> 1,
+    "âseră" -> 1, "iră" -> 1, "ură" -> 1, "âră" -> 1, "ează" -> 1,
+    "se" -> 2, "sese" -> 2, "sei" -> 2, "seşi" -> 2, "seseşi" -> 2,
+    "aţi" -> 2, "eţi" -> 2, "iţi" -> 2, "âţi" -> 2, "serăţi" -> 2,
+    "seserăţi" -> 2, "em" -> 2, "sesem" -> 2, "im" -> 2, "âm" -> 2,
+    "ăm" -> 2, "serăm" -> 2, "seserăm" -> 2, "seră" -> 2, "seseră" -> 2))
+  private val Vowel = sortDesc(Seq(
+    "a" -> 1, "e" -> 1, "ie" -> 1, "i" -> 1, "ă" -> 1))
+
+  private def prelude(word: String): String = {
+    val a = word.toCharArray
+    var i = 1
+    while (i < a.length - 1) {
+      if (isV(a(i - 1)) && isV(a(i + 1))) {
+        if (a(i) == 'u') a(i) = 'U' else if (a(i) == 'i') a(i) = 'I'
+      }
+      i += 1
+    }
+    new String(a)
+  }
+
+  def stem(word: String): String = {
+    var w = prelude(word)
+    val rv = romanceRV(w, isV)
+    val r1 = regionAfterVC(w, 0, isV)
+    val r2 = regionAfterVC(w, regionAfterVC(w, 0, isV), isV)
+
+    def inR1(k: Int) = w.length - k >= r1
+    def inR2(k: Int) = w.length - k >= r2
+    def inRV(k: Int) = w.length - k >= rv
+    def del(k: Int): Unit = w = w.substring(0, w.length - k)
+    def repl(k: Int, to: String): Unit =
+      w = w.substring(0, w.length - k) + to
+
+    // step 0: plural/article removal (R1)
+    amongB(w, 0, Step0) match {
+      case Some((s, code)) if inR1(s.length) => code match {
+        case 1 => del(s.length)
+        case 2 => repl(s.length, "a")
+        case 3 => repl(s.length, "e")
+        case 4 => repl(s.length, "i")
+        case 5 => // ile -> i unless abile
+          if (!(w.length - s.length >= 2 &&
+              w.regionMatches(w.length - s.length - 2, "ab", 0, 2)))
+            repl(s.length, "i")
+        case 6 => repl(s.length, "at")
+        case 7 => repl(s.length, "aţi")
+      }
+      case _ =>
+    }
+
+    // standard pass: repeat combining-suffix reduction, then a_3 in R2;
+    // the flag gates the verb pass
+    var removed = false
+    var changed = true
+    while (changed) {
+      changed = false
+      amongB(w, 0, Combo) match {
+        case Some((s, code)) if inR1(s.length) =>
+          repl(s.length, ComboRepl(code)); removed = true; changed = true
+        case _ =>
+      }
+    }
+    amongB(w, 0, Standard) match {
+      case Some((s, code)) if inR2(s.length) => code match {
+        case 1 => del(s.length); removed = true
+        case 2 => // (ţ)iune/(ţ)iuni -> t
+          if (w.length - s.length >= 1 &&
+              w.charAt(w.length - s.length - 1) == 'ţ') {
+            repl(s.length + 1, "t"); removed = true
+          }
+        case 3 => repl(s.length, "ist"); removed = true
+      }
+      case _ =>
+    }
+
+    // verb suffixes only if the standard pass removed nothing; matched
+    // within RV, group 1 needs a preceding non-vowel or u — also in RV
+    if (!removed) {
+      amongB(w, rv, Verb) match {
+        case Some((s, 1)) =>
+          val j = w.length - s.length - 1
+          if (j >= rv && (!isV(w.charAt(j)) || w.charAt(j) == 'u'))
+            del(s.length)
+        case Some((s, 2)) => del(s.length)
+        case _ =>
+      }
+    }
+
+    // final vowel
+    amongB(w, 0, Vowel) match {
+      case Some((s, _)) if inRV(s.length) => del(s.length)
+      case _ =>
+    }
+
+    w.map { case 'I' => 'i'; case 'U' => 'u'; case c => c }
+  }
+}
+
 /** German Snowball stemmer (reference: Tartarus/Snowball/Ext/
   * GermanStemmer.cs; published german.sbl — the standard variant: umlauts
   * are kept through the steps and stripped in the postlude). */

@@ -81,7 +81,9 @@ class StemmerSpec extends AnyFunSuite {
       "norwegian" -> SnowballNorwegian.stem,
       "swedish" -> SnowballSwedish.stem,
       "spanish" -> SnowballSpanish.stem,
-      "german" -> SnowballGerman.stem)
+      "german" -> SnowballGerman.stem,
+      "romanian" -> SnowballRomanian.stem,
+      "french" -> SnowballFrench.stem)
     val report = langs.map { case (lang, stem) =>
       val voc = lines(s"$lang/voc.txt")
       val out = lines(s"$lang/output.txt")
