@@ -91,7 +91,7 @@ object LightStemmers {
     * default chain uses a light stemmer): every algorithm validated
     * against its complete official voc/output vector set. */
   val snowball: Map[String, String => String] = Map(
-    "fr" -> SnowballFrench.stem,
+    "en" -> SnowballEnglish.stem, "fr" -> SnowballFrench.stem,
     "es" -> SnowballSpanish.stem, "de" -> SnowballGerman.stem,
     "ru" -> SnowballRussian.stem, "pt" -> SnowballPortuguese.stem,
     "it" -> SnowballItalian.stem, "nl" -> SnowballDutch.stem,

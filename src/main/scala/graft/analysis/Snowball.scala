@@ -651,6 +651,183 @@ object SnowballSpanish {
   }
 }
 
+/** English Snowball stemmer — "Porter2" (reference: Tartarus/Snowball/
+  * Ext/EnglishStemmer.cs; published english.sbl). The reference's
+  * SnowballFilter("English"); [[PorterStemmer]] remains the
+  * EnglishAnalyzer default (PorterStemFilter), exactly like the
+  * reference's split. Differences from Porter1 it implements: special
+  * R1 for gener/commun/arsen, exception word lists, y/Y marking,
+  * apostrophe handling, the li/ogi rules, and the short-word test. */
+object SnowballEnglish {
+  import SnowballRegions._
+
+  private val V = "aeiouy".toSet
+  private def isV(c: Char) = V(c)
+  private val VWXY = "aeiouywx".toSet + 'Y'
+  private val ValidLI = "cdeghkmnrt".toSet
+
+  private val Exception1: Map[String, String] = Map(
+    "skis" -> "ski", "skies" -> "sky", "dying" -> "die", "lying" -> "lie",
+    "tying" -> "tie", "idly" -> "idl", "gently" -> "gentl",
+    "ugly" -> "ugli", "early" -> "earli", "only" -> "onli",
+    "singly" -> "singl",
+    "sky" -> "sky", "news" -> "news", "howe" -> "howe",
+    "atlas" -> "atlas", "cosmos" -> "cosmos", "bias" -> "bias",
+    "andes" -> "andes")
+  private val Exception2 = Set(
+    "inning", "outing", "canning", "herring", "earring", "proceed",
+    "exceed", "succeed")
+  private val Step2 = sortDesc(Seq(
+    "tional" -> 1, "enci" -> 2, "anci" -> 3, "abli" -> 4, "entli" -> 5,
+    "izer" -> 6, "ization" -> 6, "ational" -> 7, "ation" -> 7,
+    "ator" -> 7, "alism" -> 8, "aliti" -> 8, "alli" -> 8,
+    "fulness" -> 9, "ousli" -> 10, "ousness" -> 10, "iveness" -> 11,
+    "iviti" -> 11, "biliti" -> 12, "bli" -> 12, "ogi" -> 13,
+    "fulli" -> 14, "lessli" -> 15, "li" -> 16))
+  private val Step2Repl = Map(1 -> "tion", 2 -> "ence", 3 -> "ance",
+    4 -> "able", 5 -> "ent", 6 -> "ize", 7 -> "ate", 8 -> "al",
+    9 -> "ful", 10 -> "ous", 11 -> "ive", 12 -> "ble")
+  private val Step3 = sortDesc(Seq(
+    "tional" -> 1, "ational" -> 2, "alize" -> 3, "icate" -> 4,
+    "iciti" -> 4, "ical" -> 4, "ful" -> 5, "ness" -> 5, "ative" -> 6))
+  private val Step4 = sortDesc(Seq(
+    "al", "ance", "ence", "er", "ic", "able", "ible", "ant", "ement",
+    "ment", "ent", "ism", "ate", "iti", "ous", "ive", "ize")
+    .map(_ -> 1) ++ Seq("ion" -> 2))
+
+  /** Backward short-vowel test at position `end` (exclusive). */
+  private def shortV(w: String, end: Int): Boolean = {
+    if (end >= 3 && !VWXY(w.charAt(end - 1)) && isV(w.charAt(end - 2)) &&
+        !isV(w.charAt(end - 3))) true
+    else end == 2 && isV(w.charAt(0)) && !isV(w.charAt(1))
+  }
+
+  def stem(word: String): String = {
+    Exception1.get(word) match {
+      case Some(out) => return out
+      case None =>
+    }
+    if (word.length < 3) return word
+
+    // prelude: strip one leading apostrophe; mark initial y and
+    // y-after-vowel as consonant Y
+    var yFound = false
+    var w = if (word.startsWith("'")) word.substring(1) else word
+    if (w.startsWith("y")) { w = "Y" + w.substring(1); yFound = true }
+    val a = w.toCharArray
+    var i = 1
+    while (i < a.length) {
+      if (a(i) == 'y' && isV(a(i - 1))) { a(i) = 'Y'; yFound = true }
+      i += 1
+    }
+    w = new String(a)
+
+    // R1: after gener/commun/arsen when the word starts with one
+    val r1 = Seq("gener", "commun", "arsen").find(w.startsWith) match {
+      case Some(p) => p.length
+      case None => regionAfterVC(w, 0, isV)
+    }
+    val r2 = regionAfterVC(w, r1, isV)
+    def inR1(k: Int) = w.length - k >= r1
+    def inR2(k: Int) = w.length - k >= r2
+    def del(k: Int): Unit = w = w.substring(0, w.length - k)
+    def repl(k: Int, to: String): Unit = w = w.substring(0, w.length - k) + to
+
+    // step 0 + 1a
+    amongB(w, 0, sortDesc(Seq("'s'" -> 1, "'s" -> 1, "'" -> 1))).foreach {
+      case (s, _) => del(s.length)
+    }
+    amongB(w, 0, sortDesc(Seq(
+      "sses" -> 1, "ied" -> 2, "ies" -> 2, "s" -> 3, "ss" -> 4,
+      "us" -> 4))) match {
+      case Some((s, 1)) => repl(s.length, "ss")
+      case Some((s, 2)) => // more than one letter before -> i, else ie
+        if (w.length - s.length >= 2) repl(s.length, "i")
+        else repl(s.length, "ie")
+      case Some((s, 3)) => // a vowel somewhere before the penultimate char
+        if (w.substring(0, math.max(0, w.length - 2)).exists(isV)) del(1)
+      case _ => // ss/us: keep
+    }
+
+    if (Exception2.contains(w)) {
+      return if (yFound) w.replace('Y', 'y') else w
+    }
+
+    // step 1b
+    amongB(w, 0, sortDesc(Seq(
+      "eedly" -> 1, "eed" -> 1, "edly" -> 2, "ingly" -> 2, "ed" -> 2,
+      "ing" -> 2))) match {
+      case Some((s, 1)) => if (inR1(s.length)) repl(s.length, "ee")
+      case Some((s, 2)) =>
+        if (w.substring(0, w.length - s.length).exists(isV)) {
+          del(s.length)
+          amongB(w, 0, sortDesc(Seq(
+            "at" -> 1, "bl" -> 1, "iz" -> 1, "bb" -> 2, "dd" -> 2,
+            "ff" -> 2, "gg" -> 2, "mm" -> 2, "nn" -> 2, "pp" -> 2,
+            "rr" -> 2, "tt" -> 2))) match {
+            case Some((_, 1)) => w = w + "e"
+            case Some((_, 2)) => del(1)
+            case None => // short word at R1 boundary gets its e back
+              if (w.length == r1 && shortV(w, w.length)) w = w + "e"
+          }
+        }
+      case _ =>
+    }
+
+    // step 1c: y/Y -> i after a non-vowel that isn't the first letter
+    if (w.length >= 3 && (w.endsWith("y") || w.endsWith("Y")) &&
+        !isV(w.charAt(w.length - 2)))
+      repl(1, "i")
+
+    // step 2 (R1)
+    amongB(w, 0, Step2) match {
+      case Some((s, code)) if inR1(s.length) => code match {
+        case 13 => // ogi preceded by l -> og
+          if (w.length - s.length >= 1 &&
+              w.charAt(w.length - s.length - 1) == 'l') repl(s.length, "og")
+        case 14 => repl(s.length, "ful")
+        case 15 => repl(s.length, "less")
+        case 16 => // li after a valid li-letter
+          if (w.length - s.length >= 1 &&
+              ValidLI(w.charAt(w.length - s.length - 1))) del(s.length)
+        case c => repl(s.length, Step2Repl(c))
+      }
+      case _ =>
+    }
+
+    // step 3 (R1; ative needs R2)
+    amongB(w, 0, Step3) match {
+      case Some((s, code)) if inR1(s.length) => code match {
+        case 1 => repl(s.length, "tion")
+        case 2 => repl(s.length, "ate")
+        case 3 => repl(s.length, "al")
+        case 4 => repl(s.length, "ic")
+        case 5 => del(s.length)
+        case 6 => if (inR2(s.length)) del(s.length)
+      }
+      case _ =>
+    }
+
+    // step 4 (R2)
+    amongB(w, 0, Step4) match {
+      case Some((s, 1)) if inR2(s.length) => del(s.length)
+      case Some((s, 2)) if inR2(s.length) => // ion after s/t
+        val j = w.length - s.length - 1
+        if (j >= 0 && (w.charAt(j) == 's' || w.charAt(j) == 't'))
+          del(s.length)
+      case _ =>
+    }
+
+    // step 5
+    if (w.endsWith("e") &&
+        (inR2(1) || (inR1(1) && !shortV(w, w.length - 1)))) del(1)
+    else if (w.endsWith("l") && inR2(1) && w.length >= 2 &&
+        w.charAt(w.length - 2) == 'l') del(1)
+
+    if (yFound) w.replace('Y', 'y') else w
+  }
+}
+
 /** French Snowball stemmer (reference: Tartarus/Snowball/Ext/
   * FrenchStemmer.cs; published french.sbl). The prelude marks
   * consonantal u/i/y (and u-after-q) as U/I/Y; RV starts after the third

@@ -83,7 +83,8 @@ class StemmerSpec extends AnyFunSuite {
       "spanish" -> SnowballSpanish.stem,
       "german" -> SnowballGerman.stem,
       "romanian" -> SnowballRomanian.stem,
-      "french" -> SnowballFrench.stem)
+      "french" -> SnowballFrench.stem,
+      "english" -> SnowballEnglish.stem)
     val report = langs.map { case (lang, stem) =>
       val voc = lines(s"$lang/voc.txt")
       val out = lines(s"$lang/output.txt")
