@@ -161,6 +161,16 @@ object Analyzer {
     "este", "mai", "pentru", "ce", "se", "sau", "din", "care", "dar",
     "au", "fost", "sunt", "ca", "îi", "lui", "său", "dacă", "el", "ea",
     "le", "al", "ale", "către", "după", "până", "fără", "când")
+  val FinnishStopWords: Set[String] = Set(
+    "ja", "on", "ei", "se", "että", "oli", "hän", "mutta", "ovat",
+    "niin", "kun", "myös", "joka", "kuin", "sen", "sitä", "tai", "ole",
+    "jo", "vain", "mitä", "nyt", "siitä", "voi", "olla", "hänen",
+    "kanssa", "sitten", "tämä", "minä", "me", "he", "ne", "jos")
+  val HungarianStopWords: Set[String] = Set(
+    "a", "az", "és", "hogy", "nem", "is", "egy", "de", "már", "csak",
+    "volt", "ha", "meg", "mint", "el", "még", "ki", "vagy", "azt", "ez",
+    "én", "fel", "azért", "mert", "majd", "be", "úgy", "után", "most",
+    "akkor", "ott", "van", "lesz", "itt")
   val perLang: Map[String, Set[String]] = Map(
     "es" -> SpanishStopWords,
     "fr" -> FrenchStopWords,
@@ -173,6 +183,8 @@ object Analyzer {
     "no" -> NorwegianStopWords,
     "sv" -> SwedishStopWords,
     "ro" -> RomanianStopWords,
+    "fi" -> FinnishStopWords,
+    "hu" -> HungarianStopWords,
   ).withDefaultValue(EnglishStopWords)
 
   /** Source-code chain (the WordDelimiterFilter analog for the code

@@ -85,7 +85,8 @@ object LightStemmers {
     "ru" -> SnowballRussian.stem, "pt" -> SnowballPortuguese.stem,
     "it" -> SnowballItalian.stem, "nl" -> SnowballDutch.stem,
     "da" -> SnowballDanish.stem, "no" -> SnowballNorwegian.stem,
-    "sv" -> SnowballSwedish.stem, "ro" -> SnowballRomanian.stem)
+    "sv" -> SnowballSwedish.stem, "ro" -> SnowballRomanian.stem,
+    "fi" -> SnowballFinnish.stem, "hu" -> SnowballHungarian.stem)
 
   /** Full Snowball registry (the SnowballFilter analog — opt-in where the
     * default chain uses a light stemmer): every algorithm validated
@@ -96,5 +97,6 @@ object LightStemmers {
     "ru" -> SnowballRussian.stem, "pt" -> SnowballPortuguese.stem,
     "it" -> SnowballItalian.stem, "nl" -> SnowballDutch.stem,
     "da" -> SnowballDanish.stem, "no" -> SnowballNorwegian.stem,
-    "sv" -> SnowballSwedish.stem, "ro" -> SnowballRomanian.stem)
+    "sv" -> SnowballSwedish.stem, "ro" -> SnowballRomanian.stem,
+    "fi" -> SnowballFinnish.stem, "hu" -> SnowballHungarian.stem)
 }

@@ -651,6 +651,329 @@ object SnowballSpanish {
   }
 }
 
+/** Finnish Snowball stemmer (reference: Tartarus/Snowball/Ext/
+  * FinnishStemmer.cs; published finnish.sbl). Agglutinative pipeline:
+  * particle → possessive → case ending (sets the ending_removed flag) →
+  * comparative endings → i-plural (if an ending came off) or t-plural →
+  * tidy (long-vowel shortening, stray-vowel cleanup, final
+  * double-consonant undoubling). */
+object SnowballFinnish {
+  import SnowballRegions._
+
+  private val V1 = "aeiouyäö".toSet
+  private val V2 = "aeiouäö".toSet
+  private val AEI = "aeiä".toSet
+  private val ParticleEnd = V1 ++ Set('n', 't')
+  private def isV(c: Char) = V1(c)
+
+  private val Particle = sortDesc(Seq(
+    "pa" -> 1, "kaan" -> 1, "han" -> 1, "kin" -> 1, "hän" -> 1,
+    "kään" -> 1, "ko" -> 1, "pä" -> 1, "kö" -> 1, "sti" -> 2))
+  private val Poss = sortDesc(Seq(
+    "si" -> 1, "ni" -> 2, "nsa" -> 3, "nsä" -> 3, "mme" -> 3, "nne" -> 3,
+    "an" -> 4, "än" -> 5, "en" -> 6))
+  private val An = Array("lla", "ssa", "lta", "sta", "na", "ta").map(_ -> 1)
+  private val Aen = Array("llä", "ssä", "ltä", "stä", "nä", "tä").map(_ -> 1)
+  private val Een = Array("lle", "ine").map(_ -> 1)
+  private val Long = sortDesc(Seq(
+    "aa", "ee", "ii", "oo", "uu", "ää", "öö").map(_ -> 1))
+  // 11 = needs VI (…Vi before), 12 = needs LONG before; on a failed
+  // condition the among backtracks to a shorter entry (Snowball
+  // among-with-routine semantics)
+  private val CaseEnding = sortDesc(Seq(
+    "han" -> 1, "hen" -> 2, "hin" -> 3, "hon" -> 4, "hän" -> 5,
+    "hön" -> 6, "n" -> 7, "a" -> 8, "ä" -> 8, "tta" -> 9, "ttä" -> 9,
+    "den" -> 11, "tten" -> 11, "siin" -> 11, "seen" -> 12) ++
+    Seq("lla", "na", "ssa", "ta", "lta", "sta", "lle", "ine", "ksi",
+      "llä", "nä", "ssä", "tä", "ltä", "stä").map(_ -> 10))
+  private val Other = sortDesc(Seq(
+    "mma" -> 1, "mpa" -> 1, "mmi" -> 1, "mpi" -> 1, "mmä" -> 1,
+    "mpä" -> 1) ++
+    Seq("eja", "imma", "impa", "immi", "impi", "ejä", "immä", "impä")
+      .map(_ -> 10))
+
+  def stem(word: String): String = {
+    var w = word
+    val r1 = regionAfterVC(w, 0, isV)
+    val r2 = regionAfterVC(w, r1, isV)
+    var endingRemoved = false
+    def del(k: Int): Unit = w = w.substring(0, w.length - k)
+    def prev(k: Int): Int = w.length - k - 1 // index before a k-suffix
+
+    // particle: matched within R1
+    amongB(w, r1, Particle) match {
+      case Some((s, 1)) =>
+        val j = prev(s.length)
+        if (j >= 0 && ParticleEnd(w.charAt(j))) del(s.length)
+      case Some((s, 2)) => if (w.length - s.length >= r2) del(s.length)
+      case _ =>
+    }
+    // possessive: matched within R1
+    amongB(w, r1, Poss) match {
+      case Some((s, 1)) => // si, not after k
+        val j = prev(s.length)
+        if (!(j >= 0 && w.charAt(j) == 'k')) del(s.length)
+      case Some((s, 2)) => // ni; an exposed kse becomes ksi
+        del(s.length)
+        if (w.endsWith("kse")) w = w.substring(0, w.length - 3) + "ksi"
+      case Some((s, 3)) => del(s.length)
+      case Some((s, 4)) =>
+        if (amongB(w.substring(0, w.length - s.length), 0, An).isDefined)
+          del(s.length)
+      case Some((s, 5)) =>
+        if (amongB(w.substring(0, w.length - s.length), 0, Aen).isDefined)
+          del(s.length)
+      case Some((s, 6)) =>
+        if (amongB(w.substring(0, w.length - s.length), 0, Een).isDefined)
+          del(s.length)
+      case _ =>
+    }
+    // case ending: matched within R1; success sets the flag. The
+    // conditioned entries (den/tten/siin need …Vi before, seen needs a
+    // long pair) are checked during matching — failure backtracks to a
+    // shorter entry, all checks inside the R1 limit.
+    def viAt(j: Int): Boolean =
+      j - 1 >= r1 && w.charAt(j - 1) == 'i' && j - 2 >= r1 &&
+        V2(w.charAt(j - 2))
+    def longAt(j: Int): Boolean =
+      j - 2 >= r1 && amongB(w.substring(0, j), r1, Long).isDefined
+    CaseEnding.find { case (s, code) =>
+      w.endsWith(s) && w.length - s.length >= r1 && (code match {
+        case 11 => viAt(w.length - s.length)
+        case 12 => longAt(w.length - s.length)
+        case _ => true
+      })
+    } match {
+      case Some((s, c)) if c == 11 || c == 12 =>
+        w = w.substring(0, w.length - s.length); endingRemoved = true
+      case Some((s, code)) =>
+        val j = prev(s.length)
+        def precededBy(c: Char) = j >= 0 && w.charAt(j) == c
+        code match {
+          case 1 => if (precededBy('a')) { del(s.length); endingRemoved = true }
+          case 2 => if (precededBy('e')) { del(s.length); endingRemoved = true }
+          case 3 => if (precededBy('i')) { del(s.length); endingRemoved = true }
+          case 4 => if (precededBy('o')) { del(s.length); endingRemoved = true }
+          case 5 => if (precededBy('ä')) { del(s.length); endingRemoved = true }
+          case 6 => if (precededBy('ö')) { del(s.length); endingRemoved = true }
+          case 7 => // n; a long pair or ie before it loses a vowel too
+            del(s.length)
+            val endsLong = amongB(w, 0, Long).isDefined
+            if (endsLong || w.endsWith("ie")) del(1)
+            endingRemoved = true
+          case 8 => // a/ä after consonant+vowel
+            if (j >= 1 && V1(w.charAt(j)) && !V1(w.charAt(j - 1))) {
+              del(s.length); endingRemoved = true
+            }
+          case 9 => if (precededBy('e')) { del(s.length); endingRemoved = true }
+          case 10 => del(s.length); endingRemoved = true
+        }
+      case _ =>
+    }
+    // comparative endings: matched within R2
+    amongB(w, r2, Other) match {
+      case Some((s, 1)) =>
+        if (!(w.length - s.length >= 2 &&
+            w.regionMatches(w.length - s.length - 2, "po", 0, 2)))
+          del(s.length)
+      case Some((s, 10)) => del(s.length)
+      case _ =>
+    }
+    // i-plural (after a removed ending) or t-plural
+    if (endingRemoved) {
+      amongB(w, r1, Array("i" -> 1, "j" -> 1)) match {
+        case Some((s, _)) => del(s.length)
+        case None =>
+      }
+    } else {
+      // t preceded by a vowel, both within R1
+      if (w.endsWith("t") && w.length - 1 >= r1 && w.length - 2 >= r1 &&
+          V1(w.charAt(w.length - 2))) {
+        del(1)
+        amongB(w, r2, sortDesc(Seq("mma" -> 1, "imma" -> 10))) match {
+          case Some((s, 1)) =>
+            if (!(w.length - s.length >= 2 &&
+                w.regionMatches(w.length - s.length - 2, "po", 0, 2)))
+              del(s.length)
+          case Some((s, 10)) => del(s.length)
+          case _ =>
+        }
+      }
+    }
+    // tidy — every touched char within R1 except the final undoubling
+    if (amongB(w, r1, Long).isDefined) del(1)
+    if (w.length >= 2 && w.length - 1 >= r1 && w.length - 2 >= r1 &&
+        AEI(w.charAt(w.length - 1)) && !V1(w.charAt(w.length - 2))) del(1)
+    if (w.endsWith("j") && w.length - 1 >= r1 && w.length - 2 >= r1 &&
+        (w.charAt(w.length - 2) == 'o' || w.charAt(w.length - 2) == 'u'))
+      del(1)
+    if (w.endsWith("o") && w.length - 1 >= r1 && w.length - 2 >= r1 &&
+        w.charAt(w.length - 2) == 'j') del(1)
+    // final consonant (with only vowels after it) doubled -> single
+    var c = w.length - 1
+    while (c >= 0 && V1(w.charAt(c))) c -= 1
+    if (c >= 1 && !V1(w.charAt(c)) && w.charAt(c - 1) == w.charAt(c))
+      w = w.substring(0, c) + w.substring(c + 1)
+    w
+  }
+}
+
+/** Hungarian Snowball stemmer (reference: Tartarus/Snowball/Ext/
+  * HungarianStemmer.cs; published hungarian.sbl, õ/û era forms). R1
+  * treats an initial consonant DIGRAPH (cs/dzs/gy/ly/ny/sz/ty/zs) as one
+  * consonant; case endings strip with final á/é lowering to a/e, and
+  * instrumental/factive endings undouble the exposed double consonant. */
+object SnowballHungarian {
+  import SnowballRegions._
+
+  private val V = "aeiouáéíóõöúûü".toSet
+  private def isV(c: Char) = V(c)
+  private val A0 = Array("dzs", "cs", "gy", "ly", "ny", "sz", "ty", "zs")
+  private val Doubles = sortDesc(Seq(
+    "bb", "cc", "ccs", "dd", "ff", "gg", "ggy", "jj", "kk", "ll", "lly",
+    "mm", "nn", "nny", "pp", "rr", "ss", "ssz", "tt", "tty", "vv", "zz",
+    "zzs").map(_ -> 1))
+  private val Case = sortDesc(Seq(
+    "ba", "ra", "be", "re", "ig", "nak", "nek", "val", "vel", "ul",
+    "nál", "nél", "ból", "ról", "tól", "bõl", "rõl", "tõl", "ül", "n",
+    "an", "ban", "en", "ben", "képpen", "on", "ön", "képp", "kor", "t",
+    "at", "et", "ként", "anként", "enként", "onként", "ot", "ért", "öt",
+    "hez", "hoz", "höz", "vá", "vé").map(_ -> 1))
+  private val CaseSpecial = sortDesc(Seq(
+    "én" -> 1, "án" -> 2, "ánként" -> 3))
+  private val CaseOther = sortDesc(Seq(
+    "astul" -> 1, "estül" -> 1, "stul" -> 2, "stül" -> 2, "ástul" -> 3,
+    "éstül" -> 4))
+  private val Plural = sortDesc(Seq(
+    "ák" -> 1, "ék" -> 2, "ök" -> 3, "ak" -> 4, "ok" -> 5, "ek" -> 6,
+    "k" -> 7))
+  private val Owned = sortDesc(Seq(
+    "aké" -> 1, "eké" -> 1, "oké" -> 1, "öké" -> 1, "éké" -> 2,
+    "áké" -> 3, "ké" -> 4, "ééi" -> 5, "áéi" -> 6, "éi" -> 7, "éé" -> 8,
+    "é" -> 9))
+  private val SingOwner = sortDesc(Seq(
+    "unk" -> 1, "ünk" -> 1, "ánk" -> 2, "énk" -> 3, "nk" -> 4,
+    "ájuk" -> 5, "éjük" -> 6, "juk" -> 7, "jük" -> 7, "uk" -> 8,
+    "ük" -> 8, "am" -> 9, "em" -> 9, "om" -> 9, "ám" -> 10, "ém" -> 11,
+    "m" -> 12, "ad" -> 13, "ed" -> 13, "od" -> 13, "öd" -> 13,
+    "ád" -> 14, "éd" -> 15, "d" -> 16, "ja" -> 17, "je" -> 17,
+    "a" -> 18, "e" -> 18, "o" -> 18, "á" -> 19, "é" -> 20))
+  private val PlurOwner = sortDesc(Seq(
+    "jaim" -> 1, "jeim" -> 1, "áim" -> 2, "éim" -> 3, "aim" -> 4,
+    "eim" -> 4, "im" -> 5, "jaid" -> 6, "jeid" -> 6, "áid" -> 7,
+    "éid" -> 8, "aid" -> 9, "eid" -> 9, "id" -> 10, "jai" -> 11,
+    "jei" -> 11, "ái" -> 12, "éi" -> 13, "ai" -> 14, "ei" -> 14,
+    "i" -> 15, "jaink" -> 16, "jeink" -> 16, "áink" -> 18, "éink" -> 19,
+    "aink" -> 17, "eink" -> 17, "ink" -> 20, "jaitok" -> 20,
+    "jeitek" -> 20, "áitok" -> 22, "éitek" -> 23, "aitok" -> 21,
+    "eitek" -> 21, "itek" -> 24, "jaik" -> 25, "jeik" -> 25, "áik" -> 27,
+    "éik" -> 28, "aik" -> 26, "eik" -> 26, "ik" -> 29))
+
+  def stem(word: String): String = {
+    var w = word
+    val n = w.length
+    // R1: word starts with a vowel -> after the first consonant (an
+    // initial digraph counts once); else after the first vowel
+    var r1 = n
+    if (n > 0 && isV(w.charAt(0))) {
+      var i = 1
+      while (i < n && isV(w.charAt(i))) i += 1
+      if (i < n) {
+        val rest = w.substring(i)
+        val dig = A0.find(rest.startsWith)
+        r1 = i + dig.map(_.length).getOrElse(1)
+      }
+    } else if (n > 0) {
+      var i = 1
+      while (i < n && !isV(w.charAt(i))) i += 1
+      if (i < n) r1 = i + 1
+    }
+
+    def inR1(k: Int) = w.length - k >= r1
+    def del(k: Int): Unit = w = w.substring(0, w.length - k)
+    def repl(k: Int, to: String): Unit = w = w.substring(0, w.length - k) + to
+    // ends with a (possibly digraph) double consonant at `end`
+    def isDouble(end: Int): Boolean =
+      amongB(w.substring(0, end), 0, Doubles).isDefined
+    def undouble(): Unit =
+      if (w.length >= 2)
+        w = w.substring(0, w.length - 2) + w.substring(w.length - 1)
+    // final á/é lowers to a/e (R1)
+    def vEnding(): Unit = {
+      if (w.endsWith("á") && inR1(1)) repl(1, "a")
+      else if (w.endsWith("é") && inR1(1)) repl(1, "e")
+    }
+
+    // instrum: al/el after a double consonant, R1; undouble after
+    amongB(w, 0, Array("al" -> 1, "el" -> 1)) match {
+      case Some((s, _)) if inR1(s.length) && isDouble(w.length - s.length) =>
+        del(s.length); undouble()
+      case _ =>
+    }
+    // case endings, then final á/é lowering
+    amongB(w, 0, Case) match {
+      case Some((s, _)) if inR1(s.length) => del(s.length); vEnding()
+      case _ =>
+    }
+    // case_special
+    amongB(w, 0, CaseSpecial) match {
+      case Some((s, 1)) if inR1(s.length) => repl(s.length, "e")
+      case Some((s, 2)) if inR1(s.length) => repl(s.length, "a")
+      case Some((s, 3)) if inR1(s.length) => repl(s.length, "a")
+      case _ =>
+    }
+    // case_other
+    amongB(w, 0, CaseOther) match {
+      case Some((s, c)) if inR1(s.length) => c match {
+        case 1 | 2 => del(s.length)
+        case 3 => repl(s.length, "a")
+        case 4 => repl(s.length, "e")
+      }
+      case _ =>
+    }
+    // factive: á/é after a double consonant, R1; undouble after
+    amongB(w, 0, Array("á" -> 1, "é" -> 1)) match {
+      case Some((s, _)) if inR1(s.length) && isDouble(w.length - s.length) =>
+        del(s.length); undouble()
+      case _ =>
+    }
+    // owned
+    val aE = Map(1 -> "", 2 -> "e", 3 -> "a", 4 -> "", 5 -> "e",
+      6 -> "a", 7 -> "", 8 -> "e", 9 -> "")
+    amongB(w, 0, Owned) match {
+      case Some((s, c)) if inR1(s.length) =>
+        if (aE(c).isEmpty) del(s.length) else repl(s.length, aE(c))
+      case _ =>
+    }
+    // sing_owner
+    val soA = Set(2, 5, 10, 14, 19); val soE = Set(3, 6, 11, 15, 20)
+    amongB(w, 0, SingOwner) match {
+      case Some((s, c)) if inR1(s.length) =>
+        if (soA(c)) repl(s.length, "a")
+        else if (soE(c)) repl(s.length, "e")
+        else del(s.length)
+      case _ =>
+    }
+    // plur_owner
+    val poA = Set(2, 7, 12, 18, 22, 27); val poE = Set(3, 8, 13, 19, 23, 28)
+    amongB(w, 0, PlurOwner) match {
+      case Some((s, c)) if inR1(s.length) =>
+        if (poA(c)) repl(s.length, "a")
+        else if (poE(c)) repl(s.length, "e")
+        else del(s.length)
+      case _ =>
+    }
+    // plural
+    amongB(w, 0, Plural) match {
+      case Some((s, 1)) if inR1(s.length) => repl(s.length, "a")
+      case Some((s, 2)) if inR1(s.length) => repl(s.length, "e")
+      case Some((s, _)) if inR1(s.length) => del(s.length)
+      case _ =>
+    }
+    w
+  }
+}
+
 /** English Snowball stemmer — "Porter2" (reference: Tartarus/Snowball/
   * Ext/EnglishStemmer.cs; published english.sbl). The reference's
   * SnowballFilter("English"); [[PorterStemmer]] remains the

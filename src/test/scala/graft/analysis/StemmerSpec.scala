@@ -84,7 +84,9 @@ class StemmerSpec extends AnyFunSuite {
       "german" -> SnowballGerman.stem,
       "romanian" -> SnowballRomanian.stem,
       "french" -> SnowballFrench.stem,
-      "english" -> SnowballEnglish.stem)
+      "english" -> SnowballEnglish.stem,
+      "hungarian" -> SnowballHungarian.stem,
+      "finnish" -> SnowballFinnish.stem)
     val report = langs.map { case (lang, stem) =>
       val voc = lines(s"$lang/voc.txt")
       val out = lines(s"$lang/output.txt")
