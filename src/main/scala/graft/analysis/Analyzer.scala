@@ -171,6 +171,11 @@ object Analyzer {
     "volt", "ha", "meg", "mint", "el", "még", "ki", "vagy", "azt", "ez",
     "én", "fel", "azért", "mert", "majd", "be", "úgy", "után", "most",
     "akkor", "ott", "van", "lesz", "itt")
+  val TurkishStopWords: Set[String] = Set(
+    "ve", "bir", "bu", "da", "de", "için", "ile", "mi", "ama", "o",
+    "çok", "daha", "en", "gibi", "her", "ki", "kadar", "ne", "sonra",
+    "ben", "sen", "biz", "siz", "onlar", "var", "yok", "olarak", "olan",
+    "ancak", "şu", "hem", "ya", "veya", "diye")
   val perLang: Map[String, Set[String]] = Map(
     "es" -> SpanishStopWords,
     "fr" -> FrenchStopWords,
@@ -185,6 +190,7 @@ object Analyzer {
     "ro" -> RomanianStopWords,
     "fi" -> FinnishStopWords,
     "hu" -> HungarianStopWords,
+    "tr" -> TurkishStopWords,
   ).withDefaultValue(EnglishStopWords)
 
   /** Source-code chain (the WordDelimiterFilter analog for the code

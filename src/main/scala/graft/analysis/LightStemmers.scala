@@ -86,7 +86,8 @@ object LightStemmers {
     "it" -> SnowballItalian.stem, "nl" -> SnowballDutch.stem,
     "da" -> SnowballDanish.stem, "no" -> SnowballNorwegian.stem,
     "sv" -> SnowballSwedish.stem, "ro" -> SnowballRomanian.stem,
-    "fi" -> SnowballFinnish.stem, "hu" -> SnowballHungarian.stem)
+    "fi" -> SnowballFinnish.stem, "hu" -> SnowballHungarian.stem,
+    "tr" -> SnowballTurkish.stem)
 
   /** Full Snowball registry (the SnowballFilter analog — opt-in where the
     * default chain uses a light stemmer): every algorithm validated
@@ -98,5 +99,6 @@ object LightStemmers {
     "it" -> SnowballItalian.stem, "nl" -> SnowballDutch.stem,
     "da" -> SnowballDanish.stem, "no" -> SnowballNorwegian.stem,
     "sv" -> SnowballSwedish.stem, "ro" -> SnowballRomanian.stem,
-    "fi" -> SnowballFinnish.stem, "hu" -> SnowballHungarian.stem)
+    "fi" -> SnowballFinnish.stem, "hu" -> SnowballHungarian.stem,
+    "tr" -> SnowballTurkish.stem)
 }

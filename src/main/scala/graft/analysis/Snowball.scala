@@ -651,6 +651,513 @@ object SnowballSpanish {
   }
 }
 
+/** Turkish Snowball stemmer (reference: Tartarus/Snowball/Ext/
+  * TurkishStemmer.cs; published turkish.sbl, E. Kapusuz Çilden). Purely
+  * suffix-stripping with vowel-harmony checks and optional buffer
+  * consonants (y/n/s) / buffer vowels (U = ı/i/u/ü): nominal-verb
+  * suffix chains first, then noun suffix chains (with the recursive
+  * ...ki chain), then postlude (final b/c/d/ğ devoicing reversal and a
+  * harmony-matched buffer vowel appended to stems ending d/g).
+  * Deletions are destructive mid-chain exactly as in the .sbl — a
+  * failed continuation keeps earlier deletions. */
+object SnowballTurkish {
+  import SnowballRegions.sortDesc
+
+  private val Vow = "aeıiouöü".toSet
+  private val USet = "ıiuü".toSet
+  private def harmonySet(c: Char): String = c match {
+    case 'a' => "aıou"; case 'e' => "eiöü"; case 'ı' => "aı"
+    case 'i' => "ei"; case 'o' => "ou"; case 'ö' => "öü"
+    case 'u' => "ou"; case 'ü' => "öü"; case _ => ""
+  }
+
+  /** Suffix-vowel harmony: the last vowel of `s` (the suffix's own) must
+    * be preceded, anywhere earlier, by a vowel from its harmony group. */
+  private def harmony(s: String): Boolean = {
+    var j = s.length - 1
+    while (j >= 0 && !Vow(s.charAt(j))) j -= 1
+    if (j < 0) return false
+    val set = harmonySet(s.charAt(j))
+    var i = j - 1
+    while (i >= 0) {
+      if (set.indexOf(s.charAt(i).toInt) >= 0) return true
+      i -= 1
+    }
+    false
+  }
+
+  /** Optional buffer consonant `c` before an already-matched core at the
+    * end of `s`: present -> must follow a vowel (consume it); absent ->
+    * the char two back must be a vowel (consume nothing). */
+  private def optCons(s: String, c: Char): Option[Int] =
+    if (s.nonEmpty && s.last == c) {
+      if (s.length >= 2 && Vow(s.charAt(s.length - 2))) Some(1) else None
+    } else if (s.length >= 2 && Vow(s.charAt(s.length - 2))) Some(0)
+    else None
+
+  /** Optional buffer vowel (U = ı/i/u/ü): present -> must follow a
+    * non-vowel; absent -> the char two back must be a non-vowel. */
+  private def optU(s: String): Option[Int] =
+    if (s.nonEmpty && USet(s.last)) {
+      if (s.length >= 2 && !Vow(s.charAt(s.length - 2))) Some(1) else None
+    } else if (s.length >= 2 && !Vow(s.charAt(s.length - 2))) Some(0)
+    else None
+
+  private def amongLen(s: String, entries: Array[String]): Option[Int] =
+    entries.find(s.endsWith).map(_.length)
+  private def tab(ss: String*): Array[String] =
+    sortDesc(ss.map(_ -> 1)).map(_._1)
+
+  private val Poss = tab("m", "n", "miz", "niz", "muz", "nuz", "müz",
+    "nüz", "mız", "nız")
+  private val LArI = tab("leri", "ları")
+  private val NUt = tab("ni", "nu", "nü", "nı")
+  private val NUn = tab("in", "un", "ün", "ın")
+  private val YAt = tab("a", "e")
+  private val NAt = tab("na", "ne")
+  private val DAt = tab("da", "ta", "de", "te")
+  private val NdA = tab("nda", "nde")
+  private val DAn = tab("dan", "tan", "den", "ten")
+  private val NdAn = tab("ndan", "nden")
+  private val YlA = tab("la", "le")
+  private val NcA = tab("ca", "ce")
+  private val YUm = tab("im", "um", "üm", "ım")
+  private val SUn = tab("sin", "sun", "sün", "sın")
+  private val YUz = tab("iz", "uz", "üz", "ız")
+  private val SUnUz = tab("siniz", "sunuz", "sünüz", "sınız")
+  private val LAr = tab("lar", "ler")
+  private val NUz = tab("niz", "nuz", "nüz", "nız")
+  private val DUr = tab("dir", "tir", "dur", "tur", "dür", "tür", "dır",
+    "tır")
+  private val CAsInA = tab("casına", "cesine")
+  private val YDU = tab("di", "ti", "dik", "tik", "duk", "tuk", "dük",
+    "tük", "dık", "tık", "dim", "tim", "dum", "tum", "düm", "tüm", "dım",
+    "tım", "din", "tin", "dun", "tun", "dün", "tün", "dın", "tın", "du",
+    "tu", "dü", "tü", "dı", "tı")
+  private val YsA = tab("sa", "se", "sak", "sek", "sam", "sem", "san",
+    "sen")
+  private val YmUs = tab("miş", "muş", "müş", "mış")
+
+  // mark_* : total suffix length at the end of `s`, or None
+  private def mPoss(s: String) =
+    amongLen(s, Poss).flatMap(k => optU(s.dropRight(k)).map(_ + k))
+  private def mSU(s: String) =
+    if (harmony(s) && s.nonEmpty && USet(s.last))
+      optCons(s.dropRight(1), 's').map(_ + 1)
+    else None
+  private def mLArI(s: String) = amongLen(s, LArI)
+  private def mYU(s: String) =
+    if (harmony(s) && s.nonEmpty && USet(s.last))
+      optCons(s.dropRight(1), 'y').map(_ + 1)
+    else None
+  private def mNU(s: String) = if (harmony(s)) amongLen(s, NUt) else None
+  private def mNUn(s: String) =
+    if (harmony(s))
+      amongLen(s, NUn).flatMap(k => optCons(s.dropRight(k), 'n').map(_ + k))
+    else None
+  private def mYA(s: String) =
+    if (harmony(s))
+      amongLen(s, YAt).flatMap(k => optCons(s.dropRight(k), 'y').map(_ + k))
+    else None
+  private def mNA(s: String) = if (harmony(s)) amongLen(s, NAt) else None
+  private def mDA(s: String) = if (harmony(s)) amongLen(s, DAt) else None
+  private def mNdA(s: String) = if (harmony(s)) amongLen(s, NdA) else None
+  private def mDAn(s: String) = if (harmony(s)) amongLen(s, DAn) else None
+  private def mNdAn(s: String) = if (harmony(s)) amongLen(s, NdAn) else None
+  private def mYlA(s: String) =
+    if (harmony(s))
+      amongLen(s, YlA).flatMap(k => optCons(s.dropRight(k), 'y').map(_ + k))
+    else None
+  private def mKi(s: String) = if (s.endsWith("ki")) Some(2) else None
+  private def mNcA(s: String) =
+    if (harmony(s))
+      amongLen(s, NcA).flatMap(k => optCons(s.dropRight(k), 'n').map(_ + k))
+    else None
+  private def mYUm(s: String) =
+    if (harmony(s))
+      amongLen(s, YUm).flatMap(k => optCons(s.dropRight(k), 'y').map(_ + k))
+    else None
+  private def mSUn(s: String) = if (harmony(s)) amongLen(s, SUn) else None
+  private def mYUz(s: String) =
+    if (harmony(s))
+      amongLen(s, YUz).flatMap(k => optCons(s.dropRight(k), 'y').map(_ + k))
+    else None
+  private def mSUnUz(s: String) = amongLen(s, SUnUz)
+  private def mLAr(s: String) = if (harmony(s)) amongLen(s, LAr) else None
+  private def mNUz(s: String) = if (harmony(s)) amongLen(s, NUz) else None
+  private def mDUr(s: String) = if (harmony(s)) amongLen(s, DUr) else None
+  private def mCAsInA(s: String) = amongLen(s, CAsInA)
+  private def mYDU(s: String) =
+    if (harmony(s))
+      amongLen(s, YDU).flatMap(k => optCons(s.dropRight(k), 'y').map(_ + k))
+    else None
+  private def mYsA(s: String) =
+    amongLen(s, YsA).flatMap(k => optCons(s.dropRight(k), 'y').map(_ + k))
+  private def mYmUs(s: String) =
+    if (harmony(s))
+      amongLen(s, YmUs).flatMap(k => optCons(s.dropRight(k), 'y').map(_ + k))
+    else None
+  private def mYken(s: String) =
+    if (s.endsWith("ken")) optCons(s.dropRight(3), 'y').map(_ + 3) else None
+
+  /** The recursive …ki chain. Returns the rewritten string, or None if
+    * it did not apply. `s` is the region ending at the current cursor. */
+  private def chainKi(s: String): Option[String] = {
+    if (!s.endsWith("ki")) return None
+    val p = s.substring(0, s.length - 2)
+    mDA(p) match {
+      case Some(k) =>
+        var cur = p.substring(0, p.length - k) // DA+ki deleted
+        mLAr(cur) match {
+          case Some(k2) =>
+            cur = cur.substring(0, cur.length - k2)
+            chainKi(cur).foreach(cur = _)
+          case None =>
+            mPoss(cur) match {
+              case Some(k3) =>
+                cur = cur.substring(0, cur.length - k3)
+                mLAr(cur) match {
+                  case Some(k4) =>
+                    cur = cur.substring(0, cur.length - k4)
+                    chainKi(cur).foreach(cur = _)
+                  case None =>
+                }
+              case None =>
+            }
+        }
+        return Some(cur)
+      case None =>
+    }
+    mNUn(p) match {
+      case Some(k) =>
+        var cur = p.substring(0, p.length - k) // nUn+ki deleted
+        mLArI(cur) match {
+          case Some(k2) => cur = cur.substring(0, cur.length - k2)
+          case None =>
+            mPoss(cur).orElse(mSU(cur)) match {
+              case Some(k3) =>
+                cur = cur.substring(0, cur.length - k3)
+                mLAr(cur) match {
+                  case Some(k4) =>
+                    cur = cur.substring(0, cur.length - k4)
+                    chainKi(cur).foreach(cur = _)
+                  case None =>
+                }
+              case None => chainKi(cur).foreach(cur = _)
+            }
+        }
+        return Some(cur)
+      case None =>
+    }
+    mNdA(p) match {
+      case Some(k) =>
+        val inner = p.substring(0, p.length - k)
+        mLArI(inner) match {
+          case Some(k2) => // lArI+ndA+ki all deleted
+            return Some(inner.substring(0, inner.length - k2))
+          case None =>
+        }
+        mSU(inner) match {
+          case Some(k2) => // sU+ndA+ki deleted
+            var cur = inner.substring(0, inner.length - k2)
+            mLAr(cur) match {
+              case Some(k3) =>
+                cur = cur.substring(0, cur.length - k3)
+                chainKi(cur).foreach(cur = _)
+              case None =>
+            }
+            return Some(cur)
+          case None =>
+        }
+        // recurse before the ndA — the ndA+ki stay in place (.sbl quirk)
+        return chainKi(inner).map(_ + s.substring(inner.length))
+      case None =>
+    }
+    None
+  }
+
+  private def nominalVerb(w0: String): (String, Boolean) = {
+    var w = w0
+    // branch 1: ymUs_/yDU/ysA/yken
+    mYmUs(w).orElse(mYDU(w)).orElse(mYsA(w)).orElse(mYken(w)) match {
+      case Some(k) => return (w.substring(0, w.length - k), true)
+      case None =>
+    }
+    // branch 2: cAsInA (sUnUz|lAr|yUm|sUn|yUz|ε) ymUs_
+    mCAsInA(w) match {
+      case Some(k1) =>
+        val b1 = w.substring(0, w.length - k1)
+        val k2 = mSUnUz(b1).orElse(mLAr(b1)).orElse(mYUm(b1))
+          .orElse(mSUn(b1)).orElse(mYUz(b1)).getOrElse(0)
+        val b2 = b1.substring(0, b1.length - k2)
+        mYmUs(b2) match {
+          case Some(k3) => return (b2.substring(0, b2.length - k3), true)
+          case None => // branch fails; nothing deleted yet
+        }
+      case None =>
+    }
+    // branch 3: lAr deleted; optional second suffix; stop noun stemming
+    mLAr(w) match {
+      case Some(k) =>
+        w = w.substring(0, w.length - k)
+        mDUr(w).orElse(mYDU(w)).orElse(mYsA(w)).orElse(mYmUs(w))
+          .foreach(n => w = w.substring(0, w.length - n))
+        return (w, false)
+      case None =>
+    }
+    // branch 4: nUz (yDU|ysA)
+    mNUz(w) match {
+      case Some(k1) =>
+        val b1 = w.substring(0, w.length - k1)
+        mYDU(b1).orElse(mYsA(b1)) match {
+          case Some(k2) => return (b1.substring(0, b1.length - k2), true)
+          case None =>
+        }
+      case None =>
+    }
+    // branch 5: (sUnUz|yUz|sUn|yUm) deleted; optional ymUs_
+    mSUnUz(w).orElse(mYUz(w)).orElse(mSUn(w)).orElse(mYUm(w)) match {
+      case Some(k) =>
+        w = w.substring(0, w.length - k)
+        mYmUs(w).foreach(n => w = w.substring(0, w.length - n))
+        return (w, true)
+      case None =>
+    }
+    // branch 6: DUr deleted; then ((sUnUz|lAr|yUm|sUn|yUz|ε) ymUs_)?
+    mDUr(w) match {
+      case Some(k) =>
+        w = w.substring(0, w.length - k)
+        val g = mSUnUz(w).orElse(mLAr(w)).orElse(mYUm(w)).orElse(mSUn(w))
+          .orElse(mYUz(w)).getOrElse(0)
+        val b = w.substring(0, w.length - g)
+        mYmUs(b) match {
+          case Some(k3) => w = b.substring(0, b.length - k3)
+          case None => // continuation fails; DUr removal stands
+        }
+        return (w, true)
+      case None =>
+    }
+    (w, true)
+  }
+
+  private def nounSuffixes(w0: String): String = {
+    var w = w0
+    // branch 1: lAr; then the ki chain
+    mLAr(w) match {
+      case Some(k) =>
+        w = w.substring(0, w.length - k)
+        chainKi(w).foreach(w = _)
+        return w
+      case None =>
+    }
+    // branch 2: ncA; then (lArI | (poss|sU)(lAr chain?) | lAr chain!)
+    mNcA(w) match {
+      case Some(k) =>
+        w = w.substring(0, w.length - k)
+        val afterNcA = w
+        mLArI(w) match {
+          case Some(k2) => return w.substring(0, w.length - k2)
+          case None =>
+        }
+        mPoss(w).orElse(mSU(w)) match {
+          case Some(k2) =>
+            w = w.substring(0, w.length - k2)
+            mLAr(w) match {
+              case Some(k3) =>
+                w = w.substring(0, w.length - k3)
+                chainKi(w).foreach(w = _)
+              case None =>
+            }
+            return w
+          case None =>
+        }
+        mLAr(afterNcA) match {
+          case Some(k2) =>
+            val b = afterNcA.substring(0, afterNcA.length - k2)
+            chainKi(b) match {
+              case Some(res) => return res
+              case None => return b // lAr removal persists, chain failed
+            }
+          case None =>
+        }
+        return afterNcA
+      case None =>
+    }
+    // branch 3: (ndA|nA) — deleted only together with what follows
+    mNdA(w).orElse(mNA(w)) match {
+      case Some(k) =>
+        val inner = w.substring(0, w.length - k)
+        mLArI(inner) match {
+          case Some(k2) => return inner.substring(0, inner.length - k2)
+          case None =>
+        }
+        mSU(inner) match {
+          case Some(k2) =>
+            var cur = inner.substring(0, inner.length - k2)
+            mLAr(cur) match {
+              case Some(k3) =>
+                cur = cur.substring(0, cur.length - k3)
+                chainKi(cur).foreach(cur = _)
+              case None =>
+            }
+            return cur
+          case None =>
+        }
+        chainKi(inner) match {
+          case Some(res) => return res + w.substring(inner.length)
+          case None => // branch fails: fall through, nothing deleted
+        }
+      case None =>
+    }
+    // branch 4: (ndAn|nU) — sU-continuation deletes; lArI only marks
+    mNdAn(w).orElse(mNU(w)) match {
+      case Some(k) =>
+        val inner = w.substring(0, w.length - k)
+        mSU(inner) match {
+          case Some(k2) =>
+            var cur = inner.substring(0, inner.length - k2)
+            mLAr(cur) match {
+              case Some(k3) =>
+                cur = cur.substring(0, cur.length - k3)
+                chainKi(cur).foreach(cur = _)
+              case None =>
+            }
+            return cur
+          case None =>
+        }
+        if (mLArI(inner).isDefined) return w // matched, nothing deleted
+      case None =>
+    }
+    // branch 5: DAn; then (poss(lAr chain?) | lAr(chain?) | chain!)
+    mDAn(w) match {
+      case Some(k) =>
+        w = w.substring(0, w.length - k)
+        mPoss(w) match {
+          case Some(k2) =>
+            w = w.substring(0, w.length - k2)
+            mLAr(w) match {
+              case Some(k3) =>
+                w = w.substring(0, w.length - k3)
+                chainKi(w).foreach(w = _)
+              case None =>
+            }
+            return w
+          case None =>
+        }
+        mLAr(w) match {
+          case Some(k2) =>
+            w = w.substring(0, w.length - k2)
+            chainKi(w).foreach(w = _)
+            return w
+          case None =>
+        }
+        chainKi(w).foreach(w = _)
+        return w
+      case None =>
+    }
+    // branch 6: (nUn|ylA); then (lAr chain! | (poss|sU)(lAr chain?) | chain!)
+    mNUn(w).orElse(mYlA(w)) match {
+      case Some(k) =>
+        w = w.substring(0, w.length - k)
+        mLAr(w) match {
+          case Some(k2) =>
+            val b = w.substring(0, w.length - k2)
+            chainKi(b) match {
+              case Some(res) => return res
+              case None => w = b // lAr removal persists; try next alt
+            }
+          case None =>
+        }
+        mPoss(w).orElse(mSU(w)) match {
+          case Some(k2) =>
+            w = w.substring(0, w.length - k2)
+            mLAr(w) match {
+              case Some(k3) =>
+                w = w.substring(0, w.length - k3)
+                chainKi(w).foreach(w = _)
+              case None =>
+            }
+            return w
+          case None =>
+        }
+        chainKi(w).foreach(w = _)
+        return w
+      case None =>
+    }
+    // branch 7: bare lArI
+    mLArI(w) match {
+      case Some(k) => return w.substring(0, w.length - k)
+      case None =>
+    }
+    // branch 8: the ki chain alone
+    chainKi(w) match {
+      case Some(res) => return res
+      case None =>
+    }
+    // branch 9: (DA|yU|yA); then ((poss lAr? | lAr) deleted, chain?)
+    mDA(w).orElse(mYU(w)).orElse(mYA(w)) match {
+      case Some(k) =>
+        w = w.substring(0, w.length - k)
+        val marked = mPoss(w) match {
+          case Some(k2) =>
+            w = w.substring(0, w.length - k2)
+            mLAr(w).foreach(n => w = w.substring(0, w.length - n))
+            true
+          case None =>
+            mLAr(w) match {
+              case Some(k2) => w = w.substring(0, w.length - k2); true
+              case None => false
+            }
+        }
+        if (marked) chainKi(w).foreach(w = _)
+        return w
+      case None =>
+    }
+    // branch 10: (poss|sU); then (lAr deleted, chain?)
+    mPoss(w).orElse(mSU(w)) match {
+      case Some(k) =>
+        w = w.substring(0, w.length - k)
+        mLAr(w) match {
+          case Some(k2) =>
+            w = w.substring(0, w.length - k2)
+            chainKi(w).foreach(w = _)
+          case None =>
+        }
+      case None =>
+    }
+    w
+  }
+
+  def stem(word: String): String = {
+    if (word.count(Vow) < 2) return word // one syllable: untouched
+    val (w1, continueNoun) = nominalVerb(word)
+    if (!continueNoun) return w1
+    var w = nounSuffixes(w1)
+    // postlude
+    if (w == "ad" || w == "soyad") return w // reserved words
+    if (w.endsWith("d") || w.endsWith("g")) {
+      var j = w.length - 1
+      while (j >= 0 && !Vow(w.charAt(j))) j -= 1
+      if (j >= 0) {
+        val u = w.charAt(j) match {
+          case 'a' | 'ı' => "ı"; case 'e' | 'i' => "i"
+          case 'o' | 'u' => "u"; case _ => "ü"
+        }
+        w = w + u
+      }
+    }
+    val last = if (w.nonEmpty) w.charAt(w.length - 1) else ' '
+    last match {
+      case 'b' => w = w.substring(0, w.length - 1) + "p"
+      case 'c' => w = w.substring(0, w.length - 1) + "ç"
+      case 'd' => w = w.substring(0, w.length - 1) + "t"
+      case 'ğ' => w = w.substring(0, w.length - 1) + "k"
+      case _ =>
+    }
+    w
+  }
+}
+
 /** Finnish Snowball stemmer (reference: Tartarus/Snowball/Ext/
   * FinnishStemmer.cs; published finnish.sbl). Agglutinative pipeline:
   * particle → possessive → case ending (sets the ending_removed flag) →

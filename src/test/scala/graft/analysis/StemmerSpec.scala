@@ -70,7 +70,9 @@ class StemmerSpec extends AnyFunSuite {
     def lines(name: String): Seq[String] = {
       val e = zf.getEntry(name)
       val src = scala.io.Source.fromInputStream(zf.getInputStream(e), "UTF-8")
-      try src.getLines().map(_.trim).filter(_.nonEmpty).toList finally src.close()
+      // no nonEmpty filter: four Turkish words stem to the EMPTY string
+      // ("ları" is all suffix) and their output lines must stay aligned
+      try src.getLines().map(_.trim).toList finally src.close()
     }
     val langs: Seq[(String, String => String)] = Seq(
       "russian" -> SnowballRussian.stem,
@@ -86,7 +88,8 @@ class StemmerSpec extends AnyFunSuite {
       "french" -> SnowballFrench.stem,
       "english" -> SnowballEnglish.stem,
       "hungarian" -> SnowballHungarian.stem,
-      "finnish" -> SnowballFinnish.stem)
+      "finnish" -> SnowballFinnish.stem,
+      "turkish" -> SnowballTurkish.stem)
     val report = langs.map { case (lang, stem) =>
       val voc = lines(s"$lang/voc.txt")
       val out = lines(s"$lang/output.txt")
