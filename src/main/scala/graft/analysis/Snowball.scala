@@ -2092,8 +2092,12 @@ object SnowballGerman {
     new String(a)
   }
 
-  def stem(word: String): String = {
-    var w = prelude(word)
+  def stem(word: String): String = stemPrepared(prelude(word))
+
+  /** The shared German suffix steps + postlude, applied to a
+    * prelude-marked word (also the German2 variant's back end). */
+  private[analysis] def stemPrepared(prepared: String): String = {
+    var w = prepared
     val r1 = r1Min3(w, isV)
     val r2 = regionAfterVC(w, regionAfterVC(w, 0, isV), isV)
 
@@ -2148,6 +2152,49 @@ object SnowballGerman {
       case 'ä' => 'a'; case 'ö' => 'o'; case 'ü' => 'u'; case c => c
     }
   }
+}
+
+/** German2 Snowball variant (reference: Tartarus/Snowball/Ext/
+  * German2Stemmer.cs; published german2.sbl): identical suffix steps to
+  * [[SnowballGerman]], but the prelude also folds the ae/oe/ue spellings
+  * of umlauts (protecting qu), AFTER marking consonantal u/y as U/Y. */
+object SnowballGerman2 {
+  private val V = "aeiouyäöü".toSet
+  private def isV(c: Char) = V(c)
+
+  private def prelude(word: String): String = {
+    val a = word.toCharArray
+    var i = 1
+    while (i < a.length - 1) {
+      if (isV(a(i - 1)) && isV(a(i + 1))) {
+        if (a(i) == 'u') a(i) = 'U' else if (a(i) == 'y') a(i) = 'Y'
+      }
+      i += 1
+    }
+    val s = new String(a)
+    val out = new java.lang.StringBuilder(s.length)
+    var j = 0
+    var stop = false
+    while (j < s.length && !stop) {
+      val two = if (j + 1 < s.length) s.substring(j, j + 2) else ""
+      two match {
+        case "ae" => out.append('ä'); j += 2
+        case "oe" => out.append('ö'); j += 2
+        case "ue" => out.append('ü'); j += 2
+        case "qu" => // hop 2: the two chars after qu are protected; an
+          // impossible hop ends the whole repeat (rest stays unfolded)
+          if (j + 4 <= s.length) { out.append(s, j, j + 4); j += 4 }
+          else stop = true
+        case _ =>
+          if (s.charAt(j) == 'ß') { out.append("ss"); j += 1 }
+          else { out.append(s.charAt(j)); j += 1 }
+      }
+    }
+    if (j < s.length) out.append(s, j, s.length)
+    out.toString
+  }
+
+  def stem(word: String): String = SnowballGerman.stemPrepared(prelude(word))
 }
 
 /** The Scandinavian Snowball stemmers share one skeleton (reference:

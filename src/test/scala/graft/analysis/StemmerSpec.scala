@@ -89,7 +89,8 @@ class StemmerSpec extends AnyFunSuite {
       "english" -> SnowballEnglish.stem,
       "hungarian" -> SnowballHungarian.stem,
       "finnish" -> SnowballFinnish.stem,
-      "turkish" -> SnowballTurkish.stem)
+      "turkish" -> SnowballTurkish.stem,
+      "german2" -> SnowballGerman2.stem)
     val report = langs.map { case (lang, stem) =>
       val voc = lines(s"$lang/voc.txt")
       val out = lines(s"$lang/output.txt")
