@@ -91,8 +91,13 @@ object LightStemmers {
 
   /** Full Snowball registry (the SnowballFilter analog — opt-in where the
     * default chain uses a light stemmer): every algorithm validated
-    * against its complete official voc/output vector set. */
+    * against its complete official voc/output vector set. Keys are the
+    * language codes plus the named English variants the reference exposes
+    * through SnowballFilter's name parameter ("lovins", "porter",
+    * "german2", "kp"). */
   val snowball: Map[String, String => String] = Map(
+    "lovins" -> SnowballLovins.stem, "porter" -> PorterStemmer.stemStrict,
+    "german2" -> SnowballGerman2.stem, "kp" -> SnowballKp.stem,
     "en" -> SnowballEnglish.stem, "fr" -> SnowballFrench.stem,
     "es" -> SnowballSpanish.stem, "de" -> SnowballGerman.stem,
     "ru" -> SnowballRussian.stem, "pt" -> SnowballPortuguese.stem,

@@ -14,10 +14,19 @@ object PorterStemmer {
 
   def stem(word: String): String = {
     if (word.length <= 2) return word
-    new Impl(word.toCharArray).run()
+    new Impl(word.toCharArray, strict = false).run()
   }
 
-  private final class Impl(var b: Array[Char]) {
+  /** The strict 1980 paper (the Snowball `porter` algorithm): no ≤2-letter
+    * guard, step-2 `abli→able` as published (not the `bli→ble` departure),
+    * and no `logi→log`. Validated against the official Snowball porter
+    * voc/output vectors in StemmerSpec. */
+  def stemStrict(word: String): String = {
+    if (word.isEmpty) return word
+    new Impl(word.toCharArray, strict = true).run()
+  }
+
+  private final class Impl(var b: Array[Char], strict: Boolean) {
     private var k: Int = b.length - 1 // last valid index
     private var j: Int = 0            // stem end for the current rule
 
@@ -80,8 +89,9 @@ object PorterStemmer {
       if (b(k) == 's') {
         if (ends("sses")) k -= 2
         else if (ends("ies")) setTo("i")
-        else if (b(k - 1) != 's') k -= 1
+        else if (k == 0 || b(k - 1) != 's') k -= 1
       }
+      if (k < 0) return
       if (ends("eed")) { if (m() > 0) k -= 1 }
       else if ((ends("ed") || ends("ing")) && vowelInStem()) {
         k = j
@@ -110,7 +120,8 @@ object PorterStemmer {
         case 'e' =>
           if (ends("izer")) r("ize")
         case 'l' =>
-          if (ends("bli")) r("ble") // departure: paper had abli→able
+          if (!strict && ends("bli")) r("ble") // departure: paper had abli→able
+          else if (strict && ends("abli")) r("able")
           else if (ends("alli")) r("al")
           else if (ends("entli")) r("ent")
           else if (ends("eli")) r("e")
@@ -129,7 +140,7 @@ object PorterStemmer {
           else if (ends("iviti")) r("ive")
           else if (ends("biliti")) r("ble")
         case 'g' =>
-          if (ends("logi")) r("log") // departure: added rule
+          if (!strict && ends("logi")) r("log") // departure: added rule
         case _ =>
       }
     }
@@ -181,7 +192,9 @@ object PorterStemmer {
     }
 
     def run(): String = {
-      step1ab(); step1c(); step2(); step3(); step4(); step5()
+      step1ab()
+      if (k < 0) return "" // strict mode: "s" is all suffix
+      step1c(); step2(); step3(); step4(); step5()
       new String(b, 0, k + 1)
     }
   }

@@ -90,7 +90,10 @@ class StemmerSpec extends AnyFunSuite {
       "hungarian" -> SnowballHungarian.stem,
       "finnish" -> SnowballFinnish.stem,
       "turkish" -> SnowballTurkish.stem,
-      "german2" -> SnowballGerman2.stem)
+      "german2" -> SnowballGerman2.stem,
+      "lovins" -> SnowballLovins.stem,
+      "kraaij_pohlmann" -> SnowballKp.stem,
+      "porter" -> PorterStemmer.stemStrict)
     val report = langs.map { case (lang, stem) =>
       val voc = lines(s"$lang/voc.txt")
       val out = lines(s"$lang/output.txt")
