@@ -176,6 +176,36 @@ object Analyzer {
     "çok", "daha", "en", "gibi", "her", "ki", "kadar", "ne", "sonra",
     "ben", "sen", "biz", "siz", "onlar", "var", "yok", "olarak", "olan",
     "ancak", "şu", "hem", "ya", "veya", "diye")
+  // Compact subsets of each language's standard public stop list (same
+  // provenance as the reference's per-language stopwords.txt files).
+  val ArabicStopWords: Set[String] = ("من ومن منها منه في وفي فيها فيه و ف ثم او " +
+    "أو ب بها به ا أ اى اي أي أى لا ولا الا ألا إلا لكن ما وما كما فما عن مع")
+    .split(" ").toSet
+  val PersianStopWords: Set[String] = ("انان نداشته سراسر خياه ايشان وي تاكنون " +
+    "بيشتري دوم پس ناشي وگو يا داشتند سپس هنگام هرگز پنج نشان امسال ديگر گروهي " +
+    "شدند چطور ده و دو نخستين ولي چرا چه وسط ه كدام").split(" ").toSet
+  val HindiStopWords: Set[String] = ("अंदर अत अपना अपनी अपने अभी आदि आप इत्यादि इन " +
+    "इनका इन्हीं इन्हें इन्हों इस इसका इसकी इसके इसमें इसी इसे उन उनका उनकी उनके उनको उन्हीं " +
+    "उन्हें उन्हों उस उसके उसी उसे एक").split(" ").toSet
+  val BulgarianStopWords: Set[String] = ("а аз ако ала бе без беше би бил била " +
+    "били било близо бъдат бъде бяха в вас ваш ваша вероятно вече взема ви вие " +
+    "винаги все всеки всички всичко всяка във въпреки върху").split(" ").toSet
+  val CzechStopWords: Set[String] = ("a s k o i u v z dnes cz tímto budeš budem " +
+    "byli jseš můj svým ta tomto tohle tuto tyto jej zda proč máte tato kam " +
+    "tohoto kdo kteří mi nám tom").split(" ").toSet
+  val IndonesianStopWords: Set[String] = ("ada adanya adalah adapun agak agaknya " +
+    "agar akan akankah akhirnya aku akulah amat amatlah anda andalah antar " +
+    "diantaranya antara antaranya diantara apa apaan mengapa apabila apakah " +
+    "apalagi apatah atau ataukah ataupun bagai bagaikan sebagai").split(" ").toSet
+  val LatvianStopWords: Set[String] = ("aiz ap ar apakš ārpus augšpus bez caur " +
+    "dēļ gar iekš iz kopš labad lejpus līdz no otrpus pa par pār pēc pie pirms " +
+    "pret priekš starp šaipus uz viņpus virs virspus zem apakšpus").split(" ").toSet
+  val GreekStopWords: Set[String] = ("ο η το οι τα του τησ των τον την και κι κ " +
+    "ειμαι εισαι ειναι ειμαστε ειστε στο στον στη στην μα αλλα απο για προσ με " +
+    "σε ωσ παρα αντι κατα μετα").split(" ").toSet
+  val IrishStopWords: Set[String] = ("a ach ag agus an aon ar arna as ba beirt " +
+    "chomh chuig chun cois cúig dar de deich den do don dtí dá dár faoi gach " +
+    "go i le mar na nach ní ó roimh trí um ár é í").split(" ").toSet
   val perLang: Map[String, Set[String]] = Map(
     "es" -> SpanishStopWords,
     "fr" -> FrenchStopWords,
@@ -191,6 +221,15 @@ object Analyzer {
     "fi" -> FinnishStopWords,
     "hu" -> HungarianStopWords,
     "tr" -> TurkishStopWords,
+    "ar" -> ArabicStopWords,
+    "fa" -> PersianStopWords,
+    "hi" -> HindiStopWords,
+    "bg" -> BulgarianStopWords,
+    "cs" -> CzechStopWords,
+    "id" -> IndonesianStopWords,
+    "lv" -> LatvianStopWords,
+    "el" -> GreekStopWords,
+    "ga" -> IrishStopWords,
   ).withDefaultValue(EnglishStopWords)
 
   /** Source-code chain (the WordDelimiterFilter analog for the code

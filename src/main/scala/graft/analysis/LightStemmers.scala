@@ -87,7 +87,14 @@ object LightStemmers {
     "da" -> SnowballDanish.stem, "no" -> SnowballNorwegian.stem,
     "sv" -> SnowballSwedish.stem, "ro" -> SnowballRomanian.stem,
     "fi" -> SnowballFinnish.stem, "hu" -> SnowballHungarian.stem,
-    "tr" -> SnowballTurkish.stem)
+    "tr" -> SnowballTurkish.stem,
+    // normalize-then-stem packs (the reference's per-language analyzer
+    // chains outside Snowball — [[LanguagePacks]])
+    "ar" -> ArabicStem.normStem, "fa" -> PersianStem.normalize,
+    "ckb" -> SoraniStem.normStem, "hi" -> HindiStem.normStem,
+    "bg" -> BulgarianStem.stem, "cs" -> CzechStem.stem,
+    "lv" -> LatvianStem.stem, "id" -> IndonesianStem.stem,
+    "el" -> GreekStem.foldStem)
 
   /** Full Snowball registry (the SnowballFilter analog — opt-in where the
     * default chain uses a light stemmer): every algorithm validated
