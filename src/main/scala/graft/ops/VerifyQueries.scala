@@ -497,6 +497,57 @@ object VerifyQueries {
        |SELECT doc_id, CAST(count(*) AS BIGINT) AS spans FROM pos
        |WHERE t = 'merge' AND p BETWEEN 6 AND 15 GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** SimpleQueryParser end-to-end (reference:
+    * QueryParser/Simple/SimpleQueryParser.cs): the human query
+    * `merge table | hash -vector` under default operator MUST parses to
+    * MUST( SHOULD( MUST(merge, table), hash ), NOT vector ) — the
+    * BuildQueryTree wrap-on-operator-change shape — and runs through the
+    * engine's boolean planner; output is the matching doc SET (the
+    * oracle recomputes it with set algebra over the tf view). */
+  def qParseSimple(spark: SparkSession, sf: String): DataFrame = {
+    import spark.implicits._
+    val dir = ensure(spark, sf)
+    val searcher = new graft.search.Searcher(new graft.search.IndexReader(spark, dir),
+      analyzerFor = _ => graft.analysis.Analyzer.sqlParity)
+    val parser = new graft.search.SimpleQueryParser(
+      graft.analysis.Analyzer.sqlParity, graft.search.SimpleQueryParser.Must)
+    val q = parser.parse("merge table | hash -vector").get
+    searcher.scored(q).map(_.docId).distinct().toDF("doc_id").orderBy(col("doc_id"))
+  }
+  val oParseSimple: String =
+    s"""$OracleCtes
+       |SELECT doc_id FROM (
+       |  SELECT doc_id FROM tf WHERE term = 'merge'
+       |  INTERSECT SELECT doc_id FROM tf WHERE term = 'table'
+       |  UNION SELECT doc_id FROM tf WHERE term = 'hash'
+       |) EXCEPT (SELECT doc_id FROM tf WHERE term = 'vector')
+       |ORDER BY doc_id""".stripMargin
+
+  /** Surround query language end-to-end (reference:
+    * QueryParser/Surround/Parser/QueryParser.cs): `(merge 3w table) not
+    * vector` — ordered within-3 proximity (slop 2 span-near, W-operator)
+    * minus docs containing 'vector'. The distance subtree runs the span
+    * algebra; the NOT level is doc-set algebra. For unit spans the
+    * ordered-chain condition reduces to ∃ positions pa < pb with
+    * pb − pa ≤ 3, which is what the oracle checks. */
+  def qSurround(spark: SparkSession, sf: String): DataFrame = {
+    val dir = ensure(spark, sf)
+    val searcher = new graft.search.Searcher(new graft.search.IndexReader(spark, dir),
+      analyzerFor = _ => graft.analysis.Analyzer.sqlParity)
+    val q = graft.search.Surround.parse("(merge 3w table) not vector")
+    graft.search.Surround.docs(searcher, q).toDF("doc_id").orderBy(col("doc_id"))
+  }
+  val oSurround: String =
+    s"""$OracleCtes, pos AS (
+       |  SELECT doc_id, CAST(generate_subscripts(ts, 1) AS BIGINT) AS p, unnest(ts) AS t
+       |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS ts FROM documents)
+       |)
+       |SELECT DISTINCT a.doc_id AS doc_id
+       |FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.p > a.p AND b.p - a.p <= 3
+       |WHERE a.t = 'merge' AND b.t = 'table'
+       |  AND a.doc_id NOT IN (SELECT doc_id FROM tf WHERE term = 'vector')
+       |ORDER BY doc_id""".stripMargin
+
   /** Fielded query (`lang:en AND content:merge`) over the multi-field
     * index — the FieldInfos/StringField analog: 'lang:en' is an exact
     * keyword term living in the same postings table as analyzed content
@@ -1312,6 +1363,8 @@ object VerifyQueries {
     "q_span_or" -> qSpanOr _,
     "q_span_first" -> qSpanFirst _,
     "q_span_range" -> qSpanRange _,
+    "q_parse_simple" -> qParseSimple _,
+    "q_surround" -> qSurround _,
     "q_field_term" -> qFieldTerm _,
     "q_bool_should" -> qBoolShould _,
     "q_bool_must" -> qBoolMust _,
@@ -1378,6 +1431,8 @@ object VerifyQueries {
     "q_span_or" -> oSpanOr,
     "q_span_first" -> oSpanFirst,
     "q_span_range" -> oSpanRange,
+    "q_parse_simple" -> oParseSimple,
+    "q_surround" -> oSurround,
     "q_field_term" -> oFieldTerm,
     "q_bool_should" -> oBoolShould,
     "q_bool_must" -> oBoolMust,

@@ -263,7 +263,7 @@ object Searcher {
   * per doc (the reference's in-order sum, DisjunctionSumScorer.cs:59-85);
   * coord = queryNorm = 1 under BM25 (Similarity.cs:122-143).
   */
-final class Searcher(reader: IndexReader, pruneMinBlocks: Int = 64,
+final class Searcher(val reader: IndexReader, pruneMinBlocks: Int = 64,
     analyzerFor: String => graft.analysis.Analyzer = graft.analysis.Analyzer.forLang,
     maxClauseCount: Int = 1024)
     extends Serializable with Explains {
