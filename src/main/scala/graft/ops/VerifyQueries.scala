@@ -548,6 +548,30 @@ object VerifyQueries {
        |  AND a.doc_id NOT IN (SELECT doc_id FROM tf WHERE term = 'vector')
        |ORDER BY doc_id""".stripMargin
 
+  /** Compiled sort/rescore expression (reference:
+    * Lucene.Net.Expressions — ExpressionSortField.cs over a
+    * JavascriptCompiler-compiled expression with SimpleBindings): the
+    * source text `_score > 1 ? sqrt(_score) + ln(dl + 1) / 10 :
+    * _score * 2` compiles to ONE Catalyst Column (whole-stage codegen)
+    * bound to the BM25 double score and exact doc length; docs sort by
+    * the compiled value. The oracle evaluates the same expression as
+    * SQL (`?:` ⇔ CASE WHEN — the 1/0-truthiness indirection is
+    * value-identical for a comparison condition). */
+  def qExprSort(spark: SparkSession, sf: String): DataFrame = {
+    val h = scoredHits(spark, sf, Seq("merge"))
+    val e = graft.expressions.Javascript.compile(
+      "_score > 1 ? sqrt(_score) + ln(dl + 1) / 10 : _score * 2",
+      Map("_score" -> col("score"), "dl" -> col("dl").cast("double")))
+    h.select(col("doc_id"), round(e, 6).as("expr_score"))
+      .orderBy(col("expr_score").desc, col("doc_id")).limit(20)
+  }
+  val oExprSort: String =
+    s"""${oracleScored(Seq("merge"))}
+       |SELECT doc_id, round(CASE WHEN score > 1.0e0
+       |    THEN sqrt(score) + ln(dl + 1.0e0) / 10.0e0
+       |    ELSE score * 2.0e0 END, 6) AS expr_score
+       |FROM scored ORDER BY expr_score DESC, doc_id LIMIT 20""".stripMargin
+
   /** Fielded query (`lang:en AND content:merge`) over the multi-field
     * index — the FieldInfos/StringField analog: 'lang:en' is an exact
     * keyword term living in the same postings table as analyzed content
@@ -1365,6 +1389,7 @@ object VerifyQueries {
     "q_span_range" -> qSpanRange _,
     "q_parse_simple" -> qParseSimple _,
     "q_surround" -> qSurround _,
+    "q_expr_sort" -> qExprSort _,
     "q_field_term" -> qFieldTerm _,
     "q_bool_should" -> qBoolShould _,
     "q_bool_must" -> qBoolMust _,
@@ -1433,6 +1458,7 @@ object VerifyQueries {
     "q_span_range" -> oSpanRange,
     "q_parse_simple" -> oParseSimple,
     "q_surround" -> oSurround,
+    "q_expr_sort" -> oExprSort,
     "q_field_term" -> oFieldTerm,
     "q_bool_should" -> oBoolShould,
     "q_bool_must" -> oBoolMust,
