@@ -572,6 +572,83 @@ object VerifyQueries {
        |    ELSE score * 2.0e0 END, 6) AS expr_score
        |FROM scored ORDER BY expr_score DESC, doc_id LIMIT 20""".stripMargin
 
+  // ---------------------------------------------------------- spatial ops
+
+  /** Deterministic point table derived from events with pure integer
+    * arithmetic (exact in doubles on both engines). */
+  private def eventPoints(spark: SparkSession, sf: String): DataFrame =
+    spark.read.parquet(s"$sf/events.parquet").select(
+      col("event_id"),
+      (col("event_id") * 7919 % 18000 / lit(100.0) - 90.0).as("lat"),
+      (col("event_id") * 104729 % 36000 / lit(100.0) - 180.0).as("lon"))
+
+  private val OraclePts: String =
+    """WITH pts AS (
+      |  SELECT event_id,
+      |         ((event_id * 7919) % 18000) / 100.0e0 - 90.0e0 AS lat,
+      |         ((event_id * 104729) % 36000) / 100.0e0 - 180.0e0 AS lon
+      |  FROM events
+      |)""".stripMargin
+
+  /** Spatial Intersects(bbox) (reference: Lucene.Net.Spatial
+    * RecursivePrefixTreeStrategy + IntersectsPrefixTreeFilter): the engine
+    * prunes with driver-covered Morton ranges (quad prefix tree ≙ Z-order
+    * prefix ranges) then refines exactly; the oracle is the plain
+    * geometric predicate — equality proves the cover is sound AND the
+    * refine is exact. */
+  def qSpatialBbox(spark: SparkSession, sf: String): DataFrame = {
+    val r = graft.spatial.Spatial.Rect(10, 25, -40, -5)
+    graft.spatial.Spatial.bboxQuery(eventPoints(spark, sf), col("lat"), col("lon"), r)
+      .select(col("event_id"), round(col("lat"), 6).as("lat"), round(col("lon"), 6).as("lon"))
+      .orderBy(col("event_id"))
+  }
+  val oSpatialBbox: String =
+    s"""$OraclePts
+       |SELECT event_id, round(lat, 6) AS lat, round(lon, 6) AS lon FROM pts
+       |WHERE lat >= 10.0e0 AND lat <= 25.0e0 AND lon >= -40.0e0 AND lon <= -5.0e0
+       |ORDER BY event_id""".stripMargin
+
+  /** Point-radius query (PointVectorStrategy.MakeDistanceValueSource +
+    * circle filter analog): Morton cover of the circle's bbox, exact
+    * haversine refine, nearest-first. Identical formula shape on both
+    * sides (same constants, same op order). */
+  def qSpatialDistance(spark: SparkSession, sf: String): DataFrame = {
+    graft.spatial.Spatial.distanceQuery(
+        eventPoints(spark, sf), col("lat"), col("lon"), 20.0, 10.0, 2000.0)
+      .select(col("event_id"), round(col("dist_km"), 6).as("dist_km"))
+      .orderBy(col("dist_km"), col("event_id")).limit(50)
+  }
+  val oSpatialDistance: String =
+    s"""$OraclePts
+       |SELECT event_id,
+       |  round(2.0e0 * 6371.0e0 * asin(least(1.0e0, sqrt(
+       |    sin((20.0e0 - lat) * 1.7453292519943295e-2 / 2.0e0)
+       |      * sin((20.0e0 - lat) * 1.7453292519943295e-2 / 2.0e0)
+       |    + cos(lat * 1.7453292519943295e-2) * cos(20.0e0 * 1.7453292519943295e-2)
+       |      * sin((10.0e0 - lon) * 1.7453292519943295e-2 / 2.0e0)
+       |      * sin((10.0e0 - lon) * 1.7453292519943295e-2 / 2.0e0)))), 6) AS dist_km
+       |FROM pts
+       |WHERE 2.0e0 * 6371.0e0 * asin(least(1.0e0, sqrt(
+       |    sin((20.0e0 - lat) * 1.7453292519943295e-2 / 2.0e0)
+       |      * sin((20.0e0 - lat) * 1.7453292519943295e-2 / 2.0e0)
+       |    + cos(lat * 1.7453292519943295e-2) * cos(20.0e0 * 1.7453292519943295e-2)
+       |      * sin((10.0e0 - lon) * 1.7453292519943295e-2 / 2.0e0)
+       |      * sin((10.0e0 - lon) * 1.7453292519943295e-2 / 2.0e0)))) <= 2000.0e0
+       |ORDER BY dist_km, event_id LIMIT 50""".stripMargin
+
+  /** Grid heat map (PrefixTreeStrategy's cell faceting idea): counts per
+    * level-4 quad cell — one map-side-combinable groupBy. */
+  def qSpatialCells(spark: SparkSession, sf: String): DataFrame = {
+    graft.spatial.Spatial.cellCounts(eventPoints(spark, sf), col("lat"), col("lon"), 4)
+      .orderBy(col("cell_x"), col("cell_y"))
+  }
+  val oSpatialCells: String =
+    s"""$OraclePts
+       |SELECT CAST(floor((lon + 180.0e0) / 360.0e0 * 16.0e0) AS BIGINT) AS cell_x,
+       |       CAST(floor((lat + 90.0e0) / 180.0e0 * 16.0e0) AS BIGINT) AS cell_y,
+       |       CAST(count(*) AS BIGINT) AS cnt
+       |FROM pts GROUP BY 1, 2 ORDER BY cell_x, cell_y""".stripMargin
+
   /** Fielded query (`lang:en AND content:merge`) over the multi-field
     * index — the FieldInfos/StringField analog: 'lang:en' is an exact
     * keyword term living in the same postings table as analyzed content
@@ -1390,6 +1467,9 @@ object VerifyQueries {
     "q_parse_simple" -> qParseSimple _,
     "q_surround" -> qSurround _,
     "q_expr_sort" -> qExprSort _,
+    "q_spatial_bbox" -> qSpatialBbox _,
+    "q_spatial_distance" -> qSpatialDistance _,
+    "q_spatial_cells" -> qSpatialCells _,
     "q_field_term" -> qFieldTerm _,
     "q_bool_should" -> qBoolShould _,
     "q_bool_must" -> qBoolMust _,
@@ -1459,6 +1539,9 @@ object VerifyQueries {
     "q_parse_simple" -> oParseSimple,
     "q_surround" -> oSurround,
     "q_expr_sort" -> oExprSort,
+    "q_spatial_bbox" -> oSpatialBbox,
+    "q_spatial_distance" -> oSpatialDistance,
+    "q_spatial_cells" -> oSpatialCells,
     "q_field_term" -> oFieldTerm,
     "q_bool_should" -> oBoolShould,
     "q_bool_must" -> oBoolMust,
