@@ -649,6 +649,57 @@ object VerifyQueries {
        |       CAST(count(*) AS BIGINT) AS cnt
        |FROM pts GROUP BY 1, 2 ORDER BY cell_x, cell_y""".stripMargin
 
+  /** Percolation (reference: Lucene.Net.Memory/MemoryIndex.cs — the
+    * prospective-search primitive). 100 stored conjunctive queries are
+    * derived deterministically from the term dictionary (rank by df desc,
+    * term asc, capped at 200; with V ranked terms, query i = MUST
+    * {t[i%V], t[(7i+3)%V]}, MUST_NOT {t[(11i+5)%V]} — degenerate
+    * collisions are consistent on both sides); each document's
+    * MemoryIndex is its
+    * distinct analyzed term set; matching is one term equi-join (see
+    * [[graft.search.Percolate]]). Output: matches per stored query. */
+  def qPercolate(spark: SparkSession, sf: String): DataFrame = {
+    import spark.implicits._
+    val dir = ensure(spark, sf)
+    val top = spark.read.parquet(IndexPaths.termDict(dir))
+      .orderBy(col("df").desc, col("term")).limit(200)
+      .select("term").as[String].collect() // stats-sized driver pull (200 rows)
+    val v = top.length
+    val queryDefs = (0 until 100).map { i =>
+      (i.toLong, Seq(top(i % v), top((i * 7 + 3) % v)), Seq(top((i * 11 + 5) % v)))
+    }.toDF("query_id", "must", "must_not")
+    val docTerms = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"text").as[(Long, String)]
+      .flatMap { case (id, t) =>
+        graft.analysis.Analyzer.sqlParity.analyzeTerms(t).distinct.map(tm => (id, tm))
+      }.toDF("doc_id", "term")
+    graft.search.Percolate.percolate(queryDefs, docTerms)
+      .groupBy("query_id").agg(count(lit(1)).as("n_matches"))
+      .orderBy("query_id")
+  }
+  val oPercolate: String =
+    s"""$OracleCtes, ranked AS (
+       |  SELECT term, row_number() OVER (ORDER BY df DESC, term) - 1 AS r
+       |  FROM df ORDER BY df DESC, term LIMIT 200
+       |), v AS (
+       |  SELECT count(*) AS n FROM ranked
+       |), qdef AS (
+       |  SELECT q.i AS query_id, m1.term AS must1, m2.term AS must2, n1.term AS not1
+       |  FROM range(100) q(i) CROSS JOIN v
+       |  JOIN ranked m1 ON m1.r = q.i % v.n
+       |  JOIN ranked m2 ON m2.r = (q.i * 7 + 3) % v.n
+       |  JOIN ranked n1 ON n1.r = (q.i * 11 + 5) % v.n
+       |), dterm AS (
+       |  SELECT DISTINCT doc_id, term FROM tf
+       |)
+       |SELECT qdef.query_id, CAST(count(*) AS BIGINT) AS n_matches
+       |FROM qdef
+       |JOIN dterm a ON a.term = qdef.must1
+       |JOIN dterm b ON b.term = qdef.must2 AND b.doc_id = a.doc_id
+       |WHERE NOT EXISTS (
+       |  SELECT 1 FROM dterm c WHERE c.term = qdef.not1 AND c.doc_id = a.doc_id)
+       |GROUP BY qdef.query_id ORDER BY query_id""".stripMargin
+
   /** Fielded query (`lang:en AND content:merge`) over the multi-field
     * index — the FieldInfos/StringField analog: 'lang:en' is an exact
     * keyword term living in the same postings table as analyzed content
@@ -1470,6 +1521,7 @@ object VerifyQueries {
     "q_spatial_bbox" -> qSpatialBbox _,
     "q_spatial_distance" -> qSpatialDistance _,
     "q_spatial_cells" -> qSpatialCells _,
+    "q_percolate" -> qPercolate _,
     "q_field_term" -> qFieldTerm _,
     "q_bool_should" -> qBoolShould _,
     "q_bool_must" -> qBoolMust _,
@@ -1542,6 +1594,7 @@ object VerifyQueries {
     "q_spatial_bbox" -> oSpatialBbox,
     "q_spatial_distance" -> oSpatialDistance,
     "q_spatial_cells" -> oSpatialCells,
+    "q_percolate" -> oPercolate,
     "q_field_term" -> oFieldTerm,
     "q_bool_should" -> oBoolShould,
     "q_bool_must" -> oBoolMust,
