@@ -28,13 +28,17 @@ object CheckIndex {
     val cs = spark.read.parquet(IndexPaths.collectionStats(dir))
       .as[CollectionStatsRow].head()
 
-    // 1. doc space dense and within [0, maxDoc)
+    // 1. doc space dense: a contiguous run of maxDoc ids starting at a
+    //    per-index docBase (0 for a fresh build; splitter shards and
+    //    streaming generations carry a non-zero base — the reference's
+    //    per-segment docBase model, Index/SegmentReader.cs)
     val d = docstats.agg(count("*"), countDistinct($"docId"), min($"docId"),
       max($"docId")).collect()(0)
     if (d.getLong(0) != cs.maxDoc) problems += s"docstats rows ${d.getLong(0)} != maxDoc ${cs.maxDoc}"
     if (d.getLong(1) != cs.maxDoc) problems += "docIds not distinct"
-    if (cs.maxDoc > 0 && (d.getLong(2) != 0L || d.getLong(3) != cs.maxDoc - 1))
-      problems += s"docId range [${d.getLong(2)}, ${d.getLong(3)}] not dense [0, ${cs.maxDoc - 1}]"
+    val docBase = if (cs.maxDoc > 0) d.getLong(2) else 0L
+    if (cs.maxDoc > 0 && d.getLong(3) - docBase + 1 != cs.maxDoc)
+      problems += s"docId range [${d.getLong(2)}, ${d.getLong(3)}] not dense (maxDoc ${cs.maxDoc})"
 
     // 2. norms re-derive from token counts (byte315 encode is deterministic)
     val badNorms = docstats
@@ -49,14 +53,15 @@ object CheckIndex {
 
     // 4. every block decodes; docIds ascending, in range; per-term stats
     //    re-aggregated from decoded postings == term_dict (df, totalTf)
-    val maxDoc = cs.maxDoc
+    val idLo = docBase
+    val idHi = docBase + cs.maxDoc
     val perTerm = postings.map { r =>
       val (docIds, tfs, _) = PostingsCodec.decodeBlock(r.firstDocId, r.numDocs, r.bytes)
       var asc = true
       var inRange = true
       var i = 1
       while (i < docIds.length) { if (docIds(i) <= docIds(i - 1)) asc = false; i += 1 }
-      docIds.foreach(id => if (id < 0 || id >= maxDoc) inRange = false)
+      docIds.foreach(id => if (id < idLo || id >= idHi) inRange = false)
       (r.term, docIds.length.toLong, tfs.map(_.toLong).sum,
         if (asc) 0L else 1L, if (inRange) 0L else 1L,
         if (docIds.length == r.numDocs && docIds.last == r.lastDocId) 0L else 1L)

@@ -133,6 +133,19 @@ object DocIndex {
     root
   }
 
+  /** 3-way contiguous-range split of the default documents index
+    * (IndexSplitter — the Misc MultiPassIndexSplitter/PKIndexSplitter
+    * analog); shards preserve docIds, so the multi-reader union must
+    * reproduce single-index answers bit-for-bit. */
+  def ensureSplit(spark: SparkSession, sfDir: String): Seq[String] = synchronized {
+    val root = cacheDir(sfDir) + "-split"
+    val dirs = (0 until 3).map(graft.build.IndexSplitter.shardDir(root, _))
+    val done = dirs.forall(d => IndexBuilder.stageDone(spark, d, "stats"))
+    if (done) dirs
+    else graft.build.IndexSplitter.split(spark, ensure(spark, sfDir), root,
+      numShards = 3, numPartitions = 4)
+  }
+
   def ensureWide(spark: SparkSession, sfDir: String): String = synchronized {
     val dir = cacheDir(sfDir) + "-cust"
     if (!IndexBuilder.stageDone(spark, dir, "stats")) {

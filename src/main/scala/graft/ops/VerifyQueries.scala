@@ -65,6 +65,38 @@ object VerifyQueries {
   }
   val oNrtTopk: String = oTermTopk
 
+  /** Index splitting (reference: Lucene.Net.Misc/Index/
+    * MultiPassIndexSplitter.cs, PKIndexSplitter.cs): the documents index
+    * split into 3 contiguous-docId shards with original ids preserved;
+    * the multi-reader union re-aggregates dictionary + collection stats
+    * and must reproduce the single-index BM25 answer — same oracle as
+    * q_term_topk, bit for bit. */
+  def qSplitSearch(spark: SparkSession, sf: String): DataFrame = {
+    import spark.implicits._
+    val shards = DocIndex.ensureSplit(spark, sf)
+    val reader = graft.search.IndexReader.multi(spark, shards)
+    val cs = reader.collectionStats
+    val avgdl = cs.sumTotalTermFreq * 1.0 / cs.maxDoc
+    val h = reader.postings.where(col("term") === "merge")
+      .select(col("term"), col("firstDocId"), col("lastDocId"), col("numDocs"),
+        col("maxTf"), col("maxNorm"), col("sumTf"), col("segId"), col("bytes"))
+      .as[graft.build.PostingRow]
+      .flatMap { r =>
+        val (ids, tfs, _) = graft.postings.PostingsCodec.decodeBlock(r.firstDocId, r.numDocs, r.bytes)
+        ids.indices.map(i => (ids(i), tfs(i).toLong))
+      }.toDF("doc_id", "tf")
+    val df0 = reader.termDict.where(col("term") === "merge")
+      .select(col("df")).head().getLong(0)
+    val dl = reader.docstats
+      .select(col("docId").as("doc_id"), col("tokenCount").cast("long").as("dl"))
+    h.join(dl, Seq("doc_id"))
+      .withColumn("score", DocIndex.bm25d(col("tf").cast("double"), lit(df0.toDouble),
+        col("dl").cast("double"), cs.maxDoc, avgdl))
+      .select(col("doc_id"), round(col("score"), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id")).limit(20)
+  }
+  val oSplitSearch: String = oTermTopk
+
   /** BooleanQuery SHOULD: union + per-doc sum (DisjunctionSumScorer). */
   def qBoolShould(spark: SparkSession, sf: String): DataFrame = {
     scoredHits(spark, sf, Seq("merge", "vector"))
@@ -1522,6 +1554,7 @@ object VerifyQueries {
     "q_spatial_distance" -> qSpatialDistance _,
     "q_spatial_cells" -> qSpatialCells _,
     "q_percolate" -> qPercolate _,
+    "q_split_search" -> qSplitSearch _,
     "q_field_term" -> qFieldTerm _,
     "q_bool_should" -> qBoolShould _,
     "q_bool_must" -> qBoolMust _,
@@ -1595,6 +1628,7 @@ object VerifyQueries {
     "q_spatial_distance" -> oSpatialDistance,
     "q_spatial_cells" -> oSpatialCells,
     "q_percolate" -> oPercolate,
+    "q_split_search" -> oSplitSearch,
     "q_field_term" -> oFieldTerm,
     "q_bool_should" -> oBoolShould,
     "q_bool_must" -> oBoolMust,
