@@ -479,3 +479,71 @@ final class PerFieldSimilarity(default: SimilarityLike,
   def coord(matched: Int, total: Int): Float = default.coord(matched, total)
 }
 
+
+/** Sweet-spot TF-IDF variant (reference:
+  * Lucene.Net.Misc/Misc/SweetSpotSimilarity.cs): DefaultSimilarity with a
+  * plateau length norm — flat (= 1) for doc lengths inside
+  * [lnMin, lnMax], falling off as 1/sqrt(steep·(|l−min|+|l−max|−(max−min))+1)
+  * outside — and a baseline tf with a floor: freq ≤ tfMin scores tfBase,
+  * above it sqrt(freq + tfBase² − tfMin); the hyperbolic tf alternative
+  * (SweetSpotSimilarity.cs HyperbolicTf) is selectable. The reference
+  * bakes ComputeLengthNorm into the norm byte at index time; this index's
+  * shared norm byte stores byte315(1/sqrt(len)), so doc length is
+  * recovered from the byte (BM25.docLen — the same lossy class as the
+  * reference's encode) and the sweet-spot norm is applied at score time.
+  * Weight pipeline (queryNorm/idf/coord) is DefaultSimilarity's. */
+final class SweetSpotSimilarity(
+    lnMin: Int = 1, lnMax: Int = 1, lnSteep: Float = 0.5f,
+    tfBase: Float = 0f, tfMin: Float = 0f,
+    useHyperbolicTf: Boolean = false,
+    tfHyperMin: Float = 0f, tfHyperMax: Float = 2f,
+    tfHyperBase: Double = 1.3d, tfHyperXoffset: Float = 10f)
+    extends SimilarityLike {
+
+  def clauseWeights(clauses: Seq[(Seq[String], Float)],
+                    stats: Map[String, TermDictRow],
+                    maxDoc: Long, sumTotalTermFreq: Long): Seq[Array[Float]] = {
+    var ssw = 0f
+    val qw = clauses.map { case (ts, boost) =>
+      var idfSum = 0f
+      ts.foreach(t => idfSum += TfIdf.idf(dfOf(stats, t), maxDoc))
+      val w = idfSum * boost
+      ssw += w * w
+      (idfSum, w)
+    }
+    val qn = TfIdf.queryNorm(ssw)
+    qw.map { case (idfSum, w) => Array(w * qn * idfSum) }
+  }
+
+  /** BaselineTf (SweetSpotSimilarity.cs:146-158). */
+  def baselineTf(freq: Float): Float =
+    if (freq == 0f) 0f
+    else if (freq <= tfMin) tfBase
+    else math.sqrt(freq + tfBase * tfBase - tfMin).toFloat
+
+  /** HyperbolicTf (SweetSpotSimilarity.cs:167-183). */
+  def hyperbolicTf(freq: Float): Float = {
+    if (freq == 0f) return 0f
+    val x = (freq - tfHyperXoffset).toDouble
+    val r = tfHyperMin + ((tfHyperMax - tfHyperMin) / 2.0f *
+      (((math.pow(tfHyperBase, x) - math.pow(tfHyperBase, -x)) /
+        (math.pow(tfHyperBase, x) + math.pow(tfHyperBase, -x))) + 1.0d)).toFloat
+    if (r.isNaN) tfHyperMax else r
+  }
+
+  /** ComputeLengthNorm (SweetSpotSimilarity.cs:128-136). */
+  def computeLengthNorm(numTerms: Int): Float =
+    (1.0f / math.sqrt(
+      lnSteep * (math.abs(numTerms - lnMin) + math.abs(numTerms - lnMax) -
+        (lnMax - lnMin)).toFloat + 1.0f)).toFloat
+
+  def score(tf: Float, normByte: Byte, w: Array[Float]): Float = {
+    val t = if (useHyperbolicTf) hyperbolicTf(tf) else baselineTf(tf)
+    val ln =
+      if ((normByte & 0xff) == BM25.OmitNormsByte) 1f
+      else computeLengthNorm(math.round(BM25.docLen(normByte)))
+    t * w(0) * ln
+  }
+
+  def coord(matched: Int, total: Int): Float = matched.toFloat / total
+}

@@ -295,4 +295,34 @@ class SimilaritySpec extends AnyFunSuite {
     val sDfr = searcher.searchWith(dfr, TermQ("dogs"), 10)(0).score
     assert(multi(0).score === sBm + sDfr)
   }
+
+  test("SweetSpot: plateau length norm + baseline/hyperbolic tf closed forms") {
+    // defaults (lnMin=lnMax=1, tfBase=tfMin=0) degenerate to
+    // DefaultSimilarity exactly — same golden as TfIdfSimilarity
+    val degenerate = searcher.searchWith(new SweetSpotSimilarity(), TermQ("all"), 10)
+    assert(degenerate(0).score === 1.6931472f)
+
+    val sim = new SweetSpotSimilarity(lnMin = 2, lnMax = 4, lnSteep = 0.5f,
+      tfBase = 1.5f, tfMin = 5f)
+    // ComputeLengthNorm closed form (SweetSpotSimilarity.cs:128-136):
+    // inside the plateau it is exactly 1
+    for (l <- 2 to 4) assert(sim.computeLengthNorm(l) === 1.0f)
+    assert(sim.computeLengthNorm(1) ===
+      (1.0f / math.sqrt(0.5f * ((1 + 3) - 2).toFloat + 1.0f)).toFloat)
+    assert(sim.computeLengthNorm(10) ===
+      (1.0f / math.sqrt(0.5f * ((8 + 6) - 2).toFloat + 1.0f)).toFloat)
+    // BaselineTf: floor below tfMin, shifted sqrt above
+    assert(sim.baselineTf(0f) === 0f)
+    assert(sim.baselineTf(3f) === 1.5f)
+    assert(sim.baselineTf(9f) === math.sqrt(9f + 2.25f - 5f).toFloat)
+    // HyperbolicTf: midpoint at xoffset, saturates to [min, max]
+    val hyper = new SweetSpotSimilarity(useHyperbolicTf = true)
+    assert(hyper.hyperbolicTf(10f) === 1.0f) // x = 0 → min + (max-min)/2
+    assert(math.abs(hyper.hyperbolicTf(100f) - 2f) < 1e-4f)
+    // end-to-end on the fixture: doc0 ("all", tf=1, dl=1) — tf floor
+    // applies (1 <= tfMin) and dl=1 sits BELOW the [2,4] plateau
+    val hits = searcher.searchWith(sim, TermQ("all"), 10)
+    val idf = TfIdf.idf(2, 6)
+    assert(hits(0).score === 1.5f * idf * sim.computeLengthNorm(1))
+  }
 }
