@@ -184,16 +184,25 @@ object Deletes {
   def expunge(spark: SparkSession, dir: String, outDir: String,
               numPartitions: Int = 8): Unit = {
     import spark.implicits._
-    val outPath = new org.apache.hadoop.fs.Path(outDir)
-    val fs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(outPath)) fs.delete(outPath, true)
-
     val dead = tombstones(spark, dir).toDF("deadId").distinct()
     val remap = DenseIds.assign(
       spark.read.parquet(IndexPaths.docstats(dir)).select($"docId")
         .join(dead, $"docId" === $"deadId", "left_anti")
         .select($"docId".as("oldId")),
       "oldId", "newId", numPartitions, base = 0L)
+    rewriteWithRemap(spark, dir, outDir, remap, numPartitions)
+  }
+
+  /** Rewrite an index under a docId remap table `(oldId, newId)`: docs
+    * absent from the remap are dropped, everything else renumbers and
+    * re-encodes in newId order. Shared by [[expunge]] (dense remap minus
+    * tombstones) and [[IndexSorter]] (remap ordered by a sort field). */
+  private[build] def rewriteWithRemap(spark: SparkSession, dir: String,
+      outDir: String, remap: DataFrame, numPartitions: Int): Unit = {
+    import spark.implicits._
+    val outPath = new org.apache.hadoop.fs.Path(outDir)
+    val fs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(outPath)) fs.delete(outPath, true)
 
     // docs + docstats: inner equi-join with the remap drops dead docs and
     // renumbers in one pass. Pending docvalue updates are FOLDED into the

@@ -146,6 +146,17 @@ object DocIndex {
       numShards = 3, numPartitions = 4)
   }
 
+  /** Documents index rewritten in (tokenCount, docId) sort order
+    * (IndexSorter — the Misc SortingMergePolicy analog): shortest docs
+    * first, so sort-matching queries early-terminate on leading blocks. */
+  def ensureSorted(spark: SparkSession, sfDir: String): String = synchronized {
+    val dir = cacheDir(sfDir) + "-sorted"
+    if (!IndexBuilder.stageDone(spark, dir, "stats"))
+      graft.build.IndexSorter.sortBy(spark, ensure(spark, sfDir), dir,
+        "tokenCount", numPartitions = 4)
+    dir
+  }
+
   def ensureWide(spark: SparkSession, sfDir: String): String = synchronized {
     val dir = cacheDir(sfDir) + "-cust"
     if (!IndexBuilder.stageDone(spark, dir, "stats")) {

@@ -97,6 +97,30 @@ object VerifyQueries {
   }
   val oSplitSearch: String = oTermTopk
 
+  /** Sorted-index early termination (reference: Lucene.Net.Misc/Index/
+    * Sorter/EarlyTerminatingSortingCollector.cs): the index is rewritten
+    * in (tokenCount, docId) order, so "shortest docs containing 'merge'"
+    * reads ONLY the leading posting blocks (cumulative numDocs ≥ k) —
+    * the oracle proves the pruned prefix decode equals the full sort. */
+  def qSortedEarly(spark: SparkSession, sf: String): DataFrame = {
+    import spark.implicits._
+    val dir = DocIndex.ensureSorted(spark, sf)
+    val hits = graft.build.IndexSorter.earlyTopK(spark, dir, "merge", 20)
+      .select(col("docId"))
+    val docs = graft.build.DocsTable.read(spark, dir)
+      .select(col("docId"), col("path").cast("long").as("doc_id"))
+    val dl = spark.read.parquet(IndexPaths.docstats(dir))
+      .select(col("docId"), col("tokenCount").cast("long").as("dl"))
+    hits.join(docs, Seq("docId")).join(dl, Seq("docId"))
+      .select(col("doc_id"), col("dl"))
+      .orderBy(col("dl"), col("doc_id"))
+  }
+  val oSortedEarly: String =
+    s"""$OracleCtes
+       |SELECT dl.doc_id, dl.dl FROM dl
+       |WHERE dl.doc_id IN (SELECT doc_id FROM tf WHERE term = 'merge')
+       |ORDER BY dl.dl, dl.doc_id LIMIT 20""".stripMargin
+
   /** BooleanQuery SHOULD: union + per-doc sum (DisjunctionSumScorer). */
   def qBoolShould(spark: SparkSession, sf: String): DataFrame = {
     scoredHits(spark, sf, Seq("merge", "vector"))
@@ -1555,6 +1579,7 @@ object VerifyQueries {
     "q_spatial_cells" -> qSpatialCells _,
     "q_percolate" -> qPercolate _,
     "q_split_search" -> qSplitSearch _,
+    "q_sorted_early" -> qSortedEarly _,
     "q_field_term" -> qFieldTerm _,
     "q_bool_should" -> qBoolShould _,
     "q_bool_must" -> qBoolMust _,
@@ -1629,6 +1654,7 @@ object VerifyQueries {
     "q_spatial_cells" -> oSpatialCells,
     "q_percolate" -> oPercolate,
     "q_split_search" -> oSplitSearch,
+    "q_sorted_early" -> oSortedEarly,
     "q_field_term" -> oFieldTerm,
     "q_bool_should" -> oBoolShould,
     "q_bool_must" -> oBoolMust,
