@@ -347,6 +347,49 @@ object PipelineQueries {
       |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 \t\n\r]')) AS BIGINT) AS bpeish_tokens
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** PII scrub (training-pipeline redaction pass): the corpus text is
+    * salted with DETERMINISTIC synthetic PII (email + SSN-shaped + IPv4,
+    * derived from doc_id with integer arithmetic — the identical string
+    * is built in both engines), then redacted by the library's
+    * lookaround-free pattern chain; per-category counts audit what was
+    * scrubbed. Equality proves the regex dialects agree end-to-end. */
+  def qRedact(spark: SparkSession, sf: String): DataFrame = {
+    val salted = docs(spark, sf).where(col("doc_id") < 200).select(
+      col("doc_id"),
+      concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@mail.example.com from 10.0."),
+        (col("doc_id") % 256).cast("string"), lit("."),
+        (col("doc_id") * 7 % 256).cast("string"), lit(" ssn 123-45-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0")).as("text"))
+    TextAnalysis.redact(salted).orderBy(col("doc_id"))
+  }
+  val oRedact: String =
+    """WITH salted AS (
+      |  SELECT doc_id,
+      |    text || ' contact user' || CAST(doc_id AS VARCHAR)
+      |      || '@mail.example.com from 10.0.'
+      |      || CAST(doc_id % 256 AS VARCHAR) || '.'
+      |      || CAST(doc_id * 7 % 256 AS VARCHAR) || ' ssn 123-45-'
+      |      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+      |  FROM documents WHERE doc_id < 200
+      |), s1 AS (
+      |  SELECT doc_id, text,
+      |    CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+      |    regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+      |  FROM salted
+      |), s2 AS (
+      |  SELECT doc_id, n_email,
+      |    CAST(len(regexp_extract_all(t1, '[0-9]{3}-[0-9]{2}-[0-9]{4}')) AS BIGINT) AS n_ssn,
+      |    regexp_replace(t1, '[0-9]{3}-[0-9]{2}-[0-9]{4}', '<SSN>', 'g') AS t2
+      |  FROM s1
+      |)
+      |SELECT doc_id,
+      |  regexp_replace(t2, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g') AS redacted,
+      |  n_email, n_ssn,
+      |  CAST(len(regexp_extract_all(t2, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS BIGINT) AS n_ip
+      |FROM s2 ORDER BY doc_id""".stripMargin
+
   def qFingerprint(spark: SparkSession, sf: String): DataFrame =
     TextAnalysis.fingerprints(docs(spark, sf)).orderBy(col("doc_id"))
   val oFingerprint: String =
@@ -488,6 +531,7 @@ object PipelineQueries {
     "q_nb_scores" -> qNbScores _,
     "q_quality" -> qQuality _,
     "q_token_counts" -> qTokenCounts _,
+    "q_redact" -> qRedact _,
     "q_fingerprint" -> qFingerprint _,
     "q_multimodal_meta" -> qMultimodalMeta _,
     "q_multimodal_stats" -> qMultimodalStats _)
@@ -508,6 +552,7 @@ object PipelineQueries {
     "q_nb_scores" -> oNbScores,
     "q_quality" -> oQuality,
     "q_token_counts" -> oTokenCounts,
+    "q_redact" -> oRedact,
     "q_fingerprint" -> oFingerprint,
     "q_multimodal_meta" -> oMultimodalMeta)
 }

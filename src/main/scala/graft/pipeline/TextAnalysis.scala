@@ -116,4 +116,41 @@ object TextAnalysis {
       .select(col("doc_id"),
         ((col("p0") + 1).cast("long") * pmod(xxhash64(col("t")), lit(1000003L))).as("c"))
       .groupBy(col("doc_id")).agg(sum(col("c")).as("fingerprint"))
+
+  // ------------------------------------------------------- PII redaction
+
+  /** PII scrub patterns — deliberately lookaround-free so the same
+    * pattern text runs identically under Java regex (Spark codegen) and
+    * RE2-class engines (the oracle). Order matters: emails first (they
+    * contain dots and digits), then SSN-shaped ids, then IPv4. */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    ("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("[0-9]{3}-[0-9]{2}-[0-9]{4}", "<SSN>"),
+    ("[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}", "<IP>"))
+
+  /** Redacted copy of a text column — every pattern family replaced by
+    * its tag. Pure regexp_replace chain: codegen'd, shuffle-free, the
+    * per-doc map shape a 100 TB scrub pass needs. */
+  def redactPii(text: Column): Column =
+    PiiPatterns.foldLeft(text) { case (c, (p, tag)) => regexp_replace(c, p, tag) }
+
+  /** Per-category PII counts BEFORE redaction (audit trail: how much was
+    * scrubbed per doc). Counted in redaction order on the progressively
+    * redacted text, so overlapping families never double-count. */
+  def piiCounts(text: Column): Seq[(String, Column)] = {
+    var cur = text
+    PiiPatterns.map { case (p, tag) =>
+      val n = regexp_count(cur, lit(p))
+      cur = regexp_replace(cur, p, tag)
+      (tag.stripPrefix("<").stripSuffix(">").toLowerCase, n.cast("long"))
+    }
+  }
+
+  /** doc_id, redacted text + per-category counts for a document table. */
+  def redact(docs: DataFrame): DataFrame = {
+    val counts = piiCounts(col("text"))
+    docs.select(
+      col("doc_id") +: (redactPii(col("text")).as("redacted") +:
+        counts.map { case (name, c) => c.as(s"n_$name") }): _*)
+  }
 }
