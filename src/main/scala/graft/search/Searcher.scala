@@ -110,13 +110,32 @@ class IndexReader(val spark: SparkSession, val dir: String) extends Serializable
       }
   }
 
+  /** True when the optional bloom sidecar exists for this index
+    * (graft.build.BloomFilter.build — the BloomFilteringPostingsFormat
+    * analog). Checked once per reader. */
+  private lazy val hasBloom: Boolean = tombstoneDirs.forall { d =>
+    val p = new org.apache.hadoop.fs.Path(graft.build.BloomFilter.path(d))
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
   /** Stats pull for query terms — one tiny dictionary lookup job,
     * parquet-pruned by the sorted term column (≙ the FST term-index seek,
-    * reference: Codecs/BlockTreeTermsReader.cs). */
-  def termStats(terms: Seq[String]): Map[String, TermDictRow] =
-    if (terms.isEmpty) Map.empty
-    else termDict.where($"term".isin(terms.distinct: _*)).as[TermDictRow]
+    * reference: Codecs/BlockTreeTermsReader.cs). When the bloom sidecar
+    * is present, definitely-absent terms are dropped FIRST (k point reads
+    * each) so a miss never touches the dictionary — the
+    * BloomFilteringPostingsFormat short circuit; at cross-shard fan-out
+    * scale most shards lack most terms and this is the common case. */
+  def termStats(terms: Seq[String]): Map[String, TermDictRow] = {
+    val distinct = terms.distinct
+    val candidates =
+      if (hasBloom)
+        distinct.filter(t => tombstoneDirs.exists(d =>
+          graft.build.BloomFilter.mightContain(spark, d, t)))
+      else distinct
+    if (candidates.isEmpty) Map.empty
+    else termDict.where($"term".isin(candidates: _*)).as[TermDictRow]
       .collect().map(t => t.term -> t).toMap
+  }
 
   /** Term-dictionary expansion for multi-term queries (MultiTermQuery
     * rewrite, reference: Search/MultiTermQuery.cs:69-160). Returns None

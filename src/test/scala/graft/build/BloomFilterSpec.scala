@@ -35,4 +35,21 @@ class BloomFilterSpec extends AnyFunSuite {
     assert((m & (m - 1)) === 0L)
     assert(words.count() <= m / 64)
   }
+
+  test("searcher short-circuit: results identical with the sidecar, misses skip the dictionary") {
+    import graft.search.{BoolQ, IndexReader, Searcher, TermQ}
+    val dir = SparkTestSession.tmpDir("graft-bloom-search-")
+    IndexBuilder.build(spark, CorpusGen.dataset(spark, 200, 2), dir, 2)
+    val before = new Searcher(new IndexReader(spark, dir))
+      .search(BoolQ(should = Seq(TermQ("def"), TermQ("zz_never_indexed"))), 10)
+    BloomFilter.build(spark, dir)
+    val reader = new IndexReader(spark, dir)
+    val after = new Searcher(reader).search(
+      BoolQ(should = Seq(TermQ("def"), TermQ("zz_never_indexed"))), 10)
+    assert(after.map(h => (h.docId, h.score)).toSeq ===
+      before.map(h => (h.docId, h.score)).toSeq)
+    // the absent term is dropped before the dictionary lookup
+    assert(reader.termStats(Seq("zz_never_indexed")).isEmpty)
+    assert(reader.termStats(Seq("def")).contains("def"))
+  }
 }
