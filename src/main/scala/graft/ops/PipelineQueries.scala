@@ -347,6 +347,43 @@ object PipelineQueries {
       |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 \t\n\r]')) AS BIGINT) AS bpeish_tokens
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Intra-doc repetition signals (Gopher/MassiveText quality filters):
+    * duplicate-line / duplicate-token fractions as pure array
+    * expressions, top-bigram fraction via one map-side-combinable
+    * groupBy — the boilerplate/spam detectors a pre-training corpus
+    * runs before quality filtering. */
+  def qRepetition(spark: SparkSession, sf: String): DataFrame =
+    TextAnalysis.repetitionSignals(docs(spark, sf)).orderBy(col("doc_id"))
+  val oRepetition: String =
+    """WITH base AS (
+      |  SELECT doc_id,
+      |    len(string_split(text, chr(10))) AS nl,
+      |    len(list_distinct(string_split(text, chr(10)))) AS dlx,
+      |    regexp_extract_all(lower(text), '[a-z0-9_]+') AS ts
+      |  FROM documents
+      |), fr AS (
+      |  SELECT doc_id,
+      |    round(CASE WHEN nl > 0 THEN (nl - dlx) * 1.0e0 / nl ELSE 0.0e0 END, 6) AS dup_line_frac,
+      |    round(CASE WHEN len(ts) > 0
+      |      THEN (len(ts) - len(list_distinct(ts))) * 1.0e0 / len(ts)
+      |      ELSE 0.0e0 END, 6) AS dup_token_frac,
+      |    ts
+      |  FROM base
+      |), pos AS (
+      |  SELECT doc_id, CAST(generate_subscripts(ts, 1) AS BIGINT) AS p, unnest(ts) AS t
+      |  FROM fr
+      |), bg AS (
+      |  SELECT a.doc_id, a.t || ' ' || b.t AS bg, count(*) AS c
+      |  FROM pos a JOIN pos b ON b.doc_id = a.doc_id AND b.p = a.p + 1
+      |  GROUP BY 1, 2
+      |), tb AS (
+      |  SELECT doc_id, round(max(c) * 1.0e0 / sum(c), 6) AS top_bigram_frac
+      |  FROM bg GROUP BY doc_id
+      |)
+      |SELECT fr.doc_id, fr.dup_line_frac, fr.dup_token_frac,
+      |       coalesce(tb.top_bigram_frac, 0.0e0) AS top_bigram_frac
+      |FROM fr LEFT JOIN tb USING (doc_id) ORDER BY fr.doc_id""".stripMargin
+
   /** PII scrub (training-pipeline redaction pass): the corpus text is
     * salted with DETERMINISTIC synthetic PII (email + SSN-shaped + IPv4,
     * derived from doc_id with integer arithmetic — the identical string
@@ -532,6 +569,7 @@ object PipelineQueries {
     "q_quality" -> qQuality _,
     "q_token_counts" -> qTokenCounts _,
     "q_redact" -> qRedact _,
+    "q_repetition" -> qRepetition _,
     "q_fingerprint" -> qFingerprint _,
     "q_multimodal_meta" -> qMultimodalMeta _,
     "q_multimodal_stats" -> qMultimodalStats _)
@@ -553,6 +591,7 @@ object PipelineQueries {
     "q_quality" -> oQuality,
     "q_token_counts" -> oTokenCounts,
     "q_redact" -> oRedact,
+    "q_repetition" -> oRepetition,
     "q_fingerprint" -> oFingerprint,
     "q_multimodal_meta" -> oMultimodalMeta)
 }

@@ -117,6 +117,44 @@ object TextAnalysis {
         ((col("p0") + 1).cast("long") * pmod(xxhash64(col("t")), lit(1000003L))).as("c"))
       .groupBy(col("doc_id")).agg(sum(col("c")).as("fingerprint"))
 
+  // --------------------------------------------------- repetition signals
+
+  /** Intra-document repetition signals (the Gopher/MassiveText quality
+    * filters — Rae et al. 2021 §A1.1, public: documents dominated by
+    * repeated lines / n-grams are boilerplate or spam and get dropped
+    * before training):
+    *   - dup_line_frac:  1 − distinct(lines)/lines
+    *   - dup_token_frac: 1 − distinct(tokens)/tokens
+    *   - top_bigram_frac: occurrences of the most frequent bigram /
+    *     total bigrams
+    * Line/token fractions are pure array expressions (codegen, no
+    * shuffle); the bigram mode needs one map-side-combinable
+    * groupBy(doc, bigram) — the only shuffle, keyed fine at 100 TB. */
+  def repetitionSignals(docs: DataFrame): DataFrame = {
+    val lines = split(col("text"), "\n")
+    val nl = size(lines).cast("double")
+    val dl = size(array_distinct(lines)).cast("double")
+    val nt = size(ts).cast("double")
+    val dt = size(array_distinct(ts)).cast("double")
+    val base = docs.select(
+      col("doc_id"),
+      round(when(nl > 0, (nl - dl) / nl).otherwise(0.0), 6).as("dup_line_frac"),
+      round(when(nt > 0, (nt - dt) / nt).otherwise(0.0), 6).as("dup_token_frac"),
+      ts.as("tks"))
+    val bi = base.select(col("doc_id"), posexplode(col("tks")).as(Seq("p", "t")))
+    val pairs = bi.join(
+        bi.select(col("doc_id"), (col("p") - 1).as("p"), col("t").as("t2")),
+        Seq("doc_id", "p"))
+      .groupBy(col("doc_id"), concat(col("t"), lit(" "), col("t2")).as("bg"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(round(max(col("c")).cast("double") / sum(col("c")).cast("double"), 6)
+        .as("top_bigram_frac"))
+    base.drop("tks")
+      .join(pairs, Seq("doc_id"), "left_outer")
+      .withColumn("top_bigram_frac", coalesce(col("top_bigram_frac"), lit(0.0)))
+  }
+
   // ------------------------------------------------------- PII redaction
 
   /** PII scrub patterns — deliberately lookaround-free so the same
