@@ -579,6 +579,34 @@ object VerifyQueries {
        |) EXCEPT (SELECT doc_id FROM tf WHERE term = 'vector')
        |ORDER BY doc_id""".stripMargin
 
+  /** XML query syntax end-to-end (reference: QueryParser/Xml/
+    * CoreParser.cs builder registry): a BooleanQuery document with a
+    * nested analyzed TermsQuery and a MUST_NOT clause compiles onto the
+    * shared Query ADT and must produce merge ∩ (table ∪ hash) − vector. */
+  def qParseXml(spark: SparkSession, sf: String): DataFrame = {
+    import spark.implicits._
+    val dir = ensure(spark, sf)
+    val searcher = new graft.search.Searcher(new graft.search.IndexReader(spark, dir),
+      analyzerFor = _ => graft.analysis.Analyzer.sqlParity)
+    val q = graft.search.XmlQueryParser.parse(
+      """<BooleanQuery>
+        |  <Clause occurs="must"><TermQuery>merge</TermQuery></Clause>
+        |  <Clause occurs="must"><TermsQuery>table hash</TermsQuery></Clause>
+        |  <Clause occurs="mustnot"><TermQuery>vector</TermQuery></Clause>
+        |</BooleanQuery>""".stripMargin)
+      .toOption.get
+    searcher.scored(q).map(_.docId).distinct().toDF("doc_id").orderBy(col("doc_id"))
+  }
+  val oParseXml: String =
+    s"""$OracleCtes
+       |SELECT doc_id FROM (
+       |  SELECT doc_id FROM tf WHERE term = 'merge'
+       |  INTERSECT SELECT doc_id FROM (
+       |    SELECT doc_id FROM tf WHERE term = 'table'
+       |    UNION SELECT doc_id FROM tf WHERE term = 'hash')
+       |) EXCEPT (SELECT doc_id FROM tf WHERE term = 'vector')
+       |ORDER BY doc_id""".stripMargin
+
   /** Surround query language end-to-end (reference:
     * QueryParser/Surround/Parser/QueryParser.cs): `(merge 3w table) not
     * vector` — ordered within-3 proximity (slop 2 span-near, W-operator)
@@ -1572,6 +1600,7 @@ object VerifyQueries {
     "q_span_first" -> qSpanFirst _,
     "q_span_range" -> qSpanRange _,
     "q_parse_simple" -> qParseSimple _,
+    "q_parse_xml" -> qParseXml _,
     "q_surround" -> qSurround _,
     "q_expr_sort" -> qExprSort _,
     "q_spatial_bbox" -> qSpatialBbox _,
@@ -1647,6 +1676,7 @@ object VerifyQueries {
     "q_span_first" -> oSpanFirst,
     "q_span_range" -> oSpanRange,
     "q_parse_simple" -> oParseSimple,
+    "q_parse_xml" -> oParseXml,
     "q_surround" -> oSurround,
     "q_expr_sort" -> oExprSort,
     "q_spatial_bbox" -> oSpatialBbox,
