@@ -607,6 +607,27 @@ object VerifyQueries {
        |) EXCEPT (SELECT doc_id FROM tf WHERE term = 'vector')
        |ORDER BY doc_id""".stripMargin
 
+  /** FuzzyLikeThis end-to-end (reference: Sandbox/Queries/
+    * FuzzyLikeThisQuery.cs): typo'd free text `"merg tble"` analyzed,
+    * each term fuzzy-expanded (banded dictionary seek, ≤1 edit), union
+    * doc set — must equal the oracle's plain Levenshtein-over-dictionary
+    * semi-join. */
+  def qFuzzyLikeThis(spark: SparkSession, sf: String): DataFrame = {
+    import spark.implicits._
+    val dir = ensure(spark, sf)
+    val searcher = new graft.search.Searcher(new graft.search.IndexReader(spark, dir),
+      analyzerFor = _ => graft.analysis.Analyzer.sqlParity)
+    val q = graft.search.FuzzyLikeThis.query(
+      "merg tble", graft.analysis.Analyzer.sqlParity, maxEdits = 1)
+    searcher.scored(q).map(_.docId).distinct().toDF("doc_id").orderBy(col("doc_id"))
+  }
+  val oFuzzyLikeThis: String =
+    s"""$OracleCtes
+       |SELECT DISTINCT doc_id FROM tf WHERE term IN (
+       |  SELECT term FROM df
+       |  WHERE levenshtein(term, 'merg') <= 1 OR levenshtein(term, 'tble') <= 1)
+       |ORDER BY doc_id""".stripMargin
+
   /** Surround query language end-to-end (reference:
     * QueryParser/Surround/Parser/QueryParser.cs): `(merge 3w table) not
     * vector` — ordered within-3 proximity (slop 2 span-near, W-operator)
@@ -1601,6 +1622,7 @@ object VerifyQueries {
     "q_span_range" -> qSpanRange _,
     "q_parse_simple" -> qParseSimple _,
     "q_parse_xml" -> qParseXml _,
+    "q_fuzzy_like_this" -> qFuzzyLikeThis _,
     "q_surround" -> qSurround _,
     "q_expr_sort" -> qExprSort _,
     "q_spatial_bbox" -> qSpatialBbox _,
@@ -1677,6 +1699,7 @@ object VerifyQueries {
     "q_span_range" -> oSpanRange,
     "q_parse_simple" -> oParseSimple,
     "q_parse_xml" -> oParseXml,
+    "q_fuzzy_like_this" -> oFuzzyLikeThis,
     "q_surround" -> oSurround,
     "q_expr_sort" -> oExprSort,
     "q_spatial_bbox" -> oSpatialBbox,
