@@ -805,6 +805,48 @@ object VerifyQueries {
        |  SELECT 1 FROM dterm c WHERE c.term = qdef.not1 AND c.doc_id = a.doc_id)
        |GROUP BY qdef.query_id ORDER BY query_id""".stripMargin
 
+  /** PHRASE percolation through the single-document MemoryIndex
+    * (reference: Lucene.Net.Memory/MemoryIndex.cs — the "prospective
+    * search" primitive): 40 stored phrase queries — the part the term
+    * equi-join percolator (q_percolate) cannot express — derived
+    * deterministically from tokens 3-4 of the lowest-doc_id documents,
+    * evaluated per-partition against every document's in-memory index.
+    * MAP-ONLY: the stored queries broadcast, each doc is analyzed once,
+    * and the only shuffle is the final match count — the ideal 100 TB
+    * shape (linear in document bytes at any cluster size). */
+  def qPercolatePhrase(spark: SparkSession, sf: String): DataFrame = {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val qdefs = docs
+      .withColumn("ts", expr("regexp_extract_all(lower(text), '[a-z0-9_]+', 0)"))
+      .where(size(col("ts")) >= 4)
+      .select(col("doc_id"), element_at(col("ts"), 3).as("w1"),
+        element_at(col("ts"), 4).as("w2"))
+      .orderBy("doc_id").limit(40)
+      .collect() // stats-sized driver pull (the 40 stored queries)
+    val stored: Seq[(Long, graft.search.Query)] = qdefs.toIndexedSeq.map { r =>
+      (r.getLong(0),
+        graft.search.PhraseQ(Seq(r.getString(1), r.getString(2))): graft.search.Query)
+    }
+    graft.search.Percolate
+      .memoryPercolate(docs, stored, graft.analysis.Analyzer.sqlParity)
+      .groupBy("query_id").agg(count(lit(1)).as("n_matches"))
+      .orderBy("query_id")
+  }
+  val oPercolatePhrase: String =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS ts
+      |  FROM documents
+      |), q AS (
+      |  SELECT doc_id AS query_id, ts[3] AS w1, ts[4] AS w2
+      |  FROM toks WHERE len(ts) >= 4 ORDER BY doc_id LIMIT 40
+      |), joined AS (
+      |  SELECT doc_id, ' ' || array_to_string(ts, ' ') || ' ' AS s FROM toks
+      |)
+      |SELECT q.query_id, CAST(count(*) AS BIGINT) AS n_matches
+      |FROM q JOIN joined ON contains(joined.s, ' ' || q.w1 || ' ' || q.w2 || ' ')
+      |GROUP BY q.query_id ORDER BY query_id""".stripMargin
+
   /** Fielded query (`lang:en AND content:merge`) over the multi-field
     * index — the FieldInfos/StringField analog: 'lang:en' is an exact
     * keyword term living in the same postings table as analyzed content
@@ -1629,6 +1671,7 @@ object VerifyQueries {
     "q_spatial_distance" -> qSpatialDistance _,
     "q_spatial_cells" -> qSpatialCells _,
     "q_percolate" -> qPercolate _,
+    "q_percolate_phrase" -> qPercolatePhrase _,
     "q_split_search" -> qSplitSearch _,
     "q_sorted_early" -> qSortedEarly _,
     "q_field_term" -> qFieldTerm _,
@@ -1706,6 +1749,7 @@ object VerifyQueries {
     "q_spatial_distance" -> oSpatialDistance,
     "q_spatial_cells" -> oSpatialCells,
     "q_percolate" -> oPercolate,
+    "q_percolate_phrase" -> oPercolatePhrase,
     "q_split_search" -> oSplitSearch,
     "q_sorted_early" -> oSortedEarly,
     "q_field_term" -> oFieldTerm,

@@ -31,6 +31,41 @@ object Percolate {
     * @param docTerms (doc_id: long, term: string) — DISTINCT terms per doc
     * @return (query_id, doc_id) pairs where the doc satisfies the query
     */
+  /** Full-query percolation through [[MemoryIndex]] — each incoming
+    * document is analyzed ONCE into a single-doc index and every stored
+    * query (arbitrary ADT: phrases, slop, multi-term, boolean, function
+    * scores) is evaluated against it per-partition. The stored query set
+    * broadcasts; the job is MAP-ONLY — zero shuffles, scales linearly
+    * with document bytes at any cluster size (the ideal 100 TB shape).
+    * A conjunctive required-term prescreen ([[MemoryIndex.requiredTerms]])
+    * skips non-candidate queries before full evaluation, the reference
+    * percolation idiom. For query sets too large to broadcast, compose:
+    * run [[percolate]]'s term equi-join over the queries' required terms
+    * to get (query_id, doc_id) candidates, then refine those pairs here.
+    *
+    * @param docs    (doc_id: long, text: string)
+    * @param queries stored (query_id, parsed query) pairs
+    * @return (query_id, doc_id) match pairs
+    */
+  def memoryPercolate(docs: DataFrame, queries: Seq[(Long, Query)],
+      analyzer: graft.analysis.Analyzer): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(queries)
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val qs = bc.value
+        val required = qs.map(q => MemoryIndex.requiredTerms(q._2))
+        it.flatMap { case (docId, text) =>
+          val mi = MemoryIndex.fromText(text, analyzer)
+          qs.iterator.zip(required.iterator).collect {
+            case ((qid, q), req)
+                if req.forall(mi.contains) && mi.matches(q) => (qid, docId)
+          }
+        }
+      }.toDF("query_id", "doc_id")
+  }
+
   def percolate(queries: DataFrame, docTerms: DataFrame): DataFrame = {
     val nMust = queries.select(col("query_id"), size(col("must")).as("n_must"))
     val positive = queries
