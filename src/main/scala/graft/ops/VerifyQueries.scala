@@ -847,6 +847,74 @@ object VerifyQueries {
       |FROM q JOIN joined ON contains(joined.s, ' ' || q.w1 || ' ' || q.w2 || ' ')
       |GROUP BY q.query_id ORDER BY query_id""".stripMargin
 
+  /** DuplicateFilter (reference: Lucene.Net.Sandbox/Queries/
+    * DuplicateFilter.cs, default KM_USE_LAST_OCCURRENCE): of the docs
+    * matching 'merge', keep only those that are the LAST docId carrying
+    * their `source` key over the whole corpus. The keeper choice is one
+    * map-side-combinable max-aggregation on the key + a semi-join — the
+    * reference's per-segment bitset walk made global. */
+  def qDuplicateFilter(spark: SparkSession, sf: String): DataFrame = {
+    val dir = ensure(spark, sf)
+    val h = hits(spark, dir, Seq("merge")).select(col("doc_id"))
+    val keys = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("source").as("key"))
+    graft.search.Sandbox.duplicateFilter(keys, h).orderBy("doc_id")
+  }
+  val oDuplicateFilter: String =
+    s"""$OracleCtes, keepers AS (
+       |  SELECT max(doc_id) AS doc_id FROM documents GROUP BY source
+       |)
+       |SELECT tf.doc_id FROM tf JOIN keepers USING (doc_id)
+       |WHERE tf.term = 'merge' ORDER BY doc_id""".stripMargin
+
+  /** SlowFuzzyQuery expansion (reference: Lucene.Net.Sandbox/Queries/
+    * SlowFuzzyQuery.cs): similarity-fraction fuzzy with no edit ceiling —
+    * accept iff 1 - editsOnSuffix/min(|term|,|query|) > minSim (strict),
+    * candidates prefix-pruned by the literal 1-char prefix, ranked
+    * similarity desc / term asc, truncated at the default 50. */
+  def qSlowFuzzy(spark: SparkSession, sf: String): DataFrame = {
+    val dir = ensure(spark, sf)
+    val dict = spark.read.parquet(graft.build.IndexPaths.termDict(dir))
+    graft.search.Sandbox.slowFuzzyTerms(dict, "merge", 0.5f, prefixLength = 1)
+      .select(col("term"), col("df"), round(col("similarity"), 6).as("similarity"))
+  }
+  val oSlowFuzzy: String =
+    s"""$OracleCtes, expanded AS (
+       |  SELECT term, df,
+       |    1.0e0 - CAST(levenshtein(substring(term, 2), 'erge') AS DOUBLE)
+       |      / CAST(1 + least(length(term) - 1, 4) AS DOUBLE) AS similarity
+       |  FROM df WHERE starts_with(term, 'm')
+       |)
+       |SELECT term, df, round(similarity, 6) AS similarity FROM expanded
+       |WHERE similarity > 0.5e0
+       |ORDER BY similarity DESC, term LIMIT 50""".stripMargin
+
+  /** SortedSetSortField (reference: Lucene.Net.Sandbox/Queries/
+    * SortedSetSortField.cs): sort the 'merge' hits by the MIDDLE_MIN
+    * selector over each doc's sorted set of distinct tokens — the
+    * multi-valued sort key reduced to one representative per doc by pure
+    * column expressions (no UDF, no extra shuffle beyond the sort). */
+  def qSortedSetSort(spark: SparkSession, sf: String): DataFrame = {
+    val dir = ensure(spark, sf)
+    val h = hits(spark, dir, Seq("merge")).select(col("doc_id"))
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .withColumn("ts", expr("regexp_extract_all(lower(text), '[a-z0-9_]+', 0)"))
+      .select(col("doc_id"),
+        graft.search.Sandbox.sortedSetSelect(col("ts"), "middleMin").as("skey"))
+    h.join(docs, Seq("doc_id"))
+      .orderBy(col("skey"), col("doc_id")).limit(20)
+      .select("doc_id", "skey")
+  }
+  val oSortedSetSort: String =
+    s"""$OracleCtes, sel AS (
+       |  SELECT doc_id,
+       |    list_sort(list_distinct(regexp_extract_all(lower(text), '[a-z0-9_]+'))) AS s
+       |  FROM documents
+       |)
+       |SELECT tf.doc_id, sel.s[(len(sel.s) + 1) // 2] AS skey
+       |FROM tf JOIN sel USING (doc_id)
+       |WHERE tf.term = 'merge' ORDER BY skey, doc_id LIMIT 20""".stripMargin
+
   /** Fielded query (`lang:en AND content:merge`) over the multi-field
     * index — the FieldInfos/StringField analog: 'lang:en' is an exact
     * keyword term living in the same postings table as analyzed content
@@ -1672,6 +1740,9 @@ object VerifyQueries {
     "q_spatial_cells" -> qSpatialCells _,
     "q_percolate" -> qPercolate _,
     "q_percolate_phrase" -> qPercolatePhrase _,
+    "q_duplicate_filter" -> qDuplicateFilter _,
+    "q_slow_fuzzy" -> qSlowFuzzy _,
+    "q_sortedset_sort" -> qSortedSetSort _,
     "q_split_search" -> qSplitSearch _,
     "q_sorted_early" -> qSortedEarly _,
     "q_field_term" -> qFieldTerm _,
@@ -1750,6 +1821,9 @@ object VerifyQueries {
     "q_spatial_cells" -> oSpatialCells,
     "q_percolate" -> oPercolate,
     "q_percolate_phrase" -> oPercolatePhrase,
+    "q_duplicate_filter" -> oDuplicateFilter,
+    "q_slow_fuzzy" -> oSlowFuzzy,
+    "q_sortedset_sort" -> oSortedSetSort,
     "q_split_search" -> oSplitSearch,
     "q_sorted_early" -> oSortedEarly,
     "q_field_term" -> oFieldTerm,

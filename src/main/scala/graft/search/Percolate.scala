@@ -24,13 +24,6 @@ import org.apache.spark.sql.functions._
   */
 object Percolate {
 
-  /** Match stored conjunctive queries against document term sets.
-    *
-    * @param queries  (query_id: long, must: array<string> non-empty,
-    *                 must_not: array<string>)
-    * @param docTerms (doc_id: long, term: string) — DISTINCT terms per doc
-    * @return (query_id, doc_id) pairs where the doc satisfies the query
-    */
   /** Full-query percolation through [[MemoryIndex]] — each incoming
     * document is analyzed ONCE into a single-doc index and every stored
     * query (arbitrary ADT: phrases, slop, multi-term, boolean, function
@@ -66,6 +59,13 @@ object Percolate {
       }.toDF("query_id", "doc_id")
   }
 
+  /** Match stored conjunctive queries against document term sets.
+    *
+    * @param queries  (query_id: long, must: array<string> non-empty,
+    *                 must_not: array<string>)
+    * @param docTerms (doc_id: long, term: string) — DISTINCT terms per doc
+    * @return (query_id, doc_id) pairs where the doc satisfies the query
+    */
   def percolate(queries: DataFrame, docTerms: DataFrame): DataFrame = {
     val nMust = queries.select(col("query_id"), size(col("must")).as("n_must"))
     val positive = queries
