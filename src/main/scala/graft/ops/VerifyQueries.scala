@@ -915,6 +915,137 @@ object VerifyQueries {
        |FROM tf JOIN sel USING (doc_id)
        |WHERE tf.term = 'merge' ORDER BY skey, doc_id LIMIT 20""".stripMargin
 
+  /** Sampled facets with amortized correction (reference:
+    * Facet/RandomSamplingFacetsCollector.cs): 'merge' hits exceed the
+    * sample size at every SF, so the deterministic residue sampler keeps
+    * ~1/binSize of the hits, counts `source` labels over the sample, and
+    * extrapolates capped at each label's true df (AmortizeFacetCounts). */
+  def qFacetSampled(spark: SparkSession, sf: String): DataFrame = {
+    val dir = ensure(spark, sf)
+    val h = hits(spark, dir, Seq("merge")).select(col("doc_id"))
+    val labels = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("source").as("label"))
+    graft.search.Facets.sampledCounts(h, labels, sampleSize = 50)
+      .orderBy(col("label"))
+  }
+  val oFacetSampled: String =
+    s"""$OracleCtes, hit AS (
+       |  SELECT DISTINCT doc_id FROM tf WHERE term = 'merge'
+       |), bin AS (
+       |  SELECT (SELECT count(*) FROM hit) // 50 AS b
+       |), gdf AS (
+       |  SELECT source AS label, count(*) AS g FROM documents GROUP BY source
+       |), cnt AS (
+       |  SELECT d.source AS label, count(*) AS c
+       |  FROM hit JOIN documents d USING (doc_id) CROSS JOIN bin
+       |  WHERE doc_id % bin.b = 0 GROUP BY d.source
+       |)
+       |SELECT label, least(c * (SELECT b FROM bin), g) AS hits_est
+       |FROM cnt JOIN gdf USING (label) ORDER BY label""".stripMargin
+
+  /** Int-association facet sums with taxonomy rollup (reference:
+    * Facet/Taxonomy/TaxonomyFacetSumIntAssociations.cs): per hit, the
+    * association value is the doc's token count and the category its
+    * source/lang path — sums accumulate at every path depth. */
+  def qFacetAssoc(spark: SparkSession, sf: String): DataFrame = {
+    val dir = ensure(spark, sf)
+    val h = hits(spark, dir, Seq("merge")).select(col("doc_id"))
+    val dl = spark.read.parquet(IndexPaths.docstats(dir)).select(
+      col("docId").as("doc_id"), col("tokenCount").cast("long").as("dl"))
+    val assoc = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), concat_ws("/", col("source"), col("lang")).as("fpath"))
+      .join(dl, "doc_id")
+    graft.search.Facets.associationSums(h.join(assoc, "doc_id"), "fpath", col("dl"))
+      .orderBy(col("path"))
+  }
+  val oFacetAssoc: String =
+    s"""$OracleCtes, hit AS (
+       |  SELECT DISTINCT doc_id FROM tf WHERE term = 'merge'
+       |), pth AS (
+       |  SELECT d.source AS p1, d.source || '/' || d.lang AS p2, dl.dl
+       |  FROM documents d JOIN hit USING (doc_id) JOIN dl USING (doc_id)
+       |)
+       |SELECT path, CAST(sum(v) AS BIGINT) AS sum_value FROM (
+       |  SELECT p1 AS path, dl AS v FROM pth UNION ALL SELECT p2, dl FROM pth
+       |) GROUP BY path ORDER BY path""".stripMargin
+
+  /** ValueSource association sums (reference: Facet/Taxonomy/
+    * TaxonomyFacetSumValueSource.cs): the per-doc value is a COMPILED
+    * expression (the engine's JS-subset ValueSource), summed per lang
+    * over the hits — relevance-weighted facets in one groupBy. */
+  def qFacetValueSource(spark: SparkSession, sf: String): DataFrame = {
+    val dir = ensure(spark, sf)
+    val h = hits(spark, dir, Seq("merge")).select(col("doc_id"))
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val v = graft.expressions.Javascript.compile(
+      "ln(n + 1)", Map("n" -> col("n_chars").cast("double")))
+    val sums = graft.search.Facets.associationSums(
+      h.join(docs, "doc_id"), "lang", v)
+    sums.select(col("path").as("lang"), round(col("sum_value"), 6).as("sum_v"))
+      .orderBy(col("lang"))
+  }
+  val oFacetValueSource: String =
+    s"""$OracleCtes, hit AS (
+       |  SELECT DISTINCT doc_id FROM tf WHERE term = 'merge'
+       |)
+       |SELECT d.lang, round(sum(ln(d.n_chars + 1.0e0)), 6) AS sum_v
+       |FROM documents d JOIN hit USING (doc_id)
+       |GROUP BY d.lang ORDER BY lang""".stripMargin
+
+  /** Overlapping range facets (reference: Facet/Range/
+    * LongRangeFacetCounts.cs): four ranges over n_chars that overlap and
+    * mix inclusive/exclusive bounds — a doc counts toward EVERY range
+    * containing it, one conditional-count pass, no bucket groupBy. */
+  def qFacetRangeOverlap(spark: SparkSession, sf: String): DataFrame = {
+    import graft.search.Facets.LongFacetRange
+    val dir = ensure(spark, sf)
+    val h = hits(spark, dir, Seq("merge")).select(col("doc_id"))
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("n_chars"))
+    graft.search.Facets.rangeCounts(h.join(docs, "doc_id"), col("n_chars"), Seq(
+      LongFacetRange("r1_short", 0, minInclusive = true, 150, maxInclusive = false),
+      LongFacetRange("r2_mid", 100, minInclusive = true, 300, maxInclusive = true),
+      LongFacetRange("r3_long", 250, minInclusive = false, 600, maxInclusive = true),
+      LongFacetRange("r4_all", 0, minInclusive = true, 1000, maxInclusive = true)))
+      .orderBy(col("label"))
+  }
+  val oFacetRangeOverlap: String =
+    s"""$OracleCtes, hit AS (
+       |  SELECT DISTINCT doc_id FROM tf WHERE term = 'merge'
+       |), v AS (
+       |  SELECT d.n_chars AS n FROM documents d JOIN hit USING (doc_id)
+       |)
+       |SELECT label, hits FROM (
+       |  SELECT 'r1_short' AS label, count(*) FILTER (n >= 0 AND n <= 149) AS hits FROM v
+       |  UNION ALL SELECT 'r2_mid', count(*) FILTER (n >= 100 AND n <= 300) FROM v
+       |  UNION ALL SELECT 'r3_long', count(*) FILTER (n >= 251 AND n <= 600) FROM v
+       |  UNION ALL SELECT 'r4_all', count(*) FILTER (n >= 0 AND n <= 1000) FROM v
+       |) ORDER BY label""".stripMargin
+
+  /** ChainedFilter with XOR (reference: Queries/ChainedFilter.cs:221 —
+    * `result.Xor(dis)`): ((merge OR table) ANDNOT vector) XOR index,
+    * folded left over doc_id sets exactly like the reference's bitset
+    * chain. */
+  def qChainedFilter(spark: SparkSession, sf: String): DataFrame = {
+    import graft.search.Filters
+    val dir = ensure(spark, sf)
+    def f(t: String) = hits(spark, dir, Seq(t)).select(col("doc_id"))
+    Filters.chained(f("merge"), Seq(
+      (Filters.Or, f("table")),
+      (Filters.AndNot, f("vector")),
+      (Filters.Xor, f("index")))).orderBy(col("doc_id"))
+  }
+  val oChainedFilter: String =
+    s"""$OracleCtes, t AS (SELECT DISTINCT doc_id, term FROM tf),
+       |s1 AS (
+       |  (SELECT doc_id FROM t WHERE term IN ('merge', 'table'))
+       |  EXCEPT (SELECT doc_id FROM t WHERE term = 'vector')
+       |), s2 AS (SELECT doc_id FROM t WHERE term = 'index')
+       |SELECT doc_id FROM (
+       |  (SELECT doc_id FROM s1 EXCEPT SELECT doc_id FROM s2)
+       |  UNION (SELECT doc_id FROM s2 EXCEPT SELECT doc_id FROM s1)
+       |) ORDER BY doc_id""".stripMargin
+
   /** Fielded query (`lang:en AND content:merge`) over the multi-field
     * index — the FieldInfos/StringField analog: 'lang:en' is an exact
     * keyword term living in the same postings table as analyzed content
@@ -1743,6 +1874,11 @@ object VerifyQueries {
     "q_duplicate_filter" -> qDuplicateFilter _,
     "q_slow_fuzzy" -> qSlowFuzzy _,
     "q_sortedset_sort" -> qSortedSetSort _,
+    "q_facet_sampled" -> qFacetSampled _,
+    "q_facet_assoc" -> qFacetAssoc _,
+    "q_facet_valuesource" -> qFacetValueSource _,
+    "q_facet_range_overlap" -> qFacetRangeOverlap _,
+    "q_chained_filter" -> qChainedFilter _,
     "q_split_search" -> qSplitSearch _,
     "q_sorted_early" -> qSortedEarly _,
     "q_field_term" -> qFieldTerm _,
@@ -1824,6 +1960,11 @@ object VerifyQueries {
     "q_duplicate_filter" -> oDuplicateFilter,
     "q_slow_fuzzy" -> oSlowFuzzy,
     "q_sortedset_sort" -> oSortedSetSort,
+    "q_facet_sampled" -> oFacetSampled,
+    "q_facet_assoc" -> oFacetAssoc,
+    "q_facet_valuesource" -> oFacetValueSource,
+    "q_facet_range_overlap" -> oFacetRangeOverlap,
+    "q_chained_filter" -> oChainedFilter,
     "q_split_search" -> oSplitSearch,
     "q_sorted_early" -> oSortedEarly,
     "q_field_term" -> oFieldTerm,

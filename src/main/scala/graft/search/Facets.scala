@@ -1,6 +1,6 @@
 package graft.search
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Hierarchical (taxonomy) facets (reference:
@@ -32,5 +32,98 @@ object Facets {
     counts
       .where(col("path").startsWith(parent + sep) &&
         size(split(col("path"), java.util.regex.Pattern.quote(sep))) === childDepth)
+  }
+
+  /** Sampled facet counts with amortized correction (reference:
+    * Lucene.Net.Facet/RandomSamplingFacetsCollector.cs): when the hit set
+    * is larger than `sampleSize`, count facets over a ~sampleSize sample
+    * and extrapolate, capping each label's estimate at its TRUE document
+    * frequency (AmortizeFacetCounts caps at `reader.DocFreq(dim/label)`).
+    *
+    * Scale restatement: the reference walks the hit bitset picking one
+    * doc per consecutive bin of `binSize = floor(totalHits/sampleSize)`
+    * docs (XORShift-seeded position within the bin); a global walk order
+    * is exactly what a distributed plan must avoid, so the sampler here
+    * is the residue class `doc_id % binSize == 0` — map-only, shuffle-
+    * free, the same expected rate (1/binSize), and deterministic so an
+    * independent engine can reproduce it (swap in `xxhash64(doc_id)` for
+    * adversarial id layouts at production). The correction multiplies by
+    * the sampler's REALIZED inverse rate (binSize) in exact integer
+    * arithmetic, where the reference divides by the ideal rate in
+    * floating point — same intent, no float divergence.
+    *
+    * Cost shape at 100 TB: one metadata-count of the hits, one map-only
+    * filter (keeps 1/binSize of the rows), one map-side-combinable
+    * groupBy on the label, and a broadcast-able join against the label
+    * dictionary (distinct labels, not rows) for the df cap.
+    *
+    * @param hits   matching docs, a `doc_id` column
+    * @param labels (doc_id, label) — the facet field, one row per value
+    * @return (label, hits_est) — exact when totalHits <= sampleSize
+    */
+  def sampledCounts(hits: DataFrame, labels: DataFrame, sampleSize: Int): DataFrame = {
+    require(sampleSize > 0, "sampleSize must be positive")
+    val totalHits = hits.count()
+    val labeled = hits.join(labels, "doc_id")
+    if (totalHits <= sampleSize) {
+      labeled.groupBy(col("label")).agg(count("*").as("hits_est"))
+    } else {
+      val binSize = totalHits / sampleSize
+      val globalDf = labels.groupBy(col("label")).agg(count("*").as("label_df"))
+      labeled.where(pmod(col("doc_id"), lit(binSize)) === 0)
+        .groupBy(col("label")).agg(count("*").as("sampled"))
+        .join(globalDf, "label")
+        .select(col("label"),
+          least(col("sampled") * lit(binSize), col("label_df")).as("hits_est"))
+    }
+  }
+
+  /** Association facet sums with taxonomy rollup (reference:
+    * Lucene.Net.Facet/Taxonomy/TaxonomyFacetSumIntAssociations.cs /
+    * TaxonomyFacetSumFloatAssociations.cs / TaxonomyFacetSumValueSource.cs):
+    * instead of counting hits per category, SUM an association value —
+    * a stored per-(doc, category) weight, or any computed expression (the
+    * ValueSource case: pass a [[graft.expressions.Javascript]]-compiled
+    * column). The reference decodes (ordinal, value) pairs from a binary
+    * docvalue and accumulates into per-ordinal arrays; here the value
+    * rides the same prefix-explode as [[taxonomyCounts]] and ONE
+    * map-side-combinable groupBy sums the whole rollup. */
+  def associationSums(df: DataFrame, pathCol: String, value: Column,
+      sep: String = "/"): DataFrame = {
+    val parts = s"split($pathCol, '$sep')"
+    df.select(explode(expr(
+      s"transform(sequence(1, size($parts)), i -> array_join(slice($parts, 1, i), '$sep'))"
+    )).as("path"), value.as("v"))
+      .groupBy(col("path")).agg(sum(col("v")).as("sum_value"))
+  }
+
+  /** One facet range, bounds normalized to inclusive exactly as the
+    * reference constructor does (Facet/Range/LongRange.cs: an exclusive
+    * min becomes min+1, an exclusive max becomes max-1). */
+  final case class LongFacetRange(label: String, min: Long, minInclusive: Boolean,
+      max: Long, maxInclusive: Boolean) {
+    val minIncl: Long = if (minInclusive) min else min + 1
+    val maxIncl: Long = if (maxInclusive) max else max - 1
+    require(minIncl <= maxIncl, s"range $label is empty")
+  }
+
+  /** Range facet counts over POSSIBLY-OVERLAPPING ranges (reference:
+    * Lucene.Net.Facet/Range/LongRangeFacetCounts.cs): each range is
+    * counted independently, so a doc in two ranges counts toward both —
+    * which is why this is NOT a groupBy on a bucket key (that would
+    * force disjoint buckets). One pass, R conditional-count aggregates
+    * (map-side combined, a single reduce row), then unpivoted to
+    * (label, hits) rows in range-declaration order. R is the number of
+    * UI ranges (tiny); the scan is one projection of the value column —
+    * the plan at 100 TB is a column scan + a scalar aggregate. */
+  def rangeCounts(df: DataFrame, value: Column, ranges: Seq[LongFacetRange]): DataFrame = {
+    require(ranges.nonEmpty, "no ranges")
+    val aggs = ranges.zipWithIndex.map { case (r, i) =>
+      count(when(value >= r.minIncl && value <= r.maxIncl, 1)).as(s"__r$i")
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val pairs = ranges.zipWithIndex
+      .map { case (r, i) => s"'${r.label}', __r$i" }.mkString(", ")
+    one.select(expr(s"stack(${ranges.size}, $pairs) AS (label, hits)"))
   }
 }
