@@ -146,6 +146,17 @@ object DocIndex {
       numShards = 3, numPartitions = 4)
   }
 
+  /** PK split of the documents index (PKIndexSplitter analog): docs with
+    * lang == 'en' → shard 0, the rest → shard 1. Returns (en, rest). */
+  def ensureSplitPk(spark: SparkSession, sfDir: String): (String, String) = synchronized {
+    val root = cacheDir(sfDir) + "-pksplit"
+    val dirs = (0 until 2).map(graft.build.IndexSplitter.shardDir(root, _))
+    val done = dirs.forall(d => IndexBuilder.stageDone(spark, d, "stats"))
+    if (done) (dirs(0), dirs(1))
+    else graft.build.IndexSplitter.splitByFilter(spark, ensure(spark, sfDir), root,
+      org.apache.spark.sql.functions.col("lang") === "en", numPartitions = 4)
+  }
+
   /** Documents index rewritten in (tokenCount, docId) sort order
     * (IndexSorter — the Misc SortingMergePolicy analog): shortest docs
     * first, so sort-matching queries early-terminate on leading blocks. */

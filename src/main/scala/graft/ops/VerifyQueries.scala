@@ -1022,6 +1022,31 @@ object VerifyQueries {
        |  UNION ALL SELECT 'r4_all', count(*) FILTER (n >= 0 AND n <= 1000) FROM v
        |) ORDER BY label""".stripMargin
 
+  /** PK-filter index split (reference: Misc/Index/PKIndexSplitter.cs —
+    * "All documents that match the filter are sent to dir1, remaining
+    * ones to dir2"): split the documents index on lang == 'en', then
+    * search 'merge' in BOTH standalone shards. Shard docIds are DENSE
+    * renumbered (the reference compacts through AddIndexes), so hits map
+    * back to corpus doc_ids through the per-doc identity (path carries
+    * the original id); the (doc_id, shard) assignment must match the
+    * oracle's predicate exactly — no doc lost, none duplicated. */
+  def qSplitPk(spark: SparkSession, sf: String): DataFrame = {
+    val (en, rest) = DocIndex.ensureSplitPk(spark, sf)
+    def shardHits(sd: String, tag: Int): DataFrame = {
+      val ids = spark.read.parquet(IndexPaths.docstats(sd))
+        .select(col("docId").as("doc_id"), col("path").cast("long").as("orig_id"))
+      hits(spark, sd, Seq("merge")).select(col("doc_id"))
+        .join(ids, "doc_id")
+        .select(col("orig_id").as("doc_id"), lit(tag).as("shard"))
+    }
+    shardHits(en, 0).union(shardHits(rest, 1)).orderBy(col("doc_id"))
+  }
+  val oSplitPk: String =
+    s"""$OracleCtes
+       |SELECT t.doc_id, CASE WHEN d.lang = 'en' THEN 0 ELSE 1 END AS shard
+       |FROM (SELECT DISTINCT doc_id FROM tf WHERE term = 'merge') t
+       |JOIN documents d USING (doc_id) ORDER BY doc_id""".stripMargin
+
   /** ChainedFilter with XOR (reference: Queries/ChainedFilter.cs:221 —
     * `result.Xor(dis)`): ((merge OR table) ANDNOT vector) XOR index,
     * folded left over doc_id sets exactly like the reference's bitset
@@ -1879,6 +1904,7 @@ object VerifyQueries {
     "q_facet_valuesource" -> qFacetValueSource _,
     "q_facet_range_overlap" -> qFacetRangeOverlap _,
     "q_chained_filter" -> qChainedFilter _,
+    "q_split_pk" -> qSplitPk _,
     "q_split_search" -> qSplitSearch _,
     "q_sorted_early" -> qSortedEarly _,
     "q_field_term" -> qFieldTerm _,
@@ -1965,6 +1991,7 @@ object VerifyQueries {
     "q_facet_valuesource" -> oFacetValueSource,
     "q_facet_range_overlap" -> oFacetRangeOverlap,
     "q_chained_filter" -> oChainedFilter,
+    "q_split_pk" -> oSplitPk,
     "q_split_search" -> oSplitSearch,
     "q_sorted_early" -> oSortedEarly,
     "q_field_term" -> oFieldTerm,

@@ -47,6 +47,52 @@ class IndexSplitterSpec extends AnyFunSuite {
     assert(a.nonEmpty)
   }
 
+  test("splitByFilter: predicate membership, complement exact, shards standalone-valid") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, concat_ws}
+    val corpus = CorpusGen.dataset(spark, 300, 3)
+    val dir = SparkTestSession.tmpDir("graft-pksplit-src-")
+    IndexBuilder.build(spark, corpus, dir, numPartitions = 3)
+
+    val root = SparkTestSession.tmpDir("graft-pksplit-out-")
+    // the PK filter: an arbitrary predicate over doc metadata
+    val (sd0, sd1) = IndexSplitter.splitByFilter(
+      spark, dir, root, col("docId") % 3 === 0, numPartitions = 2)
+
+    // each side is a complete valid index with a DENSE renumbered id
+    // space (the reference compacts through AddIndexes) — CheckIndex
+    // asserts density, decode, dict/stats cross-checks
+    Seq(sd0, sd1).foreach { sd =>
+      val report = CheckIndex.check(spark, sd)
+      assert(report.ok, s"$sd: ${report.problems.mkString("; ")}")
+    }
+    // membership and complement, tracked by the per-doc identity
+    // (repo, path) — path alone repeats across repos in this corpus
+    def paths(sd: String) = spark.read.parquet(IndexPaths.docstats(sd))
+      .select(concat_ws("|", col("repo"), col("path"))).as[String].collect().toSet
+    val p0 = paths(sd0); val p1 = paths(sd1)
+    val expected0 = spark.read.parquet(IndexPaths.docstats(dir))
+      .where(col("docId") % 3 === 0)
+      .select(concat_ws("|", col("repo"), col("path"))).as[String].collect().toSet
+    assert(p0 == expected0)
+    assert((p0 & p1).isEmpty && (p0 ++ p1).size == 300)
+
+    // searching the matching shard finds exactly the whole-index hits
+    // that satisfy the predicate (scores differ by design: per-shard df)
+    val whole = new Searcher(new IndexReader(spark, dir))
+    val side0 = new Searcher(new IndexReader(spark, sd0))
+    val q = BoolQ(must = Seq(TermQ("def")), should = Seq(TermQ("three")))
+    def hitPaths(s: Searcher, idxDir: String, pred: Long => Boolean) = {
+      val ids = s.search(q, 1000).map(_.docId).filter(pred).toSet
+      spark.read.parquet(IndexPaths.docstats(idxDir))
+        .where(col("docId").isin(ids.toSeq: _*))
+        .select(concat_ws("|", col("repo"), col("path"))).as[String].collect().toSet
+    }
+    val expected = hitPaths(whole, dir, _ % 3 == 0)
+    val got = hitPaths(side0, sd0, _ => true)
+    assert(got == expected && got.nonEmpty)
+  }
+
   test("split folds tombstones like a merge") {
     import spark.implicits._
     val corpus = CorpusGen.dataset(spark, 120, 2)
