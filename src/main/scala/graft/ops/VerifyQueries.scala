@@ -1022,6 +1022,45 @@ object VerifyQueries {
        |  UNION ALL SELECT 'r4_all', count(*) FILTER (n >= 0 AND n <= 1000) FROM v
        |) ORDER BY label""".stripMargin
 
+  /** WordBreakSpellChecker breaks (reference: Suggest/Spell/
+    * WordBreakSpellChecker.cs): split the run-together "mergetable" at
+    * every codepoint boundary; a split survives iff BOTH sides are
+    * dictionary terms — candidates are a driver literal table, df probes
+    * one broadcast equi-join. */
+  def qWordBreaks(spark: SparkSession, sf: String): DataFrame = {
+    val dir = ensure(spark, sf)
+    val dict = spark.read.parquet(graft.build.IndexPaths.termDict(dir))
+    graft.search.Suggest.suggestWordBreaks(dict, "mergetable", maxSuggestions = 5)
+  }
+  val oWordBreaks: String =
+    s"""$OracleCtes, pos AS (
+       |  SELECT unnest(generate_series(1, 9)) AS i
+       |), parts AS (
+       |  SELECT substring('mergetable', 1, i) AS l,
+       |         substring('mergetable', i + 1) AS r FROM pos
+       |)
+       |SELECT p.l || ' ' || p.r AS suggestion, 1 AS num_breaks,
+       |  greatest(dl.df, dr.df) AS max_freq
+       |FROM parts p JOIN df dl ON dl.term = p.l JOIN df dr ON dr.term = p.r
+       |ORDER BY max_freq DESC, suggestion LIMIT 5""".stripMargin
+
+  /** WordBreakSpellChecker combinations (reference: ibid,
+    * SuggestWordCombinations): adjacent typed fragments 'mer'+'ge'
+    * combine into the dictionary word 'merge'; 'ge'+'table' must NOT
+    * suggest (not a term). */
+  def qWordCombine(spark: SparkSession, sf: String): DataFrame = {
+    val dir = ensure(spark, sf)
+    val dict = spark.read.parquet(graft.build.IndexPaths.termDict(dir))
+    graft.search.Suggest.suggestWordCombinations(dict, Seq("mer", "ge", "table"))
+  }
+  val oWordCombine: String =
+    s"""$OracleCtes, cand(start_idx, end_idx, term) AS (
+       |  VALUES (0, 1, 'merge'), (1, 2, 'getable')
+       |)
+       |SELECT c.start_idx, c.end_idx, c.term AS combined, df.df AS freq
+       |FROM cand c JOIN df USING (term)
+       |ORDER BY freq DESC, start_idx LIMIT 5""".stripMargin
+
   /** PK-filter index split (reference: Misc/Index/PKIndexSplitter.cs —
     * "All documents that match the filter are sent to dir1, remaining
     * ones to dir2"): split the documents index on lang == 'en', then
@@ -1905,6 +1944,8 @@ object VerifyQueries {
     "q_facet_range_overlap" -> qFacetRangeOverlap _,
     "q_chained_filter" -> qChainedFilter _,
     "q_split_pk" -> qSplitPk _,
+    "q_word_breaks" -> qWordBreaks _,
+    "q_word_combine" -> qWordCombine _,
     "q_split_search" -> qSplitSearch _,
     "q_sorted_early" -> qSortedEarly _,
     "q_field_term" -> qFieldTerm _,
@@ -1992,6 +2033,8 @@ object VerifyQueries {
     "q_facet_range_overlap" -> oFacetRangeOverlap,
     "q_chained_filter" -> oChainedFilter,
     "q_split_pk" -> oSplitPk,
+    "q_word_breaks" -> oWordBreaks,
+    "q_word_combine" -> oWordCombine,
     "q_split_search" -> oSplitSearch,
     "q_sorted_early" -> oSortedEarly,
     "q_field_term" -> oFieldTerm,

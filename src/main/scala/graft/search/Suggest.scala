@@ -170,6 +170,88 @@ object Suggest {
       .orderBy(col("score").desc, col("word")).limit(k)
   }
 
+  /** WordBreakSpellChecker — breaks (reference: Lucene.Net.Suggest/
+    * Spell/WordBreakSpellChecker.cs, GenerateBreakUpSuggestions
+    * :260-316): propose splitting a run-together word into dictionary
+    * words. The reference recurses over split points, probing
+    * `ir.DocFreq` per part and keeping a bounded queue ranked
+    * NUM_CHANGES_THEN_MAX_FREQUENCY; here the candidate compositions of
+    * the word into ≤ maxChanges+1 parts (each ≥ minBreakWordLength
+    * codepoints) are a DRIVER-SIDE literal table — O(len^maxChanges)
+    * strings for a single typed word — and the per-part df probes become
+    * ONE equi-join of the exploded parts against the dictionary
+    * (broadcast-able: candidates are tiny; the dictionary side is
+    * parquet min/max point reads). A candidate survives iff EVERY part
+    * is a dictionary term with df >= minFreq — the all-parts check is a
+    * count == numParts after the inner join, no per-part driver probe.
+    *
+    * @return (suggestion: parts space-joined, num_breaks, max_freq),
+    *         ranked num_breaks asc, max_freq desc, suggestion asc —
+    *         LengthThenMaxFreqComparer made total for oracle parity
+    */
+  def suggestWordBreaks(termDict: DataFrame, word: String,
+      maxSuggestions: Int = 5, maxChanges: Int = 1,
+      minBreakWordLength: Int = 1, minFreq: Long = 1L): DataFrame = {
+    val spark = termDict.sparkSession
+    import spark.implicits._
+    val minLen = math.max(minBreakWordLength, 1)
+    // all compositions of `word` into 2..maxChanges+1 parts of >= minLen
+    def compositions(s: String, partsLeft: Int): Seq[Seq[String]] =
+      if (partsLeft == 1) { if (s.length >= minLen) Seq(Seq(s)) else Nil }
+      else (minLen to s.length - minLen).flatMap(i =>
+        compositions(s.substring(i), partsLeft - 1).map(s.substring(0, i) +: _))
+    val cands = (2 to maxChanges + 1)
+      .flatMap(k => compositions(word, k))
+      .zipWithIndex
+      .map { case (parts, id) => (id.toLong, parts, parts.size) }
+    if (cands.isEmpty)
+      return termDict.sparkSession.emptyDataFrame
+        .withColumn("suggestion", lit("")).withColumn("num_breaks", lit(0))
+        .withColumn("max_freq", lit(0L)).limit(0)
+    val parts = cands
+      .flatMap { case (id, ps, n) => ps.zipWithIndex.map { case (p, i) => (id, i, p, n) } }
+      .toDF("cand_id", "part_idx", "term", "n_parts")
+    parts.join(termDict.select(col("term"), col("df")), "term")
+      .where(col("df") >= minFreq)
+      .groupBy(col("cand_id"), col("n_parts"))
+      .agg(count(lit(1)).as("matched"), max(col("df")).as("max_freq"),
+        array_join(transform(array_sort(collect_list(struct(col("part_idx"), col("term")))),
+          x => x("term")), " ").as("suggestion"))
+      .where(col("matched") === col("n_parts"))
+      .select(col("suggestion"), (col("n_parts") - 1).as("num_breaks"), col("max_freq"))
+      .orderBy(col("num_breaks"), col("max_freq").desc, col("suggestion"))
+      .limit(maxSuggestions)
+  }
+
+  /** WordBreakSpellChecker — combinations (reference:
+    * WordBreakSpellChecker.cs, SuggestWordCombinations:152-258): propose
+    * joining adjacent query terms into one dictionary word. Candidate
+    * runs terms(i..j) with j-i <= maxChanges and combined length <=
+    * maxCombineWordLength are driver-generated (the query is one typed
+    * phrase); ONE dictionary equi-join supplies the combined term's df.
+    * Ranked df desc then first index — the reference's freq-queue order
+    * made total. Returns (start_idx, end_idx, combined, freq). */
+  def suggestWordCombinations(termDict: DataFrame, terms: Seq[String],
+      maxSuggestions: Int = 5, maxChanges: Int = 1,
+      maxCombineWordLength: Int = 20, minFreq: Long = 1L): DataFrame = {
+    val spark = termDict.sparkSession
+    import spark.implicits._
+    val cands = for {
+      i <- terms.indices
+      j <- (i + 1) until terms.length
+      if j - i <= maxChanges
+      combined = terms.slice(i, j + 1).mkString
+      if combined.length <= maxCombineWordLength
+    } yield (i, j, combined)
+    val candDf = cands.toDF("start_idx", "end_idx", "term")
+    candDf.join(termDict.select(col("term"), col("df")), "term")
+      .where(col("df") >= minFreq)
+      .select(col("start_idx"), col("end_idx"), col("term").as("combined"),
+        col("df").as("freq"))
+      .orderBy(col("freq").desc, col("start_idx"))
+      .limit(maxSuggestions)
+  }
+
   /** Range-banding conjunct for a fuzzy dictionary probe — a sound
     * superset of the match set as parquet-prunable term ranges
     * ([[DictSeek.fuzzyRanges]]); true (full scan) when banding does not

@@ -131,4 +131,39 @@ class SuggestSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getInt(2))).toSeq
     assert(banded === full)
   }
+
+  test("suggestWordBreaks: all parts must be dictionary terms; ranked by max freq") {
+    val spark2 = spark
+    import spark2.implicits._
+    val dict = Seq(("merge", 40L), ("table", 30L), ("mergetable", 0L),
+      ("mer", 5L), ("getable", 7L), ("a", 2L), ("b", 3L)).toDF("term", "df")
+    val got = Suggest.suggestWordBreaks(dict.where(col("df") > 0), "mergetable")
+      .as[(String, Int, Long)].collect().toSeq
+    // splits: merge|table (max 40), mer|getable (max 7)
+    assert(got == Seq(("merge table", 1, 40L), ("mer getable", 1, 7L)))
+    // maxChanges = 2: three-part splits join the pool with num_breaks 2
+    val dict3 = Seq(("ab", 9L), ("cd", 8L), ("abcd", 1L), ("a", 5L), ("b", 4L),
+      ("bcd", 3L)).toDF("term", "df")
+    val multi = Suggest.suggestWordBreaks(dict3, "abcd", maxChanges = 2,
+      minBreakWordLength = 1, maxSuggestions = 10)
+      .as[(String, Int, Long)].collect().toSeq
+    assert(multi.head == ("ab cd", 1, 9L)) // fewest breaks first
+    assert(multi.contains(("a b cd", 2, 8L))) // then the 2-break composition
+    // minFreq prunes: requiring df >= 10 kills every split of abcd
+    assert(Suggest.suggestWordBreaks(dict3, "abcd", minFreq = 10L).count() == 0)
+  }
+
+  test("suggestWordCombinations: adjacent runs joined against the dictionary") {
+    val spark2 = spark
+    import spark2.implicits._
+    val dict = Seq(("merge", 40L), ("getable", 7L)).toDF("term", "df")
+    val got = Suggest.suggestWordCombinations(dict, Seq("mer", "ge", "table"))
+      .as[(Int, Int, String, Long)].collect().toSeq
+    assert(got == Seq((0, 1, "merge", 40L), (1, 2, "getable", 7L)))
+    // maxCombineWordLength bounds the run
+    val short = Suggest.suggestWordCombinations(dict, Seq("mer", "ge", "table"),
+      maxCombineWordLength = 5)
+      .as[(Int, Int, String, Long)].collect().toSeq
+    assert(short == Seq((0, 1, "merge", 40L)))
+  }
 }
