@@ -1,0 +1,190 @@
+package graft.analysis
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Composable post-analysis token filters (reference:
+  * /root/reference/src/Lucene.Net.Analysis.Common/Analysis/
+  * {Shingle/ShingleFilter.cs, NGram/NGramTokenFilter.cs,
+  * NGram/EdgeNGramTokenFilter.cs, CommonGrams/CommonGramsFilter.cs,
+  * Reverse/ReverseStringFilter.cs, Miscellaneous/TruncateTokenFilter.cs,
+  * Miscellaneous/CapitalizationFilter.cs, Miscellaneous/
+  * KeywordRepeatFilter.cs + RemoveDuplicatesTokenFilter.cs,
+  * Core/LengthFilter.cs, Miscellaneous/LimitTokenCountFilter.cs}).
+  *
+  * The reference implements these as pull TokenFilters mutating shared
+  * attributes; here each is a pure `Array[Token] => Array[Token]`
+  * function over the analyzer's output — the same stream semantics
+  * (position increments, same-position overlap for injected tokens)
+  * without the stateful chain, so they compose with `andThen` and run
+  * inside the distributed indexing flatMap unchanged. Overlap accounting
+  * (tokens at a repeated position) flows into [[AnalyzedDoc.numOverlap]]
+  * exactly like synonym injection.
+  */
+object TokenFilters {
+
+  /** ShingleFilter (ShingleFilter.cs:37-46,96-143): word n-grams of
+    * `minN..maxN` adjacent tokens joined by `sep`; position gaps (stop
+    * words removed upstream advance positions) are represented by the
+    * filler token "_" exactly like the reference; each shingle takes the
+    * position and start offset of its first real token and the end
+    * offset of its last. `outputUnigrams` keeps the original tokens,
+    * with shingles overlapping them at the same position. Shingles made
+    * ENTIRELY of fillers are never emitted. */
+  def shingle(tokens: Array[Token], minN: Int = 2, maxN: Int = 2,
+      sep: String = " ", outputUnigrams: Boolean = true,
+      filler: String = "_"): Array[Token] = {
+    require(minN >= 2 && maxN >= minN, s"bad shingle sizes ($minN, $maxN)")
+    if (tokens.isEmpty) return tokens
+    // materialize the position axis: slot per position, filler where empty
+    val base = tokens.head.position
+    val last = tokens.last.position
+    val slots = Array.fill[Token](last - base + 1)(null)
+    tokens.foreach(t => slots(t.position - base) = t) // first token per slot wins
+    val line = slots.zipWithIndex.map { case (t, i) =>
+      if (t != null) t else Token(filler, base + i, -1, -1)
+    }
+    val out = new ArrayBuffer[Token](line.length * (maxN - minN + 2))
+    var i = 0
+    while (i < line.length) {
+      val t = line(i)
+      if (t.startOff >= 0 && outputUnigrams) out += t
+      var n = minN
+      while (n <= maxN && i + n <= line.length) {
+        val window = line.slice(i, i + n)
+        // shingles may BEGIN or END with fillers (the reference's
+        // stop-gap bigrams "divide _" / "_ sentence"); only an
+        // all-filler window is dropped
+        if (window.exists(_.startOff >= 0)) {
+          val text = window.map(_.term).mkString(sep)
+          out += Token(text, t.position,
+            window.find(_.startOff >= 0).get.startOff,
+            window.reverse.find(_.endOff >= 0).get.endOff)
+        }
+        n += 1
+      }
+      i += 1
+    }
+    out.toArray
+  }
+
+  /** NGramTokenFilter (NGramTokenFilter.cs:31 — "emits all n-grams for
+    * the same token at the same position"): every contiguous character
+    * run of length `minG..maxG` per token, all sharing the source
+    * token's position and offsets (4.4+ behavior). */
+  def nGrams(tokens: Array[Token], minG: Int, maxG: Int): Array[Token] = {
+    require(minG >= 1 && maxG >= minG, s"bad gram sizes ($minG, $maxG)")
+    tokens.flatMap { t =>
+      val cps = t.term.codePointCount(0, t.term.length)
+      for {
+        g <- minG to math.min(maxG, cps)
+        s <- 0 to cps - g
+      } yield {
+        val a = t.term.offsetByCodePoints(0, s)
+        val b = t.term.offsetByCodePoints(0, s + g)
+        Token(t.term.substring(a, b), t.position, t.startOff, t.endOff)
+      }
+    }
+  }
+
+  /** EdgeNGramTokenFilter (EdgeNGramTokenFilter.cs, FRONT side): the
+    * leading `minG..maxG`-codepoint prefixes of each token, sharing its
+    * position and offsets. */
+  def edgeNGrams(tokens: Array[Token], minG: Int, maxG: Int): Array[Token] = {
+    require(minG >= 1 && maxG >= minG, s"bad gram sizes ($minG, $maxG)")
+    tokens.flatMap { t =>
+      val cps = t.term.codePointCount(0, t.term.length)
+      (minG to math.min(maxG, cps)).map { g =>
+        Token(t.term.substring(0, t.term.offsetByCodePoints(0, g)),
+          t.position, t.startOff, t.endOff)
+      }
+    }
+  }
+
+  /** CommonGramsFilter (CommonGramsFilter.cs:87-97): for each adjacent
+    * pair where EITHER word is common, emit "w1_w2" at the SAME position
+    * as the pair's second word (posIncr 0), alongside both originals —
+    * "man of the year" adds man_of, of_the, the_year. Only directly
+    * adjacent positions pair (a stop-gap breaks adjacency, matching the
+    * reference's posIncr handling). */
+  def commonGrams(tokens: Array[Token], commonWords: Set[String],
+      sep: String = "_"): Array[Token] = {
+    val out = new ArrayBuffer[Token](tokens.length * 2)
+    var i = 0
+    while (i < tokens.length) {
+      val t = tokens(i)
+      out += t
+      if (i + 1 < tokens.length) {
+        val nxt = tokens(i + 1)
+        if (nxt.position == t.position + 1 &&
+            (commonWords.contains(t.term) || commonWords.contains(nxt.term))) {
+          out += Token(t.term + sep + nxt.term, nxt.position, t.startOff, nxt.endOff)
+        }
+      }
+      i += 1
+    }
+    out.toArray
+  }
+
+  /** ReverseStringFilter (Reverse/ReverseStringFilter.cs:59-74):
+    * codepoint-safe reversal — the index-time half of leading-wildcard
+    * support (`*able` becomes a PREFIX seek over reversed terms). */
+  def reverse(s: String): String = {
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = s.length
+    while (i > 0) {
+      val cp = s.codePointBefore(i)
+      sb.appendCodePoint(cp)
+      i -= Character.charCount(cp)
+    }
+    sb.toString
+  }
+
+  /** TruncateTokenFilter (Miscellaneous/TruncateTokenFilter.cs): clip
+    * terms to `len` codepoints. */
+  def truncate(tokens: Array[Token], len: Int): Array[Token] = {
+    require(len >= 1, "length must be >= 1")
+    tokens.map { t =>
+      val cps = t.term.codePointCount(0, t.term.length)
+      if (cps <= len) t
+      else t.copy(term = t.term.substring(0, t.term.offsetByCodePoints(0, len)))
+    }
+  }
+
+  /** CapitalizationFilter (Miscellaneous/CapitalizationFilter.cs,
+    * default onlyFirstWord): uppercase the first codepoint, lowercase
+    * the rest. */
+  def capitalize(s: String): String =
+    if (s.isEmpty) s
+    else {
+      val first = s.offsetByCodePoints(0, 1)
+      s.substring(0, first).toUpperCase(java.util.Locale.ROOT) +
+        Analyzer.lowerCase(s.substring(first))
+    }
+
+  /** LengthFilter (Core/LengthFilter.cs — a FilteringTokenFilter):
+    * drop terms outside [min, max] codepoints; positions are preserved
+    * (the dropped slot leaves a gap), like the stop filter. */
+  def lengthFilter(tokens: Array[Token], min: Int, max: Int): Array[Token] =
+    tokens.filter { t =>
+      val cps = t.term.codePointCount(0, t.term.length)
+      cps >= min && cps <= max
+    }
+
+  /** LimitTokenCountFilter (Miscellaneous/LimitTokenCountFilter.cs):
+    * keep only the first `n` tokens. */
+  def limitTokenCount(tokens: Array[Token], n: Int): Array[Token] =
+    tokens.take(n)
+
+  /** KeywordRepeatFilter + stemmer + RemoveDuplicatesTokenFilter
+    * (Miscellaneous/KeywordRepeatFilter.cs + RemoveDuplicatesTokenFilter
+    * .cs): emit the ORIGINAL term and its stem at the same position —
+    * exact-match precision and stemmed recall in one index — dropping
+    * the duplicate when stemming is identity. The repeated token is
+    * same-position overlap (posIncr 0), counted like synonym injection. */
+  def stemWithOriginal(tokens: Array[Token], stem: String => String): Array[Token] =
+    tokens.flatMap { t =>
+      val s = stem(t.term)
+      if (s == t.term) Array(t)
+      else Array(t, t.copy(term = s))
+    }
+}

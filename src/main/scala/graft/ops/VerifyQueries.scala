@@ -1022,6 +1022,63 @@ object VerifyQueries {
        |  UNION ALL SELECT 'r4_all', count(*) FILTER (n >= 0 AND n <= 1000) FROM v
        |) ORDER BY label""".stripMargin
 
+  /** ShingleFilter end-to-end (reference: Analysis/Shingle/
+    * ShingleFilter.cs): word bigrams over every document through the
+    * analyzer + shingle chain, ranked by document frequency — the
+    * phrase-index / CommonGrams building block. The chain runs inside
+    * the distributed map; the groupBy is shingle-cardinality-sized. */
+  def qShingleDf(spark: SparkSession, sf: String): DataFrame = {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+    val bigrams = docs.flatMap { case (id, text) =>
+      graft.analysis.TokenFilters.shingle(
+        graft.analysis.Analyzer.sqlParity.analyze(text).tokens,
+        outputUnigrams = false)
+        .map(t => (id, t.term)).distinct
+    }.toDF("doc_id", "bigram")
+    bigrams.groupBy(col("bigram")).agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("bigram")).limit(10)
+  }
+  val oShingleDf: String =
+    """WITH arr AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS t
+      |  FROM documents
+      |), big AS (
+      |  SELECT DISTINCT doc_id, unnest(list_transform(
+      |    generate_series(1, len(t) - 1), i -> t[i] || ' ' || t[i + 1])) AS bigram
+      |  FROM arr
+      |)
+      |SELECT bigram, count(*) AS df FROM big
+      |GROUP BY bigram ORDER BY df DESC, bigram LIMIT 10""".stripMargin
+
+  /** EdgeNGram over the dictionary (reference: Analysis/NGram/
+    * EdgeNGramTokenFilter.cs — the completion-index building block):
+    * 2..4-codepoint leading grams of every dictionary term, weighted by
+    * the term's df, top grams by summed weight. One explode + one
+    * map-side-combinable groupBy (gram cardinality, not corpus rows). */
+  def qEdgeNgram(spark: SparkSession, sf: String): DataFrame = {
+    import spark.implicits._
+    val dir = ensure(spark, sf)
+    val dict = spark.read.parquet(graft.build.IndexPaths.termDict(dir))
+      .select(col("term"), col("df")).as[(String, Long)]
+    dict.flatMap { case (term, df) =>
+      val toks = Array(graft.analysis.Token(term, 0, 0, term.length))
+      graft.analysis.TokenFilters.edgeNGrams(toks, 2, 4).map(t => (t.term, df))
+    }.toDF("gram", "df")
+      .groupBy(col("gram")).agg(sum(col("df")).as("weight"))
+      .orderBy(col("weight").desc, col("gram")).limit(15)
+  }
+  val oEdgeNgram: String =
+    s"""$OracleCtes, grams AS (
+       |  SELECT unnest(list_transform(
+       |    generate_series(2, least(4, length(term))), g -> substring(term, 1, g))) AS gram,
+       |    df
+       |  FROM df
+       |)
+       |SELECT gram, CAST(sum(df) AS BIGINT) AS weight FROM grams
+       |GROUP BY gram ORDER BY weight DESC, gram LIMIT 15""".stripMargin
+
   /** WordBreakSpellChecker breaks (reference: Suggest/Spell/
     * WordBreakSpellChecker.cs): split the run-together "mergetable" at
     * every codepoint boundary; a split survives iff BOTH sides are
@@ -1946,6 +2003,8 @@ object VerifyQueries {
     "q_split_pk" -> qSplitPk _,
     "q_word_breaks" -> qWordBreaks _,
     "q_word_combine" -> qWordCombine _,
+    "q_shingle_df" -> qShingleDf _,
+    "q_edge_ngram" -> qEdgeNgram _,
     "q_split_search" -> qSplitSearch _,
     "q_sorted_early" -> qSortedEarly _,
     "q_field_term" -> qFieldTerm _,
@@ -2035,6 +2094,8 @@ object VerifyQueries {
     "q_split_pk" -> oSplitPk,
     "q_word_breaks" -> oWordBreaks,
     "q_word_combine" -> oWordCombine,
+    "q_shingle_df" -> oShingleDf,
+    "q_edge_ngram" -> oEdgeNgram,
     "q_split_search" -> oSplitSearch,
     "q_sorted_early" -> oSortedEarly,
     "q_field_term" -> oFieldTerm,

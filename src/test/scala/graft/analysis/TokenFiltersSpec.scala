@@ -1,0 +1,72 @@
+package graft.analysis
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Token-filter pack (reference: Analysis.Common — Shingle, NGram,
+  * EdgeNGram, CommonGrams, Reverse, Truncate, Capitalization, Length,
+  * LimitTokenCount, KeywordRepeat+RemoveDuplicates). Vectors derived
+  * from the reference classes' documented behavior. */
+class TokenFiltersSpec extends AnyFunSuite {
+
+  private def toks(text: String, stop: Set[String] = Set.empty): Array[Token] =
+    new Analyzer(stop).analyze(text).tokens
+
+  test("shingle: bigrams with stop-gap fillers, unigrams kept") {
+    // reference doc example: stop word leaves a gap -> "divide _", "_ sentence"
+    val ts = toks("please divide this sentence", stop = Set("this"))
+    val got = TokenFilters.shingle(ts).map(t => (t.term, t.position)).toSeq
+    assert(got == Seq(
+      ("please", 0), ("please divide", 0),
+      ("divide", 1), ("divide _", 1),
+      ("_ sentence", 2),
+      ("sentence", 3)))
+  }
+
+  test("shingle: trigram range, no unigrams") {
+    val ts = toks("a b c d")
+    val got = TokenFilters.shingle(ts, minN = 2, maxN = 3,
+      outputUnigrams = false).map(_.term).toSeq
+    assert(got == Seq("a b", "a b c", "b c", "b c d", "c d"))
+  }
+
+  test("ngrams and edge ngrams share the source position") {
+    val ts = toks("merge")
+    val ng = TokenFilters.nGrams(ts, 2, 3).map(_.term).toSeq
+    assert(ng == Seq("me", "er", "rg", "ge", "mer", "erg", "rge"))
+    assert(TokenFilters.nGrams(ts, 2, 3).forall(_.position == 0))
+    val eg = TokenFilters.edgeNGrams(ts, 1, 3).map(_.term).toSeq
+    assert(eg == Seq("m", "me", "mer"))
+  }
+
+  test("commonGrams: reference example man of the year") {
+    val ts = toks("man of the year")
+    val got = TokenFilters.commonGrams(ts, Set("of", "the")).map(_.term).toSeq
+    assert(got == Seq("man", "man_of", "of", "of_the", "the", "the_year", "year"))
+    // a position gap breaks adjacency: no gram across a removed stop word
+    val gap = toks("man of the year", stop = Set("of"))
+    val got2 = TokenFilters.commonGrams(gap, Set("the")).map(_.term).toSeq
+    assert(got2 == Seq("man", "the", "the_year", "year"))
+  }
+
+  test("reverse: codepoint-safe") {
+    assert(TokenFilters.reverse("merge") == "egrem")
+    assert(TokenFilters.reverse("a𝔊b") == "b𝔊a") // surrogate pair intact
+  }
+
+  test("truncate / capitalize / length / limit") {
+    val ts = toks("abcdef gh i")
+    assert(TokenFilters.truncate(ts, 3).map(_.term).toSeq == Seq("abc", "gh", "i"))
+    assert(TokenFilters.capitalize("mcDONald") == "Mcdonald")
+    assert(TokenFilters.lengthFilter(ts, 2, 5).map(_.term).toSeq == Seq("gh"))
+    // dropped tokens leave their position gap (FilteringTokenFilter)
+    assert(TokenFilters.lengthFilter(ts, 2, 5).head.position == 1)
+    assert(TokenFilters.limitTokenCount(ts, 2).map(_.term).toSeq == Seq("abcdef", "gh"))
+  }
+
+  test("stemWithOriginal: original + stem at one position, identity deduped") {
+    val ts = toks("merging by")
+    val got = TokenFilters.stemWithOriginal(ts, PorterStemmer.stem)
+      .map(t => (t.term, t.position)).toSeq
+    assert(got == Seq(("merging", 0), ("merg", 0), ("by", 1)))
+  }
+}
