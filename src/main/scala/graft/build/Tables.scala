@@ -123,6 +123,10 @@ object IndexPaths {
   /** Distinct first characters of the dictionary (alphabet-sized) —
     * drives the fuzzy-query range banding ([[graft.search.DictSeek]]). */
   def termFirstChars(dir: String) = s"$dir/term_firstchars"
+  /** Optional reversed-term dictionary sidecar (rterm, term, df) sorted
+    * by rterm — turns a leading wildcard into a prefix SEEK
+    * ([[ReversedDict]], the ReverseStringFilter leading-wildcard idea). */
+  def termDictRev(dir: String) = s"$dir/term_dict_rev"
   def collectionStats(dir: String) = s"$dir/collection_stats"
   def manifest(dir: String) = s"$dir/manifest"
 }

@@ -1022,6 +1022,26 @@ object VerifyQueries {
        |  UNION ALL SELECT 'r4_all', count(*) FILTER (n >= 0 AND n <= 1000) FROM v
        |) ORDER BY label""".stripMargin
 
+  /** Leading wildcard `*ble` through the reversed-dictionary SEEK
+    * (reference idea: Analysis/Reverse/ReverseStringFilter.cs — index
+    * reversed terms so a leading wildcard becomes a prefix automaton;
+    * here only the DICTIONARY is mirrored, postings shared): the rewrite
+    * expands on the rterm prefix range and the doc set must equal the
+    * oracle's suffix LIKE — ReversedDictSpec separately proves seek ==
+    * scan bit-for-bit. */
+  def qWildcardLeading(spark: SparkSession, sf: String): DataFrame = {
+    import spark.implicits._
+    val dir = DocIndex.ensureReversed(spark, sf)
+    val searcher = new graft.search.Searcher(new graft.search.IndexReader(spark, dir),
+      analyzerFor = _ => graft.analysis.Analyzer.sqlParity)
+    searcher.scored(graft.search.WildcardQ("*ble")).map(_.docId).distinct()
+      .toDF("doc_id").orderBy(col("doc_id"))
+  }
+  val oWildcardLeading: String =
+    s"""$OracleCtes
+       |SELECT DISTINCT doc_id FROM tf WHERE term LIKE '%ble'
+       |ORDER BY doc_id""".stripMargin
+
   /** ShingleFilter end-to-end (reference: Analysis/Shingle/
     * ShingleFilter.cs): word bigrams over every document through the
     * analyzer + shingle chain, ranked by document frequency — the
@@ -2005,6 +2025,7 @@ object VerifyQueries {
     "q_word_combine" -> qWordCombine _,
     "q_shingle_df" -> qShingleDf _,
     "q_edge_ngram" -> qEdgeNgram _,
+    "q_wildcard_leading" -> qWildcardLeading _,
     "q_split_search" -> qSplitSearch _,
     "q_sorted_early" -> qSortedEarly _,
     "q_field_term" -> qFieldTerm _,
@@ -2096,6 +2117,7 @@ object VerifyQueries {
     "q_word_combine" -> oWordCombine,
     "q_shingle_df" -> oShingleDf,
     "q_edge_ngram" -> oEdgeNgram,
+    "q_wildcard_leading" -> oWildcardLeading,
     "q_split_search" -> oSplitSearch,
     "q_sorted_early" -> oSortedEarly,
     "q_field_term" -> oFieldTerm,

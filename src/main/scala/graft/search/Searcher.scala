@@ -156,6 +156,33 @@ class IndexReader(val spark: SparkSession, val dir: String) extends Serializable
       throw new IllegalArgumentException(
         s"multi-term query expands to more than $maxExpansions terms"))
 
+  /** True when the reversed-dictionary sidecar exists
+    * ([[graft.build.ReversedDict]]) — leading wildcards then SEEK a
+    * reversed-prefix range instead of scanning the whole dictionary. */
+  lazy val hasReversedDict: Boolean = {
+    val p = new org.apache.hadoop.fs.Path(graft.build.IndexPaths.termDictRev(dir))
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+  def termDictRev: DataFrame =
+    spark.read.parquet(graft.build.IndexPaths.termDictRev(dir))
+
+  /** Expand a pure-suffix pattern (`*literal`) on the reversed
+    * dictionary: a prefix range on rterm, parquet min/max-pruned like
+    * any forward prefix seek; terms come back in their forward form. */
+  def expandSuffixOpt(suffix: String,
+      maxExpansions: Int = 1024): Option[Seq[String]] = {
+    val rp = graft.analysis.TokenFilters.reverse(suffix)
+    val pred =
+      if (rp.isEmpty) lit(true)
+      else DictSeek.succ(rp) match {
+        case hi if hi == null => $"rterm" >= rp
+        case hi => $"rterm" >= rp && $"rterm" < hi
+      }
+    val ts = termDictRev.where(pred).select($"term").as[String]
+      .limit(maxExpansions + 1).collect()
+    if (ts.length > maxExpansions) None else Some(ts.toSeq)
+  }
+
   /** The dictionary's alphabet (distinct first characters) — read from the
     * tiny build-time sidecar when present, else derived once per reader.
     * Feeds the fuzzy range banding ([[DictSeek.fuzzyRanges]]). */
@@ -408,6 +435,17 @@ final class Searcher(val reader: IndexReader, pruneMinBlocks: Int = 64,
         case Seq((one, sim)) => TermQ(one, b * sim)
         case many => BoolQ(should = many.map { case (term, sim) =>
           TermQ(term, b * sim) })
+      }
+    // leading wildcard `*suffix` with the reversed-dictionary sidecar
+    // present: a PREFIX seek over rterm (ReverseStringFilter's
+    // documented purpose) replaces the full dictionary scan; wide
+    // expansions fall through to the generic constant-score path
+    case WildcardQ(pat, b) if pat.length > 1 && pat.head == '*' &&
+        !pat.substring(1).exists(c => c == '*' || c == '?') &&
+        reader.hasReversedDict =>
+      reader.expandSuffixOpt(pat.substring(1), maxClauseCount) match {
+        case Some(ts) => orOf(ts, b)
+        case None => WildcardQ(pat, b) // wide: semi-join in scoredRaw
       }
     case mt if multiTermPred(mt).isDefined =>
       reader.expandTermsOpt(multiTermPred(mt).get, maxClauseCount) match {
