@@ -1163,6 +1163,36 @@ object VerifyQueries {
        |FROM (SELECT DISTINCT doc_id FROM tf WHERE term = 'merge') t
        |JOIN documents d USING (doc_id) ORDER BY doc_id""".stripMargin
 
+  /** Double range facets over a computed ValueSource (reference:
+    * Facet/Range/DoubleRangeFacetCounts.cs — its canonical use pairs
+    * ranges with a ValueSource): overlapping ranges over ln(n_chars+1)
+    * for the 'merge' hits, one conditional-count pass. Bounds are chosen
+    * off the value lattice so both engines agree without nextUp
+    * arithmetic (the exclusive-bound normalization is FacetsSpec's job). */
+  def qFacetRangeDouble(spark: SparkSession, sf: String): DataFrame = {
+    import graft.search.Facets.DoubleFacetRange
+    val dir = ensure(spark, sf)
+    val h = hits(spark, dir, Seq("merge")).select(col("doc_id"))
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), log(col("n_chars").cast("double") + 1.0).as("v"))
+    graft.search.Facets.rangeCountsDouble(h.join(docs, "doc_id"), col("v"), Seq(
+      DoubleFacetRange("d1_low", 0.0, minInclusive = true, 5.1, maxInclusive = true),
+      DoubleFacetRange("d2_mid", 4.9, minInclusive = true, 5.7, maxInclusive = true),
+      DoubleFacetRange("d3_high", 5.3, minInclusive = true, 99.0, maxInclusive = true)))
+      .orderBy(col("label"))
+  }
+  val oFacetRangeDouble: String =
+    s"""$OracleCtes, hit AS (
+       |  SELECT DISTINCT doc_id FROM tf WHERE term = 'merge'
+       |), v AS (
+       |  SELECT ln(d.n_chars + 1.0e0) AS v FROM documents d JOIN hit USING (doc_id)
+       |)
+       |SELECT label, hits FROM (
+       |  SELECT 'd1_low' AS label, count(*) FILTER (v >= 0.0e0 AND v <= 5.1e0) AS hits FROM v
+       |  UNION ALL SELECT 'd2_mid', count(*) FILTER (v >= 4.9e0 AND v <= 5.7e0) FROM v
+       |  UNION ALL SELECT 'd3_high', count(*) FILTER (v >= 5.3e0 AND v <= 9.9e1) FROM v
+       |) ORDER BY label""".stripMargin
+
   /** ChainedFilter with XOR (reference: Queries/ChainedFilter.cs:221 —
     * `result.Xor(dis)`): ((merge OR table) ANDNOT vector) XOR index,
     * folded left over doc_id sets exactly like the reference's bitset
@@ -2019,6 +2049,7 @@ object VerifyQueries {
     "q_facet_assoc" -> qFacetAssoc _,
     "q_facet_valuesource" -> qFacetValueSource _,
     "q_facet_range_overlap" -> qFacetRangeOverlap _,
+    "q_facet_range_double" -> qFacetRangeDouble _,
     "q_chained_filter" -> qChainedFilter _,
     "q_split_pk" -> qSplitPk _,
     "q_word_breaks" -> qWordBreaks _,
@@ -2111,6 +2142,7 @@ object VerifyQueries {
     "q_facet_assoc" -> oFacetAssoc,
     "q_facet_valuesource" -> oFacetValueSource,
     "q_facet_range_overlap" -> oFacetRangeOverlap,
+    "q_facet_range_double" -> oFacetRangeDouble,
     "q_chained_filter" -> oChainedFilter,
     "q_split_pk" -> oSplitPk,
     "q_word_breaks" -> oWordBreaks,

@@ -126,4 +126,33 @@ object Facets {
       .map { case (r, i) => s"'${r.label}', __r$i" }.mkString(", ")
     one.select(expr(s"stack(${ranges.size}, $pairs) AS (label, hits)"))
   }
+
+  /** Double twin of [[LongFacetRange]] (Facet/Range/DoubleRange.cs:60-105):
+    * exclusive bounds normalize to the adjacent representable double
+    * (`Math.nextUp`/`nextAfter(-∞)` — the reference's NumericUtils step);
+    * NaN bounds rejected. */
+  final case class DoubleFacetRange(label: String, min: Double, minInclusive: Boolean,
+      max: Double, maxInclusive: Boolean) {
+    require(!min.isNaN && !max.isNaN, "range bound cannot be NaN")
+    val minIncl: Double = if (minInclusive) min else Math.nextUp(min)
+    val maxIncl: Double =
+      if (maxInclusive) max else Math.nextAfter(max, Double.NegativeInfinity)
+    require(minIncl <= maxIncl, s"range $label is empty")
+  }
+
+  /** DoubleRangeFacetCounts (Facet/Range/DoubleRangeFacetCounts.cs):
+    * identical one-pass overlapping-range shape over a double value —
+    * typically a computed ValueSource column. NaN values match no range
+    * (`value >= lo` is false), the reference's missing-doc behavior. */
+  def rangeCountsDouble(df: DataFrame, value: Column,
+      ranges: Seq[DoubleFacetRange]): DataFrame = {
+    require(ranges.nonEmpty, "no ranges")
+    val aggs = ranges.zipWithIndex.map { case (r, i) =>
+      count(when(value >= r.minIncl && value <= r.maxIncl, 1)).as(s"__r$i")
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val pairs = ranges.zipWithIndex
+      .map { case (r, i) => s"'${r.label}', __r$i" }.mkString(", ")
+    one.select(expr(s"stack(${ranges.size}, $pairs) AS (label, hits)"))
+  }
 }

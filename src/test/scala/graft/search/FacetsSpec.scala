@@ -49,6 +49,19 @@ class FacetsSpec extends AnyFunSuite {
     assert(got == Map("lo" -> 2L, "mid" -> 3L, "hi" -> 2L))
   }
 
+  test("rangeCountsDouble: exclusive bounds normalize via nextUp/nextAfter") {
+    import Facets.DoubleFacetRange
+    val df = Seq(1.0, 2.0, 3.0).toDF("v")
+    val got = Facets.rangeCountsDouble(df, col("v"), Seq(
+      DoubleFacetRange("open", 1.0, minInclusive = false, 3.0, maxInclusive = false),
+      DoubleFacetRange("closed", 1.0, minInclusive = true, 3.0, maxInclusive = true)
+    )).as[(String, Long)].collect().toMap
+    assert(got == Map("open" -> 1L, "closed" -> 3L))
+    intercept[IllegalArgumentException] {
+      DoubleFacetRange("nan", Double.NaN, minInclusive = true, 1.0, maxInclusive = true)
+    }
+  }
+
   test("chained filter: fold with AND/OR/ANDNOT/XOR set semantics") {
     def s(ids: Long*) = ids.toDF("doc_id")
     // ((1,2,3 OR 3,4) ANDNOT 4) XOR (3,5) = ({1,2,3} XOR {3,5}) = {1,2,5}
