@@ -186,6 +186,24 @@ object VerifyQueries {
        |SELECT doc_id, round(max(score), 6) AS score FROM scored
        |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
 
+  /** DisjunctionMax with tieBreak > 0 (DisjunctionMaxScorer.cs:GetScore —
+    * max + tieBreak * (sum - max)): two clauses so the two-addend float
+    * sum is order-exact in IEEE and both engines agree bit-for-bit; the
+    * engine float path's clause-order summation is SearchSpec's job. */
+  def qDisMaxTieBreak(spark: SparkSession, sf: String): DataFrame = {
+    scoredHits(spark, sf, Seq("merge", "vector"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("score")).as("m"), sum(col("score")).as("s"))
+      .select(col("doc_id"),
+        round(col("m") + lit(0.3) * (col("s") - col("m")), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id")).limit(20)
+  }
+  val oDisMaxTieBreak: String =
+    s"""${oracleScored(Seq("merge", "vector"))}
+       |SELECT doc_id,
+       |  round(max(score) + 0.3e0 * (sum(score) - max(score)), 6) AS score
+       |FROM scored GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+
   /** Fuzzy scoring (FuzzyQuery's default TOP_TERMS rewrite analog,
     * reference: FuzzyQuery.cs:108 + FuzzyTermsEnum.cs:436): dictionary
     * terms within 1 edit of 'merge', each hit boosted by similarity
@@ -2065,6 +2083,7 @@ object VerifyQueries {
     "q_bool_mustnot" -> qBoolMustNot _,
     "q_min_should_match" -> qMinShouldMatch _,
     "q_dismax" -> qDisMax _,
+    "q_dismax_tiebreak" -> qDisMaxTieBreak _,
     "q_lmjm_topk" -> qLmjmTopk _,
     "q_dfr_topk" -> qDfrTopk _,
     "q_custom_score" -> qCustomScore _,
@@ -2158,6 +2177,7 @@ object VerifyQueries {
     "q_bool_mustnot" -> oBoolMustNot,
     "q_min_should_match" -> oMinShouldMatch,
     "q_dismax" -> oDisMax,
+    "q_dismax_tiebreak" -> oDisMaxTieBreak,
     "q_lmjm_topk" -> oLmjmTopk,
     "q_dfr_topk" -> oDfrTopk,
     "q_custom_score" -> oCustomScore,
