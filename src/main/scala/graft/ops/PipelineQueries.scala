@@ -37,7 +37,11 @@ object PipelineQueries {
     Dedup.minhashNearDups(docs(spark, sf), minJaccard = 0.35)
       .select(col("a"), col("b"), round(col("jac"), 6).as("jac"))
       .orderBy(col("a"), col("b"))
-  val oDedupMinhash: String = {
+
+  /** Shared CTE chain ending in `pairs(a, b, jac)` — the MinHash-LSH
+    * near-dup pairs at jac >= 0.35 (used by both the pair gate and the
+    * cluster gate's recursive-CTE oracle). */
+  private val MinhashPairsCtes: String = {
     val sigCols = (0 until 16).map { k =>
       s"min((sid*${Dedup.MinHashA(k)}+${Dedup.MinHashB(k)})%${Dedup.MinHashP}) AS h$k"
     }.mkString(", ")
@@ -68,14 +72,35 @@ object PipelineQueries {
        |), com AS (
        |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS common FROM ds x
        |  JOIN ds y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2
-       |)
-       |SELECT c.a AS a, c.b AS b,
-       |  round(com.common * 1.0e0 / (sa.sz + sb.sz - com.common), 6) AS jac
-       |FROM cand c JOIN com ON com.a = c.a AND com.b = c.b
-       |JOIN sizes sa ON sa.doc_id = c.a JOIN sizes sb ON sb.doc_id = c.b
-       |WHERE com.common * 1.0e0 / (sa.sz + sb.sz - com.common) >= 0.35e0
-       |ORDER BY 1, 2""".stripMargin
+       |), pairs AS (
+       |  SELECT c.a AS a, c.b AS b,
+       |    com.common * 1.0e0 / (sa.sz + sb.sz - com.common) AS jac
+       |  FROM cand c JOIN com ON com.a = c.a AND com.b = c.b
+       |  JOIN sizes sa ON sa.doc_id = c.a JOIN sizes sb ON sb.doc_id = c.b
+       |  WHERE com.common * 1.0e0 / (sa.sz + sb.sz - com.common) >= 0.35e0
+       |)""".stripMargin
   }
+  val oDedupMinhash: String =
+    s"""$MinhashPairsCtes
+       |SELECT a, b, round(jac, 6) AS jac FROM pairs ORDER BY 1, 2""".stripMargin
+
+  /** Duplicate clusters: connected components over the near-dup pairs
+    * (iterative min-label propagation on the Spark side; the oracle walks
+    * reachability with a recursive CTE — min reachable id ≡ component
+    * min because the edge list is symmetric). */
+  def qDedupClusters(spark: SparkSession, sf: String): DataFrame =
+    Dedup.minhashClusters(docs(spark, sf), minJaccard = 0.35)
+      .orderBy(col("doc_id"))
+  val oDedupClusters: String =
+    s"""${MinhashPairsCtes.replaceFirst("^WITH ", "WITH RECURSIVE ")}, edges AS (
+       |  SELECT a AS u, b AS v FROM pairs UNION SELECT b AS u, a AS v FROM pairs
+       |), reach(u, lab) AS (
+       |  SELECT u, u AS lab FROM edges
+       |  UNION
+       |  SELECT e.u, r.lab FROM edges e JOIN reach r ON r.u = e.v
+       |)
+       |SELECT u AS doc_id, min(lab) AS cluster, (u = min(lab)) AS is_keeper
+       |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin
 
   def qDedupSimhash(spark: SparkSession, sf: String): DataFrame =
     Dedup.simhash(docs(spark, sf)).orderBy(col("doc_id"))
@@ -549,7 +574,100 @@ object PipelineQueries {
       |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2048 AS BIGINT) AS window_id
       |FROM n ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------- span dedup / decontam / mixture
+
+  /** Exact duplicated-span stats (Lee et al. 2021 ExactSubstr analog):
+    * per doc, how many of its 10-token windows also occur in an earlier
+    * doc. */
+  def qSpanDups(spark: SparkSession, sf: String): DataFrame =
+    Dedup.spanDupStats(docs(spark, sf), w = 10)
+      .select(col("doc_id"), col("n_windows"), col("n_dup"),
+        round(col("dup_frac"), 6).as("dup_frac"))
+      .orderBy(col("doc_id"))
+  val oSpanDups: String = {
+    val terms = (0 until 10).map(j => s"ts[i+$j]").mkString(" || ' ' || ")
+    s"""$TokCte, win AS (
+       |  SELECT doc_id, unnest([$terms FOR i IN range(1, len(ts)-8)]) AS s
+       |  FROM tok WHERE len(ts) >= 10
+       |), fo AS (
+       |  SELECT s, min(doc_id) AS fd FROM win GROUP BY s
+       |)
+       |SELECT w.doc_id AS doc_id, count(*) AS n_windows,
+       |  CAST(sum(CASE WHEN fo.fd < w.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+       |  round(CAST(sum(CASE WHEN fo.fd < w.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+       |        * 1.0e0 / count(*), 6) AS dup_frac
+       |FROM win w JOIN fo USING (s)
+       |GROUP BY w.doc_id
+       |HAVING sum(CASE WHEN fo.fd < w.doc_id THEN 1 ELSE 0 END) > 0
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Benchmark decontamination: eval set = doc_id % 11 == 0, corpus = the
+    * rest; per corpus doc, distinct 3-gram collisions with the eval set
+    * and the overlap fraction a pipeline thresholds on. */
+  def qDecontaminate(spark: SparkSession, sf: String): DataFrame = {
+    val all = docs(spark, sf)
+    TextAnalysis.contamination(
+      all.where(col("doc_id") % 11 =!= 0), all.where(col("doc_id") % 11 === 0), w = 3)
+      .select(col("doc_id"), col("n_shingles"), col("n_hit"),
+        round(col("overlap"), 6).as("overlap"))
+      .orderBy(col("doc_id"))
+  }
+  val oDecontaminate: String =
+    s"""$TokCte, sh AS (
+       |  SELECT doc_id, CASE WHEN len(ts) >= 3 THEN
+       |    list_distinct([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] FOR i IN range(1, len(ts)-1)])
+       |    ELSE [] END AS shingles FROM tok
+       |), ds AS (
+       |  SELECT doc_id, unnest(shingles) AS s FROM sh
+       |), cs AS (
+       |  SELECT doc_id, s FROM ds WHERE doc_id % 11 <> 0
+       |), hits AS (
+       |  SELECT doc_id, count(*) AS n_hit FROM cs
+       |  WHERE s IN (SELECT DISTINCT s FROM ds WHERE doc_id % 11 = 0)
+       |  GROUP BY doc_id
+       |), tot AS (
+       |  SELECT doc_id, count(*) AS n_shingles FROM cs GROUP BY doc_id
+       |)
+       |SELECT t.doc_id AS doc_id, t.n_shingles AS n_shingles, h.n_hit AS n_hit,
+       |  round(h.n_hit * 1.0e0 / t.n_shingles, 6) AS overlap
+       |FROM tot t JOIN hits h USING (doc_id) ORDER BY doc_id""".stripMargin
+
+  /** Deterministic domain-mixture sampling: per-source keep rates in ppm
+    * (src0 20%, src1 50%, src2 dropped, default 80%), realized by the
+    * doc-stable residue test; reports per-source in/kept counts. */
+  def qSampleMixture(spark: SparkSession, sf: String): DataFrame = {
+    val all = docs(spark, sf)
+    val kept = Packing.mixtureSample(all, "source",
+      Map("src0" -> 200000L, "src1" -> 500000L, "src2" -> 0L),
+      defaultPpm = 800000L)
+      .groupBy(col("source")).agg(count("*").as("n_kept"))
+    all.groupBy(col("source")).agg(count("*").as("n_in"))
+      .join(kept, Seq("source"), "left")
+      .select(col("source"), col("n_in"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+      .orderBy(col("source"))
+  }
+  val oSampleMixture: String =
+    """WITH keep AS (
+      |  SELECT source FROM documents
+      |  WHERE ((doc_id % 1000003) * 2654435761) % 1000000 <
+      |    (CASE source WHEN 'src0' THEN 200000 WHEN 'src1' THEN 500000
+      |                 WHEN 'src2' THEN 0 ELSE 800000 END)
+      |), tot AS (
+      |  SELECT source, count(*) AS n_in FROM documents GROUP BY source
+      |), k AS (
+      |  SELECT source, count(*) AS n_kept FROM keep GROUP BY source
+      |)
+      |SELECT t.source AS source, t.n_in AS n_in,
+      |  coalesce(k.n_kept, CAST(0 AS BIGINT)) AS n_kept
+      |FROM tot t LEFT JOIN k USING (source) ORDER BY source""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_dedup_clusters" -> qDedupClusters _,
+    "q_span_dups" -> qSpanDups _,
+    "q_decontaminate" -> qDecontaminate _,
+    "q_sample_mixture" -> qSampleMixture _,
     "q_split" -> qSplit _,
     "q_pack_windows" -> qPackWindows _,
     "q_dedup_exact" -> qDedupExact _,
@@ -575,6 +693,10 @@ object PipelineQueries {
     "q_multimodal_stats" -> qMultimodalStats _)
 
   val oracles: Map[String, String] = Map(
+    "q_dedup_clusters" -> oDedupClusters,
+    "q_span_dups" -> oSpanDups,
+    "q_decontaminate" -> oDecontaminate,
+    "q_sample_mixture" -> oSampleMixture,
     "q_split" -> oSplit,
     "q_pack_windows" -> oPackWindows,
     "q_dedup_exact" -> oDedupExact,

@@ -267,4 +267,113 @@ object Dedup {
       .where(col("a") < col("b")).select(col("a"), col("b")).distinct()
     pairJaccard(cands, ds).where(col("jac") >= minJaccard)
   }
+
+  // --------------------------------------- duplicate clusters (components)
+
+  /** Connected components over an undirected pair list `(a, b)` —
+    * the step every real dedup pipeline runs AFTER pair generation:
+    * near-dup pairs are rarely disjoint (A~B, B~C), and dropping one doc
+    * per PAIR either over-deletes or leaves duplicates, so docs must be
+    * grouped into clusters and one keeper chosen per cluster.
+    *
+    * Algorithm: iterative min-label propagation (the MapReduce-CC
+    * baseline of Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC 2014). Every node starts labeled with its own id; each
+    * round takes `least(own, min(neighbor labels))`; fixpoint = every
+    * node holds its component's min id. Each round is ONE equi-join of
+    * the label table against the symmetric edge list plus one map-side-
+    * combinable min-aggregation — no driver-side graph, no windows.
+    * Rounds needed = graph diameter; near-dup clusters are near-cliques
+    * (an LSH bucket emits all its pairs), so 2-4 rounds in practice.
+    * Adversarial long chains would want the alternating star-contraction
+    * variant from the same paper (O(log n) rounds); the row shapes here
+    * are the building blocks it would reuse.
+    *
+    * Convergence is detected by the label-sum invariant: labels only ever
+    * decrease, so `sum(labels)` is strictly monotone until the fixpoint —
+    * one decimal-exact aggregate per round instead of a change-count
+    * join. Each round's result is localCheckpoint'd to truncate lineage
+    * (an iterative plan would otherwise double in depth every round).
+    *
+    * Returns `(node, cluster)` — cluster = min node id of the component.
+    * Throws if `maxIter` rounds don't converge (honest failure beats a
+    * silently wrong partition of the corpus). */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 30): DataFrame = {
+    val edges = pairs.select(col("a").as("u"), col("b").as("v"))
+      .union(pairs.select(col("b").as("u"), col("a").as("v")))
+      .distinct().localCheckpoint(true)
+    var labels = edges.select(col("u").as("node")).distinct()
+      .select(col("node"), col("node").as("lab")).localCheckpoint(true)
+    def labSum(df: DataFrame): java.math.BigDecimal = {
+      val r = df.agg(sum(col("lab").cast("decimal(38,0)"))).head()
+      if (r.isNullAt(0)) java.math.BigDecimal.ZERO else r.getDecimal(0)
+    }
+    var prevSum = labSum(labels)
+    var iter = 0
+    while (iter < maxIter) {
+      val nbrMin = edges.join(labels, edges("v") === labels("node"))
+        .groupBy(col("u")).agg(min(col("lab")).as("nlab"))
+      val next = labels.join(nbrMin, labels("node") === nbrMin("u"), "left")
+        .select(labels("node"),
+          least(labels("lab"), coalesce(col("nlab"), labels("lab"))).as("lab"))
+        .localCheckpoint(true)
+      val s = labSum(next)
+      labels = next
+      iter += 1
+      if (s.compareTo(prevSum) == 0) return labels
+      prevSum = s
+    }
+    throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIter rounds — " +
+        "pathological chain graph; use a star-contraction variant")
+  }
+
+  /** MinHash near-dup clusters with keeper selection: every doc that
+    * appears in a near-dup pair, labeled with its cluster (the min doc_id
+    * of its connected component); `is_keeper` marks the one doc per
+    * cluster a dedup pass would retain. Docs in no pair are implicitly
+    * their own keepers (excluded here — at corpus scale materializing
+    * them would dwarf the interesting rows). */
+  def minhashClusters(docs: DataFrame, minJaccard: Double = 0.35): DataFrame =
+    connectedComponents(minhashNearDups(docs, minJaccard).select(col("a"), col("b")))
+      .select(col("node").as("doc_id"), col("lab").as("cluster"),
+        (col("node") === col("lab")).as("is_keeper"))
+
+  // ----------------------------------------- exact span (substring) dedup
+
+  /** Positional w-token windows per doc: `(doc_id, pos, w-gram)` — NOT
+    * distinct (unlike [[docShingles]]): span dedup is about how much of a
+    * document's surface is copied, so every occurrence counts. */
+  def docWindows(docs: DataFrame, w: Int): DataFrame =
+    docs.select(col("doc_id"), tokensCol("text").as("ts"))
+      .where(expr(s"size(ts) >= $w"))
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, size(ts)-$w), i -> " +
+          (0 until w).map(j => s"ts[i+$j]").mkString("concat_ws(' ', ", ", ", ")") + ")")))
+      .toDF("doc_id", "pos", "s")
+
+  /** Exact duplicated-span measurement (the Lee et al. 2021 "Deduplicating
+    * Training Data Makes Language Models Better" ExactSubstr idea, as the
+    * equi-join analog of their suffix array): for each doc, the fraction
+    * of its w-token windows whose exact text also occurs in some EARLIER
+    * doc (smaller doc_id). A doc with high `dup_frac` is mostly copied
+    * surface and gets dropped or trimmed by the pipeline.
+    *
+    * Shape at scale: one explode (corpus length × 1 rows), one map-side-
+    * combinable min-per-window aggregation (the "first owner" table, the
+    * same cardinality class as the shingle dictionary), one equi-join
+    * back, one per-doc count aggregation. The production variant would
+    * join on xxhash64(window) to keep shuffle rows narrow; the parity
+    * path joins on the window text so DuckDB reproduces it bit-for-bit. */
+  def spanDupStats(docs: DataFrame, w: Int = 10): DataFrame = {
+    val win = docWindows(docs, w)
+    val firstOwner = win.groupBy(col("s")).agg(min(col("doc_id")).as("first_doc"))
+    win.join(firstOwner, "s")
+      .groupBy(col("doc_id"))
+      .agg(count("*").as("n_windows"),
+        sum(when(col("first_doc") < col("doc_id"), 1L).otherwise(0L)).as("n_dup"))
+      .where(col("n_dup") > 0)
+      .select(col("doc_id"), col("n_windows"), col("n_dup"),
+        (col("n_dup").cast("double") / col("n_windows").cast("double")).as("dup_frac"))
+  }
 }

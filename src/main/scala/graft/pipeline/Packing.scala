@@ -60,4 +60,23 @@ object Packing {
     parted.unpersist(blocking = false)
     result
   }
+
+  /** Deterministic domain-mixture sampling: realize per-domain keep rates
+    * (the "data mixture weights" step of every LLM corpus recipe) with a
+    * doc-stable residue test instead of an RNG — `mix(doc_id) < rate_ppm`
+    * where `mix = ((doc_id % 1000003) * 2654435761) % 1_000_000`. Rates
+    * are integer parts-per-million so the threshold compare is exact in
+    * any engine (no float-cast rounding divergence). Reproducible across
+    * runs, re-partitionings and engines; map-only (the filter pushes to
+    * the scan); domains absent from `ratesPpm` keep `defaultPpm`.
+    * The inner modulus bounds the product at ~2.7e15, so the arithmetic
+    * never overflows a signed 64-bit int at any doc_id. */
+  def mixtureSample(docs: DataFrame, domainCol: String,
+                    ratesPpm: Map[String, Long],
+                    defaultPpm: Long = 1000000L): DataFrame = {
+    val rate = ratesPpm.foldLeft(lit(defaultPpm)) { case (acc, (d, r)) =>
+      when(col(domainCol) === d, lit(r)).otherwise(acc)
+    }
+    docs.where(((col("doc_id") % 1000003L) * 2654435761L) % 1000000L < rate)
+  }
 }

@@ -191,4 +191,26 @@ object TextAnalysis {
       col("doc_id") +: (redactPii(col("text")).as("redacted") +:
         counts.map { case (name, c) => c.as(s"n_$name") }): _*)
   }
+
+  /** Eval-set decontamination (the GPT-3 appendix-C / PaLM method: a
+    * training doc is contaminated when it shares enough w-gram surface
+    * with any benchmark document). For every corpus doc with at least one
+    * collision: the number of its DISTINCT w-token shingles that occur
+    * anywhere in the eval set, and the overlap fraction a pipeline would
+    * threshold on.
+    *
+    * Shape at scale: the eval side is benchmark-sized (thousands of docs
+    * against 10^12) — its distinct shingle set broadcast-joins; the corpus
+    * side is one explode + one left-semi equi-join + one map-side-
+    * combinable per-doc aggregation. Nothing global, nothing driver-side. */
+  def contamination(corpus: DataFrame, eval: DataFrame, w: Int = 5): DataFrame = {
+    val cs = Dedup.docShingles(corpus, w)
+    val es = Dedup.docShingles(eval, w).select(col("s")).distinct()
+    val hits = cs.join(es, Seq("s"), "left_semi")
+      .groupBy(col("doc_id")).agg(count("*").as("n_hit"))
+    cs.groupBy(col("doc_id")).agg(count("*").as("n_shingles"))
+      .join(hits, Seq("doc_id"))
+      .select(col("doc_id"), col("n_shingles"), col("n_hit"),
+        (col("n_hit").cast("double") / col("n_shingles").cast("double")).as("overlap"))
+  }
 }
