@@ -1881,6 +1881,41 @@ object VerifyQueries {
       |  substr(lt, greatest(1, CAST(p - 1 AS INT) - 9), least(CAST(p - 1 AS INT), 10)) AS ctx_before
       |FROM hit ORDER BY doc_id""".stripMargin
 
+  /** FastVectorHighlighter analog (reference: Highlighter/VectorHighlight/
+    * FieldPhraseList.cs): phrase-aware highlight spans from the
+    * positions+offsets sidecars — only occurrences participating in the
+    * full exact phrase "table hash" are marked; the fragment is cut from
+    * the stored text at the span. Oracle: the whole-token normalization
+    * trick (non-token chars map 1:1 to spaces), so
+    * strpos(padded, ' table hash ') is the same first match at the same
+    * char offset. */
+  def qHighlightPhrase(spark: SparkSession, sf: String): DataFrame = {
+    val dir = DocIndex.ensureOffsets(spark, sf)
+    val reader = new graft.search.IndexReader(spark, dir)
+    val searcher = new graft.search.Searcher(reader,
+      analyzerFor = _ => graft.analysis.Analyzer.sqlParity)
+    val spans = searcher.phraseHighlightSpans(Seq("table", "hash"))
+      .toDF("doc_id", "s", "e")
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    spans.join(docs, "doc_id")
+      .select(col("doc_id"), col("s").cast("long").as("s"),
+        col("e").cast("long").as("e"),
+        expr("substr(lower(text), cast(s as int) + 1, cast(e - s as int))").as("frag"))
+      .orderBy(col("doc_id"))
+  }
+  val oHighlightPhrase: String =
+    """WITH norm AS (
+      |  SELECT doc_id, lower(text) AS lt,
+      |         ' ' || regexp_replace(lower(text), '[^a-z0-9_]', ' ', 'g') || ' ' AS padded
+      |  FROM documents
+      |), hit AS (
+      |  SELECT doc_id, lt, CAST(strpos(padded, ' table hash ') AS BIGINT) AS p FROM norm
+      |  WHERE strpos(padded, ' table hash ') > 0
+      |)
+      |SELECT doc_id, p - 1 AS s, p + 9 AS e, substr(lt, CAST(p AS INT), 10) AS frag
+      |FROM hit ORDER BY doc_id""".stripMargin
+
   /** MoreLikeThis end-to-end (reference: Queries/Mlt/MoreLikeThis.cs):
     * seed doc 7 → top-5 tf·idf terms → OR query → top-10 similar docs
     * (seed excluded). */
@@ -2126,6 +2161,7 @@ object VerifyQueries {
     "q_rescore" -> qRescore _,
     "q_highlight" -> qHighlight _,
     "q_highlight_offsets" -> qHighlightOffsets _,
+    "q_highlight_phrase" -> qHighlightPhrase _,
     "q_join_semi" -> qJoinSemi _,
     "q_join_anti" -> qJoinAnti _,
     "q_agg_q1" -> qAggQ1 _,
@@ -2220,6 +2256,7 @@ object VerifyQueries {
     "q_rescore" -> oRescore,
     "q_highlight" -> oHighlight,
     "q_highlight_offsets" -> oHighlightOffsets,
+    "q_highlight_phrase" -> oHighlightPhrase,
     "q_join_semi" -> oJoinSemi,
     "q_join_anti" -> oJoinAnti,
     "q_agg_q1" -> oAggQ1,

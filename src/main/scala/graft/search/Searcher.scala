@@ -656,6 +656,63 @@ final class Searcher(val reader: IndexReader, pruneMinBlocks: Int = 64,
       }
   }
 
+  /** FastVectorHighlighter analog (reference: Highlighter/VectorHighlight/
+    * FieldTermStack.cs + FieldPhraseList.cs): phrase-aware highlight spans
+    * straight from the positions + offsets sidecars — our term-vector-
+    * with-positions-and-offsets — so ONLY term occurrences that
+    * participate in a full exact-phrase match are marked, and nothing is
+    * re-analyzed. Returns the FIRST match per doc as
+    * (docId, startOffset of the head term's matched occurrence,
+    * endOffset of the tail term's matched occurrence).
+    *
+    * Shape: two parquet-pruned sidecar scans (terms pushed into the
+    * sorted `term` column), one (docId, term) equi-join to align
+    * positions with their occurrence-ordered offsets, one docId shuffle,
+    * then the same binary-search phrase walk [[phraseFreqsFromIndex]]
+    * runs. */
+  def phraseHighlightSpans(terms: Seq[String]): Dataset[(Long, Int, Int)] = {
+    val distinct = terms.distinct
+    val stats = reader.termStats(distinct)
+    if (!distinct.forall(stats.contains)) return spark.emptyDataset[(Long, Int, Int)]
+    val phraseArr = terms.toIndexedSeq
+    val n = phraseArr.length
+    val nDistinct = distinct.length
+    val pos = termPositionRows(distinct)
+      .map { case (d, t, ps, _) => (d, t, ps) }.toDF("docId", "term", "ps")
+    val off = reader.termOffsetRows(distinct).toDF("docId", "term", "offs")
+    pos.join(off, Seq("docId", "term"))
+      .as[(Long, String, Array[Int], Array[Int])]
+      .groupByKey(_._1).flatMapGroups { (docId, it) =>
+        val psBy = scala.collection.mutable.HashMap.empty[String, Array[Int]]
+        val offBy = scala.collection.mutable.HashMap.empty[String, Array[Int]]
+        it.foreach { case (_, t, ps, os) => psBy(t) = ps; offBy(t) = os }
+        if (psBy.size < nDistinct) Iterator.empty
+        else {
+          val head = psBy(phraseArr.head)
+          var out: Iterator[(Long, Int, Int)] = Iterator.empty
+          var hi = 0
+          while (out.isEmpty && hi < head.length) {
+            val p = head(hi)
+            var i = 1
+            var tailIdx = hi // occurrence index of the LAST phrase term
+            var ok = true
+            while (ok && i < n) {
+              val idx = java.util.Arrays.binarySearch(psBy(phraseArr(i)), p + i)
+              if (idx < 0) ok = false else tailIdx = idx
+              i += 1
+            }
+            if (ok) {
+              val s = offBy(phraseArr.head)(2 * hi)
+              val e = offBy(phraseArr(n - 1))(2 * tailIdx + 1)
+              out = Iterator.single((docId, s, e))
+            }
+            hi += 1
+          }
+          out
+        }
+      }
+  }
+
   /** (docId, sloppy phraseFreq, normByte) under the reference's
     * SloppyPhraseScorer semantics — same QUERY_FIRST frame as
     * [[phraseFreqs]], per-candidate matching delegated to

@@ -69,6 +69,18 @@ class OffsetsSpec extends AnyFunSuite {
     }
   }
 
+  test("phrase-aware spans (FVH analog) mark only participating occurrences") {
+    val reader = new IndexReader(spark, dir)
+    val searcher = new Searcher(reader, analyzerFor = _ => graft.analysis.Analyzer.noStop)
+    val spans = searcher.phraseHighlightSpans(Seq("merge", "beta"))
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // doc0 "alpha merge beta merge gamma": only merge@pos1 participates in
+    // the phrase — span covers "merge beta" (6..16), NOT the second merge;
+    // docs 1 and 3 contain merge but no adjacent beta → no span.
+    assert(spans === Map(0L -> ((6, 16))))
+    assert(fixture(0).content.substring(6, 16) === "merge beta")
+  }
+
   test("expunge keeps the offsets sidecar aligned") {
     import spark.implicits._
     Deletes.deleteDocs(spark, dir, spark.createDataset(Seq(0L)))
