@@ -84,6 +84,23 @@ object PipelineQueries {
     s"""$MinhashPairsCtes
        |SELECT a, b, round(jac, 6) AS jac FROM pairs ORDER BY 1, 2""".stripMargin
 
+  /** Incremental dedup: the batch doc_id % 5 == 0 arrives against the
+    * existing corpus (the rest); only pairs touching the new batch are
+    * produced, old×old is never re-paired. Oracle: the full pair set
+    * filtered to new-batch endpoints (provably identical). */
+  def qDedupIncremental(spark: SparkSession, sf: String): DataFrame = {
+    val all = docs(spark, sf)
+    Dedup.minhashNearDupsIncremental(
+      all.where(col("doc_id") % 5 =!= 0), all.where(col("doc_id") % 5 === 0),
+      minJaccard = 0.35)
+      .select(col("a"), col("b"), round(col("jac"), 6).as("jac"))
+      .orderBy(col("a"), col("b"))
+  }
+  val oDedupIncremental: String =
+    s"""$MinhashPairsCtes
+       |SELECT a, b, round(jac, 6) AS jac FROM pairs
+       |WHERE a % 5 = 0 OR b % 5 = 0 ORDER BY 1, 2""".stripMargin
+
   /** Duplicate clusters: connected components over the near-dup pairs
     * (iterative min-label propagation on the Spark side; the oracle walks
     * reachability with a recursive CTE — min reachable id ≡ component
@@ -664,6 +681,7 @@ object PipelineQueries {
       |FROM tot t LEFT JOIN k USING (source) ORDER BY source""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    "q_dedup_incremental" -> qDedupIncremental _,
     "q_dedup_clusters" -> qDedupClusters _,
     "q_span_dups" -> qSpanDups _,
     "q_decontaminate" -> qDecontaminate _,
@@ -693,6 +711,7 @@ object PipelineQueries {
     "q_multimodal_stats" -> qMultimodalStats _)
 
   val oracles: Map[String, String] = Map(
+    "q_dedup_incremental" -> oDedupIncremental,
     "q_dedup_clusters" -> oDedupClusters,
     "q_span_dups" -> oSpanDups,
     "q_decontaminate" -> oDecontaminate,

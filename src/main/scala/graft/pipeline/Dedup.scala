@@ -155,6 +155,32 @@ object Dedup {
     pairJaccard(cands, ds).where(col("jac") >= minJaccard)
   }
 
+  /** Incremental MinHash near-dup: match a NEW batch against an existing
+    * corpus + itself WITHOUT re-pairing the old corpus (the pipeline's
+    * NRT analog — at 10^12 docs the old×old pair space is the cost that
+    * must never be re-paid). Candidate generation joins the full bucket
+    * table against ONLY the new batch's buckets, so collisions are
+    * old×new and new×new; old×old never leaves the map side. Result ≡
+    * the full run's pairs filtered to those touching the new batch
+    * (dictionary parity over the union keeps hashes identical).
+    * At production scale the old side's signatures/buckets are a
+    * persisted table keyed by (band, key) — only the new batch is
+    * re-shingled and re-hashed. */
+  def minhashNearDupsIncremental(oldDocs: DataFrame, newDocs: DataFrame,
+                                 minJaccard: Double = 0.35): DataFrame = {
+    val ds = docShingles(oldDocs.union(newDocs))
+    val dict = shingleDict(ds)
+    val buckets = lshBuckets(minhashSignatures(ds, dict))
+    val newBuckets = buckets
+      .join(newDocs.select(col("doc_id")), Seq("doc_id"), "left_semi")
+    val x = buckets.select(col("band"), col("key"), col("doc_id").as("u"))
+    val y = newBuckets.select(col("band"), col("key"), col("doc_id").as("v"))
+    val cands = x.join(y, Seq("band", "key")).where(col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("a"),
+        greatest(col("u"), col("v")).as("b")).distinct()
+    pairJaccard(cands, ds).where(col("jac") >= minJaccard)
+  }
+
   // ------------------------------------------------------------- simhash
 
   /** Signature from mixed (doc_id, tf, m) rows in ONE aggregation: 32

@@ -62,6 +62,24 @@ class ClusterSpec extends AnyFunSuite {
       (1L, 1L, true), (101L, 1L, false)))
   }
 
+  test("incremental minhash: batch-vs-corpus pairs == full-run pairs touching the batch") {
+    val docs = Seq(
+      0L -> "the quick brown fox jumps over the lazy dog again and again",
+      1L -> "spark builds inverted index postings with delta encoded blocks",
+      2L -> "bm25 scoring ranks documents by term frequency and length",
+      100L -> "the quick brown fox jumps over the lazy dog again and again",
+      101L -> "spark builds inverted index postings with gamma encoded blocks",
+      102L -> "zzz yyy xxx www vvv uuu ttt sss rrr qqq ppp ooo"
+    ).toDF("doc_id", "text")
+    val full = Dedup.minhashNearDups(docs, minJaccard = 0.3)
+      .select($"a", $"b").as[(Long, Long)].collect().toSet
+    val inc = Dedup.minhashNearDupsIncremental(
+      docs.where($"doc_id" < 100), docs.where($"doc_id" >= 100), minJaccard = 0.3)
+      .select($"a", $"b").as[(Long, Long)].collect().toSet
+    assert(full.nonEmpty)
+    assert(inc === full.filter(p => p._1 >= 100 || p._2 >= 100))
+  }
+
   test("span dup stats: copied windows counted against the earlier doc only") {
     val ten = "a1 a2 a3 a4 a5 a6 a7 a8 a9 a10"
     val docs = Seq(
