@@ -198,7 +198,18 @@ object Deletes {
     * re-encodes in newId order. Shared by [[expunge]] (dense remap minus
     * tombstones) and [[IndexSorter]] (remap ordered by a sort field). */
   private[build] def rewriteWithRemap(spark: SparkSession, dir: String,
-      outDir: String, remap: DataFrame, numPartitions: Int): Unit = {
+      outDir: String, remap: DataFrame, numPartitions: Int): Unit =
+    rewriteMany(spark, Seq(dir -> remap), outDir, numPartitions)
+
+  /** Multi-source generalization of [[rewriteWithRemap]]: each source
+    * index contributes its rows under its own remap, the union re-encodes
+    * into ONE standalone index (the SegmentMerger shape; also the
+    * [[AddIndexes]] engine). All sources must carry the same sidecar
+    * levels — mixing a positioned index with a positions-less one would
+    * silently demote terms, so it is rejected up front. */
+  private[build] def rewriteMany(spark: SparkSession,
+      sources: Seq[(String, DataFrame)], outDir: String,
+      numPartitions: Int): Unit = {
     import spark.implicits._
     val outPath = new org.apache.hadoop.fs.Path(outDir)
     val fs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -208,17 +219,21 @@ object Deletes {
     // renumbers in one pass. Pending docvalue updates are FOLDED into the
     // rewritten tables here (the reference's merge-applies-updates
     // behavior) — the rewritten index carries no updates stream.
-    def remapDocIdTable(df: DataFrame, outPathStr: String): Unit = {
-      val outCols = df.columns.map(c =>
-        if (c == "docId") col("newId").as("docId") else col(c))
-      df.join(remap, df("docId") === remap("oldId"))
-        .select(outCols.toIndexedSeq: _*)
+    def remapDocIdTable(parts: Seq[(DataFrame, DataFrame)],
+                        outPathStr: String): Unit = {
+      parts.map { case (df, remap) =>
+        val outCols = df.columns.map(c =>
+          if (c == "docId") col("newId").as("docId") else col(c))
+        df.join(remap, df("docId") === remap("oldId"))
+          .select(outCols.toIndexedSeq: _*)
+      }.reduce(_.unionByName(_))
         .repartitionByRange(numPartitions, col("docId"))
         .sortWithinPartitions(col("docId"))
         .write.mode(SaveMode.Overwrite).parquet(outPathStr)
     }
-    remapDocIdTable(DocValues.readDocs(spark, dir), IndexPaths.docs(outDir))
-    remapDocIdTable(DocValues.readDocstats(spark, dir),
+    remapDocIdTable(sources.map { case (d, r) => (DocValues.readDocs(spark, d), r) },
+      IndexPaths.docs(outDir))
+    remapDocIdTable(sources.map { case (d, r) => (DocValues.readDocstats(spark, d), r) },
       IndexPaths.docstats(outDir))
 
     // postings: decode to rows -> equi-join the remap (inner join drops
@@ -226,22 +241,26 @@ object Deletes {
     // re-encode per partition (ascending newIds per term within a
     // partition; hot terms split across partitions at newId boundaries,
     // blocks stay self-contained)
-    val posPath = new org.apache.hadoop.fs.Path(IndexPaths.positions(dir))
-    val offPath = new org.apache.hadoop.fs.Path(IndexPaths.offsets(dir))
-    val payPath = new org.apache.hadoop.fs.Path(IndexPaths.payloads(dir))
-    val hasPositions = fs.exists(posPath)
-    val hasOffsets = fs.exists(offPath)
-    val hasPayloads = fs.exists(payPath)
+    def sidecarFlags(d: String): (Boolean, Boolean, Boolean) = (
+      fs.exists(new org.apache.hadoop.fs.Path(IndexPaths.positions(d))),
+      fs.exists(new org.apache.hadoop.fs.Path(IndexPaths.offsets(d))),
+      fs.exists(new org.apache.hadoop.fs.Path(IndexPaths.payloads(d))))
+    val flags = sources.map { case (d, _) => sidecarFlags(d) }
+    require(flags.distinct.size == 1,
+      s"rewriteMany: sources carry different sidecar levels: ${flags.mkString(", ")}")
+    val (hasPositions, hasOffsets, hasPayloads) = flags.head
     if (!hasPositions && !hasOffsets && !hasPayloads) {
-      val decoded = spark.read.parquet(IndexPaths.postings(dir))
-        .select($"term", $"firstDocId", $"lastDocId", $"numDocs", $"maxTf",
-          $"maxNorm", $"sumTf", $"segId", $"bytes").as[PostingRow]
-        .flatMap { r =>
-          val (ids, tfs, norms) = PostingsCodec.decodeBlock(r.firstDocId, r.numDocs, r.bytes)
-          ids.indices.iterator.map(i => (r.term, ids(i), tfs(i), norms(i)))
-        }.toDF("term", "oldId", "tf", "norm")
-      val renumbered = decoded.join(remap, Seq("oldId"))
-        .select($"term", $"newId", $"tf", $"norm")
+      val renumbered = sources.map { case (d, remap) =>
+        spark.read.parquet(IndexPaths.postings(d))
+          .select($"term", $"firstDocId", $"lastDocId", $"numDocs", $"maxTf",
+            $"maxNorm", $"sumTf", $"segId", $"bytes").as[PostingRow]
+          .flatMap { r =>
+            val (ids, tfs, norms) = PostingsCodec.decodeBlock(r.firstDocId, r.numDocs, r.bytes)
+            ids.indices.iterator.map(i => (r.term, ids(i), tfs(i), norms(i)))
+          }.toDF("term", "oldId", "tf", "norm")
+          .join(remap, Seq("oldId"))
+          .select($"term", $"newId", $"tf", $"norm")
+      }.reduce(_ union _)
         .repartitionByRange(numPartitions, $"term", $"newId")
         .sortWithinPartitions($"term", $"newId")
         .as[(String, Long, Int, Int)]
@@ -256,46 +275,50 @@ object Deletes {
       // aligned. LEFT joins: keyword (DOCS_ONLY) terms legitimately have
       // no sidecar blobs — their postings pass through with null lists
       // instead of being dropped.
-      val t = spark.read.parquet(IndexPaths.postings(dir))
-        .select($"term", $"firstDocId", $"numDocs", $"bytes")
-        .toDF("term", "firstDocId", "tn", "tbytes")
-      val withP =
-        if (hasPositions)
-          t.join(spark.read.parquet(IndexPaths.positions(dir))
-            .select($"term", $"firstDocId", $"bytes").toDF("term", "firstDocId", "pbytes"),
-            Seq("term", "firstDocId"), "left_outer")
-        else t.withColumn("pbytes", lit(null).cast("binary"))
-      val withPO =
-        if (hasOffsets)
-          withP.join(spark.read.parquet(IndexPaths.offsets(dir))
-            .select($"term", $"firstDocId", $"bytes").toDF("term", "firstDocId", "obytes"),
-            Seq("term", "firstDocId"), "left_outer")
-        else withP.withColumn("obytes", lit(null).cast("binary"))
-      val withPOY =
-        if (hasPayloads)
-          withPO.join(spark.read.parquet(IndexPaths.payloads(dir))
-            .select($"term", $"firstDocId", $"bytes").toDF("term", "firstDocId", "ybytes"),
-            Seq("term", "firstDocId"), "left_outer")
-        else withPO.withColumn("ybytes", lit(null).cast("binary"))
-      val decoded = withPOY
-        .select($"term", $"firstDocId", $"tn", $"tbytes", $"pbytes", $"obytes", $"ybytes")
-        .as[(String, Long, Int, Array[Byte], Array[Byte], Array[Byte], Array[Byte])]
-        .flatMap { case (term, firstDocId, n, tbytes, pbytes, obytes, ybytes) =>
-          val (ids, tfs, norms) = PostingsCodec.decodeBlock(firstDocId, n, tbytes)
-          val poss =
-            if (pbytes == null) Array.fill[Array[Int]](n)(null)
-            else PostingsCodec.decodePositionsBlock(n, pbytes)
-          val offs =
-            if (obytes == null) Array.fill[Array[Int]](n)(null)
-            else PostingsCodec.decodeOffsetsBlock(n, obytes)
-          val pays =
-            if (ybytes == null) Array.fill[Array[Array[Byte]]](n)(null)
-            else PostingsCodec.decodePayloadsBlock(n, ybytes)
-          ids.indices.iterator.map(i =>
-            (term, ids(i), tfs(i), norms(i), poss(i), offs(i), pays(i)))
-        }.toDF("term", "oldId", "tf", "norm", "ps", "os", "ys")
-      val renumbered = decoded.join(remap, Seq("oldId"))
-        .select($"term", $"newId", $"tf", $"norm", $"ps", $"os", $"ys")
+      def decodedFor(dir: String, remap: DataFrame): DataFrame = {
+        val t = spark.read.parquet(IndexPaths.postings(dir))
+          .select($"term", $"firstDocId", $"numDocs", $"bytes")
+          .toDF("term", "firstDocId", "tn", "tbytes")
+        val withP =
+          if (hasPositions)
+            t.join(spark.read.parquet(IndexPaths.positions(dir))
+              .select($"term", $"firstDocId", $"bytes").toDF("term", "firstDocId", "pbytes"),
+              Seq("term", "firstDocId"), "left_outer")
+          else t.withColumn("pbytes", lit(null).cast("binary"))
+        val withPO =
+          if (hasOffsets)
+            withP.join(spark.read.parquet(IndexPaths.offsets(dir))
+              .select($"term", $"firstDocId", $"bytes").toDF("term", "firstDocId", "obytes"),
+              Seq("term", "firstDocId"), "left_outer")
+          else withP.withColumn("obytes", lit(null).cast("binary"))
+        val withPOY =
+          if (hasPayloads)
+            withPO.join(spark.read.parquet(IndexPaths.payloads(dir))
+              .select($"term", $"firstDocId", $"bytes").toDF("term", "firstDocId", "ybytes"),
+              Seq("term", "firstDocId"), "left_outer")
+          else withPO.withColumn("ybytes", lit(null).cast("binary"))
+        withPOY
+          .select($"term", $"firstDocId", $"tn", $"tbytes", $"pbytes", $"obytes", $"ybytes")
+          .as[(String, Long, Int, Array[Byte], Array[Byte], Array[Byte], Array[Byte])]
+          .flatMap { case (term, firstDocId, n, tbytes, pbytes, obytes, ybytes) =>
+            val (ids, tfs, norms) = PostingsCodec.decodeBlock(firstDocId, n, tbytes)
+            val poss =
+              if (pbytes == null) Array.fill[Array[Int]](n)(null)
+              else PostingsCodec.decodePositionsBlock(n, pbytes)
+            val offs =
+              if (obytes == null) Array.fill[Array[Int]](n)(null)
+              else PostingsCodec.decodeOffsetsBlock(n, obytes)
+            val pays =
+              if (ybytes == null) Array.fill[Array[Array[Byte]]](n)(null)
+              else PostingsCodec.decodePayloadsBlock(n, ybytes)
+            ids.indices.iterator.map(i =>
+              (term, ids(i), tfs(i), norms(i), poss(i), offs(i), pays(i)))
+          }.toDF("term", "oldId", "tf", "norm", "ps", "os", "ys")
+          .join(remap, Seq("oldId"))
+          .select($"term", $"newId", $"tf", $"norm", $"ps", $"os", $"ys")
+      }
+      val renumbered = sources.map { case (d, r) => decodedFor(d, r) }
+        .reduce(_ union _)
         .repartitionByRange(numPartitions, $"term", $"newId")
         .sortWithinPartitions($"term", $"newId")
         .as[(String, Long, Int, Int, Array[Int], Array[Int], Array[Array[Byte]])]

@@ -110,6 +110,32 @@ object DocIndex {
     dir
   }
 
+  /** Two INDEPENDENTLY built half-corpus indexes (docIds both starting at
+    * 0) merged into one standalone index via
+    * [[graft.build.AddIndexes.addIndexes]]. Because the halves split the
+    * corpus in its global sort order (path == zero-padded doc_id) and the
+    * merge renumbers densely in input order, the merged docIds equal the
+    * single-index ids — so the merged index must reproduce single-index
+    * answers bit for bit. */
+  def ensureMerged(spark: SparkSession, sfDir: String): String = synchronized {
+    val dir = cacheDir(sfDir) + "-merged"
+    if (!IndexBuilder.stageDone(spark, dir, "stats")) {
+      import spark.implicits._
+      val corpus = documentsAsCorpus(spark, sfDir)
+      val n = corpus.count()
+      val cut = f"${n / 2}%010d"
+      val dirA = dir + "-a"
+      val dirB = dir + "-b"
+      IndexBuilder.build(spark, corpus.filter($"path" < cut), dirA,
+        numPartitions = 8, resume = true, analyzerFor = _ => Analyzer.sqlParity)
+      IndexBuilder.build(spark, corpus.filter($"path" >= cut), dirB,
+        numPartitions = 8, resume = true, analyzerFor = _ => Analyzer.sqlParity)
+      graft.build.AddIndexes.addIndexes(spark, Seq(dirA, dirB), dir,
+        numPartitions = 8)
+    }
+    dir
+  }
+
   /** Two-generation STREAMING index over the documents table (NRT path):
     * the corpus split into two micro-batches by doc_id, each a committed
     * generation under `root/gen=NNNNNN`. Because the split respects the

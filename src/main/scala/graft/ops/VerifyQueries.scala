@@ -65,6 +65,39 @@ object VerifyQueries {
   }
   val oNrtTopk: String = oTermTopk
 
+  /** IndexWriter.AddIndexes analog end-to-end (reference:
+    * Index/IndexWriter.cs AddIndexes → SegmentMerger): the corpus is
+    * built as TWO independent half indexes (docIds both from 0), merged
+    * into one standalone index with deletes folded and ids renumbered
+    * densely in input order; BM25 top-k through the merged index must
+    * equal the single-index answer bit for bit — same oracle as
+    * q_term_topk. */
+  def qAddIndexesTopk(spark: SparkSession, sf: String): DataFrame = {
+    import spark.implicits._
+    val dir = DocIndex.ensureMerged(spark, sf)
+    val reader = new graft.search.IndexReader(spark, dir)
+    val cs = reader.collectionStats
+    val avgdl = cs.sumTotalTermFreq * 1.0 / cs.maxDoc
+    val h = reader.postings.where(col("term") === "merge")
+      .select(col("term"), col("firstDocId"), col("lastDocId"), col("numDocs"),
+        col("maxTf"), col("maxNorm"), col("sumTf"), col("segId"), col("bytes"))
+      .as[graft.build.PostingRow]
+      .flatMap { r =>
+        val (ids, tfs, _) = graft.postings.PostingsCodec.decodeBlock(r.firstDocId, r.numDocs, r.bytes)
+        ids.indices.map(i => (ids(i), tfs(i).toLong))
+      }.toDF("doc_id", "tf")
+    val df0 = reader.termDict.where(col("term") === "merge")
+      .select(col("df")).head().getLong(0)
+    val dl = reader.docstats
+      .select(col("docId").as("doc_id"), col("tokenCount").cast("long").as("dl"))
+    h.join(dl, Seq("doc_id"))
+      .withColumn("score", DocIndex.bm25d(col("tf").cast("double"), lit(df0.toDouble),
+        col("dl").cast("double"), cs.maxDoc, avgdl))
+      .select(col("doc_id"), round(col("score"), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id")).limit(20)
+  }
+  val oAddIndexesTopk: String = oTermTopk
+
   /** Index splitting (reference: Lucene.Net.Misc/Index/
     * MultiPassIndexSplitter.cs, PKIndexSplitter.cs): the documents index
     * split into 3 contiguous-docId shards with original ids preserved;
@@ -2075,6 +2108,7 @@ object VerifyQueries {
   val queries: Map[String, Q] = Map(
     "q_term_topk" -> qTermTopk _,
     "q_nrt_topk" -> qNrtTopk _,
+    "q_addindexes_topk" -> qAddIndexesTopk _,
     "q_phrase" -> qPhrase _,
     "q_phrase_pos" -> qPhrasePos _,
     "q_phrase_sloppy" -> qPhraseSloppy _,
@@ -2170,6 +2204,7 @@ object VerifyQueries {
   val oracles: Map[String, String] = Map(
     "q_term_topk" -> oTermTopk,
     "q_nrt_topk" -> oNrtTopk,
+    "q_addindexes_topk" -> oAddIndexesTopk,
     "q_phrase" -> oPhrase,
     "q_phrase_pos" -> oPhrasePos,
     "q_phrase_sloppy" -> oPhraseSloppy,
