@@ -1999,6 +1999,38 @@ object VerifyQueries {
       |WHERE l_quantity > 45
       |GROUP BY 1 ORDER BY score DESC, o_orderkey LIMIT 10""".stripMargin
 
+  /** Block-join ScoreMode.Max / ScoreMode.Avg (reference:
+    * Join/ToParentBlockJoinQuery.cs ScoreMode enum — Total is
+    * `q_block_join`, None ≙ the semi joins): the parent's score is the
+    * max / mean of its matching children's scores. Exact integer cents
+    * keep both aggregates order-independent; avg divides two exact longs
+    * in double once, identically in both engines. */
+  def qBlockJoinModes(spark: SparkSession, sf: String): DataFrame = {
+    val orders = spark.read.parquet(s"$sf/orders.parquet").select(col("o_orderkey"))
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .where(col("l_quantity") > 45)
+      .select(col("l_orderkey"),
+        (round(col("l_extendedprice") * 100, 0).cast("long") *
+          (lit(100L) - round(col("l_discount") * 100, 0).cast("long"))).as("c"))
+    orders.join(li, orders("o_orderkey") === li("l_orderkey"))
+      .groupBy(col("o_orderkey"))
+      .agg(round(max(col("c")) / lit(10000.0), 3).as("max_score"),
+        round(sum(col("c")) / (count(lit(1)) * lit(10000.0)), 3).as("avg_score"))
+      .orderBy(col("max_score").desc, col("o_orderkey")).limit(10)
+  }
+  val oBlockJoinModes: String =
+    """WITH c AS (
+      |  SELECT o_orderkey,
+      |    CAST(round(l_extendedprice * 100) AS BIGINT)
+      |      * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS c
+      |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      |  WHERE l_quantity > 45
+      |)
+      |SELECT o_orderkey,
+      |  round(max(c) / 10000.0e0, 3) AS max_score,
+      |  round(CAST(sum(c) AS BIGINT) / (count(*) * 10000.0e0), 3) AS avg_score
+      |FROM c GROUP BY 1 ORDER BY max_score DESC, o_orderkey LIMIT 10""".stripMargin
+
   // ------------------------------------------------------- relational ops
 
   /** Query-time semi-join (JoinUtil analog) on TPC-H tables. */
@@ -2189,6 +2221,7 @@ object VerifyQueries {
     "q_mlt_terms" -> qMltTerms _,
     "q_mlt_query" -> qMltQuery _,
     "q_block_join" -> qBlockJoin _,
+    "q_block_join_modes" -> qBlockJoinModes _,
     "q_count" -> qCount _,
     "q_sort_fields" -> qSortFields _,
     "q_common_terms" -> qCommonTerms _,
@@ -2285,6 +2318,7 @@ object VerifyQueries {
     "q_mlt_terms" -> oMltTerms,
     "q_mlt_query" -> oMltQuery,
     "q_block_join" -> oBlockJoin,
+    "q_block_join_modes" -> oBlockJoinModes,
     "q_count" -> oCount,
     "q_sort_fields" -> oSortFields,
     "q_common_terms" -> oCommonTerms,

@@ -127,13 +127,39 @@ class PlanSpec extends AnyFunSuite {
     val sf = "/root/testdata/sf0.001"
     for (name <- Seq("q_dedup_minhash", "q_dedup_simhash", "q_fingerprint",
       "q_searchafter", "q_dedup_ngram", "q_facet_path", "q_multi_phrase_sloppy",
-      "q_suggest_fuzzy", "q_highlight_offsets", "q_dfr_topk", "q_pack_windows")) {
+      "q_suggest_fuzzy", "q_highlight_offsets", "q_dfr_topk", "q_pack_windows",
+      "q_span_dups", "q_decontaminate", "q_dedup_incremental",
+      "q_sample_mixture", "q_highlight_phrase")) {
       val df = (VerifyQueries.queries ++ PipelineQueries.queries)(name)(spark, sf)
       val windows = df.queryExecution.sparkPlan.collect {
         case w: org.apache.spark.sql.execution.window.WindowExec => w
       }
       assert(windows.forall(_.partitionSpec.nonEmpty),
         s"$name still plans a no-partition WindowExec")
+    }
+  }
+
+  test("mixture sampling is map-only: the residue filter reaches the scan side") {
+    // no shuffle anywhere — the whole op must be Filter over the scan
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val df = graft.pipeline.Packing.mixtureSample(docs, "source",
+      Map("src0" -> 200000L), defaultPpm = 800000L)
+    val plan = df.queryExecution.executedPlan
+    val exchanges = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.isEmpty, s"mixtureSample must not shuffle:\n$plan")
+  }
+
+  test("no cartesian product in the new dedup/decontam plans") {
+    import graft.ops.PipelineQueries
+    val sf = "/root/testdata/sf0.001"
+    for (name <- Seq("q_dedup_incremental", "q_span_dups", "q_decontaminate")) {
+      val df = PipelineQueries.queries(name)(spark, sf)
+      val plan = df.queryExecution.sparkPlan.toString
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+        s"$name plans an all-pairs join:\n$plan")
     }
   }
 }
