@@ -50,9 +50,11 @@ object DocValues {
     * last writer wins. One broadcast-sized join per updated field — the
     * update stream is edit-sized, not corpus-sized, like the reference's
     * in-RAM update buffers. */
-  def applyUpdates(spark: SparkSession, dir: String, base: DataFrame): DataFrame = {
+  def applyUpdates(spark: SparkSession, dir: String, base: DataFrame,
+                   maxGen: Long = Long.MaxValue): DataFrame = {
     if (!hasUpdates(spark, dir)) return base
     val latest = spark.read.parquet(updatesPath(dir))
+      .where(col("gen") <= maxGen) // snapshot watermark (Snapshots.create)
       .groupBy(col("docId"), col("field"))
       .agg(max_by(col("value"), col("gen")).as("value"))
     val fields = latest.select("field").distinct().collect().map(_.getString(0))

@@ -208,6 +208,17 @@ object IndexReader {
     * moment each commits. */
   def multi(spark: SparkSession, dirs: Seq[String]): IndexReader =
     new MultiIndexReader(spark, dirs)
+
+  /** Point-in-time reader pinned to a snapshot
+    * ([[graft.build.Snapshots]], the SnapshotDeletionPolicy analog):
+    * liveDocs resolve from the snapshot's pinned tombstone set, so
+    * deletes issued after the pin don't change this reader's results.
+    * All data tables are immutable and shared with the live reader. */
+  def atSnapshot(spark: SparkSession, dir: String, snapshotId: Long): IndexReader =
+    new IndexReader(spark, dir) {
+      override def tombstoneDirs: Seq[String] =
+        Seq(graft.build.Snapshots.snapDir(dir, snapshotId))
+    }
 }
 
 /** Union view over generation indexes: docId spaces are disjoint ascending
