@@ -1,0 +1,116 @@
+package graft.streaming
+
+import graft.pipeline.Dedup
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** One streaming document: id + raw text. */
+final case class StreamDoc(doc_id: Long, text: String)
+
+/** Verdict for one arriving doc: first occurrence of its content, or a
+  * duplicate of `keeper` (the first-seen doc_id for that hash). */
+final case class DedupDecision(doc_id: Long, content_hash: String,
+                               is_first: Boolean, keeper: Long)
+
+/** A near-dup candidate pair (a < b). May be emitted more than once (one
+  * per colliding band / batch) — consumers dedup with `dropDuplicates`,
+  * exactly as the batch path's `candidatePairs` applies `distinct`. */
+final case class CandidatePair(a: Long, b: Long)
+
+private final case class BucketArrival(bucket: String, doc_id: Long)
+
+/** Streaming-ingest deduplication (beyond the reference, like
+  * EventStreams): the corpus pipeline's dedup decisions made AT INGEST
+  * over an unbounded stream, instead of as a batch pass later.
+  *
+  *   - [[decisions]] — exact dedup: state per content hash = first-seen
+  *     doc_id; every arriving doc is verdicted immediately. State is
+  *     hash-keyed (corpus-lifetime by definition — a duplicate may arrive
+  *     years later), so `NoTimeout`; at real scale the state store is
+  *     RocksDB and entries are 16-byte-hash → 8-byte-id.
+  *   - [[nearDupCandidates]] — MinHash-LSH candidate generation: each doc
+  *     maps to its band buckets (pure per-doc compute), state per bucket =
+  *     docs seen in it (capped — a bucket past the cap is a boilerplate
+  *     cluster already flagged by its first `cap` members); new arrivals
+  *     pair against the bucket's history. The streaming analog of the
+  *     batch `lshBuckets` + bucket self-join.
+  *
+  * Both are `flatMapGroupsWithState` over `groupByKey` — the custom-state
+  * streaming shape (same frame as [[EventStreams.sessionize]]). */
+object StreamingDedup {
+
+  /** Exact-dedup verdicts for an unbounded doc stream. */
+  def decisions(docs: Dataset[StreamDoc]): Dataset[DedupDecision] = {
+    import docs.sparkSession.implicits._
+    docs.map(d => (d.doc_id, md5Hex(d.text)))
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[Long, DedupDecision](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (hash: String, it: Iterator[(Long, String)], state: GroupState[Long]) =>
+          val ids = it.map(_._1).toArray.sorted // deterministic intra-batch order
+          val out = scala.collection.mutable.ArrayBuffer.empty[DedupDecision]
+          var keeper = state.getOption.getOrElse(-1L)
+          ids.foreach { id =>
+            if (keeper < 0) { keeper = id; out += DedupDecision(id, hash, true, id) }
+            else out += DedupDecision(id, hash, false, keeper)
+          }
+          state.update(keeper)
+          out.iterator
+      }
+  }
+
+  /** Near-dup candidate pairs for an unbounded doc stream. The per-doc
+    * MinHash here is pure Scala (a stream task cannot run a dictionary
+    * job per micro-batch); it shares the batch path's affine-hash family
+    * and banding but not its hash VALUES — candidates still get confirmed
+    * by exact Jaccard downstream, so only recall shape matters. */
+  def nearDupCandidates(docs: Dataset[StreamDoc],
+                        maxPerBucket: Int = 16): Dataset[CandidatePair] = {
+    import docs.sparkSession.implicits._
+    val nBands = Dedup.NumBands
+    val rows = Dedup.RowsPerBand
+    docs.flatMap { d =>
+      val toks = TokenRe.findAllIn(d.text.toLowerCase).toArray
+      if (toks.length < 3) Iterator.empty
+      else {
+        val shingles = toks.sliding(3).map(_.mkString(" ")).toArray.distinct
+        val sig = Array.tabulate(nBands * rows) { k =>
+          var m = Long.MaxValue
+          shingles.foreach { s =>
+            val h = ((s.hashCode.toLong & 0x7fffffffL) * Dedup.MinHashA(k) +
+              Dedup.MinHashB(k)) % Dedup.MinHashP
+            if (h < m) m = h
+          }
+          m
+        }
+        (0 until nBands).iterator.map { b =>
+          val key = (0 until rows).map(r => sig(b * rows + r)).mkString(",")
+          BucketArrival(s"$b:$key", d.doc_id)
+        }
+      }
+    }.groupByKey(_.bucket)
+      .flatMapGroupsWithState[Seq[Long], CandidatePair](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (bucket: String, it: Iterator[BucketArrival], state: GroupState[Seq[Long]]) =>
+          val out = scala.collection.mutable.LinkedHashSet.empty[CandidatePair]
+          var cur = state.getOption.getOrElse(Seq.empty)
+          it.map(_.doc_id).toArray.sorted.distinct.foreach { id =>
+            if (!cur.contains(id)) {
+              cur.foreach(prev => out +=
+                CandidatePair(math.min(prev, id), math.max(prev, id)))
+              if (cur.size < maxPerBucket) cur = cur :+ id
+            }
+          }
+          state.update(cur)
+          out.iterator
+      }
+  }
+
+  private val TokenRe = "[a-z0-9_]+".r
+
+  private def md5Hex(s: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    d.map(b => f"$b%02x").mkString
+  }
+}

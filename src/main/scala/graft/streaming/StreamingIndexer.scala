@@ -63,6 +63,31 @@ object StreamingIndexer {
       indexOffsets = indexOffsets)
   }
 
+  /** IndexWriter.UpdateDocument analog (reference: Index/IndexWriter.cs
+    * `UpdateDocument(Term, doc)` = atomic delete-by-term + add): every doc
+    * in `batch` REPLACES any existing doc with the same `path` (the
+    * primary-key term). Old versions across all committed generations are
+    * tombstoned (one metadata semi-join per generation — docsTable is
+    * docId-keyed and path-carrying), then the batch indexes as a new
+    * generation; the multi-generation reader sees only the new versions,
+    * like the reference's NRT reader after an update. Old postings remain
+    * until compaction folds the tombstones — reference semantics (deleted
+    * docs still count in df until merge). */
+  def updateDocuments(spark: SparkSession, batch: Dataset[SourceFile],
+                      root: String, batchId: Long, numPartitions: Int = 8,
+                      analyzerFor: String => Analyzer = Analyzer.forLang): Unit = {
+    import spark.implicits._
+    val newPaths = batch.select(col("path")).distinct()
+    generations(spark, root).map(genDir(root, _)).foreach { g =>
+      val dead = graft.build.DocsTable.read(spark, g)
+        .join(newPaths, Seq("path"), "left_semi")
+        .select(col("docId")).as[Long]
+      if (dead.limit(1).count() > 0)
+        graft.build.Deletes.deleteDocs(spark, g, dead)
+    }
+    appendBatch(spark, batch, root, batchId, numPartitions, analyzerFor)
+  }
+
   /** Start the streaming indexer on a SourceFile stream. */
   def start(stream: Dataset[SourceFile], root: String, checkpoint: String,
             numPartitions: Int = 8,

@@ -84,4 +84,31 @@ class StreamingIndexerSpec extends AnyFunSuite {
       StreamingIndexer.generations(spark, root).map(StreamingIndexer.genDir(root, _))))
     assert(!nrt2.search(TermQ("def"), 90).map(_.docId).contains(viaGens.head.docId))
   }
+
+  test("updateDocuments: same-path doc replaces the old version across generations") {
+    import spark.implicits._
+    def mk(path: String, text: String) = graft.corpus.SourceFile(
+      "r", path, "0" * 40, "txt", text, CorpusGen.sha256Hex(text))
+    val root = SparkTestSession.tmpDir("graft-upd-")
+    StreamingIndexer.appendBatch(spark, spark.createDataset(Seq(
+      mk("a", "oldterm shared words here"),
+      mk("b", "other content entirely"))), root, batchId = 0, numPartitions = 2)
+
+    StreamingIndexer.updateDocuments(spark, spark.createDataset(Seq(
+      mk("a", "newterm shared words here"))), root, batchId = 1, numPartitions = 2)
+
+    def reader = IndexReader.multi(spark,
+      StreamingIndexer.generations(spark, root).map(StreamingIndexer.genDir(root, _)))
+    val s = new Searcher(reader)
+    assert(s.search(TermQ("oldterm"), 10).isEmpty, "old version tombstoned")
+    val hits = s.search(TermQ("newterm"), 10)
+    assert(hits.length === 1, "exactly one live version")
+    assert(s.search(TermQ("shared"), 10).length === 1,
+      "shared terms hit only the live version")
+    assert(s.search(TermQ("other"), 10).length === 1, "unrelated doc untouched")
+    // updating a path that never existed behaves as a plain add
+    StreamingIndexer.updateDocuments(spark, spark.createDataset(Seq(
+      mk("c", "brand new doc"))), root, batchId = 2, numPartitions = 2)
+    assert(new Searcher(reader).search(TermQ("brand"), 10).length === 1)
+  }
 }
