@@ -680,7 +680,97 @@ object PipelineQueries {
       |  coalesce(k.n_kept, CAST(0 AS BIGINT)) AS n_kept
       |FROM tot t LEFT JOIN k USING (source) ORDER BY source""".stripMargin
 
+  /** Bigram-LM cross-entropy quality scoring (the CCNet-style perplexity
+    * filter): add-0.5 smoothed bigram model trained on the corpus itself,
+    * every doc scored by mean −ln p(v|u) over its token transitions. */
+  def qLmScore(spark: SparkSession, sf: String): DataFrame =
+    TextAnalysis.bigramCrossEntropy(docs(spark, sf))
+      .select(col("doc_id"), col("n_bigrams"), round(col("ce"), 6).as("ce"))
+      .orderBy(col("doc_id"))
+  val oLmScore: String =
+    s"""$TokCte, bg AS (
+       |  SELECT doc_id, unnest(ts[1:len(ts)-1]) AS u, unnest(ts[2:len(ts)]) AS v
+       |  FROM tok WHERE len(ts) >= 2
+       |), cuv AS (
+       |  SELECT u, v, count(*) AS cuv FROM bg GROUP BY u, v
+       |), cu AS (
+       |  SELECT u, CAST(sum(cuv) AS BIGINT) AS cu FROM cuv GROUP BY u
+       |), voc AS (
+       |  SELECT count(DISTINCT t) AS v FROM (SELECT unnest(ts) AS t FROM tok)
+       |), nlp AS (
+       |  SELECT bg.doc_id, -ln((cuv.cuv + 0.5e0) / (cu.cu + 0.5e0 * voc.v)) AS nlp
+       |  FROM bg JOIN cuv USING (u, v) JOIN cu USING (u) CROSS JOIN voc
+       |)
+       |SELECT doc_id, count(*) AS n_bigrams, round(sum(nlp) / count(*), 6) AS ce
+       |FROM nlp GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Lloyd's k-means over the embeddings (k=4 seeded by vec_ids 0-3, two
+    * assign+update rounds, then a final assignment): per-cluster size and
+    * mean label (the purity signal — labels never feed the trainer). The
+    * oracle unrolls the two rounds as explicit CTEs with the same
+    * deterministic lowest-cell tie-break. */
+  def qKmeans(spark: SparkSession, sf: String): DataFrame = {
+    val v = vecs(spark, sf)
+    val cb = Similarity.kmeansCodebook(v, k = 4, iters = 2)
+    Similarity.ivfAssign(v, cb)
+      .join(v.select(col("vec_id"), col("label")), Seq("vec_id"))
+      .groupBy(col("cell").cast("long").as("cluster"))
+      .agg(count(lit(1)).as("n"), round(avg(col("label")), 6).as("avg_label"))
+      .orderBy(col("cluster"))
+  }
+  val oKmeans: String = {
+    // one assignment round against a (cell, i, m) centroid table
+    def assign(cent: String, name: String): String =
+      s"""d_$name AS (
+         |  SELECT e.vec_id, c.cell,
+         |    sum((CAST(e.embedding[c.i] AS DOUBLE) - c.m)
+         |      * (CAST(e.embedding[c.i] AS DOUBLE) - c.m)) AS d2
+         |  FROM e, $cent c GROUP BY e.vec_id, c.cell
+         |), $name AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT vec_id, cell,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+         |    FROM d_$name) WHERE rn = 1
+         |)""".stripMargin
+    def update(asgn: String, name: String): String =
+      s"""$name AS (
+         |  SELECT a.cell, g.i, avg(CAST(e.embedding[g.i] AS DOUBLE)) AS m
+         |  FROM $asgn a JOIN e USING (vec_id), generate_series(1, 64) AS g(i)
+         |  GROUP BY a.cell, g.i
+         |)""".stripMargin
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding, label FROM embeddings
+       |), c0 AS (
+       |  SELECT CAST(vec_id AS INT) AS cell, g.i,
+       |         CAST(embedding[g.i] AS DOUBLE) AS m
+       |  FROM embeddings, generate_series(1, 64) AS g(i) WHERE vec_id < 4
+       |), ${assign("c0", "a0")}, ${update("a0", "c1")},
+       |${assign("c1", "a1")}, ${update("a1", "c2")},
+       |${assign("c2", "a2")}
+       |SELECT CAST(a2.cell AS BIGINT) AS cluster, count(*) AS n,
+       |       round(avg(e.label), 6) AS avg_label
+       |FROM a2 JOIN e USING (vec_id) GROUP BY a2.cell ORDER BY cluster""".stripMargin
+  }
+
+  /** Sliding-window chunking stats: 8-token windows every 6 tokens —
+    * per doc the window count and the summed window lengths (the overlap
+    * duplication factor). All-integer outputs, map-only plan. */
+  def qChunkWindows(spark: SparkSession, sf: String): DataFrame =
+    Packing.chunkStats(docs(spark, sf), w = 8, stride = 6)
+      .orderBy(col("doc_id"))
+  val oChunkWindows: String =
+    s"""$TokCte, st AS (
+       |  SELECT doc_id, len(ts) AS dl, unnest(range(0, len(ts), 6)) AS s
+       |  FROM tok WHERE len(ts) > 0
+       |)
+       |SELECT doc_id, dl, count(*) AS n_chunks,
+       |  CAST(sum(least(8, dl - s)) AS BIGINT) AS covered
+       |FROM st GROUP BY doc_id, dl ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_lm_score" -> qLmScore _,
+    "q_kmeans" -> qKmeans _,
+    "q_chunk_windows" -> qChunkWindows _,
     "q_dedup_incremental" -> qDedupIncremental _,
     "q_dedup_clusters" -> qDedupClusters _,
     "q_span_dups" -> qSpanDups _,
@@ -711,6 +801,9 @@ object PipelineQueries {
     "q_multimodal_stats" -> qMultimodalStats _)
 
   val oracles: Map[String, String] = Map(
+    "q_lm_score" -> oLmScore,
+    "q_kmeans" -> oKmeans,
+    "q_chunk_windows" -> oChunkWindows,
     "q_dedup_incremental" -> oDedupIncremental,
     "q_dedup_clusters" -> oDedupClusters,
     "q_span_dups" -> oSpanDups,

@@ -1949,6 +1949,55 @@ object VerifyQueries {
       |SELECT doc_id, p - 1 AS s, p + 9 AS e, substr(lt, CAST(p AS INT), 10) AS frag
       |FROM hit ORDER BY doc_id""".stripMargin
 
+  /** PostingsHighlighter passage ranking (reference: PostingsHighlight/
+    * PostingsHighlighter.cs + PassageScorer.cs formulas): every
+    * 10-token passage holding a hit for {merge, hash} is scored
+    * norm·Σ weight·tf straight from the positions sidecar, the best
+    * passage per doc survives, top-20 docs by passage score. The oracle
+    * recomputes passages relationally: token positions from the zipped
+    * unnest, passage = pos // 10, identical double expression shapes. */
+  def qPassageTopk(spark: SparkSession, sf: String): DataFrame = {
+    val dir = DocIndex.ensureOffsets(spark, sf)
+    val reader = new graft.search.IndexReader(spark, dir)
+    val searcher = new graft.search.Searcher(reader,
+      analyzerFor = _ => graft.analysis.Analyzer.sqlParity)
+    val ps = searcher.passageScores(Seq("merge", "hash"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("passage"))
+    ps.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select(col("doc_id"), col("passage"), round(col("score"), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id")).limit(20)
+  }
+  val oPassageTopk: String =
+    """WITH tokp AS (
+      |  SELECT doc_id,
+      |         unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term,
+      |         unnest(range(0, len(regexp_extract_all(lower(text), '[a-z0-9_]+')))) AS pos
+      |  FROM documents
+      |), dl AS (
+      |  SELECT doc_id, count(*) AS dl FROM tokp GROUP BY doc_id
+      |), ttf AS (
+      |  SELECT doc_id, term, count(*) AS ttf FROM tokp
+      |  WHERE term IN ('merge', 'hash') GROUP BY doc_id, term
+      |), pf AS (
+      |  SELECT doc_id, term, pos // 10 AS passage, count(*) AS f
+      |  FROM tokp WHERE term IN ('merge', 'hash') GROUP BY doc_id, term, passage
+      |), sc AS (
+      |  SELECT pf.doc_id, pf.passage,
+      |    (1.0e0 + 1.0e0 / ln(16.0e0 + 10 * pf.passage)) * sum(
+      |      2.2e0 * ln(1.0e0 + (1.5e0 + dl.dl / 16.0e0) / (ttf.ttf + 0.5e0))
+      |      * (pf.f / (pf.f + 1.2e0 * (0.25e0 + 0.75e0 * least(10, dl.dl - 10 * pf.passage) / 16.0e0)))
+      |    ) AS score
+      |  FROM pf JOIN dl USING (doc_id) JOIN ttf USING (doc_id, term)
+      |  GROUP BY pf.doc_id, pf.passage, dl.dl
+      |), best AS (
+      |  SELECT doc_id, passage, score,
+      |         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, passage) AS rn
+      |  FROM sc
+      |)
+      |SELECT doc_id, passage, round(score, 6) AS score FROM best WHERE rn = 1
+      |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+
   /** MoreLikeThis end-to-end (reference: Queries/Mlt/MoreLikeThis.cs):
     * seed doc 7 → top-5 tf·idf terms → OR query → top-10 similar docs
     * (seed excluded). */
@@ -2229,6 +2278,7 @@ object VerifyQueries {
     "q_highlight" -> qHighlight _,
     "q_highlight_offsets" -> qHighlightOffsets _,
     "q_highlight_phrase" -> qHighlightPhrase _,
+    "q_passage_topk" -> qPassageTopk _,
     "q_join_semi" -> qJoinSemi _,
     "q_join_anti" -> qJoinAnti _,
     "q_agg_q1" -> qAggQ1 _,
@@ -2326,6 +2376,7 @@ object VerifyQueries {
     "q_highlight" -> oHighlight,
     "q_highlight_offsets" -> oHighlightOffsets,
     "q_highlight_phrase" -> oHighlightPhrase,
+    "q_passage_topk" -> oPassageTopk,
     "q_join_semi" -> oJoinSemi,
     "q_join_anti" -> oJoinAnti,
     "q_agg_q1" -> oAggQ1,

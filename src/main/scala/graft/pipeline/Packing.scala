@@ -79,4 +79,26 @@ object Packing {
     }
     docs.where(((col("doc_id") % 1000003L) * 2654435761L) % 1000000L < rate)
   }
+
+  /** Sliding-window chunking for long-document training prep: each doc
+    * splits into context windows of `w` tokens starting every `stride`
+    * tokens (starts 0, stride, 2·stride, … < dl — the last window may be
+    * short; stride < w ⇒ overlapping windows, the standard "don't lose
+    * the suffix" chunking). Returns per-doc chunk stats
+    * (dl, n_chunks, covered = Σ window lengths; covered > dl measures
+    * the overlap duplication factor a token-budget planner needs).
+    * Pure per-row expressions — the window walk folds inside
+    * `aggregate(sequence(…))`, so there is NO explode and NO shuffle:
+    * a map-only projection at any corpus size. */
+  def chunkStats(docs: DataFrame, w: Int = 8, stride: Int = 6): DataFrame = {
+    require(w > 0 && stride > 0, "w > 0, stride > 0")
+    val starts = sequence(lit(0L), col("dl") - 1, lit(stride.toLong))
+    docs.select(col("doc_id"),
+        size(Dedup.tokensCol("text")).cast("long").as("dl"))
+      .where(col("dl") > 0)
+      .select(col("doc_id"), col("dl"),
+        size(starts).cast("long").as("n_chunks"),
+        aggregate(starts, lit(0L),
+          (acc, st) => acc + least(lit(w.toLong), col("dl") - st)).as("covered"))
+  }
 }

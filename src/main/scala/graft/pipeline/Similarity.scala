@@ -176,6 +176,41 @@ object Similarity {
     vecs.select(col("vec_id"), col("embedding"), cellCol.as("cell"), minD.as("d2"))
   }
 
+  /** Lloyd's k-means codebook trainer — the real trainer behind the IVF
+    * coarse quantizer ([[ivfCentroids]]'s label stand-in): deterministic
+    * seeds (the k lowest vec_ids), then `iters` rounds of
+    *   assign  — [[ivfAssign]], a map-only codegen'd projection with the
+    *             codebook inlined as literals (no crossJoin, no window);
+    *   update  — element-wise member mean via posexplode + groupBy, one
+    *             n·d-row combinable shuffle.
+    * Centroids sync through the driver between rounds (k·d doubles — the
+    * standard distributed-k-means shape; the data never leaves the
+    * cluster). A cell that loses all members keeps its previous centroid.
+    * Besides IVF training this is the "semantic cluster the corpus"
+    * curation op: cluster ids feed mixture sampling / dedup-within-topic. */
+  def kmeansCodebook(vecs: DataFrame, k: Int, iters: Int): Seq[(Int, Array[Double])] = {
+    require(k > 0 && iters >= 0, "k > 0, iters >= 0")
+    var cents: Seq[(Int, Array[Double])] = vecs.where(col("vec_id") < k)
+      .select(col("vec_id").cast("int").as("cell"),
+        expr("transform(embedding, x -> cast(x as double))").as("centroid"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toSeq.sortBy(_._1)
+    require(cents.length == k, s"need vec_ids 0..${k - 1} as seeds")
+    for (_ <- 0 until iters) {
+      val means = ivfAssign(vecs, cents)
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("i", "x")))
+        .groupBy(col("cell"), col("i"))
+        .agg(avg(col("x").cast("double")).as("m"))
+        .groupBy(col("cell"))
+        .agg(array_sort(collect_list(struct(col("i"), col("m")))).as("s"))
+        .select(col("cell"), expr("transform(s, e -> e.m)").as("centroid"))
+        .collect()
+        .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+      cents = cents.map { case (c, old) => c -> means.getOrElse(c, old) }
+    }
+    cents
+  }
+
   /** Collect the (tiny) codebook once. */
   def ivfCodebook(vecs: DataFrame): Seq[(Int, Array[Double])] =
     ivfCentroids(vecs).collect()

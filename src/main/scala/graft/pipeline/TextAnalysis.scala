@@ -213,4 +213,41 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_shingles"), col("n_hit"),
         (col("n_hit").cast("double") / col("n_shingles").cast("double")).as("overlap"))
   }
+
+  /** Bigram language-model cross-entropy scoring (the CCNet/KenLM-style
+    * perplexity quality filter, re-expressed as pure Spark aggregations):
+    * train an add-k smoothed bigram model ON the corpus itself — the
+    * "model" is just two count tables, so training is two map-side-
+    * combinable groupBys and the model stays a distributed table at any
+    * corpus size (no driver materialization) — then score every doc by
+    * the mean negative log-probability of its token transitions:
+    *
+    *   ce(doc) = −(1/n) · Σ_i ln (C(u_i,v_i) + k) / (C(u_i) + k·V)
+    *
+    * High cross-entropy = improbable transitions = gibberish/boilerplate;
+    * low = repetitive/templated — both tails are what a pipeline prunes.
+    * Shape at scale: one map-only bigram expansion (transform over token
+    * indices, NO posexplode self-join), counts via combinable groupBys,
+    * scoring via two equi-joins on (u,v) and u, one per-doc agg. The
+    * vocabulary size V is the only driver scalar. */
+  def bigramCrossEntropy(docs: DataFrame, k: Double = 0.5): DataFrame = {
+    val toks = docs.select(col("doc_id"), Dedup.tokensCol("text").as("ts"))
+    val bigrams = toks
+      .where(size(col("ts")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(ts) - 2), i -> struct(ts[i] AS u, ts[i + 1] AS v))"))
+        .as("bg"))
+      .select(col("doc_id"), col("bg.u").as("u"), col("bg.v").as("v"))
+    val cuv = bigrams.groupBy(col("u"), col("v")).agg(count(lit(1)).as("cuv"))
+    val cu = cuv.groupBy(col("u")).agg(sum(col("cuv")).as("cu"))
+    val vocab = toks.select(explode(col("ts")).as("t"))
+      .agg(countDistinct(col("t"))).head().getLong(0)
+    bigrams.join(cuv, Seq("u", "v")).join(cu, Seq("u"))
+      .select(col("doc_id"),
+        (-log((col("cuv") + lit(k)) / (col("cu") + lit(k) * lit(vocab.toDouble))))
+          .as("nlp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        (sum(col("nlp")) / count(lit(1))).as("ce"))
+  }
 }

@@ -724,6 +724,56 @@ final class Searcher(val reader: IndexReader, pruneMinBlocks: Int = 64,
       }
   }
 
+  /** PostingsHighlighter passage RANKING analog (reference:
+    * PostingsHighlight/PostingsHighlighter.cs:74 scoring loop +
+    * PassageScorer.cs:79-117): passages are fixed `window`-token slices
+    * of the doc — the BreakIterator sentence segmentation re-imagined in
+    * token space, because our passage geometry comes from the POSITIONS
+    * sidecar, not re-analysis — and each passage is scored as a
+    * miniature document with the reference's exact formulas (k1=1.2,
+    * b=0.75; the 87-char sentence pivot re-based to `pivot` tokens):
+    *   weight(dl, ttf) = (k1+1) · ln(1 + (1 + dl/pivot + 0.5)/(ttf + 0.5))
+    *   tf(f, plen)     = f / (f + k1·((1−b) + b·plen/pivot))
+    *   norm(start)     = 1 + 1/ln(pivot + start)
+    *   score(passage)  = norm · Σ_t weight_t · tf_t
+    * Returns one row per (doc, passage) containing ≥1 query-term hit:
+    * (doc_id, passage, score), score a raw double.
+    *
+    * Shape: ONE parquet-pruned positions scan (terms pushed into the
+    * sorted term column); the per-passage frequency histogram folds
+    * inside each (doc, term) row — no per-position explode; then one
+    * docstats join + one (doc, passage) map-side-combinable groupBy.
+    * Highlighters only ever touch retrieved top-k docs, and every step
+    * here is an equi-join or combinable agg — the 100 TB plan. */
+  def passageScores(terms: Seq[String], window: Int = 10,
+                    pivot: Double = 16.0): DataFrame = {
+    val distinct = terms.distinct
+    val perPassage = termPositionRows(distinct)
+      .flatMap { case (docId, term, ps, _) =>
+        val ttf = ps.length.toLong
+        ps.groupBy(_ / window).iterator.map { case (pass, occ) =>
+          (docId, term, ttf, pass.toLong, occ.length.toLong)
+        }
+      }.toDF("doc_id", "term", "ttf", "passage", "f")
+    val dl = reader.docstats
+      .select($"docId".as("doc_id"), $"tokenCount".cast("long").as("dl"))
+    val k1 = 1.2
+    val b = 0.75
+    // expression shapes mirror the DuckDB oracle exactly (see
+    // VerifyQueries.oPassageTopk) so the doubles are bit-identical
+    val plen = least(lit(window.toLong), $"dl" - lit(window) * $"passage")
+    val weight = lit(k1 + 1.0) *
+      log(lit(1.0) + (lit(1.5) + $"dl" / lit(pivot)) / ($"ttf" + lit(0.5)))
+    val tfw = $"f" / ($"f" + lit(k1) * (lit(1.0 - b) + lit(b) * plen / lit(pivot)))
+    perPassage.join(dl, Seq("doc_id"))
+      .select($"doc_id", $"passage", (weight * tfw).as("wt"))
+      .groupBy($"doc_id", $"passage")
+      .agg(sum($"wt").as("ws"))
+      .select($"doc_id", $"passage",
+        ((lit(1.0) + lit(1.0) / log(lit(pivot) + lit(window) * $"passage")) * $"ws")
+          .as("score"))
+  }
+
   /** (docId, sloppy phraseFreq, normByte) under the reference's
     * SloppyPhraseScorer semantics — same QUERY_FIRST frame as
     * [[phraseFreqs]], per-candidate matching delegated to

@@ -252,4 +252,56 @@ class PipelineSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(split(10L) === split(11L))
   }
+
+  test("chunkStats: window starts every stride, last window short, overlap counted") {
+    import spark.implicits._
+    val d = Seq((0L, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9 t10 t11 t12"), // dl=13
+      (1L, "a b c"), // dl=3 < w -> one short chunk
+      (2L, "")) // empty -> dropped
+      .toDF("doc_id", "text")
+    val got = Packing.chunkStats(d, w = 8, stride = 6).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // dl=13: starts 0,6,12 -> lengths 8, 7, 1 -> covered 16
+    assert(got(0L) === ((13L, 3L, 16L)))
+    assert(got(1L) === ((3L, 1L, 3L)))
+    assert(!got.contains(2L))
+  }
+
+  test("bigram cross-entropy: closed-form add-k model on a tiny corpus") {
+    import spark.implicits._
+    val d = Seq((0L, "a b a b"), (1L, "a b c"), (2L, "x")).toDF("doc_id", "text")
+    // bigrams: doc0 = (a,b),(b,a),(a,b); doc1 = (a,b),(b,c); doc2 none (dl<2)
+    // C(a,b)=3, C(b,a)=1, C(b,c)=1; C(a)=3, C(b)=2; V=4 (a,b,c,x); k=0.5
+    val pAB = (3 + 0.5) / (3 + 0.5 * 4)
+    val pBA = (1 + 0.5) / (2 + 0.5 * 4)
+    val pBC = (1 + 0.5) / (2 + 0.5 * 4)
+    val got = TextAnalysis.bigramCrossEntropy(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got.keySet === Set(0L, 1L))
+    assert(got(0L)._1 === 3L)
+    assert(math.abs(got(0L)._2 - (-(2 * math.log(pAB) + math.log(pBA)) / 3)) < 1e-12)
+    assert(got(1L)._1 === 2L)
+    assert(math.abs(got(1L)._2 - (-(math.log(pAB) + math.log(pBC)) / 2)) < 1e-12)
+  }
+
+  test("kmeans: separated blobs recover their clusters; ids deterministic") {
+    import spark.implicits._
+    // vec_ids 0 and 1 seed the two blobs; members sit near their seed
+    val pts = Seq(
+      (0L, Array(0f, 0f), 0), (2L, Array(0.1f, 0f), 0), (4L, Array(0f, 0.1f), 0),
+      (1L, Array(5f, 5f), 1), (3L, Array(5.1f, 5f), 1), (5L, Array(5f, 5.1f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val cb = Similarity.kmeansCodebook(pts, k = 2, iters = 2)
+    assert(cb.map(_._1) === Seq(0, 1))
+    // centroids converge to the blob means
+    assert(math.abs(cb(0)._2(0) - (0.0 + 0.1 + 0.0) / 3) < 1e-6)
+    assert(math.abs(cb(1)._2(1) - (5.0 + 5.0 + 5.1) / 3) < 1e-6)
+    val assigned = Similarity.ivfAssign(pts, cb).collect()
+      .map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(assigned === Map(0L -> 0, 2L -> 0, 4L -> 0, 1L -> 1, 3L -> 1, 5L -> 1))
+    // iters=0 returns the raw seeds
+    val seeds = Similarity.kmeansCodebook(pts, k = 2, iters = 0)
+    assert(seeds(0)._2.toSeq === Seq(0.0, 0.0))
+    assert(seeds(1)._2.toSeq.map(x => math.rint(x * 10) / 10) === Seq(5.0, 5.0))
+  }
 }

@@ -129,7 +129,8 @@ class PlanSpec extends AnyFunSuite {
       "q_searchafter", "q_dedup_ngram", "q_facet_path", "q_multi_phrase_sloppy",
       "q_suggest_fuzzy", "q_highlight_offsets", "q_dfr_topk", "q_pack_windows",
       "q_span_dups", "q_decontaminate", "q_dedup_incremental",
-      "q_sample_mixture", "q_highlight_phrase")) {
+      "q_sample_mixture", "q_highlight_phrase", "q_passage_topk",
+      "q_lm_score", "q_chunk_windows")) {
       val df = (VerifyQueries.queries ++ PipelineQueries.queries)(name)(spark, sf)
       val windows = df.queryExecution.sparkPlan.collect {
         case w: org.apache.spark.sql.execution.window.WindowExec => w
@@ -154,12 +155,23 @@ class PlanSpec extends AnyFunSuite {
   test("no cartesian product in the new dedup/decontam plans") {
     import graft.ops.PipelineQueries
     val sf = "/root/testdata/sf0.001"
-    for (name <- Seq("q_dedup_incremental", "q_span_dups", "q_decontaminate")) {
+    for (name <- Seq("q_dedup_incremental", "q_span_dups", "q_decontaminate",
+      "q_lm_score")) {
       val df = PipelineQueries.queries(name)(spark, sf)
       val plan = df.queryExecution.sparkPlan.toString
       assert(!plan.contains("CartesianProduct") &&
         !plan.contains("BroadcastNestedLoopJoin"),
         s"$name plans an all-pairs join:\n$plan")
     }
+  }
+
+  test("chunkStats is map-only: the window walk folds inside the row") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = graft.pipeline.Packing.chunkStats(docs)
+      .queryExecution.executedPlan
+    val exchanges = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.isEmpty, s"chunkStats must not shuffle:\n$plan")
   }
 }
