@@ -48,4 +48,70 @@ class PhoneticSpec extends AnyFunSuite {
     assert(Phonetic.cologne("Meyer") === Phonetic.cologne("Maier"))
     assert(Phonetic.cologne("Schmidt") === Phonetic.cologne("Schmitt"))
   }
+
+  test("Metaphone: published single-word vectors (rule-by-rule coverage)") {
+    val vectors = Seq(
+      "howl" -> "HL", "testing" -> "TSTN", "The" -> "0", "quick" -> "KK",
+      "brown" -> "BRN", "fox" -> "FKS", "jumped" -> "JMPT", "over" -> "OFR",
+      "lazy" -> "LS", "dogs" -> "TKS",
+      // MB terminal: B silent
+      "COMB" -> "KM", "TOMB" -> "TM", "WOMB" -> "WM",
+      // SCI/SCE/SCY: C silent after S before front vowel
+      "SCIENCE" -> "SNS", "SCENE" -> "SN", "SCY" -> "S",
+      // WH -> W, then W before consonant silent, terminal Y silent
+      "WHY" -> "",
+      // CIA -> X; SCH -> SK; initial CH + vowel at 2 -> K; CH -> X
+      "CIAPO" -> "XP", "SCHEDULE" -> "SKTL", "SCHEMATIC" -> "SKMT",
+      "CHARACTER" -> "KRKT", "TEACH" -> "TX",
+      // DGE/DGY -> J; GH silent; GN/GNED silent
+      "DODGY" -> "TJ", "DODGE" -> "TJ", "ADGIEMTI" -> "AJMT",
+      "GHENT" -> "KNT", "BAUGH" -> "B", "GNU" -> "N", "SIGNED" -> "SNT",
+      // PH -> F + SH -> X; SIO/SIA/TIO/TIA -> X; TCH: T silent
+      "PHISH" -> "FX", "SHOT" -> "XT", "ODSIAN" -> "OTXN",
+      "PULSION" -> "PLXN", "OTIA" -> "OX", "PORTION" -> "PRXN",
+      "RETCH" -> "RX", "WATCH" -> "WX",
+      // X -> KS with truncation at the code length
+      "AXEAXE" -> "AKSK")
+    vectors.foreach { case (in, want) =>
+      assert(Phonetic.metaphone(in) === want, s"metaphone($in)")
+    }
+    assert(Phonetic.metaphone("AXEAXEAXE", maxLen = 6) === "AKSKSK")
+  }
+
+  test("Metaphone: sound-alike name groups collide") {
+    def eq(a: String, b: String) = Phonetic.metaphone(a) === Phonetic.metaphone(b)
+    for (m <- Seq("Ailbert", "Alberik", "Alberto", "Albrecht"))
+      assert(eq("Albert", m), s"Albert ~ $m")
+    for (m <- Seq("Pearcy", "Perris", "Piercy", "Pierz", "Pryse"))
+      assert(eq("Paris", m), s"Paris ~ $m")
+    for (m <- Seq("Rey", "Roi", "Roy", "Ruy")) assert(eq("Ray", m), s"Ray ~ $m")
+    for (m <- Seq("Rota", "Rudd", "Ryde")) assert(eq("Wright", m), s"Wright ~ $m")
+    assert(eq("Lawrence", "Lorenza"))
+    assert(eq("Aero", "Eure"))
+  }
+
+  test("Caverphone 2.0: published examples and encoding groups") {
+    assert(Phonetic.caverphone2("Stevenson") === "STFNSN1111")
+    assert(Phonetic.caverphone2("Peter") === "PTA1111111")
+    assert(Phonetic.caverphone2("Peter") === Phonetic.caverphone2("Peady"))
+    assert(Phonetic.caverphone2("social") === "SSA1111111")
+    // whole published variation groups map to one code
+    val groups = Seq(
+      "AT11111111" -> Seq("add", "aid", "at", "art", "eat", "earth", "head",
+        "hit", "hot", "hold", "hard", "heart", "it", "out", "old"),
+      "TN11111111" -> Seq("Dan", "Dane", "Dawn", "Dean", "Deanne", "Diane",
+        "Doane", "Down", "Duane", "Dunn", "Tan", "Ten", "Terhune", "Thain",
+        "Thanh", "Thorne", "Tien", "Tjon", "Towne", "Tyne"),
+      "TTA1111111" -> Seq("Darda", "Datha", "Deirdre", "Detta", "Dorthy",
+        "Doughty", "Dowdell", "Duthie", "Tada", "Teador", "Teddy", "Theda",
+        "Theodore", "Theta", "Tudor", "Turtle", "Tuttle"),
+      "KLN1111111" -> Seq("Cailean", "Callahan", "Carlene", "Charlene",
+        "Cherlyn", "Clein", "Cline", "Colleen", "Cullen", "Gaelan", "Galen",
+        "Gillian", "Glen", "Glynn", "Karlen", "Kellyann", "Khalin", "Killian",
+        "Klein", "Kline", "Koerlin", "Kylynn", "Quillan", "Xylon"),
+      "RTA1111111" -> Seq("rather", "ready", "writer"),
+      "APA1111111" -> Seq("able", "appear"))
+    for ((code, words) <- groups; word <- words)
+      assert(Phonetic.caverphone2(word) === code, s"caverphone2($word)")
+  }
 }
