@@ -1523,6 +1523,22 @@ final class Searcher(val reader: IndexReader, pruneMinBlocks: Int = 64,
 
   // ------------------------------------------------------------- top-k
 
+  /** IndexWriter.DeleteDocuments(Query) analog (reference:
+    * Index/IndexWriter.cs:1626-1650 — delete-by-query buffered deletes):
+    * every LIVE doc currently matching `q` (any query the engine
+    * rewrites/executes: terms, booleans, phrases, multi-term expansions)
+    * is appended to the index's tombstone table. Nothing is rewritten
+    * until expunge/compaction folds the tombstones — exactly the
+    * reference's buffered-deletes-then-merge model. The match runs as the
+    * ordinary distributed search plan (dictionary-pruned scans, no
+    * driver-side id collection). Readers opened BEFORE the call keep
+    * their point-in-time view (tombstones load once per reader — the
+    * reference's reader-reopen semantics). */
+  def deleteMatching(q: Query): Unit = {
+    val ids = scored(q).map(_.docId)
+    graft.build.Deletes.deleteDocs(spark, reader.dir, ids)
+  }
+
   /** Top-k search: score desc, docId asc (≙ IndexSearcher.Search(q, n)). */
   def search(q: Query, k: Int): Array[ScoreDoc] = searchAfter(null, q, k)
 

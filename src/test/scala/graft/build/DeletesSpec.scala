@@ -89,4 +89,23 @@ class DeletesSpec extends AnyFunSuite {
     val sf = new Searcher(new IndexReader(spark, freshDir)).search(TermQ("def"), 25)
     assert(se.map(h => (h.docId, h.score)).toSeq === sf.map(h => (h.docId, h.score)).toSeq)
   }
+
+  test("deleteMatching: delete-by-query tombstones every live match, incl. multi-term") {
+    import spark.implicits._
+    import graft.search.PrefixQ
+    val dir = SparkTestSession.tmpDir("graft-delq-")
+    // docs: all(0), dogs dogs(1), like(2), playing(3), fetch(4), all(5)
+    IndexBuilder.build(spark, spark.createDataset(CorpusGen.microFixture), dir, 2)
+    // multi-term delete: prefix expands through the dictionary seek
+    new Searcher(new IndexReader(spark, dir)).deleteMatching(PrefixQ("pla"))
+    val s1 = new Searcher(new IndexReader(spark, dir))
+    assert(s1.search(TermQ("playing"), 10).isEmpty)
+    assert(s1.search(TermQ("all"), 10).map(_.docId).toSeq === Seq(0L, 5L))
+    // delete-by-term-query only tombstones LIVE matches: doc0 is already
+    // gone when the second delete runs, so exactly one new tombstone lands
+    Deletes.deleteDocs(spark, dir, spark.createDataset(Seq(0L)))
+    new Searcher(new IndexReader(spark, dir)).deleteMatching(TermQ("all"))
+    assert(Deletes.tombstones(spark, dir).collect().sorted.toSeq === Seq(0L, 3L, 5L))
+    assert(new Searcher(new IndexReader(spark, dir)).search(TermQ("all"), 10).isEmpty)
+  }
 }
