@@ -114,4 +114,28 @@ class PhoneticSpec extends AnyFunSuite {
     for ((code, words) <- groups; word <- words)
       assert(Phonetic.caverphone2(word) === code, s"caverphone2($word)")
   }
+
+  test("Match Rating Approach: published encodings and homophony ratings") {
+    assert(Phonetic.mra("HARPER") === "HRPR")
+    assert(Phonetic.mra("Smith") === "SMTH")
+    assert(Phonetic.mra("Smyth") === "SMYTH")
+    assert(Phonetic.mra(" ") === "")
+    assert(Phonetic.mra("") === "")
+    assert(Phonetic.mra("E") === "")
+    // pipeline pieces behave as published: vowel drop keeps a leading
+    // vowel, doubles collapse, >6 chars reduce to first3+last3
+    assert(Phonetic.mra("ALESSANDRA") === "ALSNDR")
+    assert(Phonetic.mra("AIDAN") === "ADN")
+    // de-voweled MSSSSPP collapses pairwise (PP then SS, one pass each)
+    assert(Phonetic.mra("MISSISSIPPI") === "MSSP")
+    // homophony
+    assert(Phonetic.mraMatches("smith", "smyth"))
+    assert(Phonetic.mraMatches("Burns", "Bourne"))
+    assert(Phonetic.mraMatches("John", "John"))
+    assert(!Phonetic.mraMatches("Al", "Ed"))
+    assert(!Phonetic.mraMatches("test", ""))
+    assert(!Phonetic.mraMatches("", "test"))
+    assert(!Phonetic.mraMatches("t", "test"))
+    assert(!Phonetic.mraMatches("test", " "))
+  }
 }
