@@ -115,6 +115,17 @@ class PhoneticSpec extends AnyFunSuite {
       assert(Phonetic.caverphone2(word) === code, s"caverphone2($word)")
   }
 
+  test("Caverphone 1.0: published examples (6-char codes, 1.0-only rules)") {
+    val vectors = Seq("mb" -> "M11111", "mbmb" -> "MPM111", "David" -> "TFT111",
+      "Whittle" -> "WTL111", "Lee" -> "L11111", "Thompson" -> "TMPSN1")
+    vectors.foreach { case (in, want) =>
+      assert(Phonetic.caverphone1(in) === want, s"caverphone1($in)")
+    }
+    for (w <- Seq("add", "aid", "at", "art", "eat", "earth", "head", "hit",
+      "hot", "hold", "hard", "heart", "it", "out", "old"))
+      assert(Phonetic.caverphone1(w) === "AT1111", s"caverphone1($w)")
+  }
+
   test("Match Rating Approach: published encodings and homophony ratings") {
     assert(Phonetic.mra("HARPER") === "HRPR")
     assert(Phonetic.mra("Smith") === "SMTH")
