@@ -126,6 +126,47 @@ class PhoneticSpec extends AnyFunSuite {
       assert(Phonetic.caverphone1(w) === "AT1111", s"caverphone1($w)")
   }
 
+  test("Daitch-Mokotoff: published vectors incl. branching and foldings") {
+    import DaitchMokotoff.{encode, soundexes}
+    // accent folding and whitespace handling
+    assert(soundexes("Straßburg") === "294795")
+    assert(soundexes("Strasburg") === "294795")
+    assert(soundexes("Éregon") === "095600")
+    assert(soundexes("Eregon") === "095600")
+    assert(encode(" \t\n\r Washington \t\n\r ") === "746536")
+    // adjacent-code collapse incl. the ks/s case
+    assert(soundexes("AKSSOL") === "054800")
+    // branching: every plausible reading, in chart order
+    assert(soundexes("GERSCHFELD") === "547830|545783|594783|594578")
+    assert(soundexes("AUERBACH") === "097400|097500")
+    assert(soundexes("LIPPSZYC") === "874400|874500")
+    assert(soundexes("Ceniow") === "467000|567000")
+    assert(soundexes("Tsenyuv") === "467000")
+    assert(soundexes("Holubica") === "587400|587500")
+    assert(soundexes("Peters") === "734000|739400")
+    assert(soundexes("Peterson") === "734600|739460")
+    assert(soundexes("Jackson") === "154600|145460|454600|445460")
+    assert(soundexes("Rosochowaciec") ===
+      "944744|944745|944754|944755|945744|945745|945754|945755")
+    assert(soundexes("ţamas") === "364000|464000") // t-cedilla
+    assert(soundexes("țamas") === "364000|464000") // t-comma
+    // genealogy-standard homophone pairs (non-branching encode)
+    assert(encode("AUERBACH") === encode("OHRBACH"))
+    assert(encode("LIPSHITZ") === encode("LIPPSZYC"))
+    assert(encode("LEWINSKY") === encode("LEVINSKI"))
+    assert(encode("SZLAMAWICZ") === encode("SHLAMOVITZ"))
+    // the standard's worked examples
+    assert(soundexes("GOLDEN") === "583600")
+    assert(soundexes("Alpert") === "087930")
+    assert(soundexes("Breuer") === "791900")
+    assert(soundexes("Haber") === "579000")
+    assert(soundexes("Mannheim") === "665600")
+    assert(soundexes("Mintz") === "664000")
+    assert(soundexes("Topf") === "370000")
+    assert(soundexes("Kleinmann") === "586660")
+    assert(soundexes("Ben Aron") === "769600")
+  }
+
   test("Match Rating Approach: published encodings and homophony ratings") {
     assert(Phonetic.mra("HARPER") === "HRPR")
     assert(Phonetic.mra("Smith") === "SMTH")
