@@ -196,19 +196,24 @@ object Similarity {
       .collect()
       .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toSeq.sortBy(_._1)
     require(cents.length == k, s"need vec_ids 0..${k - 1} as seeds")
-    for (_ <- 0 until iters) {
-      val means = ivfAssign(vecs, cents)
-        .select(col("cell"), posexplode(col("embedding")).as(Seq("i", "x")))
-        .groupBy(col("cell"), col("i"))
-        .agg(avg(col("x").cast("double")).as("m"))
-        .groupBy(col("cell"))
-        .agg(array_sort(collect_list(struct(col("i"), col("m")))).as("s"))
-        .select(col("cell"), expr("transform(s, e -> e.m)").as("centroid"))
-        .collect()
-        .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
-      cents = cents.map { case (c, old) => c -> means.getOrElse(c, old) }
-    }
-    cents
+    // each round re-reads the vectors: persist for the training window,
+    // unpersist deterministically on every exit path (no cache leak)
+    val cached = if (iters > 0) vecs.persist() else vecs
+    try {
+      for (_ <- 0 until iters) {
+        val means = ivfAssign(cached, cents)
+          .select(col("cell"), posexplode(col("embedding")).as(Seq("i", "x")))
+          .groupBy(col("cell"), col("i"))
+          .agg(avg(col("x").cast("double")).as("m"))
+          .groupBy(col("cell"))
+          .agg(array_sort(collect_list(struct(col("i"), col("m")))).as("s"))
+          .select(col("cell"), expr("transform(s, e -> e.m)").as("centroid"))
+          .collect()
+          .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+        cents = cents.map { case (c, old) => c -> means.getOrElse(c, old) }
+      }
+      cents
+    } finally if (iters > 0) { cached.unpersist(); () }
   }
 
   /** Collect the (tiny) codebook once. */

@@ -1237,6 +1237,68 @@ final class Searcher(val reader: IndexReader, pruneMinBlocks: Int = 64,
     })
   }
 
+  /** SpanPayloadCheckQuery analog (reference:
+    * Search/Spans/SpanPayloadCheckQuery.cs over SpanPositionCheckQuery):
+    * a span match is ACCEPTED only when the payload sequence of the
+    * occurrences inside it (position order) equals `toMatch` exactly —
+    * same count, each byte array equal; spans carrying NO payloads are
+    * accepted (the reference's IsPayloadAvailable==false → YES). SpanNear
+    * sub-queries are rejected like the reference (its near variant
+    * compares unordered). Returns (docId, accepted span count) for docs
+    * with ≥1 accepted span — the same aligned positions⋈payloads scan and
+    * in-group span walk as [[payloadNearScores]]. */
+  def spanPayloadCheckFreqs(q: SpanQuery,
+                            toMatch: Seq[Array[Byte]]): Dataset[(Long, Int)] = {
+    require(!q.isInstanceOf[SpanNearQ], "SpanNearQuery not allowed")
+    require(reader.hasPositions, "index has no positions sidecar")
+    require(reader.hasPayloads, "index has no payloads sidecar")
+    val terms = Spans.terms(q).toSeq.sorted
+    val stats = reader.termStats(terms)
+    val live = terms.filter(stats.contains)
+    if (live.isEmpty) return spark.emptyDataset[(Long, Int)]
+    val query = q
+    val want = toMatch.map(_.clone())
+    val pos = termPositionRows(live).toDF("docId", "term", "ps", "norm")
+    val pay = reader.termPayloadRows(live).toDF("docId", "term", "tf", "norm2", "pays")
+    val joined = pos.join(pay, Seq("docId", "term"))
+      .select($"docId", $"term", $"ps", $"pays")
+      .as[(Long, String, Array[Int], Array[Array[Byte]])]
+    liveOnly2(joined.groupByKey(_._1).flatMapGroups { (docId, it) =>
+      val rows = it.toArray
+      val posOf: String => Array[Int] = {
+        val m = rows.map(r => r._2 -> r._3).toMap
+        t => m.getOrElse(t, Array.empty)
+      }
+      // position -> payload for every live-term occurrence in the doc
+      val payAt = scala.collection.mutable.HashMap.empty[Int, Array[Byte]]
+      rows.foreach { case (_, _, ps, pays) =>
+        var i = 0
+        while (i < ps.length) {
+          // empty byte[] = occurrence carries no payload (same contract as
+          // the scoring paths' length filter)
+          if (i < pays.length && pays(i) != null && pays(i).nonEmpty)
+            payAt(ps(i)) = pays(i)
+          i += 1
+        }
+      }
+      val accepted = Spans.eval(query, posOf).count { case (s, e) =>
+        val seq = (s until e).flatMap(payAt.get)
+        seq.isEmpty || // no payloads available -> accept
+          (seq.length == want.length &&
+            seq.zip(want).forall { case (a, b) => java.util.Arrays.equals(a, b) })
+      }
+      if (accepted > 0) Iterator.single((docId, accepted)) else Iterator.empty
+    })
+  }
+
+  /** Tombstone filter for non-ScoreDoc keyed-by-docId datasets. */
+  private def liveOnly2(ds: Dataset[(Long, Int)]): Dataset[(Long, Int)] =
+    tombstones match {
+      case None => ds
+      case Some(t) =>
+        ds.join(t, ds("_1") === t("exDocId"), "left_anti").as[(Long, Int)]
+    }
+
   /** DocIds of one term, decoded from the pruned postings scan. */
   private def termDocIds(t: String): Dataset[Long] =
     reader.postings.where($"term" === t)

@@ -88,6 +88,30 @@ class PayloadSpec extends AnyFunSuite {
     assert(freqs.keySet === Set(0L, 1L, 3L)) // doc1: alpha@1 beta@2 adjacent
   }
 
+  test("SpanPayloadCheck: span accepted only when its payload sequence matches") {
+    def freqs(q: SpanQuery, want: Seq[Array[Byte]]): Map[Long, Int] =
+      searcher.spanPayloadCheckFreqs(q, want).collect().toMap
+    val p20 = DelimitedPayload.floatEncoder("2.0")
+    val p05 = DelimitedPayload.floatEncoder("0.5")
+    val p15 = DelimitedPayload.floatEncoder("1.5")
+    // alpha|2.0 matches only doc0's occurrence
+    assert(freqs(SpanTermQ("alpha"), Seq(p20)) === Map(0L -> 1, 3L -> 1))
+    // doc3's payload-free alpha is always accepted (IsPayloadAvailable=false)
+    assert(freqs(SpanTermQ("alpha"), Seq(p05)) === Map(1L -> 1, 3L -> 1))
+    assert(freqs(SpanTermQ("alpha"), Seq(p15)) === Map(1L -> 1, 3L -> 1))
+    // count mismatch rejects: a 2-payload requirement never fits a unit span
+    assert(freqs(SpanTermQ("alpha"), Seq(p05, p15)) === Map(3L -> 1))
+    // SpanOr: each clause's spans check independently
+    assert(freqs(SpanOrQ(Seq(SpanTermQ("alpha"), SpanTermQ("gamma"))), Seq(p20))
+      === Map(0L -> 1, 3L -> 1, 2L -> 1)) // gamma carries no payload → accepted
+    // SpanNear is rejected like the reference
+    intercept[IllegalArgumentException] {
+      searcher.spanPayloadCheckFreqs(
+        SpanNearQ(Seq(SpanTermQ("alpha"), SpanTermQ("beta")), 0, inOrder = true),
+        Seq(p20))
+    }
+  }
+
   test("expunge keeps the payloads sidecar aligned") {
     import spark.implicits._
     Deletes.deleteDocs(spark, dir, spark.createDataset(Seq(0L)))
