@@ -1250,6 +1250,21 @@ final class Searcher(val reader: IndexReader, pruneMinBlocks: Int = 64,
   def spanPayloadCheckFreqs(q: SpanQuery,
                             toMatch: Seq[Array[Byte]]): Dataset[(Long, Int)] = {
     require(!q.isInstanceOf[SpanNearQ], "SpanNearQuery not allowed")
+    spanPayloadFreqs(q, toMatch, ordered = true)
+  }
+
+  /** SpanNearPayloadCheckQuery analog (reference:
+    * Search/Spans/SpanNearPayloadCheckQuery.cs): same acceptance frame as
+    * [[spanPayloadCheckFreqs]] but over a SpanNear match, and the payload
+    * comparison is UNORDERED — every in-span payload must equal some
+    * required payload (count must match; the near's sub-spans surface
+    * payloads in arbitrary walk order, so order can't be required). */
+  def spanNearPayloadCheckFreqs(q: SpanNearQ,
+                                toMatch: Seq[Array[Byte]]): Dataset[(Long, Int)] =
+    spanPayloadFreqs(q, toMatch, ordered = false)
+
+  private def spanPayloadFreqs(q: SpanQuery, toMatch: Seq[Array[Byte]],
+                               ordered: Boolean): Dataset[(Long, Int)] = {
     require(reader.hasPositions, "index has no positions sidecar")
     require(reader.hasPayloads, "index has no payloads sidecar")
     val terms = Spans.terms(q).toSeq.sorted
@@ -1284,8 +1299,12 @@ final class Searcher(val reader: IndexReader, pruneMinBlocks: Int = 64,
       val accepted = Spans.eval(query, posOf).count { case (s, e) =>
         val seq = (s until e).flatMap(payAt.get)
         seq.isEmpty || // no payloads available -> accept
-          (seq.length == want.length &&
-            seq.zip(want).forall { case (a, b) => java.util.Arrays.equals(a, b) })
+          (seq.length == want.length && {
+            if (ordered)
+              seq.zip(want).forall { case (a, b) => java.util.Arrays.equals(a, b) }
+            else // near variant: each in-span payload equals SOME required one
+              seq.forall(a => want.exists(b => java.util.Arrays.equals(a, b)))
+          })
       }
       if (accepted > 0) Iterator.single((docId, accepted)) else Iterator.empty
     })

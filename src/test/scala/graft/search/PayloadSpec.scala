@@ -110,6 +110,14 @@ class PayloadSpec extends AnyFunSuite {
         SpanNearQ(Seq(SpanTermQ("alpha"), SpanTermQ("beta")), 0, inOrder = true),
         Seq(p20))
     }
+    // the NEAR variant compares unordered: "alpha beta" spans in doc0
+    // carry only alpha's 2.0 payload (beta has none) -> the single-payload
+    // requirement matches whatever its order
+    val near = SpanNearQ(Seq(SpanTermQ("alpha"), SpanTermQ("beta")), 0, inOrder = true)
+    val nf = searcher.spanNearPayloadCheckFreqs(near, Seq(p20)).collect().toMap
+    assert(nf.get(0L) === Some(1)) // 2.0 payload present, matches
+    assert(nf.get(3L) === Some(1)) // payload-free span accepted
+    assert(nf.get(1L) === None) // doc1's span carries 0.5/1.5, not 2.0
   }
 
   test("expunge keeps the payloads sidecar aligned") {
