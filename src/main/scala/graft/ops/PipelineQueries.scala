@@ -767,7 +767,116 @@ object PipelineQueries {
        |  CAST(sum(least(8, dl - s)) AS BIGINT) AS covered
        |FROM st GROUP BY doc_id, dl ORDER BY doc_id""".stripMargin
 
+  /** TF-IDF keyword extraction: top-3 most characteristic terms per doc,
+    * tf · ln(N/df), rounded before ranking so both engines break ties on
+    * identical values (then term asc). */
+  def qKeywords(spark: SparkSession, sf: String): DataFrame =
+    TextAnalysis.tfidfKeywords(docs(spark, sf), k = 3)
+      .orderBy(col("doc_id"), col("rank"))
+  val oKeywords: String =
+    s"""$TokCte, tfx AS (
+       |  SELECT doc_id, unnest(ts) AS t FROM tok
+       |), tf AS (
+       |  SELECT doc_id, t, count(*) AS tf FROM tfx GROUP BY doc_id, t
+       |), dfx AS (
+       |  SELECT t, count(*) AS df
+       |  FROM (SELECT DISTINCT doc_id, t FROM tfx) GROUP BY t
+       |), nn AS (SELECT count(*) AS n FROM documents
+       |), ranked AS (
+       |  SELECT tf.doc_id, tf.t, round(tf.tf * ln(nn.n * 1.0e0 / dfx.df), 6) AS tfidf,
+       |    row_number() OVER (PARTITION BY tf.doc_id
+       |      ORDER BY round(tf.tf * ln(nn.n * 1.0e0 / dfx.df), 6) DESC, tf.t) AS rank
+       |  FROM tf JOIN dfx USING (t) CROSS JOIN nn
+       |)
+       |SELECT doc_id, CAST(rank AS BIGINT) AS rank, t AS term, tfidf
+       |FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
+
+  /** Corpus heavy-hitter bigrams (count >= 30) — the exact census; the
+    * CMS scale path is spec-verified against it (SketchSpec). */
+  def qHeavyHitters(spark: SparkSession, sf: String): DataFrame =
+    TextAnalysis.heavyHitterBigrams(docs(spark, sf), minCount = 30L)
+      .orderBy(col("bigram"))
+  val oHeavyHitters: String =
+    s"""$TokCte, bg AS (
+       |  SELECT unnest([ts[i] || ' ' || ts[i + 1] FOR i IN range(1, len(ts))]) AS bigram
+       |  FROM tok WHERE len(ts) >= 2
+       |)
+       |SELECT bigram, count(*) AS n FROM bg GROUP BY bigram
+       |HAVING count(*) >= 30 ORDER BY bigram""".stripMargin
+
+  /** Per-source boilerplate segments (segLen=2 so the toy vocabulary
+    * actually collides; production default is 8). */
+  def qBoilerplate(spark: SparkSession, sf: String): DataFrame =
+    TextAnalysis.boilerplateSegments(docs(spark, sf), segLen = 2, minDocs = 2)
+      .orderBy(col("doc_id"))
+  val oBoilerplate: String =
+    s"""$TokCte, segs AS (
+       |  SELECT d.doc_id, d.source,
+       |    unnest([array_to_string(t.ts[i * 2 + 1 : i * 2 + 2], ' ')
+       |            FOR i IN range(0, greatest(len(t.ts) // 2, 1))]) AS seg
+       |  FROM tok t JOIN documents d USING (doc_id)
+       |), nz AS (SELECT * FROM segs WHERE len(seg) > 0
+       |), sd AS (
+       |  SELECT source, seg, count(DISTINCT doc_id) AS n_docs
+       |  FROM nz GROUP BY source, seg
+       |)
+       |SELECT nz.doc_id, count(*) AS n_segments,
+       |  CAST(sum(CASE WHEN sd.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+       |  round(sum(CASE WHEN sd.n_docs >= 2 THEN 1 ELSE 0 END) * 1.0e0 / count(*), 6)
+       |    AS boiler_frac
+       |FROM nz JOIN sd USING (source, seg)
+       |GROUP BY nz.doc_id ORDER BY doc_id""".stripMargin
+
+  /** Domain-balanced sample: every source capped at 10 docs in
+    * expectation via the deterministic Lehmer residue. */
+  def qSampleBalance(spark: SparkSession, sf: String): DataFrame =
+    TextAnalysis.balancedSample(docs(spark, sf), cap = 10L)
+      .orderBy(col("doc_id"))
+  val oSampleBalance: String =
+    """WITH counts AS (
+      |  SELECT source, count(*) AS n_src FROM documents GROUP BY source
+      |), rates AS (
+      |  SELECT source, least(1.0e0, 10.0e0 / n_src) AS rate FROM counts
+      |)
+      |SELECT d.doc_id, d.source FROM documents d JOIN rates r USING (source)
+      |WHERE CAST((d.doc_id * 48271 + 11) % 1048573 AS DOUBLE) < r.rate * 1048573.0e0
+      |ORDER BY d.doc_id""".stripMargin
+
+  /** Int8 scalar-quantized brute-force top-10 for the vec_id=0 query:
+    * integer code dot products (exact in both engines) + quantized
+    * norms — the SQ8 memory-bound ANN path, oracle-reproducible because
+    * quantization is floor-half-up IEEE arithmetic. */
+  def qAnnInt8(spark: SparkSession, sf: String): DataFrame =
+    Similarity.int8TopK(
+      vecs(spark, sf).where(col("vec_id") =!= 0), queryVec(spark, sf), k = 10)
+  val oAnnInt8: String =
+    s"""WITH $DimsCte, sc AS (
+       |  SELECT vec_id,
+       |    list_max([abs(CAST(x AS DOUBLE)) FOR x IN embedding]) / 127 AS scale
+       |  FROM embeddings
+       |), qc AS (
+       |  SELECT e.vec_id, dims.i,
+       |    floor(CAST(e.embedding[dims.i] AS DOUBLE) / sc.scale + 0.5e0) AS q
+       |  FROM embeddings e JOIN sc USING (vec_id), dims
+       |  WHERE sc.scale > 0
+       |), qn AS (
+       |  SELECT vec_id, sqrt(sum(q * q)) AS nrm FROM qc GROUP BY vec_id
+       |), dots AS (
+       |  SELECT a.vec_id, sum(a.q * b.q) AS dot
+       |  FROM qc a JOIN qc b ON a.i = b.i AND b.vec_id = 0
+       |  WHERE a.vec_id <> 0 GROUP BY a.vec_id
+       |)
+       |SELECT d.vec_id,
+       |  round(d.dot / (na.nrm * (SELECT nrm FROM qn WHERE vec_id = 0)), 6) AS qcos
+       |FROM dots d JOIN qn na USING (vec_id)
+       |ORDER BY qcos DESC, vec_id LIMIT 10""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_keywords" -> qKeywords _,
+    "q_heavy_hitters" -> qHeavyHitters _,
+    "q_boilerplate" -> qBoilerplate _,
+    "q_sample_balance" -> qSampleBalance _,
+    "q_ann_int8" -> qAnnInt8 _,
     "q_lm_score" -> qLmScore _,
     "q_kmeans" -> qKmeans _,
     "q_chunk_windows" -> qChunkWindows _,
@@ -801,6 +910,11 @@ object PipelineQueries {
     "q_multimodal_stats" -> qMultimodalStats _)
 
   val oracles: Map[String, String] = Map(
+    "q_keywords" -> oKeywords,
+    "q_heavy_hitters" -> oHeavyHitters,
+    "q_boilerplate" -> oBoilerplate,
+    "q_sample_balance" -> oSampleBalance,
+    "q_ann_int8" -> oAnnInt8,
     "q_lm_score" -> oLmScore,
     "q_kmeans" -> oKmeans,
     "q_chunk_windows" -> oChunkWindows,

@@ -1672,6 +1672,21 @@ object VerifyQueries {
        |SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS ttf FROM tf
        |GROUP BY term ORDER BY df DESC, term LIMIT 20""".stripMargin
 
+  /** HighFreqTerms, totalTermFreq mode (reference:
+    * Lucene.Net.Misc/Misc/HighFreqTerms.cs:34-41,146-160 — the `-t` flag
+    * sorts by ttf instead of df): top-20 terms by total term frequency.
+    * Pure dictionary read — the stats are already aggregated at build. */
+  def qHighFreqTtf(spark: SparkSession, sf: String): DataFrame = {
+    val dir = ensure(spark, sf)
+    spark.read.parquet(IndexPaths.termDict(dir))
+      .select(col("term"), col("totalTf").as("ttf"), col("df"))
+      .orderBy(col("ttf").desc, col("term")).limit(20)
+  }
+  val oHighFreqTtf: String =
+    s"""$OracleCtes
+       |SELECT term, CAST(sum(tf) AS BIGINT) AS ttf, count(*) AS df FROM tf
+       |GROUP BY term ORDER BY ttf DESC, term LIMIT 20""".stripMargin
+
   /** Facets: hits of a term counted per lang (FacetsCollector analog). */
   def qFacetLang(spark: SparkSession, sf: String): DataFrame = {
     val dir = ensure(spark, sf)
@@ -2263,6 +2278,7 @@ object VerifyQueries {
     "q_doc_lengths" -> qDocLengths _,
     "q_collection_stats" -> qCollectionStats _,
     "q_dict_topdf" -> qDictTopDf _,
+    "q_high_freq_ttf" -> qHighFreqTtf _,
     "q_facet_lang" -> qFacetLang _,
     "q_facet_dl_hist" -> qFacetDlHist _,
     "q_facet_path" -> qFacetPath _,
@@ -2361,6 +2377,7 @@ object VerifyQueries {
     "q_doc_lengths" -> oDocLengths,
     "q_collection_stats" -> oCollectionStats,
     "q_dict_topdf" -> oDictTopDf,
+    "q_high_freq_ttf" -> oHighFreqTtf,
     "q_facet_lang" -> oFacetLang,
     "q_facet_dl_hist" -> oFacetDlHist,
     "q_facet_path" -> oFacetPath,

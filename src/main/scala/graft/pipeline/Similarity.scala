@@ -239,6 +239,48 @@ object Similarity {
       .orderBy(col("cos").desc, col("vec_id")).limit(k)
   }
 
+  // ------------------------------------------- int8 scalar quantization
+
+  /** Int8 scalar quantization of an embedding column: per-vector scale
+    * s = max|v_i| / 127, code q_i = floor(v_i/s + 0.5) ∈ [−127, 127]
+    * (half-up via floor so every IEEE-double engine reproduces the codes
+    * bit-for-bit — no round-half-even ambiguity). 4× smaller vectors and
+    * integer dot products: the standard memory-bound ANN trade (the
+    * faiss SQ8 idea) — at 10^9×1536 dims the fp32 matrix is 6 TB, the
+    * int8 one 1.5 TB, and scan throughput is what brute-force ANN buys
+    * with it. Returns (vec_id, scale, q). */
+  def quantizeInt8(vecs: DataFrame): DataFrame = {
+    val s = (aggregate(col("embedding"), lit(0.0),
+      (acc, x) => greatest(acc, abs(x.cast("double")))) / 127.0).as("scale")
+    vecs.select(col("vec_id"), s, col("embedding"))
+      .where(col("scale") > 0)
+      .select(col("vec_id"), col("scale"),
+        expr("transform(embedding, x -> cast(floor(cast(x as double) / scale + 0.5d) as long))")
+          .as("q"))
+  }
+
+  /** Quantized brute-force cosine top-k: scores from the INTEGER dot of
+    * the int8 codes (exact int64 arithmetic — deterministic, orderable,
+    * oracle-reproducible), cosine reconstructed from the quantized norms.
+    * Same map-only scan + bounded top-k shape as [[bruteForceTopK]];
+    * the scales cancel in the cosine so only the codes matter. */
+  def int8TopK(vecs: DataFrame, query: Seq[Float], k: Int): DataFrame = {
+    val qd = query.map(_.toDouble)
+    val qs = qd.map(math.abs).max / 127.0
+    require(qs > 0, "zero query vector")
+    val qq = qd.map(v => math.floor(v / qs + 0.5).toLong)
+    val qlit = typedLit(qq)
+    val qnorm = math.sqrt(qq.map(v => (v * v).toDouble).sum)
+    val idot = aggregate(zip_with(col("q"), qlit, (x, y) => x * y),
+      lit(0L), (acc, v) => acc + v)
+    val vnorm = sqrt(aggregate(col("q"), lit(0L), (acc, x) => acc + x * x)
+      .cast("double"))
+    quantizeInt8(vecs)
+      .select(col("vec_id"),
+        round(idot.cast("double") / (vnorm * qnorm), 6).as("qcos"))
+      .orderBy(col("qcos").desc, col("vec_id")).limit(k)
+  }
+
   /** Bucketed near-duplicate pairs — the scale path: candidates only
     * within a bucket. */
   def cosinePairsBucketed(vecs: DataFrame, minCos: Double): DataFrame = {

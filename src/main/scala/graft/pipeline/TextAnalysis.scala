@@ -250,4 +250,118 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_bigrams"),
         (sum(col("nlp")) / count(lit(1))).as("ce"))
   }
+
+  // --------------------------------------------------- keyword extraction
+
+  /** TF-IDF keyword extraction: the top-k most characteristic terms per
+    * document — tf(t,d) · ln(N / df(t)), the classic unsupervised
+    * keyword/tag extractor a corpus-labelling pipeline runs over every
+    * doc (and the per-doc view of the engine's own idf statistics;
+    * reference formula family: Search/Similarities/TFIDFSimilarity.cs).
+    *
+    * Shape at scale: tf is one map-side-combinable groupBy(doc, term);
+    * df folds FROM the tf table (second combinable groupBy, no second
+    * scan); N is the one driver scalar; ranking is a window partitioned
+    * by doc_id — each partition is one document's term list, so the
+    * window never sees more rows than a doc has distinct terms.
+    * Deterministic: ties broken by score desc, then term asc. */
+  def tfidfKeywords(docs: DataFrame, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = docs.count().toDouble
+    val tf = docs.select(col("doc_id"), explode(ts).as("t"))
+      .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
+    val scored = tf.join(df, "t")
+      .select(col("doc_id"), col("t"),
+        round(col("tf") * log(lit(n) / col("df")), 6).as("tfidf"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("t").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("doc_id"), col("rank").cast("long").as("rank"),
+        col("t").as("term"), col("tfidf"))
+  }
+
+  // --------------------------------------------------- heavy hitters
+
+  /** Corpus-level heavy-hitter bigrams: every bigram occurring at least
+    * `minCount` times across the whole corpus (the hot-n-gram census a
+    * pipeline uses for boilerplate phrase lists, tokenizer-merge
+    * candidates, and contamination screens). Exact path: one map-only
+    * bigram expansion (same transform as [[bigramCrossEntropy]] — no
+    * posexplode self-join) + one map-side-combinable groupBy. At 100 TB
+    * the long tail of singleton bigrams dominates that shuffle; the
+    * count-min-sketch path ([[Sketches.cmsBuild]]) bounds the state to
+    * width×depth cells and this exact pass then runs only over the
+    * sketch-filtered candidates. */
+  def heavyHitterBigrams(docs: DataFrame, minCount: Long): DataFrame =
+    docs.select(Dedup.tokensCol("text").as("ts"))
+      .where(size(col("ts")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(ts) - 2), i -> concat(ts[i], ' ', ts[i + 1]))"))
+        .as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
+      .where(col("n") >= minCount)
+
+  // --------------------------------------------------- boilerplate
+
+  /** Per-source boilerplate segments (the CCNet/RefinedWeb line-dedup
+    * family, generalized to token windows because web text keeps its
+    * newlines but this corpus does not): the token stream is cut into
+    * non-overlapping `segLen`-token segments; a segment is boilerplate
+    * when it occurs in ≥ `minDocs` DISTINCT documents of the same source
+    * (nav bars, footers, license headers — template text repeated across
+    * a domain). Output per doc: segment count, boilerplate-segment count
+    * and the fraction a pipeline would threshold on.
+    *
+    * Shape at scale: one map-only segment expansion, one distinct on
+    * (source, segment, doc) — combinable groupBy in disguise — one
+    * combinable groupBy(source, segment) for the doc counts, one
+    * equi-join back on (source, segment), one per-doc combinable agg.
+    * Keys are (source, segment): hot templated domains are exactly the
+    * AQE-skew-join case, never a driver problem. */
+  def boilerplateSegments(docs: DataFrame, segLen: Int = 8,
+                          minDocs: Int = 2): DataFrame = {
+    val segs = docs
+      .select(col("doc_id"), col("source"), ts.as("tks"))
+      .select(col("doc_id"), col("source"), explode(expr(
+        s"""transform(sequence(0, greatest(cast(size(tks) / $segLen as int) - 1, 0)),
+           |  i -> array_join(slice(tks, i * $segLen + 1, $segLen), ' '))""".stripMargin))
+        .as("seg"))
+      .where(length(col("seg")) > 0)
+    val perDocSeg = segs.select(col("source"), col("seg"), col("doc_id")).distinct()
+    val segDocs = perDocSeg.groupBy(col("source"), col("seg"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+    segs.join(segDocs, Seq("source", "seg"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_segments"),
+        sum(when(col("n_docs") >= minDocs, 1L).otherwise(0L)).as("n_boiler"))
+      .withColumn("boiler_frac",
+        round(col("n_boiler").cast("double") / col("n_segments").cast("double"), 6))
+  }
+
+  // --------------------------------------------------- domain balancing
+
+  /** Domain-balanced sampling: cap every source at `cap` documents in
+    * expectation by thinning over-represented sources with a
+    * deterministic content-stable residue (the DoReMi/Pile-style domain
+    * reweighting, done without an RNG so the sample is reproducible and
+    * reorder-stable). Keep rate r_s = min(1, cap / n_s); doc kept iff
+    * (doc_id · 48271 + 11) mod 1048573 < r_s · 1048573 — the same
+    * Lehmer-class residue trick as Packing.mixtureSample, multiplier
+    * small enough that the product never overflows int64 at 10^12 ids.
+    *
+    * Shape at scale: per-source counts are one combinable groupBy over
+    * source-cardinality keys; the rate table joins back on source (a
+    * broadcast at web domain-cardinality); keep/drop is a codegen'd
+    * filter. No window, no shuffle of the corpus itself. */
+  def balancedSample(docs: DataFrame, cap: Long): DataFrame = {
+    val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n_src"))
+    val rates = counts.select(col("source"),
+      least(lit(1.0), lit(cap.toDouble) / col("n_src").cast("double")).as("rate"))
+    docs.join(broadcast(rates), "source")
+      .where(pmod(col("doc_id") * 48271L + 11L, lit(1048573L)).cast("double")
+        < col("rate") * 1048573.0)
+      .select(col("doc_id"), col("source"))
+  }
 }

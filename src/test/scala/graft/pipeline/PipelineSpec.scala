@@ -304,4 +304,85 @@ class PipelineSpec extends AnyFunSuite {
     assert(seeds(0)._2.toSeq === Seq(0.0, 0.0))
     assert(seeds(1)._2.toSeq.map(x => math.rint(x * 10) / 10) === Seq(5.0, 5.0))
   }
+
+  test("tfidf keywords: corpus-common terms rank below doc-specific ones") {
+    import spark.implicits._
+    // "shared" appears in every doc (idf = 0); each doc has one unique term
+    val kd = Seq(
+      0L -> "shared alpha alpha beta",
+      1L -> "shared gamma gamma beta",
+      2L -> "shared delta delta delta beta").toDF("doc_id", "text")
+    val kw = TextAnalysis.tfidfKeywords(kd, k = 2)
+      .as[(Long, Long, String, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    assert(kw(0L).head === "alpha") // tf 2, df 1 beats beta (tf 1, df 2)
+    assert(kw(1L).head === "gamma")
+    assert(kw(2L).head === "delta")
+    // 'shared' (df == N -> tfidf 0) never makes top-2 while positives exist
+    assert(!kw.values.exists(_.contains("shared")))
+  }
+
+  test("heavy-hitter bigrams: exact census matches hand count") {
+    import spark.implicits._
+    val hd = Seq(
+      0L -> "a b a b a b",  // 'a b' x3, 'b a' x2
+      1L -> "a b c",        // 'a b', 'b c'
+      2L -> "c").toDF("doc_id", "text")
+    val hh = TextAnalysis.heavyHitterBigrams(hd, minCount = 2L)
+      .as[(String, Long)].collect().toMap
+    assert(hh === Map("a b" -> 4L, "b a" -> 2L))
+  }
+
+  test("boilerplate segments: repeated window flagged within source only") {
+    import spark.implicits._
+    val bd = Seq(
+      (0L, "copy right footer unique zero text", "s1"),
+      (1L, "copy right footer unique one words", "s1"),
+      (2L, "copy right footer unique two lines", "s2"), // other source: no partner
+      (3L, "fresh body only", "s1"))
+      .toDF("doc_id", "text", "source")
+    val bp = TextAnalysis.boilerplateSegments(bd, segLen = 3, minDocs = 2)
+      .select($"doc_id", $"n_segments", $"n_boiler").as[(Long, Long, Long)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(bp(0L) === ((2L, 1L))) // 'copy right footer' shared with doc 1 in s1
+    assert(bp(1L) === ((2L, 1L)))
+    assert(bp(2L) === ((2L, 0L))) // same text but lone in its source
+    assert(bp(3L) === ((1L, 0L))) // short doc: one partial segment, unique
+  }
+
+  test("balanced sample: capped sources thin deterministically, small ones survive") {
+    import spark.implicits._
+    val rows = (0L until 100L).map(i => (i, s"t$i", if (i < 80) "big" else "small"))
+    val sd = rows.toDF("doc_id", "text", "source")
+    val kept = TextAnalysis.balancedSample(sd, cap = 10L)
+      .as[(Long, String)].collect()
+    val bySrc = kept.groupBy(_._2).view.mapValues(_.length).toMap
+    // small source: rate 10/20 = 0.5; big: 10/80 = 0.125 — thinned hard
+    assert(bySrc("big") < 30 && bySrc("big") > 0)
+    assert(bySrc.getOrElse("small", 0) > 0)
+    // determinism: a second run keeps exactly the same ids
+    val again = TextAnalysis.balancedSample(sd, cap = 10L)
+      .as[(Long, String)].collect()
+    assert(kept.sortBy(_._1).toSeq === again.sortBy(_._1).toSeq)
+  }
+
+  test("int8 quantization: codes bounded, exact copy of query still ranks first") {
+    import spark.implicits._
+    val vd = Seq(
+      (1L, Array(0.5f, -1.0f, 0.25f), 0),
+      (2L, Array(1.0f, -2.0f, 0.5f), 0),   // same direction as 1 (scaled)
+      (3L, Array(-0.5f, 1.0f, -0.25f), 0), // opposite direction
+      (4L, Array(0f, 0f, 0f), 0))          // zero vector: dropped by quantizer
+      .toDF("vec_id", "embedding", "label")
+    val codes = Similarity.quantizeInt8(vd)
+      .select($"vec_id", $"q").as[(Long, Seq[Long])].collect().toMap
+    assert(!codes.contains(4L))
+    codes.values.foreach(c => assert(c.forall(v => v >= -127 && v <= 127)))
+    assert(codes(1L).max === 127 || codes(1L).min === -127) // max dim saturates
+    val top = Similarity.int8TopK(vd, Seq(0.5f, -1.0f, 0.25f), k = 3)
+      .as[(Long, Double)].collect()
+    assert(top.head._1 === 1L && math.abs(top.head._2 - 1.0) < 1e-9)
+    assert(top(1)._1 === 2L) // same-direction scaled vector ~cos 1
+    assert(top.last._1 === 3L && top.last._2 < 0) // anti-parallel
+  }
 }
