@@ -1,6 +1,6 @@
 package graft.ops
 
-import graft.pipeline.{Classify, Dedup, Multimodal, Packing, Similarity, TextAnalysis}
+import graft.pipeline.{Bpe, Classify, Dedup, Multimodal, Packing, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -871,7 +871,28 @@ object PipelineQueries {
        |FROM dots d JOIN qn na USING (vec_id)
        |ORDER BY qcos DESC, vec_id LIMIT 10""".stripMargin
 
+  /** BPE vocabulary induction, round-0 surface: the word-frequency-
+    * weighted adjacent character-pair census (the table the first merge
+    * argmaxes over) — top-20 pairs, count desc then (a, b) asc. The
+    * iterative trainer itself (argmax → greedy-leftmost merge fold →
+    * recount over word TYPES only) is BpeSpec-verified with hand-computed
+    * merge sequences. */
+  def qBpePairs(spark: SparkSession, sf: String): DataFrame =
+    Bpe.initialPairCensus(docs(spark, sf))
+      .orderBy(col("n").desc, col("a"), col("b")).limit(20)
+  val oBpePairs: String =
+    s"""$TokCte, words AS (SELECT unnest(ts) AS w FROM tok
+       |), wc AS (SELECT w, count(*) AS n FROM words GROUP BY w
+       |), pairs AS (
+       |  SELECT unnest([struct_pack(a := w[i], b := w[i + 1])
+       |                 FOR i IN range(1, length(w))]) AS p, n
+       |  FROM wc WHERE length(w) >= 2
+       |)
+       |SELECT p.a AS a, p.b AS b, CAST(sum(n) AS BIGINT) AS n
+       |FROM pairs GROUP BY p.a, p.b ORDER BY n DESC, a, b LIMIT 20""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_bpe_pairs" -> qBpePairs _,
     "q_keywords" -> qKeywords _,
     "q_heavy_hitters" -> qHeavyHitters _,
     "q_boilerplate" -> qBoilerplate _,
@@ -910,6 +931,7 @@ object PipelineQueries {
     "q_multimodal_stats" -> qMultimodalStats _)
 
   val oracles: Map[String, String] = Map(
+    "q_bpe_pairs" -> oBpePairs,
     "q_keywords" -> oKeywords,
     "q_heavy_hitters" -> oHeavyHitters,
     "q_boilerplate" -> oBoilerplate,

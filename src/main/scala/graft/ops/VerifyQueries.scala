@@ -365,6 +365,42 @@ object VerifyQueries {
        |FROM scored GROUP BY doc_id, dl
        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
 
+  /** Value-source composition (reference: Queries/Function/ValueSources/
+    * ScaleFloatFunction.cs + ReciprocalFloatFunction.cs +
+    * RangeMapFloatFunction.cs): relevance × reciprocal decay of the
+    * doc length scaled into [0,1] by its corpus-global extrema ×
+    * a range-map bump for short docs. The ScoreExpr nodes are
+    * golden-tested in FunctionQuerySpec; this is the double-precision
+    * relational twin (same pattern as q_custom_score). The extrema pull
+    * is ONE stats-sized aggregate (two doubles to the driver) — the
+    * reference's ScaleInfo, computed once per reader there too. */
+  def qValueSources(spark: SparkSession, sf: String): DataFrame = {
+    val dir = ensure(spark, sf)
+    val ext = spark.read.parquet(IndexPaths.docstats(dir))
+      .agg(min(col("tokenCount").cast("double")), max(col("tokenCount").cast("double")))
+      .head()
+    val (lo, hi) = (ext.getDouble(0), ext.getDouble(1))
+    val scaled = (col("dl").cast("double") - lit(lo)) / lit(hi - lo)
+    scoredHits(spark, sf, Seq("merge", "vector"))
+      .groupBy(col("doc_id"), col("dl"))
+      .agg(sum(col("score")).as("s"))
+      .select(col("doc_id"),
+        round(col("s") * (lit(2.0) / (scaled + lit(1.0)))
+          * when(scaled >= 0.0 && scaled <= 0.5, lit(1.1)).otherwise(lit(1.0)), 6)
+          .as("score"))
+      .orderBy(col("score").desc, col("doc_id")).limit(20)
+  }
+  val oValueSources: String =
+    s"""${oracleScored(Seq("merge", "vector"))}, ext AS (
+       |  SELECT min(dl * 1.0e0) AS lo, max(dl * 1.0e0) AS hi FROM dl
+       |)
+       |SELECT doc_id, round(sum(score)
+       |  * (2.0e0 / (((dl - lo) / (hi - lo)) + 1.0e0))
+       |  * (CASE WHEN ((dl - lo) / (hi - lo)) BETWEEN 0.0e0 AND 0.5e0
+       |          THEN 1.1e0 ELSE 1.0e0 END), 6) AS score
+       |FROM scored CROSS JOIN ext GROUP BY doc_id, dl, lo, hi
+       |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+
   /** Boosting query: demote hits whose doc also matches the context
     * (reference: Queries/BoostingQuery.cs — context match × boost, the
     * context alone never matches; BoostingQ node in FunctionQuerySpec). */
@@ -2252,6 +2288,7 @@ object VerifyQueries {
     "q_lmjm_topk" -> qLmjmTopk _,
     "q_dfr_topk" -> qDfrTopk _,
     "q_custom_score" -> qCustomScore _,
+    "q_value_sources" -> qValueSources _,
     "q_boosting" -> qBoosting _,
     "q_suggest_infix" -> qSuggestInfix _,
     "q_suggest_blended" -> qSuggestBlended _,
@@ -2351,6 +2388,7 @@ object VerifyQueries {
     "q_lmjm_topk" -> oLmjmTopk,
     "q_dfr_topk" -> oDfrTopk,
     "q_custom_score" -> oCustomScore,
+    "q_value_sources" -> oValueSources,
     "q_boosting" -> oBoosting,
     "q_suggest_infix" -> oSuggestInfix,
     "q_suggest_blended" -> oSuggestBlended,

@@ -75,6 +75,18 @@ object ScoreExpr {
   final case class Div(a: ScoreExpr, b: ScoreExpr) extends ScoreExpr
   final case class Log1p(a: ScoreExpr) extends ScoreExpr
   final case class Pow(a: ScoreExpr, e: Float) extends ScoreExpr
+  /** a/(m·x + b) — ReciprocalFloatFunction.cs:52 (their (m, a, b)
+    * constructor order), the classic recency/length decay. */
+  final case class Reciprocal(x: ScoreExpr, m: Float, a: Float, b: Float) extends ScoreExpr
+  /** slope·x + intercept — LinearFloatFunction.cs:38; also the resolved
+    * form of ScaleFloatFunction (see ValueSources.scaleDocLen). */
+  final case class Linear(x: ScoreExpr, slope: Float, intercept: Float) extends ScoreExpr
+  /** x ∈ [lo, hi] → target else default — RangeMapFloatFunction.cs:43. */
+  final case class RangeMap(x: ScoreExpr, lo: Float, hi: Float,
+                            target: Float, default: Float) extends ScoreExpr
+  /** MaxFloatFunction.cs / MinFloatFunction.cs. */
+  final case class MaxOf(a: ScoreExpr, b: ScoreExpr) extends ScoreExpr
+  final case class MinOf(a: ScoreExpr, b: ScoreExpr) extends ScoreExpr
 
   def eval(expr: ScoreExpr, subScore: Float, docLen: Float): Float = expr match {
     case SubScore => subScore
@@ -85,6 +97,12 @@ object ScoreExpr {
     case Div(a, b) => eval(a, subScore, docLen) / eval(b, subScore, docLen)
     case Log1p(a) => math.log1p(eval(a, subScore, docLen)).toFloat
     case Pow(a, e) => math.pow(eval(a, subScore, docLen), e).toFloat
+    case Reciprocal(x, m, a, b) => a / (m * eval(x, subScore, docLen) + b)
+    case Linear(x, s, i) => s * eval(x, subScore, docLen) + i
+    case RangeMap(x, lo, hi, t, d) =>
+      val v = eval(x, subScore, docLen); if (v >= lo && v <= hi) t else d
+    case MaxOf(a, b) => math.max(eval(a, subScore, docLen), eval(b, subScore, docLen))
+    case MinOf(a, b) => math.min(eval(a, subScore, docLen), eval(b, subScore, docLen))
   }
 }
 

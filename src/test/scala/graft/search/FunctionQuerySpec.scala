@@ -91,4 +91,53 @@ class FunctionQuerySpec extends AnyFunSuite {
     val s = searcher.search(q, 10)(0).score
     assert(searcher.search(boosted, 10)(0).score === 2f * s)
   }
+
+  test("value-source arithmetic nodes: closed-form eval") {
+    // Reciprocal (m, a, b): a/(m*x+b) — ReciprocalFloatFunction.cs
+    assert(ScoreExpr.eval(Reciprocal(DocLen, 1f, 2f, 1f), 0f, 3f) === 0.5f)
+    // Linear: slope*x + intercept
+    assert(ScoreExpr.eval(Linear(DocLen, 2f, -1f), 0f, 3f) === 5f)
+    // RangeMap: in-range → target, else default; bounds inclusive
+    assert(ScoreExpr.eval(RangeMap(DocLen, 1f, 3f, 9f, 0f), 0f, 3f) === 9f)
+    assert(ScoreExpr.eval(RangeMap(DocLen, 1f, 3f, 9f, 0f), 0f, 3.5f) === 0f)
+    // Max/Min
+    assert(ScoreExpr.eval(MaxOf(DocLen, Const(2f)), 0f, 1f) === 2f)
+    assert(ScoreExpr.eval(MinOf(DocLen, Const(2f)), 0f, 1f) === 1f)
+  }
+
+  test("reciprocal decay end-to-end through the searcher") {
+    val base = searcher.search(TermQ("dogs"), 10)(0).score
+    // 1/(1*dl + 1): doc1 has dl 2 → decay 1/3
+    val hits = searcher.search(
+      FunctionScoreQ(TermQ("dogs"), Mul(SubScore, Reciprocal(DocLen, 1f, 1f, 1f))), 10)
+    assert(hits(0).docId === 1L)
+    assert(hits(0).score === base * (1f / 3f))
+  }
+
+  test("index-statistic sources fold to constants at build") {
+    val reader = searcher.reader
+    // micro fixture: 6 docs, 'all' in docs 0 and 5 → df 2, ttf 2
+    assert(ValueSources.docFreq(reader, "all") === Const(2f))
+    assert(ValueSources.totalTermFreq(reader, "all") === Const(2f))
+    assert(ValueSources.docFreq(reader, "nosuchterm") === Const(0f))
+    assert(ValueSources.maxDoc(reader) === Const(6f))
+    assert(ValueSources.numDocs(reader) === Const(6f))
+    // idf = ln(maxDoc/(df+1)) + 1
+    val Const(i) = ValueSources.idf(reader, "all")
+    assert(math.abs(i - (math.log(6.0 / 3.0) + 1.0).toFloat) < 1e-7)
+  }
+
+  test("scaleDocLen resolves to the Linear twin of ScaleFloatFunction") {
+    // fixture lengths: min 1, max 2 → scale into [0,1]: slope 1, intercept -1
+    val s = ValueSources.scaleDocLen(searcher.reader, 0f, 1f)
+    assert(s === Linear(DocLen, 1f, -1f))
+    assert(ScoreExpr.eval(s, 0f, 1f) === 0f)
+    assert(ScoreExpr.eval(s, 0f, 2f) === 1f)
+    // degenerate corpus guard exercised via equal target bounds semantics:
+    // a reader whose lengths are all equal maps to targetMin — simulate by
+    // scaling into a zero-width target on this corpus (still Linear)
+    val z = ValueSources.scaleDocLen(searcher.reader, 5f, 5f)
+    assert(ScoreExpr.eval(z, 0f, 1f) === 5f)
+    assert(ScoreExpr.eval(z, 0f, 2f) === 5f)
+  }
 }

@@ -174,4 +174,45 @@ class PlanSpec extends AnyFunSuite {
     }
     assert(exchanges.isEmpty, s"chunkStats must not shuffle:\n$plan")
   }
+
+  test("session-2 pipeline ops keep their scale shapes") {
+    import graft.ops.PipelineQueries
+    val sf = "/root/testdata/sf0.001"
+    // no cartesian/nested-loop join and no no-partition window anywhere
+    for (name <- Seq("q_keywords", "q_heavy_hitters", "q_boilerplate",
+      "q_sample_balance", "q_ann_int8")) {
+      val df = PipelineQueries.queries(name)(spark, sf)
+      val plan = df.queryExecution.sparkPlan
+      val planStr = plan.toString
+      assert(!planStr.contains("CartesianProduct") &&
+        !planStr.contains("BroadcastNestedLoopJoin"),
+        s"$name plans an all-pairs join:\n$planStr")
+      val windows = plan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      assert(windows.forall(_.partitionSpec.nonEmpty),
+        s"$name plans a no-partition WindowExec")
+    }
+    // balanced sampling: the rate table broadcasts, the corpus is never shuffled
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val bsPlan = graft.pipeline.TextAnalysis.balancedSample(docs, cap = 10L)
+      .queryExecution.executedPlan.toString
+    assert(bsPlan.contains("BroadcastHashJoin"),
+      s"balancedSample must broadcast the rate table:\n$bsPlan")
+    // int8 top-k: one map-shaped scan into a bounded TakeOrdered — no exchange
+    val q = Seq.fill(graft.pipeline.Similarity.Dims)(0.1f)
+    val i8 = graft.pipeline.Similarity.int8TopK(
+      spark.read.parquet(s"$sf/embeddings.parquet"), q, k = 5)
+    val i8ex = i8.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(i8ex.isEmpty, "int8TopK must be map-only + TakeOrdered (no shuffle)")
+    // CMS cell build: exactly ONE shuffle (the combinable groupBy on (d, c))
+    val cms = graft.pipeline.Sketches.cmsCells(
+      docs.select(col("source").as("k")), "k", depth = 4, width = 1024)
+    val cmsEx = cms.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(cmsEx.length <= 1, "cmsCells must shuffle exactly once (cell groupBy)")
+  }
 }
