@@ -1,0 +1,46 @@
+package graft.streaming
+
+import graft.analysis.Analyzer
+import graft.search.{MemoryIndex, Query}
+import org.apache.spark.sql.{DataFrame, Dataset}
+
+/** Streaming percolation — the alerting use of prospective search
+  * (reference: Lucene.Net.Memory/MemoryIndex.cs, whose class doc names
+  * the pattern: saved searches evaluated against every ARRIVING document,
+  * not documents evaluated against a saved index): subscriptions are the
+  * stored side, the document stream is the query side, and each arriving
+  * doc fires the (query_id, doc_id) alerts it matches.
+  *
+  * Spark-first shape: percolation against a broadcastable stored-query
+  * set is STATELESS per document — one MemoryIndex build + ADT evaluation
+  * per doc, no cross-doc state — so the streaming form is the same
+  * map-only `mapPartitions` the batch path uses
+  * ([[graft.search.Percolate.memoryPercolate]]), applied to an unbounded
+  * stream: zero shuffles, zero state store, per-micro-batch cost linear
+  * in arriving bytes, trivially correct under retrigger/replay because
+  * the operator is a pure function of the row. (Stored-query sets too
+  * large to broadcast compose the term-join prescreen first, exactly as
+  * the batch scale path documents.) */
+object StreamingPercolate {
+
+  /** Alerts for an unbounded [[StreamDoc]] stream: one (query_id, doc_id)
+    * row per stored query the arriving doc matches. Append-mode safe —
+    * stateless, no watermark needed. */
+  def alerts(docs: Dataset[StreamDoc], queries: Seq[(Long, Query)],
+             analyzer: Analyzer = Analyzer.standard): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(queries)
+    docs.mapPartitions { it =>
+      val qs = bc.value
+      val required = qs.map(q => MemoryIndex.requiredTerms(q._2))
+      it.flatMap { d =>
+        val mi = MemoryIndex.fromText(d.text, analyzer)
+        qs.iterator.zip(required.iterator).collect {
+          case ((qid, q), req)
+              if req.forall(mi.contains) && mi.matches(q) => (qid, d.doc_id)
+        }
+      }
+    }.toDF("query_id", "doc_id")
+  }
+}
