@@ -112,5 +112,7 @@ object LightStemmers {
     "da" -> SnowballDanish.stem, "no" -> SnowballNorwegian.stem,
     "sv" -> SnowballSwedish.stem, "ro" -> SnowballRomanian.stem,
     "fi" -> SnowballFinnish.stem, "hu" -> SnowballHungarian.stem,
-    "tr" -> SnowballTurkish.stem)
+    "tr" -> SnowballTurkish.stem, "hy" -> SnowballArmenian.stem,
+    "eu" -> SnowballBasque.stem, "ca" -> SnowballCatalan.stem,
+    "ga" -> SnowballIrish.stem)
 }

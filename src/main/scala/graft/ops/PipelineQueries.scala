@@ -891,7 +891,49 @@ object PipelineQueries {
        |SELECT p.a AS a, p.b AS b, CAST(sum(n) AS BIGINT) AS n
        |FROM pairs GROUP BY p.a, p.b ORDER BY n DESC, a, b LIMIT 20""".stripMargin
 
+  /** Batch perceptron, 2 epochs, label = text contains 'merge' (a
+    * learnable-by-construction target so the update dynamics are
+    * exercised): per-doc final score + thresholded prediction. The oracle
+    * unrolls both epochs as CTEs — epoch 1 from zero weights updates on
+    * every doc (y·0 ≤ 0), epoch 2 on the still-misclassified set.
+    * All-integer arithmetic end to end. */
+  def qPerceptron(spark: SparkSession, sf: String): DataFrame = {
+    val d = docs(spark, sf)
+    val label = when(col("text").contains("merge"), 1L).otherwise(-1L)
+    val w = Classify.trainPerceptron(d, label, epochs = 2)
+    Classify.perceptronScores(d, w).orderBy(col("doc_id"))
+  }
+  val oPerceptron: String =
+    s"""$TokCte, tfx AS (SELECT doc_id, unnest(ts) AS t FROM tok
+       |), tf AS (SELECT doc_id, t, count(*) AS tf FROM tfx GROUP BY doc_id, t
+       |), lab AS (
+       |  SELECT doc_id, CASE WHEN text LIKE '%merge%' THEN 1 ELSE -1 END AS y
+       |  FROM documents
+       |), w1 AS (
+       |  SELECT tf.t, CAST(sum(lab.y * tf.tf) AS BIGINT) AS w
+       |  FROM tf JOIN lab USING (doc_id) GROUP BY tf.t
+       |), s1 AS (
+       |  SELECT tf.doc_id, CAST(sum(tf.tf * w1.w) AS BIGINT) AS s
+       |  FROM tf JOIN w1 USING (t) GROUP BY tf.doc_id
+       |), mis AS (
+       |  SELECT lab.doc_id, lab.y FROM lab JOIN s1 USING (doc_id)
+       |  WHERE lab.y * s1.s <= 0
+       |), dw AS (
+       |  SELECT tf.t, CAST(sum(mis.y * tf.tf) AS BIGINT) AS dw
+       |  FROM tf JOIN mis USING (doc_id) GROUP BY tf.t
+       |), w2 AS (
+       |  SELECT w1.t, w1.w + coalesce(dw.dw, 0) AS w
+       |  FROM w1 LEFT JOIN dw USING (t)
+       |), s2 AS (
+       |  SELECT tf.doc_id, CAST(sum(tf.tf * w2.w) AS BIGINT) AS s
+       |  FROM tf JOIN w2 USING (t) GROUP BY tf.doc_id
+       |)
+       |SELECT doc_id, s,
+       |  CASE WHEN s > 0 THEN 1 WHEN s < 0 THEN -1 ELSE 0 END AS pred
+       |FROM s2 ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_perceptron" -> qPerceptron _,
     "q_bpe_pairs" -> qBpePairs _,
     "q_keywords" -> qKeywords _,
     "q_heavy_hitters" -> qHeavyHitters _,
@@ -931,6 +973,7 @@ object PipelineQueries {
     "q_multimodal_stats" -> qMultimodalStats _)
 
   val oracles: Map[String, String] = Map(
+    "q_perceptron" -> oPerceptron,
     "q_bpe_pairs" -> oBpePairs,
     "q_keywords" -> oKeywords,
     "q_heavy_hitters" -> oHeavyHitters,

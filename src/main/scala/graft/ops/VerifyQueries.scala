@@ -1002,6 +1002,35 @@ object VerifyQueries {
        |FROM tf JOIN sel USING (doc_id)
        |WHERE tf.term = 'merge' ORDER BY skey, doc_id LIMIT 20""".stripMargin
 
+  /** Ord / ReverseOrd field sources (reference:
+    * Queries/Function/ValueSources/OrdFieldSource.cs,
+    * ReverseOrdFieldSource.cs): the ordinal of each hit's `lang` among
+    * the index's sorted distinct values — built DenseIds-shaped (range
+    * partitions + offset rebase, the docId/termId construction; NO
+    * single-partition window), reverse ord = numOrds + 1 − ord with
+    * numOrds a dictionary-sized count. */
+  def qOrdField(spark: SparkSession, sf: String): DataFrame = {
+    val dir = ensure(spark, sf)
+    val reader = new graft.search.IndexReader(spark, dir)
+    val ords = graft.search.ValueSources.ordinals(reader, "lang")
+    val nOrds = ords.count()
+    val h = hits(spark, dir, Seq("merge")).select(col("doc_id"))
+    val langs = reader.docstats.select(col("docId").as("doc_id"), col("lang"))
+    h.join(langs, Seq("doc_id")).join(broadcast(ords), Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("ord"),
+        (lit(nOrds) + 1L - col("ord")).as("rord"))
+      .orderBy(col("ord"), col("doc_id")).limit(50)
+  }
+  val oOrdField: String =
+    s"""$OracleCtes, od AS (
+       |  SELECT lang, CAST(dense_rank() OVER (ORDER BY lang) AS BIGINT) AS ord
+       |  FROM (SELECT DISTINCT lang FROM documents)
+       |), nn AS (SELECT count(*) AS c FROM od)
+       |SELECT tf.doc_id, d.lang, od.ord, (nn.c + 1 - od.ord) AS rord
+       |FROM tf JOIN documents d USING (doc_id) JOIN od ON od.lang = d.lang
+       |CROSS JOIN nn
+       |WHERE tf.term = 'merge' ORDER BY od.ord, tf.doc_id LIMIT 50""".stripMargin
+
   /** Sampled facets with amortized correction (reference:
     * Facet/RandomSamplingFacetsCollector.cs): 'merge' hits exceed the
     * sample size at every SF, so the deterministic residue sampler keeps
@@ -2264,6 +2293,7 @@ object VerifyQueries {
     "q_duplicate_filter" -> qDuplicateFilter _,
     "q_slow_fuzzy" -> qSlowFuzzy _,
     "q_sortedset_sort" -> qSortedSetSort _,
+    "q_ord_field" -> qOrdField _,
     "q_facet_sampled" -> qFacetSampled _,
     "q_facet_assoc" -> qFacetAssoc _,
     "q_facet_valuesource" -> qFacetValueSource _,
@@ -2364,6 +2394,7 @@ object VerifyQueries {
     "q_duplicate_filter" -> oDuplicateFilter,
     "q_slow_fuzzy" -> oSlowFuzzy,
     "q_sortedset_sort" -> oSortedSetSort,
+    "q_ord_field" -> oOrdField,
     "q_facet_sampled" -> oFacetSampled,
     "q_facet_assoc" -> oFacetAssoc,
     "q_facet_valuesource" -> oFacetValueSource,

@@ -112,4 +112,81 @@ object Classify {
     else top.groupBy(_.getString(1)).view.mapValues(_.length).toSeq
       .maxBy { case (label, n) => (n, label) }._1
   }
+
+  // ---------------------------------------------------------- perceptron
+
+  /** Binary perceptron over term frequencies (reference:
+    * Lucene.Net.Classification/BooleanPerceptronClassifier.cs — an online
+    * perceptron whose weights live in a term→weight FST, trained
+    * sequentially doc-by-doc off the index, classifying by thresholded
+    * Σ tf·w). Sequential SGD does not distribute; the Spark-first
+    * restatement is the BATCH perceptron: each epoch scores EVERY doc
+    * against the current weights (one equi-join + one map-side-combinable
+    * groupBy), takes the misclassified set (y·s ≤ 0 — epoch 1 with zero
+    * weights updates on all docs, the batch analog of their
+    * first-pass-fills-the-FST behavior), and applies the SUMMED update
+    * w_t += Σ_misclassified y·tf(d,t) in one more combinable groupBy
+    * merged into the weight table.
+    *
+    * Scale shape: the weight state is a (t, w) TABLE — never driver-side,
+    * so the vocabulary can be term-dict-sized; one epoch = two shuffles
+    * regardless of corpus size. Per-epoch state is persist+materialize+
+    * release (CacheManager-tracked so each epoch's cache is DETERMINISTICALLY
+    * freed when the next lands — the k-means/DenseIds hygiene; the logical
+    * plan nests per epoch, fine at perceptron-typical epoch counts, and a
+    * production run past dozens of epochs would re-root via a checkpoint
+    * dir). All-integer arithmetic (tf counts,
+    * ±1 labels, long weights) → bit-exact cross-engine parity, no
+    * learning-rate float drift.
+    *
+    * @param docs  (doc_id, text)
+    * @param label ±1 label column (any integral expression over the row)
+    * @return (t, w) learned weights */
+  def trainPerceptron(docs: DataFrame, label: org.apache.spark.sql.Column,
+                      epochs: Int): DataFrame = {
+    require(epochs >= 1, "epochs >= 1")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // cached (not localCheckpoint'd): DataFrame.unpersist releases
+    // CacheManager entries deterministically, while checkpoint RDD blocks
+    // wait for ContextCleaner GC — and this loop must not stack state
+    val tf = docs.select(col("doc_id"), label.cast("long").as("y"),
+        explode(Dedup.tokensCol("text")).as("t"))
+      .groupBy($"doc_id", $"y", $"t").agg(count("*").as("tf"))
+      .persist()
+    var weights = spark.emptyDataset[(String, Long)].toDF("t", "w")
+    try {
+      for (_ <- 0 until epochs) {
+        val scores = tf.join(weights, Seq("t"), "left_outer")
+          .withColumn("w", coalesce($"w", lit(0L)))
+          .groupBy($"doc_id", $"y").agg(sum($"tf" * $"w").as("s"))
+        val mis = scores.where($"y" * $"s" <= 0).select($"doc_id")
+        val delta = tf.join(mis, Seq("doc_id"), "left_semi")
+          .groupBy($"t").agg(sum($"y" * $"tf").as("dw"))
+        val next = weights.join(delta, Seq("t"), "full_outer")
+          .select($"t",
+            (coalesce($"w", lit(0L)) + coalesce($"dw", lit(0L))).as("w"))
+          .persist()
+        next.count() // materialize BEFORE dropping the cache it reads
+        weights.unpersist(blocking = true)
+        weights = next
+      }
+      weights
+    } finally { tf.unpersist(blocking = true); () }
+  }
+
+  /** Thresholded scores for a trained weight table: s = Σ tf·w, pred =
+    * sign(s) (0 when undecided — docs sharing no weighted term score 0
+    * through the left join). */
+  def perceptronScores(docs: DataFrame, weights: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), explode(Dedup.tokensCol("text")).as("t"))
+      .groupBy($"doc_id", $"t").agg(count("*").as("tf"))
+      .join(weights, Seq("t"), "left_outer")
+      .withColumn("w", coalesce($"w", lit(0L)))
+      .groupBy($"doc_id").agg(sum($"tf" * $"w").as("s"))
+      .select($"doc_id", $"s",
+        when($"s" > 0, 1).when($"s" < 0, -1).otherwise(0).as("pred"))
+  }
 }

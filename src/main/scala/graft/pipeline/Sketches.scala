@@ -66,6 +66,7 @@ object Sketches {
   /** The distributed (d, c, n) cell table over `keys` (one input row per
     * occurrence), ≤ depth×width rows. */
   def cmsCells(keys: DataFrame, keyCol: String, depth: Int, width: Int): DataFrame = {
+    require(depth >= 1 && width >= 2, s"need depth >= 1, width >= 2 (got $depth x $width)")
     val k = col(keyCol)
     keys.select(h1c(k, width).as("h1"), h2c(k, width).as("h2"))
       .select(explode(sequence(lit(0), lit(depth - 1))).as("d"), col("h1"), col("h2"))

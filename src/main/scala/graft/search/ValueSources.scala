@@ -58,6 +58,21 @@ object ValueSources {
   def sumTotalTermFreq(reader: IndexReader): ScoreExpr =
     Const(reader.collectionStats.sumTotalTermFreq.toFloat)
 
+  /** OrdFieldSource.cs / ReverseOrdFieldSource.cs — the ordinal of a
+    * doc's field value within the index's sorted distinct values, the one
+    * ValueSource family member that genuinely varies per doc AND needs a
+    * global structure. The reference reads it off the per-segment
+    * SortedDocValues ords; here the ordinal dictionary is built exactly
+    * like docIds and term ids — [[graft.build.DenseIds]]: range-partition
+    * + in-partition sort + offset rebase, value-identical to
+    * `dense_rank() OVER (ORDER BY value)` with NO single-partition window
+    * and no driver collect of the values. Returns (field, ord) with ord
+    * dense from 1; reverse ord = (numOrds + 1 − ord), numOrds being a
+    * dictionary-sized count. */
+  def ordinals(reader: IndexReader, field: String): org.apache.spark.sql.DataFrame =
+    graft.build.DenseIds.assign(
+      reader.docstats.select(col(field)), field, "ord")
+
   /** ScaleFloatFunction.cs:49-76 over the doc-length source: map dl into
     * [targetMin, targetMax] using the corpus-global min/max doc length
     * (their ScaleInfo, computed once per reader there, one stats-sized
