@@ -34,7 +34,9 @@ final class Analyzer(val stopWords: Set[String], val maxTokenLength: Int = 255,
     val tokenizer: String => Array[RawToken] = UAX29Tokenizer.tokenize,
     val stemmer: Option[String => String] = None,
     val synonyms: Map[String, Seq[String]] = Map.empty,
-    val fold: Boolean = false)
+    val fold: Boolean = false,
+    val elisionArticles: Set[String] = Set.empty,
+    val lowerCaser: String => String = Analyzer.LowerCaseFn)
     extends Serializable {
 
   def analyze(text: String): AnalyzedDoc = {
@@ -51,8 +53,13 @@ final class Analyzer(val stopWords: Set[String], val maxTokenLength: Int = 255,
         // fold AFTER lowercase (reference ICUFoldingFilter chain order);
         // the stop check then sees folded terms, so a folding chain's
         // stop list must itself be folded (foldingForLang does this)
-        val lowered0 = Analyzer.lowerCase(t.term)
-        val lowered = if (fold) Folding.fold(lowered0) else lowered0
+        val lowered0 = lowerCaser(t.term)
+        val lowered1 = if (fold) Folding.fold(lowered0) else lowered0
+        // elision BEFORE the stop filter (reference chain: Standard →
+        // Elision → LowerCase → Stop — l'homme must stop-check as homme)
+        val lowered =
+          if (elisionArticles.isEmpty) lowered1
+          else Analyzer.elide(lowered1, elisionArticles)
         if (!stopWords.contains(lowered)) {
           // stem AFTER the stop filter (reference EnglishAnalyzer chain:
           // ...LowerCase → Stop → PorterStemFilter)
@@ -85,6 +92,13 @@ final class Analyzer(val stopWords: Set[String], val maxTokenLength: Int = 255,
 }
 
 object Analyzer {
+  /** [[lowerCase]] as a serializable default for the Analyzer param
+    * (declared first: object vals initialize in order and every Analyzer
+    * constructed below captures it as the default). */
+  val LowerCaseFn: String => String = new (String => String) with Serializable {
+    def apply(s: String): String = lowerCase(s)
+  }
+
   /** The classic English stop set (reference: StopAnalyzer.cs:48-51). */
   val EnglishStopWords: Set[String] = Set(
     "a", "an", "and", "are", "as", "at", "be", "but", "by",
@@ -206,6 +220,47 @@ object Analyzer {
   val IrishStopWords: Set[String] = ("a ach ag agus an aon ar arna as ba beirt " +
     "chomh chuig chun cois cúig dar de deich den do don dtí dá dár faoi gach " +
     "go i le mar na nach ní ó roimh trí um ár é í").split(" ").toSet
+  val CatalanStopWords: Set[String] = ("a abans ací ah així això al als " +
+    "aleshores algun alguna algunes alguns alhora allà allí allò altra altre " +
+    "altres amb ambdues ambdós apa aquell aquella aquelles aquells aquest " +
+    "aquesta aquestes aquests aquí").split(" ").toSet
+  val BasqueStopWords: Set[String] = ("al anitz arabera asko baina bat batean " +
+    "batek bati batzuei batzuek batzuetan batzuk bera beraiek berau berauek " +
+    "bere berori beroriek beste bezala da dago dira ditu du dute edo egin ere " +
+    "eta eurak ez gainera gu gutxi guzti").split(" ").toSet
+  val ArmenianStopWords: Set[String] = ("այդ այլ այն այս դու դուք եմ են ենք ես " +
+    "եք է էի էին էինք էիր էիք էր ըստ թ ի ին իսկ իր կամ համար հետ հետո մենք մեջ " +
+    "մի ն նա նաև նրա նրանք որ").split(" ").toSet
+
+  /** Elision article sets (reference: Analysis/Util/ElisionFilter.cs and
+    * the per-language DEFAULT_ARTICLES — FrenchAnalyzer.cs:92-96,
+    * CatalanAnalyzer.cs:49-51, IrishAnalyzer.cs:42-46,
+    * ItalianAnalyzer.cs:51-56): `l'homme` indexes as `homme`. */
+  val ElisionArticles: Map[String, Set[String]] = Map(
+    "fr" -> Set("l", "m", "t", "qu", "n", "s", "j", "d", "c", "jusqu",
+      "quoiqu", "lorsqu", "puisqu"),
+    "ca" -> Set("d", "l", "m", "n", "s", "t"),
+    "ga" -> Set("d", "m", "b"),
+    "it" -> Set("c", "l", "all", "dall", "dell", "nell", "sull", "coll",
+      "pell", "gl", "agl", "dagl", "degl", "negl", "sugl", "un", "m", "t",
+      "s", "v", "d"))
+
+  /** ElisionFilter.cs semantics: if the token has an apostrophe and the
+    * text before the FIRST apostrophe is a listed article, emit the text
+    * after it (offsets untouched, like the reference). Both the ASCII
+    * apostrophe and U+2019 count. */
+  def elide(term: String, articles: Set[String]): String = {
+    var i = 0
+    while (i < term.length) {
+      val c = term.charAt(i)
+      if (c == '\'' || c == '’') {
+        return if (articles.contains(term.substring(0, i))) term.substring(i + 1)
+               else term
+      }
+      i += 1
+    }
+    term
+  }
   val perLang: Map[String, Set[String]] = Map(
     "es" -> SpanishStopWords,
     "fr" -> FrenchStopWords,
@@ -230,6 +285,9 @@ object Analyzer {
     "lv" -> LatvianStopWords,
     "el" -> GreekStopWords,
     "ga" -> IrishStopWords,
+    "ca" -> CatalanStopWords,
+    "eu" -> BasqueStopWords,
+    "hy" -> ArmenianStopWords,
   ).withDefaultValue(EnglishStopWords)
 
   /** Source-code chain (the WordDelimiterFilter analog for the code
@@ -247,7 +305,9 @@ object Analyzer {
 
   def forLang(lang: String): Analyzer = lang match {
     case "zh" | "ja" | "ko" => cjk
-    case l => new Analyzer(perLang(l))
+    case l => new Analyzer(perLang(l),
+      elisionArticles = ElisionArticles.getOrElse(l, Set.empty),
+      lowerCaser = LowerCasers.getOrElse(l, LowerCaseFn))
   }
 
   /** Folding chain (reference ICUFoldingFilter placement: tokenize →
@@ -270,14 +330,18 @@ object Analyzer {
     * unstemmed for exact-term parity. */
   def stemmingForLang(lang: String): Analyzer =
     new Analyzer(perLang(lang), 255, UAX29Tokenizer.tokenize,
-      LightStemmers.byLang.get(lang))
+      LightStemmers.byLang.get(lang),
+      elisionArticles = ElisionArticles.getOrElse(lang, Set.empty),
+      lowerCaser = LowerCasers.getOrElse(lang, LowerCaseFn))
 
   /** Full-Snowball per-language chain (reference SnowballFilter shape:
     * tokenize → lowercase → stop → SnowballStemmer) — opt-in where
     * [[stemmingForLang]]'s default is a light stemmer (es/de). */
   def snowballForLang(lang: String): Analyzer =
     new Analyzer(perLang(lang), 255, UAX29Tokenizer.tokenize,
-      LightStemmers.snowball.get(lang))
+      LightStemmers.snowball.get(lang),
+      elisionArticles = ElisionArticles.getOrElse(lang, Set.empty),
+      lowerCaser = LowerCasers.getOrElse(lang, LowerCaseFn))
 
   /** SQL-replicable tokenization: `[a-z0-9_]+` runs over the lowercased
     * text — exactly `regexp_extract_all(lower(text), '[a-z0-9_]+')` in
@@ -297,6 +361,15 @@ object Analyzer {
 
   /** Analyzer for DuckDB-oracled queries: regex tokens, no stopwords. */
   val sqlParity: Analyzer = new Analyzer(Set.empty, Int.MaxValue, RegexTokenizer)
+
+  /** Per-language lowercasers that are NOT the generic per-codepoint map
+    * (reference: Analysis/Tr/TurkishLowerCaseFilter.cs, the dotted/
+    * dotless-i rules; Analysis/Ga/IrishLowerCaseFilter.cs is a stemmer-
+    * slot normalizer instead, see LanguagePacks.IrishLowerCase). */
+  val LowerCasers: Map[String, String => String] = Map(
+    "tr" -> new (String => String) with Serializable {
+      def apply(s: String): String = TurkishLowerCase(s)
+    })
 
   /** Per-codepoint Character.toLowerCase — reference LowerCaseFilter.cs:54. */
   def lowerCase(s: String): String = {

@@ -569,3 +569,51 @@ object IrishLowerCase {
     Analyzer.lowerCase(prefixed)
   }
 }
+
+/** Turkish-aware lowercasing (reference:
+  * Analysis/Tr/TurkishLowerCaseFilter.cs): the dotted/dotless i rules the
+  * generic per-codepoint lowercase gets wrong for Turkish — İ (U+0130)
+  * lowers to i, I lowers to ı (U+0131) UNLESS a combining dot above
+  * follows through non-spacing marks (then I→i and the dot is consumed);
+  * a combining dot above in i-or-after state is deleted. Everything else
+  * is per-codepoint Character.toLowerCase, exactly the reference loop. */
+object TurkishLowerCase {
+  private final val DotAbove = 0x0307
+
+  def apply(s: String): String = {
+    val sb = new java.lang.StringBuilder(s.length)
+    var iOrAfter = false
+    var i = 0
+    while (i < s.length) {
+      val ch = s.codePointAt(i)
+      iOrAfter = ch == 'I' ||
+        (iOrAfter && Character.getType(ch) == Character.NON_SPACING_MARK)
+      var handled = false
+      if (iOrAfter) {
+        if (ch == DotAbove) handled = true // delete the dot
+        else if (ch == 'I') {
+          if (isBeforeDot(s, i + 1)) sb.append('i') // iOrAfter stays true
+          else { sb.append('ı'); iOrAfter = false }
+          handled = true
+        }
+      }
+      if (!handled) {
+        if (ch == 0x0130) sb.append('i') // İ — tr-culture lowercase
+        else sb.appendCodePoint(Character.toLowerCase(ch))
+      }
+      i += Character.charCount(ch)
+    }
+    sb.toString
+  }
+
+  private def isBeforeDot(s: String, pos: Int): Boolean = {
+    var i = pos
+    while (i < s.length) {
+      val ch = s.codePointAt(i)
+      if (Character.getType(ch) != Character.NON_SPACING_MARK) return false
+      if (ch == DotAbove) return true
+      i += Character.charCount(ch)
+    }
+    false
+  }
+}

@@ -245,4 +245,43 @@ class AnalyzerSpec extends AnyFunSuite {
     val a = Phonetic.analyzer
     assert(a.analyzeTerms("Robert").toSeq === a.analyzeTerms("Rupert").toSeq)
   }
+
+  test("elision: articles stripped before the stop filter (fr/ca/ga/it)") {
+    // l'homme -> homme; qu'il -> il (a stop word -> dropped entirely)
+    val fr = Analyzer.forLang("fr")
+    assert(fr.analyzeTerms("l'homme parle").toSeq === Seq("homme", "parle"))
+    assert(fr.analyzeTerms("jusqu'au matin").toSeq === Seq("matin")) // au is stopped
+    // curly apostrophe too (ElisionFilter.cs accepts both)
+    assert(fr.analyzeTerms("l\u2019homme").toSeq === Seq("homme"))
+    // non-article prefixes keep the apostrophe form intact
+    assert(fr.analyzeTerms("aujourd'hui").toSeq === Seq("aujourd'hui"))
+    val ca = Analyzer.forLang("ca")
+    assert(ca.analyzeTerms("l'aigua d'estiu").toSeq === Seq("aigua", "estiu"))
+    val it = Analyzer.forLang("it")
+    assert(it.analyzeTerms("dell'acqua").toSeq === Seq("acqua"))
+    // english chain never elides
+    assert(Analyzer.standard.analyzeTerms("o'brien").toSeq === Seq("o'brien"))
+  }
+
+  test("ca/eu/hy stop lists + snowball chains wire end-to-end") {
+    assert(Analyzer.perLang("ca")(("aquesta")))
+    assert(Analyzer.perLang("eu")(("bezala")))
+    assert(Analyzer.perLang("hy")("\u0561\u0575\u0564")) // այդ
+    val eu = Analyzer.snowballForLang("eu")
+    assert(eu.analyzeTerms("egunkaria bezala").toSeq === Seq("egun"))
+    val ca = Analyzer.snowballForLang("ca")
+    assert(ca.analyzeTerms("cantava").toSeq === Seq("cant"))
+  }
+
+  test("Turkish lowercasing: dotted/dotless i rules (TurkishLowerCaseFilter)") {
+    assert(TurkishLowerCase("\u0130STANBUL") === "istanbul")   // İSTANBUL
+    assert(TurkishLowerCase("ISPARTA") === "\u0131sparta")      // ısparta
+    assert(TurkishLowerCase("D\u0130YARBAKIR") === "diyarbak\u0131r")
+    // I + combining dot above -> i, dot consumed
+    assert(TurkishLowerCase("I\u0307stanbul") === "istanbul")
+    // the per-language chain uses it; the generic chain must NOT
+    val tr = Analyzer.forLang("tr")
+    assert(tr.analyzeTerms("ISPARTA").toSeq === Seq("\u0131sparta"))
+    assert(Analyzer.standard.analyzeTerms("ISPARTA").toSeq === Seq("isparta"))
+  }
 }
