@@ -932,7 +932,28 @@ object PipelineQueries {
        |  CASE WHEN s > 0 THEN 1 WHEN s < 0 THEN -1 ELSE 0 END AS pred
        |FROM s2 ORDER BY doc_id""".stripMargin
 
+  /** HTML strip over the documents wrapped in synthetic markup inside the
+    * query (deterministic; the raw table has no markup): script + comment
+    * blocks, tags, entities, whitespace collapse — both engines run the
+    * IDENTICAL lookaround-free pattern chain. */
+  def qStripHtml(spark: SparkSession, sf: String): DataFrame =
+    docs(spark, sf).select(col("doc_id"),
+      TextAnalysis.stripHtml(concat(
+        lit("""<div class="doc"><!-- c --><script>var x = 1 < 2;</script><p>"""),
+        col("text"),
+        lit("""</p>&amp;amp; A&nbsp;&lt;tail&gt;<br/></div>""")))
+        .as("clean"))
+      .orderBy(col("doc_id"))
+  val oStripHtml: String = {
+    val wrapped = """'<div class="doc"><!-- c --><script>var x = 1 < 2;</script><p>' || text || '</p>&amp;amp; A&nbsp;&lt;tail&gt;<br/></div>'"""
+    val inner = TextAnalysis.HtmlStripSteps.foldLeft(wrapped) { case (e, (p, r)) =>
+      s"regexp_replace($e, '${p.replace("'", "''")}', '${r.replace("'", "''")}', 'g')"
+    }
+    s"SELECT doc_id, trim($inner) AS clean FROM documents ORDER BY doc_id"
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_strip_html" -> qStripHtml _,
     "q_perceptron" -> qPerceptron _,
     "q_bpe_pairs" -> qBpePairs _,
     "q_keywords" -> qKeywords _,
@@ -973,6 +994,7 @@ object PipelineQueries {
     "q_multimodal_stats" -> qMultimodalStats _)
 
   val oracles: Map[String, String] = Map(
+    "q_strip_html" -> oStripHtml,
     "q_perceptron" -> oPerceptron,
     "q_bpe_pairs" -> oBpePairs,
     "q_keywords" -> oKeywords,

@@ -251,6 +251,35 @@ object TextAnalysis {
         (sum(col("nlp")) / count(lit(1))).as("ce"))
   }
 
+  // ------------------------------------------------------- HTML stripping
+
+  /** HTML strip (reference: Analysis/CharFilter/HTMLStripCharFilter.cs —
+    * there a 30k-line generated scanner that preserves original offsets
+    * because the reference highlights over the raw markup; this engine
+    * indexes post-strip, so the pipeline form is a codegen'd column op —
+    * the web-corpus preprocessing shape, one map pass over the scan):
+    * script/style blocks dropped whole, comments dropped, tags replaced
+    * by a space (block boundaries must not glue words), the core named
+    * entities decoded, whitespace collapsed and trimmed. Patterns are
+    * lookaround-free with inline (?s)/(?i) flags only, so the identical
+    * pattern text runs under Java regex (Spark codegen) and RE2-class
+    * engines (the oracle). The reference's MappingCharFilter /
+    * PatternReplaceCharFilter are this same regexp_replace shape by
+    * construction (survey: native). */
+  val HtmlStripSteps: Seq[(String, String)] = Seq(
+    ("(?is)<script[^>]*>.*?</script>", " "),
+    ("(?is)<style[^>]*>.*?</style>", " "),
+    ("(?s)<!--.*?-->", " "),
+    ("(?s)<[^>]*>", " "),
+    // &amp; decodes LAST so "&amp;lt;" single-decodes to "&lt;" (the
+    // reference's one-pass entity scan never re-reads its own output)
+    ("&lt;", "<"), ("&gt;", ">"), ("&quot;", "\""),
+    ("&apos;", "'"), ("&#39;", "'"), ("&nbsp;", " "), ("&amp;", "&"),
+    ("[ \\t\\r\\n]+", " "))
+
+  def stripHtml(text: Column): Column =
+    trim(HtmlStripSteps.foldLeft(text) { case (c, (p, r)) => regexp_replace(c, p, r) })
+
   // --------------------------------------------------- keyword extraction
 
   /** TF-IDF keyword extraction: the top-k most characteristic terms per

@@ -305,6 +305,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(seeds(1)._2.toSeq.map(x => math.rint(x * 10) / 10) === Seq(5.0, 5.0))
   }
 
+  test("stripHtml: blocks, tags, entities, single-pass decode, whitespace") {
+    import spark.implicits._
+    val cases = Seq(
+      ("<p>hello <b>world</b></p>", "hello world"),
+      ("<script>if (a < b) alert('x');</script>body", "body"),
+      ("<style type=\"text/css\">p { color: red }</style>text", "text"),
+      ("before<!-- a\ncomment -->after", "before after"),
+      ("a&amp;b &lt;tag&gt; &quot;q&quot; &nbsp;", "a&b <tag> \"q\""),
+      ("&amp;lt; stays encoded once", "&lt; stays encoded once"), // single decode
+      ("multi\n\nline\t text", "multi line text"))
+    val got = cases.map(_._1).toDF("text")
+      .select(TextAnalysis.stripHtml($"text").as("s")).as[String].collect()
+    got.zip(cases.map(_._2)).foreach { case (g, e) => assert(g === e) }
+  }
+
   test("tfidf keywords: corpus-common terms rank below doc-specific ones") {
     import spark.implicits._
     // "shared" appears in every doc (idf = 0); each doc has one unique term
