@@ -2199,6 +2199,44 @@ object VerifyQueries {
       |FROM customer JOIN orders ON o_custkey = c_custkey
       |GROUP BY 1, 2 ORDER BY score DESC, c_custkey LIMIT 20""".stripMargin
 
+  /** Query-time join score modes (reference: Lucene.Net.Join/JoinUtil.cs
+    * + TermsWithScoreCollector.cs — ScoreMode.{Total, Avg, Max, None}):
+    * Total is q_join_scores; here Avg and Max over the same exact-cents
+    * frame (integer order-independence keeps both engines bit-equal; the
+    * avg divides the exact sum by the count in one explicit double
+    * division) plus the None-mode matched-child count. */
+  def qJoinScoreModes(spark: SparkSession, sf: String): DataFrame = {
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+      .select(col("o_custkey"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("c"))
+    val agg = o.groupBy(col("o_custkey")).agg(
+      sum(col("c")).as("cs"), max(col("c")).as("cm"), count(lit(1)).as("n"))
+    val cust = spark.read.parquet(s"$sf/customer.parquet")
+      .select(col("c_custkey"))
+    cust.join(agg, cust("c_custkey") === agg("o_custkey"))
+      .select(col("c_custkey"),
+        round(col("cs").cast("double") / col("n").cast("double") / 100.0, 2)
+          .as("avg_score"),
+        round(col("cm").cast("double") / 100.0, 2).as("max_score"),
+        col("n").as("n_matched"))
+      .orderBy(col("avg_score").desc, col("c_custkey")).limit(20)
+  }
+  val oJoinScoreModes: String =
+    """WITH o AS (
+      |  SELECT o_custkey, CAST(round(o_totalprice * 100) AS BIGINT) AS c
+      |  FROM orders
+      |), agg AS (
+      |  SELECT o_custkey, CAST(sum(c) AS BIGINT) AS cs, max(c) AS cm,
+      |         count(*) AS n
+      |  FROM o GROUP BY o_custkey
+      |)
+      |SELECT c_custkey,
+      |  round(cs * 1.0e0 / n / 100.0e0, 2) AS avg_score,
+      |  round(cm * 1.0e0 / 100.0e0, 2) AS max_score,
+      |  n AS n_matched
+      |FROM customer JOIN agg ON o_custkey = c_custkey
+      |ORDER BY avg_score DESC, c_custkey LIMIT 20""".stripMargin
+
   /** Parent→child block-join navigation (reference:
     * Lucene.Net.Join/ToChildBlockJoinQuery.cs): parents matching a
     * predicate return their CHILD docs. */
@@ -2341,6 +2379,7 @@ object VerifyQueries {
     "q_drilldown" -> qDrilldown _,
     "q_drill_sideways" -> qDrillSideways _,
     "q_join_scores" -> qJoinScores _,
+    "q_join_scoremodes" -> qJoinScoreModes _,
     "q_child_join" -> qChildJoin _,
     "q_doc_lengths" -> qDocLengths _,
     "q_collection_stats" -> qCollectionStats _,
@@ -2442,6 +2481,7 @@ object VerifyQueries {
     "q_drilldown" -> oDrilldown,
     "q_drill_sideways" -> oDrillSideways,
     "q_join_scores" -> oJoinScores,
+    "q_join_scoremodes" -> oJoinScoreModes,
     "q_child_join" -> oChildJoin,
     "q_doc_lengths" -> oDocLengths,
     "q_collection_stats" -> oCollectionStats,
