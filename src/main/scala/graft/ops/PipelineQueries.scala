@@ -952,7 +952,41 @@ object PipelineQueries {
     s"SELECT doc_id, trim($inner) AS clean FROM documents ORDER BY doc_id"
   }
 
+  /** BPE round-2 surface: the pair census AFTER the first learned merge —
+    * exercises the trainer's full argmax → greedy-leftmost merge →
+    * recount loop against an oracle that derives merge 1 itself and
+    * applies it via SQL `replace` (leftmost-nonoverlapping — exactly the
+    * greedy fold when round-1 symbols are single chars), sentinel '#'
+    * (outside the token alphabet) standing in for the merged symbol and
+    * decoded back before the tie-break ordering. */
+  def qBpeMerge(spark: SparkSession, sf: String): DataFrame =
+    Bpe.censusAfter(docs(spark, sf), nMerges = 1)
+      .orderBy(col("n").desc, col("a"), col("b")).limit(20)
+  val oBpeMerge: String =
+    s"""$TokCte, words AS (SELECT unnest(ts) AS w FROM tok
+       |), wc AS (SELECT w, count(*) AS n FROM words GROUP BY w
+       |), c1 AS (
+       |  SELECT unnest([struct_pack(a := w[i], b := w[i + 1])
+       |                 FOR i IN range(1, length(w))]) AS p, n
+       |  FROM wc WHERE length(w) >= 2
+       |), census1 AS (
+       |  SELECT p.a AS a, p.b AS b, sum(n) AS n FROM c1 GROUP BY p.a, p.b
+       |), m1 AS (
+       |  SELECT a || b AS m FROM census1 ORDER BY n DESC, a, b LIMIT 1
+       |), w2 AS (
+       |  SELECT replace(wc.w, m1.m, '#') AS w, wc.n AS n FROM wc, m1
+       |), c2 AS (
+       |  SELECT unnest([struct_pack(a := w[i], b := w[i + 1])
+       |                 FOR i IN range(1, length(w))]) AS p, n
+       |  FROM w2 WHERE length(w) >= 2
+       |)
+       |SELECT replace(p.a, '#', (SELECT m FROM m1)) AS a,
+       |       replace(p.b, '#', (SELECT m FROM m1)) AS b,
+       |       CAST(sum(n) AS BIGINT) AS n
+       |FROM c2 GROUP BY 1, 2 ORDER BY n DESC, a, b LIMIT 20""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_bpe_merge" -> qBpeMerge _,
     "q_strip_html" -> qStripHtml _,
     "q_perceptron" -> qPerceptron _,
     "q_bpe_pairs" -> qBpePairs _,
@@ -994,6 +1028,7 @@ object PipelineQueries {
     "q_multimodal_stats" -> qMultimodalStats _)
 
   val oracles: Map[String, String] = Map(
+    "q_bpe_merge" -> oBpeMerge,
     "q_strip_html" -> oStripHtml,
     "q_perceptron" -> oPerceptron,
     "q_bpe_pairs" -> oBpePairs,

@@ -93,6 +93,21 @@ object Bpe {
     } finally { syms.unpersist(); () }
   }
 
+  /** The pair census AFTER training `nMerges` merges — the table the
+    * NEXT merge would argmax over (gate surface for the full
+    * argmax → greedy-merge → recount loop; an independent engine
+    * reproduces round k+1 from round k via leftmost-nonoverlapping
+    * string replacement of the learned pair, which is exactly the
+    * greedy fold's semantics when round-k symbols are single units). */
+  def censusAfter(docs: DataFrame, nMerges: Int): DataFrame = {
+    val merges = train(docs, nMerges)
+    val syms = merges.foldLeft(
+      wordTypes(docs).select(charSyms(col("w")).as("syms"), col("n"))) {
+      case (df, (a, b)) => df.select(applyMerge(col("syms"), a, b).as("syms"), col("n"))
+    }
+    pairCensus(syms)
+  }
+
   /** Tokenize a word column with a learned merge list (applied in
     * training order — the standard BPE encode). */
   def encode(words: DataFrame, wordCol: String,

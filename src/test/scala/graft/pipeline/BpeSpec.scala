@@ -61,6 +61,18 @@ class BpeSpec extends AnyFunSuite {
       enc("lowest").exists(_.endsWith("est")))
   }
 
+  test("censusAfter: round-2 counts reflect the applied first merge") {
+    val c = Bpe.censusAfter(docs, nMerges = 1)
+      .as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    // merge 1 is (e,s): newest -> n,e,w,es,t and widest -> w,i,d,es,t
+    assert(c(("es", "t")) === 9L)
+    assert(c(("w", "es")) === 6L)
+    assert(c(("d", "es")) === 3L)
+    assert(!c.contains(("e", "s"))) // the merged pair is gone
+    assert(c(("l", "o")) === 7L)    // untouched words keep their counts
+  }
+
   test("train stops early when words are fully fused") {
     val tiny = Seq((0L, "ab ab")).toDF("doc_id", "text")
     val merges = Bpe.train(tiny, nMerges = 10)
