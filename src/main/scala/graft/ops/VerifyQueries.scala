@@ -1822,6 +1822,35 @@ object VerifyQueries {
        |  FROM scored s JOIN documents d USING (doc_id))
        |WHERE rn <= 2 ORDER BY lang, rn""".stripMargin
 
+  /** Within-group sort by a FIELD instead of relevance (reference:
+    * Lucene.Net.Grouping/GroupingSearch.cs SetSortWithinGroup +
+    * AbstractSecondPassGroupingCollector's withinGroupSort): each
+    * source's top-2 'merge' hits ordered by the stored n_chars field —
+    * the collector's Sort(SortField) path where q_group_top2 is its
+    * relevance path. Window partitioned by group key (a partition is one
+    * group's hits — never corpus-wide). */
+  def qGroupSortField(spark: SparkSession, sf: String): DataFrame = {
+    val dir = ensure(spark, sf)
+    val h = hits(spark, dir, Seq("merge")).select(col("doc_id")).distinct()
+    val meta = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("n_chars"), col("doc_id"))
+    h.join(meta, Seq("doc_id"))
+      .withColumn("rn", row_number().over(w)).where(col("rn") <= 2)
+      .select(col("source"), col("rn"), col("doc_id"), col("n_chars"))
+      .orderBy(col("source"), col("rn"))
+  }
+  val oGroupSortField: String =
+    s"""$OracleCtes
+       |SELECT source, rn, doc_id, n_chars FROM (
+       |  SELECT d.source, d.doc_id, d.n_chars,
+       |    row_number() OVER (PARTITION BY d.source
+       |                       ORDER BY d.n_chars, d.doc_id) AS rn
+       |  FROM (SELECT DISTINCT doc_id FROM tf WHERE term = 'merge') h
+       |  JOIN documents d USING (doc_id))
+       |WHERE rn <= 2 ORDER BY source, rn""".stripMargin
+
   /** Search-after WITHIN groups (reference:
     * Lucene.Net.Grouping/AbstractSecondPassGroupingCollector.cs +
     * GroupingSearch paging — the page after each group's top-2): rows
@@ -2389,6 +2418,7 @@ object VerifyQueries {
     "q_facet_dl_hist" -> qFacetDlHist _,
     "q_facet_path" -> qFacetPath _,
     "q_group_top2" -> qGroupTop2 _,
+    "q_group_sortfield" -> qGroupSortField _,
     "q_mlt_terms" -> qMltTerms _,
     "q_mlt_query" -> qMltQuery _,
     "q_block_join" -> qBlockJoin _,
@@ -2491,6 +2521,7 @@ object VerifyQueries {
     "q_facet_dl_hist" -> oFacetDlHist,
     "q_facet_path" -> oFacetPath,
     "q_group_top2" -> oGroupTop2,
+    "q_group_sortfield" -> oGroupSortField,
     "q_mlt_terms" -> oMltTerms,
     "q_mlt_query" -> oMltQuery,
     "q_block_join" -> oBlockJoin,
