@@ -1,6 +1,6 @@
 package graft.ops
 
-import graft.pipeline.{Bpe, Classify, Dedup, Multimodal, Packing, Similarity, TextAnalysis}
+import graft.pipeline.{Bpe, Classify, Dedup, Dsir, Multimodal, Packing, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -718,7 +718,11 @@ object PipelineQueries {
       .agg(count(lit(1)).as("n"), round(avg(col("label")), 6).as("avg_label"))
       .orderBy(col("cluster"))
   }
-  val oKmeans: String = {
+  /** k-means CTE chain ending in `a2(vec_id, cell)` — two unrolled
+    * Lloyd's rounds from the vec_id<4 seeds with the deterministic
+    * lowest-cell tie-break. Shared by the kmeans gate and the SemDeDup
+    * gate (whose clusters must match the Spark trainer's exactly). */
+  private val KmeansA2Ctes: String = {
     // one assignment round against a (cell, i, m) centroid table
     def assign(cent: String, name: String): String =
       s"""d_$name AS (
@@ -738,7 +742,7 @@ object PipelineQueries {
          |  FROM $asgn a JOIN e USING (vec_id), generate_series(1, 64) AS g(i)
          |  GROUP BY a.cell, g.i
          |)""".stripMargin
-    s"""WITH e AS (
+    s"""e AS (
        |  SELECT vec_id, embedding, label FROM embeddings
        |), c0 AS (
        |  SELECT CAST(vec_id AS INT) AS cell, g.i,
@@ -746,11 +750,78 @@ object PipelineQueries {
        |  FROM embeddings, generate_series(1, 64) AS g(i) WHERE vec_id < 4
        |), ${assign("c0", "a0")}, ${update("a0", "c1")},
        |${assign("c1", "a1")}, ${update("a1", "c2")},
-       |${assign("c2", "a2")}
+       |${assign("c2", "a2")}""".stripMargin
+  }
+  val oKmeans: String =
+    s"""WITH $KmeansA2Ctes
        |SELECT CAST(a2.cell AS BIGINT) AS cluster, count(*) AS n,
        |       round(avg(e.label), 6) AS avg_label
        |FROM a2 JOIN e USING (vec_id) GROUP BY a2.cell ORDER BY cluster""".stripMargin
-  }
+
+  /** SemDeDup (Abbas et al. 2023): k-means clusters (k=4, two rounds —
+    * the exact trainer the kmeans gate verifies), then within each
+    * cluster drop every vector with a lower-id duplicate at cosine >=
+    * 0.405 (the same boundary-safe threshold the LSH dedup gate uses).
+    * Candidate pairs exist only inside a cluster — the paper's scale
+    * argument — so the oracle's pair join is also cell-gated. */
+  def qSemDedup(spark: SparkSession, sf: String): DataFrame =
+    Similarity.semDedup(vecs(spark, sf), k = 4, iters = 2, minCos = 0.405)
+      .orderBy(col("vec_id"))
+  val oSemDedup: String =
+    s"""WITH $KmeansA2Ctes, $DimsCte, $NormsCte, prod AS (
+       |  SELECT x.vec_id AS a, y.vec_id AS b,
+       |    sum(CAST(ex.embedding[i] AS DOUBLE) * CAST(ey.embedding[i] AS DOUBLE)) AS dot
+       |  FROM a2 x JOIN a2 y ON x.cell = y.cell AND x.vec_id < y.vec_id
+       |  JOIN embeddings ex ON ex.vec_id = x.vec_id
+       |  JOIN embeddings ey ON ey.vec_id = y.vec_id, dims
+       |  GROUP BY 1, 2
+       |), dropped AS (
+       |  SELECT DISTINCT p.b AS vec_id FROM prod p
+       |  JOIN norms na ON na.vec_id = p.a JOIN norms nb ON nb.vec_id = p.b
+       |  WHERE p.dot / (na.nrm * nb.nrm) >= 0.405e0
+       |)
+       |SELECT a2.vec_id, CAST(a2.cell AS BIGINT) AS cluster,
+       |       (d.vec_id IS NULL) AS kept
+       |FROM a2 LEFT JOIN dropped d ON d.vec_id = a2.vec_id
+       |ORDER BY a2.vec_id""".stripMargin
+
+  /** DSIR importance weights (Xie et al. 2023): every doc scored by
+    * Σ c_f · [ln p̂_target(f) − ln p̂_raw(f)] over 64 hashed unigram+bigram
+    * buckets, add-0.5 smoothing; target sample = doc_id % 3 == 0, raw =
+    * the whole corpus. Buckets ride the dense parity dictionary
+    * ((sid·131+7) mod 64 — the fingerprint hash family) so both engines
+    * agree bit-for-bit. */
+  def qDsir(spark: SparkSession, sf: String): DataFrame =
+    Dsir.importanceWeights(docs(spark, sf), col("doc_id") % 3 === 0)
+      .orderBy(col("doc_id"))
+  val oDsir: String =
+    s"""$TokCte, fe AS (
+       |  SELECT doc_id, unnest(ts) AS f FROM tok
+       |  UNION ALL
+       |  SELECT doc_id, u || ' ' || v AS f FROM (
+       |    SELECT doc_id, unnest(ts[1:len(ts)-1]) AS u, unnest(ts[2:len(ts)]) AS v
+       |    FROM tok WHERE len(ts) >= 2)
+       |), dict AS (
+       |  SELECT f, CAST(dense_rank() OVER (ORDER BY f) AS BIGINT) AS sid
+       |  FROM (SELECT DISTINCT f FROM fe)
+       |), fb AS (
+       |  SELECT doc_id, (sid*131 + 7) % 64 AS b FROM fe JOIN dict USING (f)
+       |), cen AS (
+       |  SELECT b, count(*) AS cr,
+       |    CAST(sum(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ct
+       |  FROM fb GROUP BY b
+       |), tot AS (
+       |  SELECT CAST(sum(cr) AS BIGINT) AS tr, CAST(sum(ct) AS BIGINT) AS tt FROM cen
+       |), ratio AS (
+       |  SELECT b, ln((ct + 0.5e0) / (tt + 0.5e0*64))
+       |          - ln((cr + 0.5e0) / (tr + 0.5e0*64)) AS lr
+       |  FROM cen, tot
+       |), pd AS (
+       |  SELECT doc_id, b, count(*) AS c FROM fb GROUP BY 1, 2
+       |)
+       |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_feats,
+       |       round(sum(c * lr), 6) AS dsir_w
+       |FROM pd JOIN ratio USING (b) GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   /** Sliding-window chunking stats: 8-token windows every 6 tokens —
     * per doc the window count and the summed window lengths (the overlap
@@ -997,6 +1068,8 @@ object PipelineQueries {
     "q_ann_int8" -> qAnnInt8 _,
     "q_lm_score" -> qLmScore _,
     "q_kmeans" -> qKmeans _,
+    "q_semdedup" -> qSemDedup _,
+    "q_dsir" -> qDsir _,
     "q_chunk_windows" -> qChunkWindows _,
     "q_dedup_incremental" -> qDedupIncremental _,
     "q_dedup_clusters" -> qDedupClusters _,
@@ -1039,6 +1112,8 @@ object PipelineQueries {
     "q_ann_int8" -> oAnnInt8,
     "q_lm_score" -> oLmScore,
     "q_kmeans" -> oKmeans,
+    "q_semdedup" -> oSemDedup,
+    "q_dsir" -> oDsir,
     "q_chunk_windows" -> oChunkWindows,
     "q_dedup_incremental" -> oDedupIncremental,
     "q_dedup_clusters" -> oDedupClusters,

@@ -281,6 +281,33 @@ object Similarity {
       .orderBy(col("qcos").desc, col("vec_id")).limit(k)
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * deduplication by clustering the embedding space with k-means and
+    * dropping, within each cluster, every vector that has a
+    * higher-priority semantic duplicate (pairwise cosine >= `minCos`).
+    * The paper's scale argument is exactly this plan's shape: candidate
+    * pairs are generated ONLY within a cluster (one equi-join on the
+    * cell id — at 10^9 vectors k is chosen ~sqrt(N) so cells stay small
+    * and AQE splits any skewed cell), never corpus-wide. Priority is the
+    * deterministic lowest-vec_id rule shared with the other dedup
+    * keepers (the paper keeps the cluster's lowest-centroid-similarity
+    * member; the keep-one-per-dup-group semantics are identical).
+    * Returns (vec_id, cluster, kept) for every input vector. */
+  def semDedup(vecs: DataFrame, k: Int, iters: Int, minCos: Double): DataFrame = {
+    val cb = kmeansCodebook(vecs, k, iters)
+    val assigned = ivfAssign(vecs, cb)
+      .select(col("vec_id"), col("embedding"), col("cell"))
+    val a = assigned.select(col("cell"), col("vec_id").as("a"), col("embedding").as("ea"))
+    val b = assigned.select(col("cell"), col("vec_id").as("b"), col("embedding").as("eb"))
+    val dropped = a.join(b, "cell").where(col("a") < col("b"))
+      .where(cosine(col("ea"), col("eb")) >= minCos)
+      .select(col("b").as("vec_id")).distinct()
+      .withColumn("dropFlag", lit(true))
+    assigned.join(dropped, Seq("vec_id"), "left_outer")
+      .select(col("vec_id"), col("cell").cast("long").as("cluster"),
+        col("dropFlag").isNull.as("kept"))
+  }
+
   /** Bucketed near-duplicate pairs — the scale path: candidates only
     * within a bucket. */
   def cosinePairsBucketed(vecs: DataFrame, minCos: Double): DataFrame = {

@@ -150,6 +150,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(pairs.contains((0L, 10L)))
   }
 
+  test("semDedup: the perturbed twin is dropped, its lower-id twin kept, clusters from the trainer") {
+    // vec 10 = vec 0 with one component nudged: cos ~ 1 AND L2-near, so
+    // k-means (an L2 clusterer — a SCALED copy would land elsewhere) puts
+    // both in one cell, the within-cell pair (0, 10) fires, and 10 (the
+    // higher id) is dropped.
+    def v(seed: Int): Seq[Float] =
+      (0 until Similarity.Dims).map(i => math.sin(seed * 31 + i * 7).toFloat)
+    val local = ((0 until 10).map(s => (s.toLong, v(s))) :+
+      (10L, v(0).updated(0, v(0).head + 0.01f))).toDF("vec_id", "embedding")
+    val r = Similarity.semDedup(local, k = 4, iters = 2, minCos = 0.99)
+      .collect().map(x => x.getAs[Long]("vec_id") ->
+        (x.getAs[Long]("cluster"), x.getAs[Boolean]("kept"))).toMap
+    assert(r.size === 11, "every input vector appears exactly once")
+    assert(!r(10L)._2, "near-identical twin dropped")
+    assert(r(0L)._2, "lower-id twin kept")
+    assert(r(0L)._1 === r(10L)._1, "twins share a cluster")
+    assert((0 to 9).forall(i => r(i.toLong)._2), "no other vector is near-dup at 0.99")
+  }
+
   test("IVF: probing all cells == brute force; fewer cells is a subset-ranked result") {
     val vecsL = vecs.withColumn("label", (col("vec_id") % 3).cast("int"))
     val q = vecsL.where($"vec_id" === 0).select($"embedding").as[Seq[Float]].head()
@@ -161,6 +180,23 @@ class PipelineSpec extends AnyFunSuite {
       .collect().map(_.getAs[Long]("vec_id")).toSet
     assert(ivf1.subsetOf(brute.toSet ++ ivfAll.toSet ++ ivf1)) // probe-limited recall
     assert(ivf1.contains(0L), "query's own cell contains the query vector")
+  }
+
+  test("DSIR: docs sharing the target sample's vocabulary outweigh off-target docs") {
+    // targets (ids 0,3 under the %3 rule) speak "alpha beta"; doc 1 speaks
+    // the same vocabulary, doc 2 a disjoint one. The log-ratio model must
+    // put doc 1 above doc 2, and the targets above both-of-raw average.
+    val d = Seq(
+      0L -> "alpha beta alpha beta alpha beta",
+      1L -> "alpha beta alpha beta",
+      2L -> "gamma delta gamma delta",
+      3L -> "beta alpha beta alpha beta alpha")
+      .toDF("doc_id", "text")
+    val w = Dsir.importanceWeights(d, $"doc_id" % 3 === 0)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("dsir_w")).toMap
+    assert(w.size === 4, "every doc scored")
+    assert(w(1L) > w(2L), "target-vocabulary doc outweighs the off-target doc")
+    assert(w(0L) > w(2L) && w(3L) > w(2L), "targets themselves score above off-target")
   }
 
   // ------------------------------------------------------- text analysis

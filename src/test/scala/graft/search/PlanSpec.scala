@@ -215,4 +215,30 @@ class PlanSpec extends AnyFunSuite {
     }
     assert(cmsEx.length <= 1, "cmsCells must shuffle exactly once (cell groupBy)")
   }
+
+  test("session-3 pipeline ops keep their scale shapes (SemDeDup, DSIR)") {
+    import graft.ops.PipelineQueries
+    val sf = "/root/testdata/sf0.001"
+    // SemDeDup: the pair join must be an equi-join on the cell id — never
+    // cartesian / nested-loop (the within-cluster candidate bound is the
+    // whole point of the method); DSIR: the B-row log-ratio model joins
+    // onto per-doc counts by broadcast, no no-partition window anywhere.
+    for (name <- Seq("q_semdedup", "q_dsir")) {
+      val df = PipelineQueries.queries(name)(spark, sf)
+      val plan = df.queryExecution.sparkPlan
+      val planStr = plan.toString
+      assert(!planStr.contains("CartesianProduct") &&
+        !planStr.contains("BroadcastNestedLoopJoin"),
+        s"$name plans an all-pairs join:\n$planStr")
+      val windows = plan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      assert(windows.forall(_.partitionSpec.nonEmpty),
+        s"$name plans a no-partition WindowExec")
+    }
+    val dsirPlan = PipelineQueries.queries("q_dsir")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(dsirPlan.contains("BroadcastHashJoin"),
+      s"DSIR must broadcast the bucket-model table:\n$dsirPlan")
+  }
 }
