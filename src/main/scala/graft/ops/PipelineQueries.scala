@@ -722,7 +722,12 @@ object PipelineQueries {
     * Lloyd's rounds from the vec_id<4 seeds with the deterministic
     * lowest-cell tie-break. Shared by the kmeans gate and the SemDeDup
     * gate (whose clusters must match the Spark trainer's exactly). */
-  private val KmeansA2Ctes: String = {
+  /** Two-round Lloyd's chain over dims [lo, hi] with CTE names suffixed
+    * `t` (empty for the full-width chain), ending in the assignment
+    * `a2$t(vec_id, cell)` AND the round-2 centroids `c2$t(cell, i, m)` —
+    * the per-subspace building block the PQ oracle instantiates once per
+    * subspace. Requires an `e(vec_id, embedding, …)` CTE in scope. */
+  private def kmeansSubCtes(lo: Int, hi: Int, k: Int, t: String): String = {
     // one assignment round against a (cell, i, m) centroid table
     def assign(cent: String, name: String): String =
       s"""d_$name AS (
@@ -739,24 +744,54 @@ object PipelineQueries {
     def update(asgn: String, name: String): String =
       s"""$name AS (
          |  SELECT a.cell, g.i, avg(CAST(e.embedding[g.i] AS DOUBLE)) AS m
-         |  FROM $asgn a JOIN e USING (vec_id), generate_series(1, 64) AS g(i)
+         |  FROM $asgn a JOIN e USING (vec_id), generate_series($lo, $hi) AS g(i)
          |  GROUP BY a.cell, g.i
          |)""".stripMargin
-    s"""e AS (
-       |  SELECT vec_id, embedding, label FROM embeddings
-       |), c0 AS (
+    s"""c0$t AS (
        |  SELECT CAST(vec_id AS INT) AS cell, g.i,
        |         CAST(embedding[g.i] AS DOUBLE) AS m
-       |  FROM embeddings, generate_series(1, 64) AS g(i) WHERE vec_id < 4
-       |), ${assign("c0", "a0")}, ${update("a0", "c1")},
-       |${assign("c1", "a1")}, ${update("a1", "c2")},
-       |${assign("c2", "a2")}""".stripMargin
+       |  FROM embeddings, generate_series($lo, $hi) AS g(i) WHERE vec_id < $k
+       |), ${assign(s"c0$t", s"a0$t")}, ${update(s"a0$t", s"c1$t")},
+       |${assign(s"c1$t", s"a1$t")}, ${update(s"a1$t", s"c2$t")},
+       |${assign(s"c2$t", s"a2$t")}""".stripMargin
   }
+  private val EmbCte = "e AS (\n  SELECT vec_id, embedding, label FROM embeddings\n)"
+  private val KmeansA2Ctes: String =
+    s"$EmbCte, ${kmeansSubCtes(1, Similarity.Dims, 4, "")}"
   val oKmeans: String =
     s"""WITH $KmeansA2Ctes
        |SELECT CAST(a2.cell AS BIGINT) AS cluster, count(*) AS n,
        |       round(avg(e.label), 6) AS avg_label
        |FROM a2 JOIN e USING (vec_id) GROUP BY a2.cell ORDER BY cluster""".stripMargin
+
+  /** PQ asymmetric-distance top-10 (Jégou et al. 2011): m=2 subspaces
+    * of 32 dims, each quantized by the gated two-round k=4 trainer;
+    * query = vec 0 un-quantized, score = LUT-summed approximate squared
+    * L2 from the codes alone. The oracle re-derives both sub-codebooks
+    * with the per-subspace CTE chain and recomputes the same LUT sums. */
+  def qAnnPq(spark: SparkSession, sf: String): DataFrame =
+    Similarity.pqTopK(vecs(spark, sf), queryVec(spark, sf),
+      m = 2, k = 4, iters = 2, topK = 10)
+  val oAnnPq: String = {
+    val half = Similarity.Dims / 2
+    s"""WITH $EmbCte, ${kmeansSubCtes(1, half, 4, "_s0")},
+       |${kmeansSubCtes(half + 1, Similarity.Dims, 4, "_s1")}, qd AS (
+       |  SELECT embedding AS qv FROM embeddings WHERE vec_id = 0
+       |), lut0 AS (
+       |  SELECT c.cell, sum((CAST(q.qv[c.i] AS DOUBLE) - c.m)
+       |                   * (CAST(q.qv[c.i] AS DOUBLE) - c.m)) AS d
+       |  FROM c2_s0 c, qd q GROUP BY c.cell
+       |), lut1 AS (
+       |  SELECT c.cell, sum((CAST(q.qv[c.i] AS DOUBLE) - c.m)
+       |                   * (CAST(q.qv[c.i] AS DOUBLE) - c.m)) AS d
+       |  FROM c2_s1 c, qd q GROUP BY c.cell
+       |)
+       |SELECT a0.vec_id, round(l0.d + l1.d, 6) AS adc
+       |FROM a2_s0 a0 JOIN a2_s1 a1 USING (vec_id)
+       |JOIN lut0 l0 ON l0.cell = a0.cell
+       |JOIN lut1 l1 ON l1.cell = a1.cell
+       |ORDER BY adc, vec_id LIMIT 10""".stripMargin
+  }
 
   /** SemDeDup (Abbas et al. 2023): k-means clusters (k=4, two rounds —
     * the exact trainer the kmeans gate verifies), then within each
@@ -1068,6 +1103,7 @@ object PipelineQueries {
     "q_ann_int8" -> qAnnInt8 _,
     "q_lm_score" -> qLmScore _,
     "q_kmeans" -> qKmeans _,
+    "q_ann_pq" -> qAnnPq _,
     "q_semdedup" -> qSemDedup _,
     "q_dsir" -> qDsir _,
     "q_chunk_windows" -> qChunkWindows _,
@@ -1112,6 +1148,7 @@ object PipelineQueries {
     "q_ann_int8" -> oAnnInt8,
     "q_lm_score" -> oLmScore,
     "q_kmeans" -> oKmeans,
+    "q_ann_pq" -> oAnnPq,
     "q_semdedup" -> oSemDedup,
     "q_dsir" -> oDsir,
     "q_chunk_windows" -> oChunkWindows,

@@ -169,6 +169,24 @@ class PipelineSpec extends AnyFunSuite {
     assert((0 to 9).forall(i => r(i.toLong)._2), "no other vector is near-dup at 0.99")
   }
 
+  test("PQ: an exact copy shares the twin's codes and ties it at ADC rank 1") {
+    def v(seed: Int): Seq[Float] =
+      (0 until Similarity.Dims).map(i => math.sin(seed * 31 + i * 7).toFloat)
+    val local = ((0 until 10).map(s => (s.toLong, v(s))) :+ (10L, v(0)))
+      .toDF("vec_id", "embedding")
+    val cbs = Similarity.pqTrain(local, m = 2, k = 4, iters = 2)
+    assert(cbs.length === 2 && cbs.forall(_.length === 4))
+    val codes = Similarity.pqEncode(local, cbs).collect()
+      .map(r => r.getAs[Long]("vec_id") -> (r.getAs[Int]("c0"), r.getAs[Int]("c1"))).toMap
+    assert(codes(10L) === codes(0L), "identical vectors quantize to identical codes")
+    assert(codes.values.forall { case (a, b) => a >= 0 && a < 4 && b >= 0 && b < 4 })
+    val top = Similarity.pqTopK(local, v(0), m = 2, k = 4, iters = 2, topK = 3)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("adc"))
+    assert(top(0)._1 === 0L && top(1)._1 === 10L, "the copy pair ranks first (id tie-break)")
+    assert(top(0)._2 === top(1)._2, "identical codes give identical ADC distance")
+    assert(top(2)._2 >= top(1)._2, "ascending distance order")
+  }
+
   test("IVF: probing all cells == brute force; fewer cells is a subset-ranked result") {
     val vecsL = vecs.withColumn("label", (col("vec_id") % 3).cast("int"))
     val q = vecsL.where($"vec_id" === 0).select($"embedding").as[Seq[Float]].head()

@@ -241,4 +241,21 @@ class PlanSpec extends AnyFunSuite {
     assert(dsirPlan.contains("BroadcastHashJoin"),
       s"DSIR must broadcast the bucket-model table:\n$dsirPlan")
   }
+
+  test("PQ ADC scan is join-free and map-only down to the bounded top-k") {
+    import graft.ops.PipelineQueries
+    // Codebooks and the query LUT are literal-inlined: the scoring scan
+    // must contain NO join of any kind and NO window — just a scan, a
+    // projection, and TakeOrderedAndProject. That is the plan that reads
+    // a 10^9-row code table without touching the float matrix.
+    val plan = PipelineQueries.queries("q_ann_pq")(spark, "/root/testdata/sf0.001")
+      .queryExecution.sparkPlan
+    val planStr = plan.toString
+    assert(!planStr.toLowerCase.contains("join"), s"PQ scan plans a join:\n$planStr")
+    assert(plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, s"PQ scan plans a window:\n$planStr")
+    assert(planStr.contains("TakeOrderedAndProject"),
+      s"PQ top-k must be the bounded TakeOrderedAndProject:\n$planStr")
+  }
 }
