@@ -1523,6 +1523,27 @@ object VerifyQueries {
        |WHERE dist <= 2 AND dist > 0
        |ORDER BY dist, df DESC, term LIMIT 5""".stripMargin
 
+  /** Pluggable-StringDistance spellcheck (SpellChecker.StringDistance +
+    * SuggestWordQueue ordering): the same banded candidates re-ranked by
+    * the LevensteinDistance similarity 1 − d/max(len) — one float
+    * division over integer inputs, so both engines reproduce it exactly.
+    * (JaroWinkler/NGram/LuceneLevenshtein plug the same slot;
+    * StringDistancesSpec pins those against hand-traced vectors.) */
+  def qSpellRanked(spark: SparkSession, sf: String): DataFrame = {
+    val dir = ensure(spark, sf)
+    graft.search.Suggest.didYouMeanRanked(
+      new graft.search.IndexReader(spark, dir), "mergee", 2, 5)
+  }
+  val oSpellRanked: String =
+    s"""$OracleCtes, cand AS (
+       |  SELECT term, count(*) AS df, levenshtein(term, 'mergee') AS dist
+       |  FROM tf WHERE abs(length(term) - 6) <= 2 GROUP BY term
+       |)
+       |SELECT term, df,
+       |  round(1.0e0 - CAST(dist AS DOUBLE) / greatest(length(term), 6), 6) AS sim
+       |FROM cand WHERE dist BETWEEN 1 AND 2
+       |ORDER BY sim DESC, df DESC, term LIMIT 5""".stripMargin
+
   /** Infix completion (reference:
     * Suggest/Analyzing/AnalyzingInfixSuggester.cs): mid-word input 'erge'
     * completes to 'merge…', df-ranked. The engine side runs the SCALE
@@ -2405,6 +2426,7 @@ object VerifyQueries {
     "q_suggest" -> qSuggest _,
     "q_suggest_fuzzy" -> qSuggestFuzzy _,
     "q_spell" -> qSpell _,
+    "q_spell_ranked" -> qSpellRanked _,
     "q_drilldown" -> qDrilldown _,
     "q_drill_sideways" -> qDrillSideways _,
     "q_join_scores" -> qJoinScores _,
@@ -2508,6 +2530,7 @@ object VerifyQueries {
     "q_suggest" -> oSuggest,
     "q_suggest_fuzzy" -> oSuggestFuzzy,
     "q_spell" -> oSpell,
+    "q_spell_ranked" -> oSpellRanked,
     "q_drilldown" -> oDrilldown,
     "q_drill_sideways" -> oDrillSideways,
     "q_join_scores" -> oJoinScores,

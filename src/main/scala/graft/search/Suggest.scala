@@ -127,6 +127,32 @@ object Suggest {
       .where(col("dist") <= maxEdits && col("dist") > 0)
       .orderBy(col("dist"), col("df").desc, col("term")).limit(k)
 
+  /** [[didYouMean]] with a pluggable string distance — the
+    * `SpellChecker.StringDistance` property (reference:
+    * `Suggest/Spell/SpellChecker.cs`, ranked via `SuggestWordQueue` by
+    * (score desc, freq desc, term)): the SAME banded candidate
+    * generation, re-ranked by a [[StringDistances]] similarity instead
+    * of the raw edit distance. The distance runs per candidate inside a
+    * typed map over the already-seek-bounded band (maxEdits² + alphabet
+    * pruning), so the Scala closure never sees corpus-sized data. */
+  def didYouMeanRanked(reader: IndexReader, term: String, maxEdits: Int = 2,
+                       k: Int = 5,
+                       dist: (String, String) => Double =
+                         StringDistances.levenshteinSim): DataFrame = {
+    val spark = reader.termDict.sparkSession
+    import spark.implicits._
+    reader.termDict
+      .where(fuzzyBand(reader, term, maxEdits) &&
+        abs(length(col("term")) - lit(term.length)) <= maxEdits &&
+        levenshtein(col("term"), lit(term)).between(1, maxEdits))
+      .select(col("term"), col("df"))
+      .as[(String, Long)]
+      .map { case (t, df) => (t, df, dist(term, t)) }
+      .toDF("term", "df", "sim")
+      .select(col("term"), col("df"), round(col("sim"), 6).as("sim"))
+      .orderBy(col("sim").desc, col("df").desc, col("term")).limit(k)
+  }
+
   /** Free-text (n-gram language model) suggestion (reference:
     * Suggest/Analyzing/FreeTextSuggester.cs — an n-gram model over the
     * corpus token stream ranks next-word continuations, backing off to
