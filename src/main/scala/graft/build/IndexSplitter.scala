@@ -188,6 +188,36 @@ object IndexSplitter {
     }
   }
 
+  /** MultiPassIndexSplitter's round-robin mode (reference:
+    * Misc/Index/MultiPassIndexSplitter.cs:40-75 — `seq=false` assigns doc
+    * i to part (i mod numParts); the `seq=true` contiguous mode is
+    * [[split]]). Pass k keeps exactly the residue class k, so shard
+    * sizes differ by at most one — the balanced-shard primitive when
+    * docId ranges correlate with age or size. Like the reference (each
+    * pass writes through `IndexWriter.AddIndexes` over a liveDocs-masked
+    * reader, which COMPACTS ids), every shard is renumbered to its own
+    * dense 0-based docId space: the same [[DenseIds.assign]] +
+    * [[Deletes.rewriteWithRemap]] composition as [[splitByFilter]], once
+    * per residue class. (The id-preserving union-readable variant is
+    * [[split]]; residue classes can't keep original ids AND stay dense.) */
+  def splitRoundRobin(spark: SparkSession, dir: String, outRoot: String,
+      numShards: Int, numPartitions: Int = 4): Seq[String] = {
+    import spark.implicits._
+    require(numShards >= 2, s"numShards must be >= 2, got $numShards")
+    deleteIfExists(spark, outRoot)
+    val dead = Deletes.tombstones(spark, dir).toDF("deadId").distinct()
+    val live = spark.read.parquet(IndexPaths.docstats(dir))
+      .join(dead, $"docId" === $"deadId", "left_anti")
+    (0 until numShards).map { k =>
+      val sd = shardDir(outRoot, k)
+      val keep = live.where(pmod($"docId", lit(numShards.toLong)) === k)
+        .select($"docId".as("oldId"))
+      val remap = DenseIds.assign(keep, "oldId", "newId", numPartitions, base = 0L)
+      Deletes.rewriteWithRemap(spark, dir, sd, remap, numPartitions)
+      sd
+    }
+  }
+
   /** PKIndexSplitter (reference: Misc/Index/PKIndexSplitter.cs): split on
     * an arbitrary predicate over the doc-metadata (docstats) table — the
     * Filter. Docs matching go to shard 0, the rest to shard 1

@@ -47,6 +47,51 @@ class IndexSplitterSpec extends AnyFunSuite {
     assert(a.nonEmpty)
   }
 
+  test("round-robin split: residue classes exact, shards dense and standalone-valid") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, concat_ws}
+    val corpus = CorpusGen.dataset(spark, 301, 3)
+    val dir = SparkTestSession.tmpDir("graft-rrsplit-src-")
+    IndexBuilder.build(spark, corpus, dir, numPartitions = 3)
+
+    val root = SparkTestSession.tmpDir("graft-rrsplit-out-")
+    val shards = IndexSplitter.splitRoundRobin(spark, dir, root, numShards = 3,
+      numPartitions = 2)
+    assert(shards.size === 3)
+    // each shard is a complete valid index with a DENSE renumbered id
+    // space (the reference compacts through AddIndexes per pass)
+    shards.foreach { sd =>
+      val report = CheckIndex.check(spark, sd)
+      assert(report.ok, s"$sd: ${report.problems.mkString("; ")}")
+    }
+    // membership: shard k holds exactly original residue class k,
+    // tracked by per-doc identity (ids are renumbered)
+    def paths(d: String) = spark.read.parquet(IndexPaths.docstats(d))
+      .select(concat_ws("|", col("repo"), col("path"))).as[String].collect().toSet
+    val expected = (0 until 3).map(k => spark.read.parquet(IndexPaths.docstats(dir))
+      .where(col("docId") % 3 === k)
+      .select(concat_ws("|", col("repo"), col("path"))).as[String].collect().toSet)
+    val got = shards.map(paths)
+    (0 until 3).foreach(k => assert(got(k) == expected(k), s"shard $k membership"))
+    val sizes = got.map(_.size)
+    assert(sizes.sum === 301)
+    assert(sizes.max - sizes.min <= 1, "balanced shards")
+    // a shard answers a query exactly on its own members (scores differ
+    // by design: per-shard df)
+    val whole = new Searcher(new IndexReader(spark, dir))
+    val shard0 = new Searcher(new IndexReader(spark, shards(0)))
+    val q = BoolQ(must = Seq(TermQ("def")), should = Seq(TermQ("three")))
+    val wholeHits = whole.search(q, 1000).map(_.docId).filter(_ % 3 == 0).toSet
+    val expectedPaths = spark.read.parquet(IndexPaths.docstats(dir))
+      .where(col("docId").isin(wholeHits.toSeq: _*))
+      .select(concat_ws("|", col("repo"), col("path"))).as[String].collect().toSet
+    val shardHitIds = shard0.search(q, 1000).map(_.docId).toSet
+    val shardPaths = spark.read.parquet(IndexPaths.docstats(shards(0)))
+      .where(col("docId").isin(shardHitIds.toSeq: _*))
+      .select(concat_ws("|", col("repo"), col("path"))).as[String].collect().toSet
+    assert(shardPaths == expectedPaths && shardPaths.nonEmpty)
+  }
+
   test("splitByFilter: predicate membership, complement exact, shards standalone-valid") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, concat_ws}
