@@ -64,4 +64,46 @@ class SketchSpec extends AnyFunSuite {
       assert(cms.estimate(k) === inJob(k), s"hash twin mismatch on $k")
     }
   }
+
+  // ------------------------------------------------------- HyperLogLog
+
+  test("HLL registers: distributed build == driver twin; duplicates are free") {
+    val p = 8
+    val distinct = (1 to 500).map(i => s"item_$i")
+    val dup = (distinct ++ distinct ++ distinct.take(100)).toDF("k")
+    val engine = Sketches.hllRegisters(dup, "k", p)
+      .as[(Long, Int)].collect().toMap
+    val twin = Sketches.hllRegistersDriver(distinct, p)
+    assert(engine === twin, "register tables must match the driver hash twin")
+    // registers are a pure function of the distinct key SET
+    val once = Sketches.hllRegisters(distinct.toDF("k"), "k", p)
+      .as[(Long, Int)].collect().toMap
+    assert(once === engine, "duplicate occurrences must not move any register")
+  }
+
+  test("HLL merge == rebuild over the union") {
+    val p = 8
+    val a = (1 to 400).map(i => s"a_$i").toDF("k")
+    val b = (1 to 400).map(i => if (i <= 150) s"a_$i" else s"b_$i").toDF("k")
+    val merged = Sketches.hllMerge(
+      Sketches.hllRegisters(a, "k", p), Sketches.hllRegisters(b, "k", p))
+      .as[(Long, Int)].collect().toMap
+    val rebuilt = Sketches.hllRegisters(a.unionByName(b), "k", p)
+      .as[(Long, Int)].collect().toMap
+    assert(merged === rebuilt, "element-wise max must equal the one-pass build")
+  }
+
+  test("HLL accuracy: within 5 sigma of exact at p=12, linear-counting branch at small n") {
+    val p = 12 // sigma = 1.04/sqrt(4096) ~ 1.63%
+    val n = 20000
+    val est = Sketches.hllCountDistinct(
+      (1 to n).map(i => s"key_$i").toDF("k"), "k", p)
+    val sigma = 1.04 / math.sqrt(1 << p)
+    assert(math.abs(est - n) / n <= 5 * sigma,
+      s"estimate $est too far from $n (tolerance ${5 * sigma * n})")
+    // small cardinality: the m*ln(m/V) branch is near-exact
+    val small = Sketches.hllCountDistinct(
+      (1 to 100).map(i => s"s_$i").toDF("k"), "k", p)
+    assert(math.abs(small - 100) <= 3, s"linear-counting estimate $small")
+  }
 }
