@@ -793,6 +793,56 @@ object PipelineQueries {
        |ORDER BY adc, vec_id LIMIT 10""".stripMargin
   }
 
+  /** IVF-PQ top-10 (faiss IVFADC, by_residual=false): coarse label-
+    * centroid quantizer prunes to the query's 2 nearest cells, PQ ADC
+    * (m=2, k=4, two-round trainers over the full set) scores the
+    * survivors from codes alone. The oracle composes the gated IVF CTEs
+    * with both per-subspace k-means chains and the LUT sums. */
+  def qAnnIvfPq(spark: SparkSession, sf: String): DataFrame =
+    Similarity.ivfPqTopK(vecs(spark, sf), queryVec(spark, sf),
+      m = 2, k = 4, iters = 2, nProbe = 2, topK = 10)
+  val oAnnIvfPq: String = {
+    val half = Similarity.Dims / 2
+    s"""WITH $DimsCte, $EmbCte, ${kmeansSubCtes(1, half, 4, "_s0")},
+       |${kmeansSubCtes(half + 1, Similarity.Dims, 4, "_s1")}, q AS (
+       |  SELECT embedding AS qv FROM embeddings WHERE vec_id = 0
+       |), ex AS (
+       |  SELECT vec_id, label, i, CAST(embedding[i] AS DOUBLE) AS x FROM embeddings, dims
+       |), cent AS (
+       |  SELECT label, i, avg(x) AS m FROM ex GROUP BY 1, 2
+       |), cd2 AS (
+       |  SELECT e2.vec_id AS vec_id, c.label AS cell,
+       |    sum((CAST(e2.embedding[c.i] AS DOUBLE) - c.m) * (CAST(e2.embedding[c.i] AS DOUBLE) - c.m)) AS d2
+       |  FROM embeddings e2, cent c GROUP BY 1, 2
+       |), coarse AS (
+       |  SELECT vec_id, cell,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+       |  FROM cd2
+       |), qd2 AS (
+       |  SELECT c.label AS cell,
+       |    sum((CAST(q.qv[c.i] AS DOUBLE) - c.m) * (CAST(q.qv[c.i] AS DOUBLE) - c.m)) AS d2
+       |  FROM q, cent c GROUP BY 1
+       |), probe AS (
+       |  SELECT cell FROM qd2 ORDER BY d2, cell LIMIT 2
+       |), lut0 AS (
+       |  SELECT c.cell, sum((CAST(q.qv[c.i] AS DOUBLE) - c.m)
+       |                   * (CAST(q.qv[c.i] AS DOUBLE) - c.m)) AS d
+       |  FROM c2_s0 c, q GROUP BY c.cell
+       |), lut1 AS (
+       |  SELECT c.cell, sum((CAST(q.qv[c.i] AS DOUBLE) - c.m)
+       |                   * (CAST(q.qv[c.i] AS DOUBLE) - c.m)) AS d
+       |  FROM c2_s1 c, q GROUP BY c.cell
+       |)
+       |SELECT a.vec_id AS vec_id, a.cell AS cell, round(l0.d + l1.d, 6) AS adc
+       |FROM coarse a
+       |JOIN a2_s0 p0 ON p0.vec_id = a.vec_id
+       |JOIN a2_s1 p1 ON p1.vec_id = a.vec_id
+       |JOIN lut0 l0 ON l0.cell = p0.cell
+       |JOIN lut1 l1 ON l1.cell = p1.cell
+       |WHERE a.rn = 1 AND a.cell IN (SELECT cell FROM probe)
+       |ORDER BY adc, vec_id LIMIT 10""".stripMargin
+  }
+
   /** SemDeDup (Abbas et al. 2023): k-means clusters (k=4, two rounds —
     * the exact trainer the kmeans gate verifies), then within each
     * cluster drop every vector with a lower-id duplicate at cosine >=
@@ -1104,6 +1154,7 @@ object PipelineQueries {
     "q_lm_score" -> qLmScore _,
     "q_kmeans" -> qKmeans _,
     "q_ann_pq" -> qAnnPq _,
+    "q_ann_ivfpq" -> qAnnIvfPq _,
     "q_semdedup" -> qSemDedup _,
     "q_dsir" -> qDsir _,
     "q_chunk_windows" -> qChunkWindows _,
@@ -1149,6 +1200,7 @@ object PipelineQueries {
     "q_lm_score" -> oLmScore,
     "q_kmeans" -> oKmeans,
     "q_ann_pq" -> oAnnPq,
+    "q_ann_ivfpq" -> oAnnIvfPq,
     "q_semdedup" -> oSemDedup,
     "q_dsir" -> oDsir,
     "q_chunk_windows" -> oChunkWindows,

@@ -305,7 +305,8 @@ object Similarity {
     * codegen'd projection (no join, no window, no shuffle; the encode
     * pass you run once over 10^9 vectors and store as m tiny ints).
     * Ties break to the lowest cell id, same as [[ivfAssign]]. */
-  def pqEncode(vecs: DataFrame, codebooks: Seq[Seq[(Int, Array[Double])]]): DataFrame = {
+  def pqEncode(vecs: DataFrame, codebooks: Seq[Seq[(Int, Array[Double])]],
+               extraCols: Seq[String] = Nil): DataFrame = {
     require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty), "empty codebook")
     val sub = Dims / codebooks.length
     val codeCols = codebooks.zipWithIndex.map { case (cb, j) =>
@@ -321,7 +322,7 @@ object Similarity {
         case ((cell, d2), els) => when(d2 === minD, lit(cell)).otherwise(els)
       }.as(s"c$j")
     }
-    vecs.select(col("vec_id") +: codeCols: _*)
+    vecs.select(col("vec_id") +: extraCols.map(col) ++: codeCols: _*)
   }
 
   /** PQ asymmetric-distance top-k (ADC — the paper's Fig. 2 right):
@@ -348,6 +349,42 @@ object Similarity {
     }
     pqEncode(vecs, cbs)
       .select(col("vec_id"), round(dists.reduce(_ + _), 6).as("adc"))
+      .orderBy(col("adc"), col("vec_id")).limit(topK)
+  }
+
+  /** IVF-PQ top-k (Jégou et al. 2011 §IV, the faiss IVFADC structure in
+    * its `by_residual=false` form — PQ codes over raw vectors, not
+    * centroid residuals, so the two gated parts compose exactly): the
+    * coarse quantizer prunes the scan to the query's `nProbe` nearest
+    * cells (at corpus scale `cell` is the table's partition key →
+    * partition-pruned source scan), and within the probed cells every
+    * vector is scored by the PQ ADC lookup — codes + LUT only, the float
+    * matrix untouched. The 10^9-vector serving plan: memory = codes,
+    * I/O = probed cells only, compute = m adds per candidate. */
+  def ivfPqTopK(vecs: DataFrame, query: Seq[Float], m: Int, k: Int,
+                iters: Int, nProbe: Int, topK: Int): DataFrame = {
+    val cents = ivfCodebook(vecs)
+    val qd = query.map(_.toDouble).toArray
+    val probed = cents.sortBy { case (_, c) =>
+      var s = 0.0; var i = 0
+      while (i < c.length) { val d = qd(i) - c(i); s += d * d; i += 1 }
+      s
+    }.take(nProbe).map(_._1)
+    val cbs = pqTrain(vecs, m, k, iters)
+    val sub = Dims / m
+    val dists = cbs.zipWithIndex.map { case (cb, j) =>
+      val lut = cb.sortBy(_._1).map { case (_, cent) =>
+        var s = 0.0; var i = 0
+        while (i < sub) { val d = qd(j * sub + i) - cent(i); s += d * d; i += 1 }
+        s
+      }
+      element_at(typedLit(lut), col(s"c$j") + 1)
+    }
+    val probedVecs = ivfAssign(vecs, cents)
+      .where(col("cell").isInCollection(probed))
+      .select(col("vec_id"), col("embedding"), col("cell"))
+    pqEncode(probedVecs, cbs, extraCols = Seq("cell"))
+      .select(col("vec_id"), col("cell"), round(dists.reduce(_ + _), 6).as("adc"))
       .orderBy(col("adc"), col("vec_id")).limit(topK)
   }
 

@@ -187,6 +187,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(top(2)._2 >= top(1)._2, "ascending distance order")
   }
 
+  test("IVF-PQ: survivors come only from probed cells; ADC agrees with the pure-PQ scan") {
+    val vecsL = vecs.withColumn("label", (col("vec_id") % 3).cast("int"))
+    val q = vecsL.where($"vec_id" === 0).select($"embedding").as[Seq[Float]].head()
+    val r = Similarity.ivfPqTopK(vecsL, q, m = 2, k = 4, iters = 2, nProbe = 2, topK = 10)
+      .collect()
+    assert(r.nonEmpty && r.map(_.getAs[Int]("cell")).distinct.length <= 2,
+      "results confined to the 2 probed cells")
+    assert(r.map(_.getAs[Long]("vec_id")).contains(0L),
+      "the query's own vector survives its own cell")
+    // ADC distances equal the pure PQ scan's for the same ids (same
+    // codebooks, same LUT — the coarse stage only prunes)
+    val pq = Similarity.pqTopK(vecsL, q, m = 2, k = 4, iters = 2, topK = 100)
+      .collect().map(x => x.getAs[Long]("vec_id") -> x.getAs[Double]("adc")).toMap
+    r.foreach(x => assert(pq(x.getAs[Long]("vec_id")) === x.getAs[Double]("adc"),
+      s"ADC mismatch for ${x.getAs[Long]("vec_id")}"))
+  }
+
   test("IVF: probing all cells == brute force; fewer cells is a subset-ranked result") {
     val vecsL = vecs.withColumn("label", (col("vec_id") % 3).cast("int"))
     val q = vecsL.where($"vec_id" === 0).select($"embedding").as[Seq[Float]].head()
