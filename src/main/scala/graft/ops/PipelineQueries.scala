@@ -84,6 +84,27 @@ object PipelineQueries {
     s"""$MinhashPairsCtes
        |SELECT a, b, round(jac, 6) AS jac FROM pairs ORDER BY 1, 2""".stripMargin
 
+  /** b-bit minwise (Li & König 2010, b=1): every LSH candidate pair
+    * scored by the low-bit agreement fraction of its 16 minhash
+    * components, Ĵ = 2A − 1 — integer agreement counts + one closed-form
+    * double expression, bit-reproducible across engines. */
+  def qDedupMinhashBbit(spark: SparkSession, sf: String): DataFrame =
+    Dedup.minhashBbitPairs(docs(spark, sf)).orderBy(col("a"), col("b"))
+  val oDedupMinhashBbit: String = {
+    val parCols = (0 until 16).map(k => s"h$k % 2 AS p$k").mkString(", ")
+    val agreeSum = (0 until 16)
+      .map(k => s"CASE WHEN x.p$k = y.p$k THEN 1 ELSE 0 END").mkString(" + ")
+    s"""$MinhashPairsCtes, par AS (
+       |  SELECT doc_id, $parCols FROM sig
+       |), agr AS (
+       |  SELECT c.a AS a, c.b AS b, ($agreeSum) AS agree
+       |  FROM cand c JOIN par x ON x.doc_id = c.a JOIN par y ON y.doc_id = c.b
+       |)
+       |SELECT a, b, CAST(agree AS INT) AS agree,
+       |  round(agree * 2.0e0 / 16.0e0 - 1.0e0, 6) AS jhat
+       |FROM agr ORDER BY a, b""".stripMargin
+  }
+
   /** Incremental dedup: the batch doc_id % 5 == 0 arrives against the
     * existing corpus (the rest); only pairs touching the new batch are
     * produced, old×old is never re-paired. Oracle: the full pair set
@@ -1153,6 +1174,7 @@ object PipelineQueries {
     "q_ann_int8" -> qAnnInt8 _,
     "q_lm_score" -> qLmScore _,
     "q_kmeans" -> qKmeans _,
+    "q_dedup_minhash_bbit" -> qDedupMinhashBbit _,
     "q_ann_pq" -> qAnnPq _,
     "q_ann_ivfpq" -> qAnnIvfPq _,
     "q_semdedup" -> qSemDedup _,
@@ -1199,6 +1221,7 @@ object PipelineQueries {
     "q_ann_int8" -> oAnnInt8,
     "q_lm_score" -> oLmScore,
     "q_kmeans" -> oKmeans,
+    "q_dedup_minhash_bbit" -> oDedupMinhashBbit,
     "q_ann_pq" -> oAnnPq,
     "q_ann_ivfpq" -> oAnnIvfPq,
     "q_semdedup" -> oSemDedup,

@@ -140,6 +140,40 @@ object Dedup {
     pairJaccard(cands, ds).where(col("jac") >= minJaccard)
   }
 
+  /** b-bit minwise hashing (Li & König, "b-Bit Minwise Hashing",
+    * WWW 2010), b = 1: keep only the LOWEST BIT of each minhash
+    * component — the signature store shrinks 64× (16 bits/doc instead of
+    * 16 longs), the decisive trade when 10^11 signatures must stay
+    * resident for candidate verification. Jaccard is estimated from the
+    * per-pair bit-agreement fraction A with the paper's sparse-set
+    * (r → 0) estimator Ĵ = (A − 2^−b)/(1 − 2^−b), i.e. 2A − 1 at b=1 —
+    * unbiased because non-identical minhash components agree on their
+    * low bit with probability exactly 1/2. Returns (a, b, agree, jhat)
+    * for the given candidate pairs; the full-width exact-Jaccard confirm
+    * ([[pairJaccard]]) stays the precision backstop, exactly as the
+    * paper prescribes b-bit for the filtering tier. */
+  def bbitAgreement(pairs: DataFrame, sigs: DataFrame): DataFrame = {
+    val K = NumBands * RowsPerBand
+    def parities(idAs: String, p: String) = sigs.select(
+      col("doc_id").as(idAs) +:
+        (0 until K).map(k => pmod(col(s"h$k"), lit(2L)).as(s"$p$k")): _*)
+    val agree = (0 until K)
+      .map(k => when(col(s"pa$k") === col(s"pb$k"), 1).otherwise(0))
+      .reduce(_ + _)
+    pairs.join(parities("a", "pa"), "a").join(parities("b", "pb"), "b")
+      .select(col("a"), col("b"), agree.as("agree"))
+      .select(col("a"), col("b"), col("agree"),
+        round(col("agree") * lit(2.0) / lit(K.toDouble) - lit(1.0), 6).as("jhat"))
+  }
+
+  /** LSH candidates scored by the 1-bit estimator (parity dictionary
+    * path — the gated form; prod swaps in [[minhashSignaturesProd]]). */
+  def minhashBbitPairs(docs: DataFrame): DataFrame = {
+    val ds = docShingles(docs)
+    val sigs = minhashSignatures(ds, shingleDict(ds))
+    bbitAgreement(candidatePairs(lshBuckets(sigs)), sigs)
+  }
+
   /** Production-path signatures: xxhash64 straight on the shingle string —
     * no dictionary, no window, embarrassingly parallel. Same banding. */
   def minhashSignaturesProd(ds: DataFrame): DataFrame = {

@@ -49,6 +49,18 @@ class PipelineSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 102L || p._2 == 102L), "unrelated doc must not pair")
   }
 
+  test("b-bit minwise: exact copy agrees on all 16 bits (jhat = 1), estimator bounded") {
+    val r = Dedup.minhashBbitPairs(docs)
+      .collect().map(x => (x.getAs[Long]("a"), x.getAs[Long]("b")) ->
+        (x.getAs[Int]("agree"), x.getAs[Double]("jhat"))).toMap
+    assert(r.contains((0L, 100L)), "the exact-copy candidate pair is scored")
+    assert(r((0L, 100L)) === ((16, 1.0)), "identical signatures agree on every low bit")
+    // every estimate lies in the estimator's range [-1, 1]
+    assert(r.values.forall { case (a, j) => a >= 0 && a <= 16 && j >= -1.0 && j <= 1.0 })
+    // the near-copy should score high (most components' low bits agree)
+    assert(r.get((1L, 101L)).forall(_._2 >= 0.5), "near copy estimates high")
+  }
+
   test("simhash pigeonhole-bucketed pairs == all-pairs (lossless for the radius)") {
     val sh = Dedup.simhashProd(docs)
     for (maxHamming <- Seq(0, 3, 7)) {
