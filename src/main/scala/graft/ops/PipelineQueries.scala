@@ -84,6 +84,84 @@ object PipelineQueries {
     s"""$MinhashPairsCtes
        |SELECT a, b, round(jac, 6) AS jac FROM pairs ORDER BY 1, 2""".stripMargin
 
+  /** URL canonicalization + dedup: messy URL variants synthesized
+    * deterministically from doc_id (mixed case, default ports, double
+    * slashes, trailing slash, tracking params in scrambled order,
+    * fragments) canonicalize to a shared key; the dup groups are the
+    * gate — both engines must produce identical canonical strings AND
+    * identical group membership. */
+  def qUrlCanon(spark: SparkSession, sf: String): DataFrame = {
+    val d = col("doc_id")
+    val url = concat(
+      lit("HTTP"), when(d % 2 === 0, lit("")).otherwise(lit("S")),
+      lit("://WWW.Example"), (d % 7).cast("string"), lit(".COM"),
+      when(d % 3 === 0,
+        when(d % 2 === 0, lit(":80")).otherwise(lit(":443"))).otherwise(lit("")),
+      lit("//Dir"), (d % 4).cast("string"), lit("/Page"), (d % 11).cast("string"),
+      when(d % 5 === 0, lit("/")).otherwise(lit("")),
+      when(d % 2 === 0, lit("?utm_source=x&b=2&a=1")).otherwise(lit("")),
+      when(d % 6 === 0, lit("#frag")).otherwise(lit("")))
+    docs(spark, sf)
+      .select(TextAnalysis.canonicalUrl(url).as("canonical"), col("doc_id"))
+      .groupBy(col("canonical"))
+      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("keeper"))
+      .orderBy(col("canonical"))
+  }
+  val oUrlCanon: String =
+    s"""WITH urls AS (
+       |  SELECT doc_id,
+       |    'HTTP' || CASE WHEN doc_id % 2 = 0 THEN '' ELSE 'S' END
+       |    || '://WWW.Example' || CAST(doc_id % 7 AS VARCHAR) || '.COM'
+       |    || CASE WHEN doc_id % 3 = 0 THEN
+       |         CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE ':443' END ELSE '' END
+       |    || '//Dir' || CAST(doc_id % 4 AS VARCHAR)
+       |    || '/Page' || CAST(doc_id % 11 AS VARCHAR)
+       |    || CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END
+       |    || CASE WHEN doc_id % 2 = 0 THEN '?utm_source=x&b=2&a=1' ELSE '' END
+       |    || CASE WHEN doc_id % 6 = 0 THEN '#frag' ELSE '' END AS url
+       |  FROM documents
+       |), c1 AS (
+       |  SELECT doc_id, regexp_replace(url, '#.*$$', '', 'g') AS nofrag FROM urls
+       |), c2 AS (
+       |  SELECT doc_id, nofrag,
+       |    regexp_extract(nofrag, '^([^/?]*://[^/?#]*)', 1) AS preraw FROM c1
+       |), c3 AS (
+       |  SELECT doc_id, lower(preraw) AS pre,
+       |    substr(nofrag, len(preraw) + 1) AS rest FROM c2
+       |), c4 AS (
+       |  SELECT doc_id,
+       |    CASE WHEN pre LIKE 'http://%' AND pre LIKE '%:80'
+       |           THEN substr(pre, 1, len(pre) - 3)
+       |         WHEN pre LIKE 'https://%' AND pre LIKE '%:443'
+       |           THEN substr(pre, 1, len(pre) - 4)
+       |         ELSE pre END AS pre2, rest FROM c3
+       |), c5 AS (
+       |  SELECT doc_id, pre2, regexp_extract(rest, '^([^?]*)', 1) AS path0, rest FROM c4
+       |), c6 AS (
+       |  SELECT doc_id, pre2, path0,
+       |    CASE WHEN len(rest) > len(path0) THEN substr(rest, len(path0) + 2)
+       |         ELSE '' END AS query0 FROM c5
+       |), c7 AS (
+       |  SELECT doc_id, pre2,
+       |    regexp_replace(path0, '/{2,}', '/', 'g') AS path1, query0 FROM c6
+       |), c8 AS (
+       |  SELECT doc_id, pre2,
+       |    CASE WHEN len(path1) = 0 THEN '/'
+       |         WHEN len(path1) > 1 AND path1 LIKE '%/'
+       |           THEN substr(path1, 1, len(path1) - 1)
+       |         ELSE path1 END AS path2,
+       |    array_to_string(list_sort(list_filter(string_split(query0, '&'),
+       |      x -> x <> '' AND NOT regexp_matches(x, '^(utm_|fbclid=|gclid=|ref=)'))),
+       |      '&') AS qs
+       |  FROM c7
+       |), canon AS (
+       |  SELECT doc_id, pre2 || path2 ||
+       |    CASE WHEN len(qs) > 0 THEN '?' || qs ELSE '' END AS canonical
+       |  FROM c8
+       |)
+       |SELECT canonical, count(*) AS n, min(doc_id) AS keeper
+       |FROM canon GROUP BY canonical ORDER BY canonical""".stripMargin
+
   /** b-bit minwise (Li & König 2010, b=1): every LSH candidate pair
     * scored by the low-bit agreement fraction of its 16 minhash
     * components, Ĵ = 2A − 1 — integer agreement counts + one closed-form
@@ -1175,6 +1253,7 @@ object PipelineQueries {
     "q_lm_score" -> qLmScore _,
     "q_kmeans" -> qKmeans _,
     "q_dedup_minhash_bbit" -> qDedupMinhashBbit _,
+    "q_url_canon" -> qUrlCanon _,
     "q_ann_pq" -> qAnnPq _,
     "q_ann_ivfpq" -> qAnnIvfPq _,
     "q_semdedup" -> qSemDedup _,
@@ -1222,6 +1301,7 @@ object PipelineQueries {
     "q_lm_score" -> oLmScore,
     "q_kmeans" -> oKmeans,
     "q_dedup_minhash_bbit" -> oDedupMinhashBbit,
+    "q_url_canon" -> oUrlCanon,
     "q_ann_pq" -> oAnnPq,
     "q_ann_ivfpq" -> oAnnIvfPq,
     "q_semdedup" -> oSemDedup,

@@ -280,6 +280,44 @@ object TextAnalysis {
   def stripHtml(text: Column): Column =
     trim(HtmlStripSteps.foldLeft(text) { case (c, (p, r)) => regexp_replace(c, p, r) })
 
+  // --------------------------------------------------- URL canonicalization
+
+  /** Canonical URL normalization — the web-pipeline dedup key (crawl
+    * frontiers and post-crawl dedup both key on it; the rule set is the
+    * common core of the public crawler canonicalizers, e.g. Nutch/
+    * StormCrawler's basic normalizers): drop the fragment, lowercase
+    * scheme+authority, strip default ports (:80 http, :443 https),
+    * collapse duplicate path slashes, drop one trailing path slash
+    * (root stays "/"), remove tracking params (utm_*, fbclid, gclid,
+    * ref) and SORT the surviving query params so param order never
+    * splits a dup group. Pure column expressions end to end — map-only
+    * at any corpus size, and the same structural steps are plain SQL in
+    * an independent engine (the q_url_canon oracle re-derives them). */
+  def canonicalUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val preRaw = regexp_extract(noFrag, "^([^/?]*://[^/?#]*)", 1)
+    val pre = lower(preRaw)
+    val rest = noFrag.substr(length(preRaw) + 1, length(noFrag))
+    val preNoPort = when(pre.startsWith("http://") && pre.endsWith(":80"),
+        pre.substr(lit(1), length(pre) - 3))
+      .when(pre.startsWith("https://") && pre.endsWith(":443"),
+        pre.substr(lit(1), length(pre) - 4))
+      .otherwise(pre)
+    val path0 = regexp_extract(rest, "^([^?]*)", 1)
+    val query0 = when(length(rest) > length(path0),
+      rest.substr(length(path0) + 2, length(rest))).otherwise(lit(""))
+    val path1 = regexp_replace(path0, "/{2,}", "/")
+    val path2 = when(length(path1) === 0, lit("/"))
+      .when(length(path1) > 1 && path1.endsWith("/"),
+        path1.substr(lit(1), length(path1) - 1))
+      .otherwise(path1)
+    val kept = array_sort(filter(split(query0, "&"),
+      x => x =!= "" && !x.rlike("^(utm_|fbclid=|gclid=|ref=)")))
+    val qs = concat_ws("&", kept)
+    concat(preNoPort, path2,
+      when(length(qs) > 0, concat(lit("?"), qs)).otherwise(lit("")))
+  }
+
   // --------------------------------------------------- keyword extraction
 
   /** TF-IDF keyword extraction: the top-k most characteristic terms per

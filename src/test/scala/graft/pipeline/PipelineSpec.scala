@@ -246,6 +246,20 @@ class PipelineSpec extends AnyFunSuite {
     assert(w(0L) > w(2L) && w(3L) > w(2L), "targets themselves score above off-target")
   }
 
+  test("URL canonicalization: case, ports, slashes, tracking params, fragment, ordering") {
+    val cases = Seq(
+      "HTTP://WWW.Example.COM:80//a//b/?utm_source=x&b=2&a=1#frag"
+        -> "http://www.example.com/a/b?a=1&b=2",
+      "https://Host.com:443/" -> "https://host.com/",
+      "https://host.com:8443/x" -> "https://host.com:8443/x", // non-default port kept
+      "http://h.com/p/?utm_a=1&gclid=z&fbclid=y&ref=r" -> "http://h.com/p", // tracking-only query drops
+      "http://h.com" -> "http://h.com/", // empty path becomes root
+      "http://h.com/a?b=2&a=1" -> "http://h.com/a?a=1&b=2")
+    val got = cases.map(_._1).toDF("u")
+      .select(TextAnalysis.canonicalUrl($"u").as("c")).as[String].collect()
+    cases.map(_._2).zip(got).foreach { case (exp, g) => assert(g === exp) }
+  }
+
   // ------------------------------------------------------- text analysis
 
   test("token counts: three tokenizations on a known string") {
