@@ -1,6 +1,6 @@
 package graft.ops
 
-import graft.pipeline.{Bpe, Classify, Dedup, Dsir, Multimodal, Packing, Similarity, TextAnalysis}
+import graft.pipeline.{Bpe, Classify, Dedup, Dsir, Multimodal, Packing, Similarity, TextAnalysis, Unigram}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -83,6 +83,28 @@ object PipelineQueries {
   val oDedupMinhash: String =
     s"""$MinhashPairsCtes
        |SELECT a, b, round(jac, 6) AS jac FROM pairs ORDER BY 1, 2""".stripMargin
+
+  /** Unigram-LM tokenizer seed census (Kudo 2018 / SentencePiece): the
+    * frequency-weighted substring census over word types — the trainer's
+    * one corpus-shaped stage and the only one an independent engine can
+    * disagree on (EM lattice math + Viterbi tie-breaks are pinned by
+    * hand-traced UnigramSpec fixtures — the q_bpe_pairs precedent).
+    * Top-50 pieces by (count desc, piece asc). */
+  def qUnigramSeed(spark: SparkSession, sf: String): DataFrame =
+    Unigram.seedCensus(docs(spark, sf))
+      .orderBy(col("n").desc, col("piece")).limit(50)
+  val oUnigramSeed: String =
+    s"""$TokCte, wt AS (
+       |  SELECT u AS w, CAST(count(*) AS BIGINT) AS n
+       |  FROM (SELECT unnest(ts) AS u FROM tok) GROUP BY u
+       |)
+       |SELECT piece, CAST(sum(n) AS BIGINT) AS n FROM (
+       |  SELECT unnest(flatten([[substr(w, i, l)
+       |    FOR l IN range(1, least(${Unigram.MaxPieceLen}, len(w) - i + 1) + 1)]
+       |    FOR i IN range(1, len(w) + 1)])) AS piece, n
+       |  FROM wt
+       |)
+       |GROUP BY piece ORDER BY n DESC, piece LIMIT 50""".stripMargin
 
   /** URL canonicalization + dedup: messy URL variants synthesized
     * deterministically from doc_id (mixed case, default ports, double
@@ -1254,6 +1276,7 @@ object PipelineQueries {
     "q_kmeans" -> qKmeans _,
     "q_dedup_minhash_bbit" -> qDedupMinhashBbit _,
     "q_url_canon" -> qUrlCanon _,
+    "q_unigram_seed" -> qUnigramSeed _,
     "q_ann_pq" -> qAnnPq _,
     "q_ann_ivfpq" -> qAnnIvfPq _,
     "q_semdedup" -> qSemDedup _,
@@ -1302,6 +1325,7 @@ object PipelineQueries {
     "q_kmeans" -> oKmeans,
     "q_dedup_minhash_bbit" -> oDedupMinhashBbit,
     "q_url_canon" -> oUrlCanon,
+    "q_unigram_seed" -> oUnigramSeed,
     "q_ann_pq" -> oAnnPq,
     "q_ann_ivfpq" -> oAnnIvfPq,
     "q_semdedup" -> oSemDedup,
