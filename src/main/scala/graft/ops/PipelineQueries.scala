@@ -106,6 +106,102 @@ object PipelineQueries {
        |)
        |GROUP BY piece ORDER BY n DESC, piece LIMIT 50""".stripMargin
 
+  /** Shared synthetic multi-line page for the named filter-pack gates:
+    * sentences/bullets/lorem/curly/ellipsis vary by doc_id residues, a
+    * real-text slice varies the word statistics. */
+  private def synthPage(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val d = col("doc_id")
+    concat(
+      lit("The words be of and that have with more filler here. "),
+      when(d % 2 === 0,
+        lit("Second sentence grows! Third thing here? Fourth one lands. "))
+        .otherwise(lit("")),
+      lit("\n- bullet item line\n"),
+      when(d % 4 === 0, lit("lorem ipsum dolor sit\n")).otherwise(lit("")),
+      when(d % 5 === 0, lit("object { nested }\n")).otherwise(lit("")),
+      when(d % 3 === 0, lit("this trails off and so on...\n")).otherwise(lit("")),
+      substring(text, 1, 120), lit(" tail words end here.\n"),
+      lit("no terminal punct line"))
+  }
+  // single line: it embeds inside stripMargin-processed oracle strings,
+  // where a leading "||" would be eaten as a margin marker
+  private val SynthPageSql: String =
+    "'The words be of and that have with more filler here. '" +
+      " || CASE WHEN doc_id % 2 = 0 THEN 'Second sentence grows! Third thing here? Fourth one lands. ' ELSE '' END" +
+      " || chr(10) || '- bullet item line' || chr(10)" +
+      " || CASE WHEN doc_id % 4 = 0 THEN 'lorem ipsum dolor sit' || chr(10) ELSE '' END" +
+      " || CASE WHEN doc_id % 5 = 0 THEN 'object { nested }' || chr(10) ELSE '' END" +
+      " || CASE WHEN doc_id % 3 = 0 THEN 'this trails off and so on...' || chr(10) ELSE '' END" +
+      " || substr(text, 1, 120) || ' tail words end here.' || chr(10)" +
+      " || 'no terminal punct line'"
+
+  /** Gopher quality rules (Rae et al. 2021 A1.1, published thresholds,
+    * all comparisons integer-exact). */
+  def qGopherRules(spark: SparkSession, sf: String): DataFrame = {
+    val d = docs(spark, sf)
+    TextAnalysis.gopherRules(d, synthPage(col("text"))).orderBy(col("doc_id"))
+  }
+  val oGopherRules: String =
+    s"""WITH pg AS (
+       |  SELECT doc_id, $SynthPageSql AS page FROM documents
+       |), f AS (
+       |  SELECT doc_id,
+       |    list_filter(regexp_split_to_array(trim(page), '\\s+'), w -> len(w) > 0) AS words,
+       |    list_filter(string_split(page, chr(10)), l -> len(trim(l)) > 0) AS lines,
+       |    CAST(len(regexp_extract_all(page, '#|\\.\\.\\.')) AS BIGINT) AS symbols
+       |  FROM pg
+       |), m AS (
+       |  SELECT doc_id, symbols,
+       |    CAST(len(words) AS BIGINT) AS nw,
+       |    CAST(coalesce(list_sum(list_transform(words, w -> len(w))), 0) AS BIGINT) AS tot_chars,
+       |    CAST(len(lines) AS BIGINT) AS n_lines,
+       |    CAST(len(list_filter(lines, l -> regexp_matches(l, '^\\s*[-*•]'))) AS BIGINT) AS bullets,
+       |    CAST(len(list_filter(lines, l -> regexp_matches(l, '\\.\\.\\.\\s*$$'))) AS BIGINT) AS ells,
+       |    CAST(len(list_filter(words, w -> regexp_matches(w, '[a-zA-Z]'))) AS BIGINT) AS alphas,
+       |    CAST(len(list_filter(words, w -> list_contains(
+       |      ['the','be','to','of','and','that','have','with'], lower(w)))) AS BIGINT) AS stophits
+       |  FROM f
+       |)
+       |SELECT doc_id, nw AS n_words,
+       |  (nw >= 50 AND nw <= 100000) AS r_word_count,
+       |  (tot_chars >= nw * 3 AND tot_chars <= nw * 10) AS r_mean_len,
+       |  (symbols * 10 <= nw) AS r_symbol,
+       |  (bullets * 10 <= n_lines) AS r_bullet,
+       |  (ells * 10 <= n_lines * 3) AS r_ellipsis,
+       |  (alphas * 10 >= nw * 8) AS r_alpha,
+       |  (stophits >= 2) AS r_stops,
+       |  ((nw >= 50 AND nw <= 100000) AND (tot_chars >= nw * 3 AND tot_chars <= nw * 10)
+       |   AND (symbols * 10 <= nw) AND (bullets * 10 <= n_lines)
+       |   AND (ells * 10 <= n_lines * 3) AND (alphas * 10 >= nw * 8)
+       |   AND (stophits >= 2)) AS keep
+       |FROM m ORDER BY doc_id""".stripMargin
+
+  /** C4 cleaning rules (Raffel et al. 2020 §2.2, minus the blocklist). */
+  def qC4Rules(spark: SparkSession, sf: String): DataFrame = {
+    val d = docs(spark, sf)
+    TextAnalysis.c4Rules(d, synthPage(col("text"))).orderBy(col("doc_id"))
+  }
+  val oC4Rules: String =
+    s"""WITH pg AS (
+       |  SELECT doc_id, $SynthPageSql AS page FROM documents
+       |), m AS (
+       |  SELECT doc_id,
+       |    CAST(len(list_filter(string_split(page, chr(10)), l -> len(trim(l)) > 0)) AS BIGINT) AS n_lines,
+       |    CAST(len(list_filter(string_split(page, chr(10)), l ->
+       |      len(trim(l)) > 0
+       |      AND regexp_matches(rtrim(l), '[.!?"]$$')
+       |      AND len(list_filter(regexp_split_to_array(trim(l), '\\s+'), w -> len(w) > 0)) >= 3
+       |      AND NOT contains(lower(l), 'javascript'))) AS BIGINT) AS n_kept_lines,
+       |    CAST(len(regexp_extract_all(page, '[.!?]')) AS BIGINT) AS n_sentences,
+       |    contains(lower(page), 'lorem ipsum') AS has_lorem,
+       |    contains(page, '{') AS has_curly
+       |  FROM pg
+       |)
+       |SELECT doc_id, n_lines, n_kept_lines, n_sentences, has_lorem, has_curly,
+       |  (n_sentences >= 5 AND NOT has_lorem AND NOT has_curly
+       |   AND n_kept_lines > 0) AS keep
+       |FROM m ORDER BY doc_id""".stripMargin
+
   /** URL canonicalization + dedup: messy URL variants synthesized
     * deterministically from doc_id (mixed case, default ports, double
     * slashes, trailing slash, tracking params in scrambled order,
@@ -1276,6 +1372,8 @@ object PipelineQueries {
     "q_kmeans" -> qKmeans _,
     "q_dedup_minhash_bbit" -> qDedupMinhashBbit _,
     "q_url_canon" -> qUrlCanon _,
+    "q_gopher_rules" -> qGopherRules _,
+    "q_c4_rules" -> qC4Rules _,
     "q_unigram_seed" -> qUnigramSeed _,
     "q_ann_pq" -> qAnnPq _,
     "q_ann_ivfpq" -> qAnnIvfPq _,
@@ -1325,6 +1423,8 @@ object PipelineQueries {
     "q_kmeans" -> oKmeans,
     "q_dedup_minhash_bbit" -> oDedupMinhashBbit,
     "q_url_canon" -> oUrlCanon,
+    "q_gopher_rules" -> oGopherRules,
+    "q_c4_rules" -> oC4Rules,
     "q_unigram_seed" -> oUnigramSeed,
     "q_ann_pq" -> oAnnPq,
     "q_ann_ivfpq" -> oAnnIvfPq,

@@ -280,6 +280,66 @@ object TextAnalysis {
   def stripHtml(text: Column): Column =
     trim(HtmlStripSteps.foldLeft(text) { case (c, (p, r)) => regexp_replace(c, p, r) })
 
+  // ------------------------------------------------ named filter rule packs
+
+  /** Gopher document-quality rules (Rae et al. 2021, arXiv:2112.11446
+    * Appendix A1.1 — the published thresholds, verbatim): word count in
+    * [50, 100k], mean word length in [3, 10], symbol-to-word ratio
+    * (# or …) ≤ 0.1, ≤ 10% bullet-started lines, ≤ 30% ellipsis-ended
+    * lines, ≥ 80% of words contain an alphabetic char, ≥ 2 of the 8
+    * indicator stop words. Every threshold is evaluated in INTEGER form
+    * (e.g. symbols·10 ≤ words instead of a float ratio) so independent
+    * engines agree bit-for-bit; words = whitespace split (the paper
+    * operates pre-tokenizer). Map-only column expressions. */
+  def gopherRules(docs: DataFrame, text: Column): DataFrame = {
+    val words = filter(split(trim(text), "\\s+"), w => length(w) > 0)
+    val nw = size(words).cast("long")
+    val totChars = aggregate(words, lit(0L), (a, w) => a + length(w).cast("long"))
+    val symbols = size(regexp_extract_all(text, lit("#|\\.\\.\\."), lit(0))).cast("long")
+    val lines = filter(split(text, "\n"), l => length(trim(l)) > 0)
+    val nLines = size(lines).cast("long")
+    val bulletLines = size(filter(lines, l => l.rlike("^\\s*[-*•]"))).cast("long")
+    val ellipsisLines = size(filter(lines, l => l.rlike("\\.\\.\\.\\s*$"))).cast("long")
+    val alphaWords = size(filter(words, w => w.rlike("[a-zA-Z]"))).cast("long")
+    val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val stopHits = size(filter(words, w => lower(w).isInCollection(stops))).cast("long")
+    val rWordCount = nw >= 50L && nw <= 100000L
+    val rMeanLen = totChars >= nw * 3L && totChars <= nw * 10L
+    val rSymbol = symbols * 10L <= nw
+    val rBullet = bulletLines * 10L <= nLines
+    val rEllipsis = ellipsisLines * 10L <= nLines * 3L
+    val rAlpha = alphaWords * 10L >= nw * 8L
+    val rStops = stopHits >= 2L
+    docs.select(col("doc_id"), nw.as("n_words"),
+      rWordCount.as("r_word_count"), rMeanLen.as("r_mean_len"),
+      rSymbol.as("r_symbol"), rBullet.as("r_bullet"),
+      rEllipsis.as("r_ellipsis"), rAlpha.as("r_alpha"), rStops.as("r_stops"),
+      (rWordCount && rMeanLen && rSymbol && rBullet && rEllipsis && rAlpha
+        && rStops).as("keep"))
+  }
+
+  /** C4 cleaning rules (Raffel et al. 2020, arXiv:1910.10683 §2.2 —
+    * minus the blocklist): retain only lines ending in terminal
+    * punctuation (. ! ? ") with ≥ 3 words and no "javascript"; drop
+    * pages with < 5 sentences, any "lorem ipsum", or a curly bracket.
+    * Sentence count = terminal-mark count (the standard restatement).
+    * Integer comparisons only; map-only column expressions. */
+  def c4Rules(docs: DataFrame, text: Column): DataFrame = {
+    val lines = filter(split(text, "\n"), l => length(trim(l)) > 0)
+    val kept = filter(lines, l =>
+      rtrim(l).rlike("[.!?\"]$") &&
+        size(filter(split(trim(l), "\\s+"), w => length(w) > 0)) >= 3 &&
+        !lower(l).contains("javascript"))
+    val nSent = size(regexp_extract_all(text, lit("[.!?]"), lit(0))).cast("long")
+    val hasLorem = lower(text).contains("lorem ipsum")
+    val hasCurly = text.contains("{")
+    docs.select(col("doc_id"),
+      size(lines).cast("long").as("n_lines"),
+      size(kept).cast("long").as("n_kept_lines"),
+      nSent.as("n_sentences"), hasLorem.as("has_lorem"), hasCurly.as("has_curly"),
+      (nSent >= 5L && !hasLorem && !hasCurly && size(kept) > 0).as("keep"))
+  }
+
   // --------------------------------------------------- URL canonicalization
 
   /** Canonical URL normalization — the web-pipeline dedup key (crawl

@@ -260,6 +260,47 @@ class PipelineSpec extends AnyFunSuite {
     cases.map(_._2).zip(got).foreach { case (exp, g) => assert(g === exp) }
   }
 
+  test("Gopher rules: each published threshold fires on its engineered violation") {
+    // filler keeps mean word length in [3, 10]: 34-36 chars per 10 words
+    val goodWords = (1 to 30).map(i => s"the and of have with that be to word$i here$i").mkString(" ")
+    val cases = Seq(
+      0L -> goodWords, // all rules pass
+      1L -> "the and of short", // < 50 words
+      2L -> ((1 to 60).map(_ => "a").mkString(" ") + " the and"), // mean len < 3
+      3L -> (goodWords + " " + (1 to 40).map(_ => "#").mkString(" ")), // symbols > 10%
+      4L -> (goodWords.split(" ").map(w => s"$w...").mkString("\n")), // ellipsis lines > 30%
+      5L -> (goodWords + " " + (1 to 100).map(_ => "123").mkString(" ")), // alpha < 80%
+      6L -> (1 to 60).map(i => s"word$i here$i").mkString(" ")) // < 2 stop words
+    val r = TextAnalysis.gopherRules(cases.toDF("doc_id", "text"), $"text")
+      .collect().map(x => x.getAs[Long]("doc_id") -> x).toMap
+    assert(r(0L).getAs[Boolean]("keep"), "clean doc passes all rules")
+    assert(!r(1L).getAs[Boolean]("r_word_count"))
+    assert(!r(2L).getAs[Boolean]("r_mean_len"))
+    assert(!r(3L).getAs[Boolean]("r_symbol"))
+    assert(!r(4L).getAs[Boolean]("r_ellipsis"))
+    assert(!r(5L).getAs[Boolean]("r_alpha"))
+    assert(!r(6L).getAs[Boolean]("r_stops"))
+    assert((1L to 6L).forall(i => !r(i).getAs[Boolean]("keep")))
+  }
+
+  test("C4 rules: line retention + page filters") {
+    val page = "Good long sentence here today.\nshort.\nuses javascript sadly here.\n" +
+      "Another full sentence lands! Third one? Fourth now. Fifth done."
+    val cases = Seq(
+      0L -> page, // keeps 2 lines (first + last), 5+ sentences
+      1L -> (page + "\nlorem ipsum dolor"),
+      2L -> (page + "\nhas { brace"),
+      3L -> "One. Two.") // < 5 sentences
+    val r = TextAnalysis.c4Rules(cases.toDF("doc_id", "text"), $"text")
+      .collect().map(x => x.getAs[Long]("doc_id") -> x).toMap
+    assert(r(0L).getAs[Boolean]("keep"))
+    assert(r(0L).getAs[Long]("n_kept_lines") === 2L,
+      "terminal-punct + >=3 words + no javascript keeps exactly 2 of 4 lines")
+    assert(!r(1L).getAs[Boolean]("keep") && r(1L).getAs[Boolean]("has_lorem"))
+    assert(!r(2L).getAs[Boolean]("keep") && r(2L).getAs[Boolean]("has_curly"))
+    assert(!r(3L).getAs[Boolean]("keep") && r(3L).getAs[Long]("n_sentences") === 2L)
+  }
+
   // ------------------------------------------------------- text analysis
 
   test("token counts: three tokenizations on a known string") {
