@@ -106,6 +106,35 @@ object PipelineQueries {
        |)
        |GROUP BY piece ORDER BY n DESC, piece LIMIT 50""".stripMargin
 
+  /** ExactSubstr span REMOVAL (Lee et al. 2021): per-doc token counts
+    * after deleting every position covered by a 10-token window first
+    * seen in an earlier doc — the dedup ACTION the q_span_dups measure
+    * feeds. Integer counts only. */
+  def qSpanRemoval(spark: SparkSession, sf: String): DataFrame =
+    Dedup.spanRemovalStats(docs(spark, sf)).orderBy(col("doc_id"))
+  val oSpanRemoval: String = {
+    val terms = (0 until 10).map(j => s"ts[i+$j]").mkString(" || ' ' || ")
+    s"""$TokCte, win AS (
+       |  SELECT doc_id, u.pos AS pos, u.s AS s FROM (
+       |    SELECT doc_id, unnest([{'pos': i - 1, 's': $terms}
+       |      FOR i IN range(1, len(ts) - 8)]) AS u
+       |    FROM tok WHERE len(ts) >= 10)
+       |), fo AS (
+       |  SELECT s, min(doc_id) AS fd FROM win GROUP BY s
+       |), cov AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_removed FROM (
+       |    SELECT DISTINCT w.doc_id AS doc_id, p FROM win w
+       |    JOIN fo USING (s), unnest(range(w.pos, w.pos + 10)) AS r(p)
+       |    WHERE fo.fd < w.doc_id)
+       |  GROUP BY doc_id
+       |)
+       |SELECT t.doc_id AS doc_id, CAST(len(t.ts) AS BIGINT) AS n_tokens,
+       |  coalesce(c.n_removed, 0) AS n_removed,
+       |  CAST(len(t.ts) AS BIGINT) - coalesce(c.n_removed, 0) AS n_kept
+       |FROM tok t LEFT JOIN cov c ON c.doc_id = t.doc_id
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** Shared synthetic multi-line page for the named filter-pack gates:
     * sentences/bullets/lorem/curly/ellipsis vary by doc_id residues, a
     * real-text slice varies the word statistics. */
@@ -1372,6 +1401,7 @@ object PipelineQueries {
     "q_kmeans" -> qKmeans _,
     "q_dedup_minhash_bbit" -> qDedupMinhashBbit _,
     "q_url_canon" -> qUrlCanon _,
+    "q_span_removal" -> qSpanRemoval _,
     "q_gopher_rules" -> qGopherRules _,
     "q_c4_rules" -> qC4Rules _,
     "q_unigram_seed" -> qUnigramSeed _,
@@ -1423,6 +1453,7 @@ object PipelineQueries {
     "q_kmeans" -> oKmeans,
     "q_dedup_minhash_bbit" -> oDedupMinhashBbit,
     "q_url_canon" -> oUrlCanon,
+    "q_span_removal" -> oSpanRemoval,
     "q_gopher_rules" -> oGopherRules,
     "q_c4_rules" -> oC4Rules,
     "q_unigram_seed" -> oUnigramSeed,

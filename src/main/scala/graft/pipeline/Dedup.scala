@@ -140,6 +140,33 @@ object Dedup {
     pairJaccard(cands, ds).where(col("jac") >= minJaccard)
   }
 
+  /** ExactSubstr REMOVAL (Lee et al. 2021 §3.2 — the action the measure
+    * above feeds: delete the duplicated spans and KEEP the rest of the
+    * document, rather than dropping docs whole): a token position is
+    * removed iff at least one w-token window covering it first occurs in
+    * an EARLIER doc. Returns per doc (n_tokens, n_removed, n_kept).
+    *
+    * Shape at scale: the [[docWindows]] explode + first-owner combinable
+    * min + join-back as in [[spanDupStats]], then each duplicated window
+    * expands to its ≤ w covered positions (bounded by w× the DUP windows
+    * only, not the corpus), distinct, one combinable per-doc count. */
+  def spanRemovalStats(docs: DataFrame, w: Int = 10): DataFrame = {
+    val base = docs.select(col("doc_id"), tokensCol("text").as("ts"))
+    val win = docWindows(docs, w)
+    val firstOwner = win.groupBy(col("s")).agg(min(col("doc_id")).as("first_doc"))
+    val covered = win.join(firstOwner, "s")
+      .where(col("first_doc") < col("doc_id"))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (w - 1))).as("p"))
+      .distinct()
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_removed"))
+    base.select(col("doc_id"), size(col("ts")).cast("long").as("n_tokens"))
+      .join(covered, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        (col("n_tokens") - coalesce(col("n_removed"), lit(0L))).as("n_kept"))
+  }
+
   /** b-bit minwise hashing (Li & König, "b-Bit Minwise Hashing",
     * WWW 2010), b = 1: keep only the LOWEST BIT of each minhash
     * component — the signature store shrinks 64× (16 bits/doc instead of

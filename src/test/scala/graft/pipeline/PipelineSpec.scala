@@ -49,6 +49,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 102L || p._2 == 102L), "unrelated doc must not pair")
   }
 
+  test("span removal: the copying doc loses exactly its copied span, the original keeps all") {
+    // doc 1 embeds doc 0's full 12 tokens inside its own 16: every one of
+    // doc 1's windows overlapping the copy is duplicated; hand-trace the
+    // covered positions
+    val a = "the quick brown fox jumps over the lazy dog again and again" // 12 tokens
+    val d2 = ("alpha beta " + a + " gamma delta").split(" ").mkString(" ") // 16 tokens
+    val fixture = Seq(0L -> a, 1L -> d2).toDF("doc_id", "text")
+    val r = Dedup.spanRemovalStats(fixture, w = 10)
+      .collect().map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Long]("n_tokens"), x.getAs[Long]("n_removed"), x.getAs[Long]("n_kept"))).toMap
+    assert(r(0L) === ((12L, 0L, 12L)), "the first owner loses nothing")
+    // doc 1 windows (w=10) at pos 0..6; duplicated ones are those fully
+    // inside the copied block: pos 2..4 (tokens 2..13 of doc1 = doc0's
+    // 0..11). Covered positions = 2..13 → 12 removed, 4 kept.
+    assert(r(1L) === ((16L, 12L, 4L)), "exactly the copied span is removed")
+  }
+
   test("b-bit minwise: exact copy agrees on all 16 bits (jhat = 1), estimator bounded") {
     val r = Dedup.minhashBbitPairs(docs)
       .collect().map(x => (x.getAs[Long]("a"), x.getAs[Long]("b")) ->
