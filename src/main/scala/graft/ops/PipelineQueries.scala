@@ -170,8 +170,11 @@ object PipelineQueries {
     val d = docs(spark, sf)
     TextAnalysis.gopherRules(d, synthPage(col("text"))).orderBy(col("doc_id"))
   }
-  val oGopherRules: String =
-    s"""WITH pg AS (
+  /** Gopher rule CTE chain ending in `gm(doc_id, nw, tot_chars, symbols,
+    * n_lines, bullets, ells, alphas, stophits)` — shared by the rule gate
+    * and the curation funnel. */
+  private val GopherCtes: String =
+    s"""pg AS (
        |  SELECT doc_id, $SynthPageSql AS page FROM documents
        |), f AS (
        |  SELECT doc_id,
@@ -179,7 +182,7 @@ object PipelineQueries {
        |    list_filter(string_split(page, chr(10)), l -> len(trim(l)) > 0) AS lines,
        |    CAST(len(regexp_extract_all(page, '#|\\.\\.\\.')) AS BIGINT) AS symbols
        |  FROM pg
-       |), m AS (
+       |), gm AS (
        |  SELECT doc_id, symbols,
        |    CAST(len(words) AS BIGINT) AS nw,
        |    CAST(coalesce(list_sum(list_transform(words, w -> len(w))), 0) AS BIGINT) AS tot_chars,
@@ -190,7 +193,14 @@ object PipelineQueries {
        |    CAST(len(list_filter(words, w -> list_contains(
        |      ['the','be','to','of','and','that','have','with'], lower(w)))) AS BIGINT) AS stophits
        |  FROM f
-       |)
+       |)""".stripMargin
+  private val GopherKeepSql: String =
+    """((nw >= 50 AND nw <= 100000) AND (tot_chars >= nw * 3 AND tot_chars <= nw * 10)
+      | AND (symbols * 10 <= nw) AND (bullets * 10 <= n_lines)
+      | AND (ells * 10 <= n_lines * 3) AND (alphas * 10 >= nw * 8)
+      | AND (stophits >= 2))""".stripMargin.replace("\n", " ")
+  val oGopherRules: String =
+    s"""WITH $GopherCtes
        |SELECT doc_id, nw AS n_words,
        |  (nw >= 50 AND nw <= 100000) AS r_word_count,
        |  (tot_chars >= nw * 3 AND tot_chars <= nw * 10) AS r_mean_len,
@@ -199,21 +209,20 @@ object PipelineQueries {
        |  (ells * 10 <= n_lines * 3) AS r_ellipsis,
        |  (alphas * 10 >= nw * 8) AS r_alpha,
        |  (stophits >= 2) AS r_stops,
-       |  ((nw >= 50 AND nw <= 100000) AND (tot_chars >= nw * 3 AND tot_chars <= nw * 10)
-       |   AND (symbols * 10 <= nw) AND (bullets * 10 <= n_lines)
-       |   AND (ells * 10 <= n_lines * 3) AND (alphas * 10 >= nw * 8)
-       |   AND (stophits >= 2)) AS keep
-       |FROM m ORDER BY doc_id""".stripMargin
+       |  $GopherKeepSql AS keep
+       |FROM gm ORDER BY doc_id""".stripMargin
 
   /** C4 cleaning rules (Raffel et al. 2020 §2.2, minus the blocklist). */
   def qC4Rules(spark: SparkSession, sf: String): DataFrame = {
     val d = docs(spark, sf)
     TextAnalysis.c4Rules(d, synthPage(col("text"))).orderBy(col("doc_id"))
   }
-  val oC4Rules: String =
-    s"""WITH pg AS (
+  /** C4 rule CTE chain ending in `cm(doc_id, n_lines, n_kept_lines,
+    * n_sentences, has_lorem, has_curly)` — shared with the funnel. */
+  private val C4Ctes: String =
+    s"""pg2 AS (
        |  SELECT doc_id, $SynthPageSql AS page FROM documents
-       |), m AS (
+       |), cm AS (
        |  SELECT doc_id,
        |    CAST(len(list_filter(string_split(page, chr(10)), l -> len(trim(l)) > 0)) AS BIGINT) AS n_lines,
        |    CAST(len(list_filter(string_split(page, chr(10)), l ->
@@ -224,12 +233,54 @@ object PipelineQueries {
        |    CAST(len(regexp_extract_all(page, '[.!?]')) AS BIGINT) AS n_sentences,
        |    contains(lower(page), 'lorem ipsum') AS has_lorem,
        |    contains(page, '{') AS has_curly
-       |  FROM pg
-       |)
+       |  FROM pg2
+       |)""".stripMargin
+  private val C4KeepSql: String =
+    "(n_sentences >= 5 AND NOT has_lorem AND NOT has_curly AND n_kept_lines > 0)"
+  val oC4Rules: String =
+    s"""WITH $C4Ctes
        |SELECT doc_id, n_lines, n_kept_lines, n_sentences, has_lorem, has_curly,
-       |  (n_sentences >= 5 AND NOT has_lorem AND NOT has_curly
-       |   AND n_kept_lines > 0) AS keep
-       |FROM m ORDER BY doc_id""".stripMargin
+       |  $C4KeepSql AS keep
+       |FROM cm ORDER BY doc_id""".stripMargin
+
+  /** Curation funnel: the gated stages COMPOSED into one survivorship
+    * report — total docs → Gopher pass → C4 pass → both → both ∧
+    * exact-dedup keeper. One row of integer counts; the evidence that
+    * the rule packs and the dedup keeper compose into the one-pass
+    * filter a production pipeline runs. */
+  def qCurationFunnel(spark: SparkSession, sf: String): DataFrame = {
+    val d = docs(spark, sf)
+    val g = TextAnalysis.gopherRules(d, synthPage(col("text")))
+      .select(col("doc_id"), col("keep").as("gk"))
+    val c = TextAnalysis.c4Rules(d, synthPage(col("text")))
+      .select(col("doc_id"), col("keep").as("ck"))
+    val keeper = d.groupBy(md5(col("text")).as("h")).agg(min(col("doc_id")).as("kp"))
+    val dk = d.select(col("doc_id"), md5(col("text")).as("h")).join(keeper, "h")
+      .select(col("doc_id"), (col("doc_id") === col("kp")).as("dk"))
+    g.join(c, "doc_id").join(dk, "doc_id")
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("gk"), 1L).otherwise(0L)).as("n_gopher"),
+        sum(when(col("ck"), 1L).otherwise(0L)).as("n_c4"),
+        sum(when(col("gk") && col("ck"), 1L).otherwise(0L)).as("n_both"),
+        sum(when(col("gk") && col("ck") && col("dk"), 1L).otherwise(0L)).as("n_final"))
+  }
+  val oCurationFunnel: String =
+    s"""WITH $GopherCtes, $C4Ctes, ded AS (
+       |  SELECT doc_id,
+       |    (doc_id = min(doc_id) OVER (PARTITION BY md5(text))) AS dk
+       |  FROM documents
+       |), flags AS (
+       |  SELECT gg.doc_id, gg.gk, cc.ck, d.dk
+       |  FROM (SELECT doc_id, $GopherKeepSql AS gk FROM gm) gg
+       |  JOIN (SELECT doc_id, $C4KeepSql AS ck FROM cm) cc ON cc.doc_id = gg.doc_id
+       |  JOIN ded d ON d.doc_id = gg.doc_id
+       |)
+       |SELECT CAST(count(*) AS BIGINT) AS n_total,
+       |  CAST(sum(CASE WHEN gk THEN 1 ELSE 0 END) AS BIGINT) AS n_gopher,
+       |  CAST(sum(CASE WHEN ck THEN 1 ELSE 0 END) AS BIGINT) AS n_c4,
+       |  CAST(sum(CASE WHEN gk AND ck THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+       |  CAST(sum(CASE WHEN gk AND ck AND dk THEN 1 ELSE 0 END) AS BIGINT) AS n_final
+       |FROM flags""".stripMargin
 
   /** URL canonicalization + dedup: messy URL variants synthesized
     * deterministically from doc_id (mixed case, default ports, double
@@ -1402,6 +1453,7 @@ object PipelineQueries {
     "q_dedup_minhash_bbit" -> qDedupMinhashBbit _,
     "q_url_canon" -> qUrlCanon _,
     "q_span_removal" -> qSpanRemoval _,
+    "q_curation_funnel" -> qCurationFunnel _,
     "q_gopher_rules" -> qGopherRules _,
     "q_c4_rules" -> qC4Rules _,
     "q_unigram_seed" -> qUnigramSeed _,
@@ -1454,6 +1506,7 @@ object PipelineQueries {
     "q_dedup_minhash_bbit" -> oDedupMinhashBbit,
     "q_url_canon" -> oUrlCanon,
     "q_span_removal" -> oSpanRemoval,
+    "q_curation_funnel" -> oCurationFunnel,
     "q_gopher_rules" -> oGopherRules,
     "q_c4_rules" -> oC4Rules,
     "q_unigram_seed" -> oUnigramSeed,
