@@ -242,6 +242,36 @@ class PlanSpec extends AnyFunSuite {
       s"DSIR must broadcast the bucket-model table:\n$dsirPlan")
   }
 
+  test("session-4 text ops keep their scale shapes (url canon, rule packs, unigram seed)") {
+    import graft.ops.PipelineQueries
+    val sf = "/root/testdata/sf0.001"
+    // url canon / gopher / c4: pure column expressions — no join of any
+    // kind, no window, ONE aggregation exchange at most (the dup-group /
+    // count rollup). unigram seed: map-only expansion + one combinable
+    // groupBy — no join, no window.
+    for (name <- Seq("q_url_canon", "q_gopher_rules", "q_c4_rules", "q_unigram_seed")) {
+      val plan = PipelineQueries.queries(name)(spark, sf).queryExecution.sparkPlan
+      val planStr = plan.toString
+      if (name != "q_url_canon") // url canon groups; rules are pure row ops
+        assert(!planStr.contains("CartesianProduct") &&
+          !planStr.contains("BroadcastNestedLoopJoin"), s"$name all-pairs:\n$planStr")
+      assert(!planStr.toLowerCase.contains("sortmergejoin") &&
+        !planStr.contains("BroadcastHashJoin"), s"$name plans a join:\n$planStr")
+      assert(plan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }.isEmpty, s"$name plans a window:\n$planStr")
+    }
+    // span removal: equi-joins only (first-owner join-back), windows none
+    val srPlan = PipelineQueries.queries("q_span_removal")(spark, sf)
+      .queryExecution.sparkPlan
+    assert(!srPlan.toString.contains("CartesianProduct") &&
+      !srPlan.toString.contains("BroadcastNestedLoopJoin"),
+      s"span removal all-pairs:\n$srPlan")
+    assert(srPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, "span removal plans a window")
+  }
+
   test("PQ ADC scan is join-free and map-only down to the bounded top-k") {
     import graft.ops.PipelineQueries
     // Codebooks and the query LUT are literal-inlined: the scoring scan
