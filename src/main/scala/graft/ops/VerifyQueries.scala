@@ -2210,6 +2210,94 @@ object VerifyQueries {
       |  round(CAST(sum(c) AS BIGINT) / (count(*) * 10000.0e0), 3) AS avg_score
       |FROM c GROUP BY 1 ORDER BY max_score DESC, o_orderkey LIMIT 10""".stripMargin
 
+  /** ToParentBlockJoinSortField analog (reference:
+    * Join/ToParentBlockJoinSortField.cs, Join/ToParentBlockJoinFieldComparer
+    * .cs Lowest/Highest; Misc/Index/Sorter/BlockJoinComparerSource.cs):
+    * parent ordering driven by a CHILD-level field — the Lowest comparer
+    * ranks each parent by the minimum qualifying child value, the Highest
+    * by the maximum (the childFilter selects which children participate).
+    * One combinable min/max aggregation per parent + a bounded top-k: no
+    * window, scales as a plain groupBy. Cents kept integer so both
+    * engines order identically. */
+  def qBlockJoinSort(spark: SparkSession, sf: String): DataFrame = {
+    val orders = spark.read.parquet(s"$sf/orders.parquet").select(col("o_orderkey"))
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .where(col("l_quantity") > 48) // childFilter
+      .select(col("l_orderkey"),
+        round(col("l_extendedprice") * 100, 0).cast("long").as("c"))
+    orders.join(li, orders("o_orderkey") === li("l_orderkey"))
+      .groupBy(col("o_orderkey"))
+      .agg(round(min(col("c")) / lit(100.0), 2).as("lowest_child"),
+        round(max(col("c")) / lit(100.0), 2).as("highest_child"))
+      .orderBy(col("lowest_child"), col("o_orderkey")).limit(20)
+  }
+  val oBlockJoinSort: String =
+    """WITH c AS (
+      |  SELECT o_orderkey, CAST(round(l_extendedprice * 100) AS BIGINT) AS c
+      |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      |  WHERE l_quantity > 48
+      |)
+      |SELECT o_orderkey,
+      |  round(min(c) / 100.0e0, 2) AS lowest_child,
+      |  round(max(c) / 100.0e0, 2) AS highest_child
+      |FROM c GROUP BY 1 ORDER BY lowest_child, o_orderkey LIMIT 20""".stripMargin
+
+  /** ToParentBlockJoinCollector analog (reference:
+    * Join/ToParentBlockJoinCollector.cs GetTopGroups): the block-join
+    * result as TopGroups — the top-N parents ranked by their
+    * ScoreMode.Total child score, each carrying its top-k child hits in
+    * child-sort order (score desc, position asc). Shape: one combinable
+    * parent aggregation + bounded top-N, then a broadcast join back to
+    * ONLY the winners' children and a rank window partitioned by parent
+    * (a partition is one parent's children, never corpus-wide). */
+  def qBlockJoinCollector(spark: SparkSession, sf: String): DataFrame = {
+    val orders = spark.read.parquet(s"$sf/orders.parquet").select(col("o_orderkey"))
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .where(col("l_quantity") > 45)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        (round(col("l_extendedprice") * 100, 0).cast("long") *
+          (lit(100L) - round(col("l_discount") * 100, 0).cast("long"))).as("c"))
+    val children = orders.join(li, orders("o_orderkey") === li("l_orderkey"))
+      .select(col("o_orderkey"), col("l_linenumber"), col("c"))
+    val topParents = children.groupBy(col("o_orderkey"))
+      .agg(sum(col("c")).as("ps"))
+      .orderBy(col("ps").desc, col("o_orderkey")).limit(5)
+    val w = Window.partitionBy(col("o_orderkey"))
+      .orderBy(col("c").desc, col("l_linenumber"))
+    children.join(broadcast(topParents.withColumnRenamed("o_orderkey", "pk")),
+        col("o_orderkey") === col("pk"))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= 2)
+      .select(col("o_orderkey"),
+        round(col("ps") / lit(10000.0), 3).as("parent_score"),
+        col("l_linenumber"),
+        round(col("c") / lit(10000.0), 3).as("child_score"))
+      .orderBy(col("parent_score").desc, col("o_orderkey"),
+        col("child_score").desc, col("l_linenumber"))
+  }
+  val oBlockJoinCollector: String =
+    """WITH c AS (
+      |  SELECT o_orderkey, l_linenumber,
+      |    CAST(round(l_extendedprice * 100) AS BIGINT)
+      |      * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS c
+      |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      |  WHERE l_quantity > 45
+      |), p AS (
+      |  SELECT o_orderkey, CAST(sum(c) AS BIGINT) AS ps FROM c GROUP BY 1
+      |  ORDER BY ps DESC, o_orderkey LIMIT 5
+      |), r AS (
+      |  SELECT c.o_orderkey, c.l_linenumber, c.c, p.ps,
+      |    row_number() OVER (PARTITION BY c.o_orderkey
+      |                       ORDER BY c.c DESC, c.l_linenumber) AS rk
+      |  FROM c JOIN p ON c.o_orderkey = p.o_orderkey
+      |)
+      |SELECT o_orderkey,
+      |  round(ps / 10000.0e0, 3) AS parent_score,
+      |  l_linenumber,
+      |  round(c / 10000.0e0, 3) AS child_score
+      |FROM r WHERE rk <= 2
+      |ORDER BY parent_score DESC, o_orderkey, child_score DESC, l_linenumber""".stripMargin
+
   // ------------------------------------------------------- relational ops
 
   /** Query-time semi-join (JoinUtil analog) on TPC-H tables. */
@@ -2445,6 +2533,8 @@ object VerifyQueries {
     "q_mlt_query" -> qMltQuery _,
     "q_block_join" -> qBlockJoin _,
     "q_block_join_modes" -> qBlockJoinModes _,
+    "q_block_join_sort" -> qBlockJoinSort _,
+    "q_block_join_collector" -> qBlockJoinCollector _,
     "q_count" -> qCount _,
     "q_sort_fields" -> qSortFields _,
     "q_common_terms" -> qCommonTerms _,
@@ -2549,6 +2639,8 @@ object VerifyQueries {
     "q_mlt_query" -> oMltQuery,
     "q_block_join" -> oBlockJoin,
     "q_block_join_modes" -> oBlockJoinModes,
+    "q_block_join_sort" -> oBlockJoinSort,
+    "q_block_join_collector" -> oBlockJoinCollector,
     "q_count" -> oCount,
     "q_sort_fields" -> oSortFields,
     "q_common_terms" -> oCommonTerms,
