@@ -800,6 +800,39 @@ object VerifyQueries {
        |WHERE lat >= 10.0e0 AND lat <= 25.0e0 AND lon >= -40.0e0 AND lon <= -5.0e0
        |ORDER BY event_id""".stripMargin
 
+  /** Morton spatial index cache per sf dir (writeIndex output: stored
+    * `morton` column, range-partitioned + sorted so the cover's BETWEENs
+    * prune parquet files/row-groups — the scale path bboxQuery takes when
+    * the code is stored). */
+  private def spatialIndexDir(spark: SparkSession, sf: String): String = synchronized {
+    val key = sf.replaceAll("[^A-Za-z0-9.]", "_")
+    val dir = s"/tmp/graft-spatial-v1-$key"
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/_SUCCESS")))
+      graft.spatial.Spatial.writeIndex(
+        eventPoints(spark, sf), col("lat"), col("lon"), dir, numPartitions = 4)
+    dir
+  }
+
+  /** Intersects(bbox) over the STORED Morton index — the indexed path:
+    * driver cover → pushed `morton BETWEEN` candidates pruning the
+    * parquet scan → exact refine. Equality with the plain geometric
+    * oracle proves cover soundness AND refine exactness through the
+    * pruned scan (the unindexed gates above prove the refine alone). */
+  def qSpatialIndexed(spark: SparkSession, sf: String): DataFrame = {
+    val idx = spark.read.parquet(spatialIndexDir(spark, sf))
+    val r = graft.spatial.Spatial.Rect(-30, -5, 100, 140)
+    graft.spatial.Spatial.bboxQuery(idx, col("lat"), col("lon"), r)
+      .select(col("event_id"), round(col("lat"), 6).as("lat"), round(col("lon"), 6).as("lon"))
+      .orderBy(col("event_id"))
+  }
+  val oSpatialIndexed: String =
+    s"""$OraclePts
+       |SELECT event_id, round(lat, 6) AS lat, round(lon, 6) AS lon FROM pts
+       |WHERE lat >= -30.0e0 AND lat <= -5.0e0 AND lon >= 100.0e0 AND lon <= 140.0e0
+       |ORDER BY event_id""".stripMargin
+
   /** Point-radius query (PointVectorStrategy.MakeDistanceValueSource +
     * circle filter analog): Morton cover of the circle's bbox, exact
     * haversine refine, nearest-first. Identical formula shape on both
@@ -2462,6 +2495,7 @@ object VerifyQueries {
     "q_surround" -> qSurround _,
     "q_expr_sort" -> qExprSort _,
     "q_spatial_bbox" -> qSpatialBbox _,
+    "q_spatial_indexed" -> qSpatialIndexed _,
     "q_spatial_distance" -> qSpatialDistance _,
     "q_spatial_cells" -> qSpatialCells _,
     "q_percolate" -> qPercolate _,
@@ -2568,6 +2602,7 @@ object VerifyQueries {
     "q_surround" -> oSurround,
     "q_expr_sort" -> oExprSort,
     "q_spatial_bbox" -> oSpatialBbox,
+    "q_spatial_indexed" -> oSpatialIndexed,
     "q_spatial_distance" -> oSpatialDistance,
     "q_spatial_cells" -> oSpatialCells,
     "q_percolate" -> oPercolate,

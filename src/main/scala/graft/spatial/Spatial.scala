@@ -26,8 +26,10 @@ import org.apache.spark.sql.functions._
   *     DRIVER over integer cell coordinates (no floats — the grid indices
   *     are computed with the very arithmetic the Column uses, so cover
   *     soundness is exact), emitting a bounded set of merged ranges that
-  *     become pushable `morton BETWEEN` predicates; an exact geometric
-  *     refine follows, mirroring the reference's leaf-cell verification.
+  *     become pushable `morton BETWEEN` predicates over the STORED code;
+  *     an exact geometric refine follows, mirroring the reference's
+  *     leaf-cell verification. Unindexed input (no stored code) runs the
+  *     refine alone — the reference's own unindexed brute-force trade.
   *
   * At 100 TB the candidate step is a metadata-pruned scan (no shuffle, no
   * join); refinement is a codegen'd filter. Heat-map style aggregation
@@ -138,9 +140,27 @@ object Spatial {
 
   /** Candidate predicate for a set of ranges over a Morton column —
     * parquet-pushable BETWEENs, the spatial analog of DictSeek's pushed
-    * term ranges. */
+    * term ranges. `m` MUST be a plain (stored) column reference, never
+    * the inline [[mortonCol]] expression: Column trees are trees, not
+    * DAGs, so each of the 5 bit-spread ladder steps duplicates its input
+    * subtree — one inline morton is ~2^5 copies of the coordinate
+    * arithmetic, and an OR chain of them blows the generated
+    * `processNext()` past janino's method limit, silently dropping the
+    * scan out of whole-stage codegen (and a computed column can't prune
+    * parquet stats anyway, so inline candidates are pure overhead). */
   def rangesPredicate(m: Column, ranges: Seq[MortonRange]): Column =
     ranges.map(r => m >= r.lo && m < r.hi).reduce(_ || _)
+
+  /** Candidate-pruned scan when the input carries a STORED `morton`
+    * column ([[writeIndex]] output — the BETWEENs push to parquet
+    * min/max stats); the unchanged input otherwise, where the exact
+    * refine alone is the query — the reference's own unindexed
+    * brute-force trade (see [[rangesPredicate]] for why inline Morton
+    * candidates are never emitted). */
+  private def pruned(points: DataFrame, ranges: => Seq[MortonRange]): DataFrame =
+    if (points.columns.contains("morton"))
+      points.where(rangesPredicate(col("morton"), ranges))
+    else points
 
   // ------------------------------------------------------------- queries
 
@@ -150,12 +170,9 @@ object Spatial {
   /** Intersects(bbox) over a point table: Morton-range candidates then
     * exact refine. For point shapes Within ≡ Intersects (reference
     * WithinPrefixTreeFilter degenerates to this). */
-  def bboxQuery(points: DataFrame, lat: Column, lon: Column, r: Rect): DataFrame = {
-    val ranges = cover(ix(r.lonMin), ix(r.lonMax), iy(r.latMin), iy(r.latMax))
-    points
-      .where(rangesPredicate(mortonCol(lat, lon), ranges))
+  def bboxQuery(points: DataFrame, lat: Column, lon: Column, r: Rect): DataFrame =
+    pruned(points, cover(ix(r.lonMin), ix(r.lonMax), iy(r.latMin), iy(r.latMax)))
       .where(lat >= r.latMin && lat <= r.latMax && lon >= r.lonMin && lon <= r.lonMax)
-  }
 
   /** Haversine great-circle distance in km, shaped EXACTLY like the
     * DuckDB oracle expression (same op order, same constants) so both
@@ -189,12 +206,10 @@ object Spatial {
         else if (hi > 180.0) Seq((lo, 180.0), (-180.0, hi - 360.0))
         else Seq((lo, hi))
       }
-    val ranges = merge(lonIntervals.flatMap { case (lo, hi) =>
-      cover(ix(lo), ix(hi), iy(latMin), iy(latMax))
-    })
     val d = haversineKm(lat, lon, lit(centerLat), lit(centerLon))
-    points
-      .where(rangesPredicate(mortonCol(lat, lon), ranges))
+    pruned(points, merge(lonIntervals.flatMap { case (lo, hi) =>
+        cover(ix(lo), ix(hi), iy(latMin), iy(latMax))
+      }))
       .withColumn("dist_km", d)
       .where(col("dist_km") <= radiusKm)
   }

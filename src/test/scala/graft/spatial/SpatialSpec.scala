@@ -106,4 +106,24 @@ class SpatialSpec extends AnyFunSuite {
       col("lon").between(r.lonMin, r.lonMax)).select("id").collect().map(_.getLong(0)).toSet
     assert(exact.subsetOf(cand) && exact.nonEmpty)
   }
+
+  test("bboxQuery over a stored index: pruned scan, codegen intact, ≡ brute force") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-spatial2").toString
+    Spatial.writeIndex(points(3000), col("lat"), col("lon"), s"$dir/idx", numPartitions = 4)
+    val idx = spark.read.parquet(s"$dir/idx")
+    val r = Spatial.Rect(10, 25, -40, -5)
+    val q = Spatial.bboxQuery(idx, col("lat"), col("lon"), r)
+    val plan = q.queryExecution.executedPlan.toString
+    // the cover's BETWEENs reach the scan AND the filter stays inside
+    // whole-stage codegen (the inline-morton tree would fall out of it)
+    assert(plan.contains("PushedFilters") && plan.contains("morton"),
+      s"stored-index bbox not pruned:\n$plan")
+    assert(q.queryExecution.executedPlan.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }.nonEmpty, s"bbox fell out of codegen:\n$plan")
+    val got = q.select("id").collect().map(_.getLong(0)).sorted
+    val want = idx.where(col("lat").between(r.latMin, r.latMax) &&
+      col("lon").between(r.lonMin, r.lonMax)).select("id").collect().map(_.getLong(0)).sorted
+    assert(want.nonEmpty && got.sameElements(want))
+  }
 }
