@@ -194,6 +194,19 @@ object DocIndex {
       org.apache.spark.sql.functions.col("lang") === "en", numPartitions = 4)
   }
 
+  /** Pulsed rewrite of the documents index (Pulsing41PostingsFormat
+    * analog, freqCutoff=1): hapax terms' postings inlined into the term
+    * dictionary, postings table holding only df>1 terms. Sidecars/stats
+    * stay in the base index by design. */
+  def ensurePulsed(spark: SparkSession, sfDir: String): String = synchronized {
+    val dir = cacheDir(sfDir) + "-pulsed"
+    val done = new org.apache.hadoop.fs.Path(s"${IndexPaths.termDict(dir)}/_SUCCESS")
+    if (!done.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(done))
+      graft.postings.Pulsing.write(spark, ensure(spark, sfDir), dir,
+        freqCutoff = 1, numPartitions = 4)
+    dir
+  }
+
   /** Documents index rewritten in (tokenCount, docId) sort order
     * (IndexSorter — the Misc SortingMergePolicy analog): shortest docs
     * first, so sort-matching queries early-terminate on leading blocks. */

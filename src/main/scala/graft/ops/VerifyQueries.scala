@@ -1806,6 +1806,36 @@ object VerifyQueries {
        |SELECT term, CAST(sum(tf) AS BIGINT) AS ttf, count(*) AS df FROM tf
        |GROUP BY term ORDER BY ttf DESC, term LIMIT 20""".stripMargin
 
+  /** Pulsed postings read (Pulsing41PostingsFormat analog, reference:
+    * Codecs/Pulsing/Pulsing41PostingsFormat.cs:30-44): hits for the 5
+    * alphabetically-first hapax terms (served by the dictionary's INLINE
+    * postings — the postings table no longer contains them) plus the 2
+    * highest-df terms (served by the normal block path), both engines
+    * deriving the term sets independently from the same deterministic
+    * rule. Equality proves the inline/block routing, the inline tf
+    * fidelity, and the union — the pulsed read is bit-equal to the
+    * unpulsed one. */
+  def qPulsing(spark: SparkSession, sf: String): DataFrame = {
+    import spark.implicits._
+    val pdir = DocIndex.ensurePulsed(spark, sf)
+    val dict = spark.read.parquet(IndexPaths.termDict(pdir))
+    val rare = dict.where(col("df") === 1)
+      .orderBy(col("term")).limit(5).select(col("term")).as[String].collect()
+    val common = dict.orderBy(col("df").desc, col("term")).limit(2)
+      .select(col("term")).as[String].collect()
+    graft.postings.Pulsing.hits(spark, pdir, (rare ++ common).toSeq)
+      .select(col("term"), col("doc_id"), col("tf"))
+      .orderBy(col("term"), col("doc_id"))
+  }
+  val oPulsing: String =
+    s"""$OracleCtes, sel AS (
+       |  SELECT term FROM (SELECT term FROM df WHERE df = 1 ORDER BY term LIMIT 5)
+       |  UNION
+       |  SELECT term FROM (SELECT term FROM df ORDER BY df DESC, term LIMIT 2)
+       |)
+       |SELECT tf.term, tf.doc_id, tf.tf FROM tf JOIN sel USING (term)
+       |ORDER BY term, doc_id""".stripMargin
+
   /** Facets: hits of a term counted per lang (FacetsCollector analog). */
   def qFacetLang(spark: SparkSession, sf: String): DataFrame = {
     val dir = ensure(spark, sf)
@@ -2558,6 +2588,7 @@ object VerifyQueries {
     "q_collection_stats" -> qCollectionStats _,
     "q_dict_topdf" -> qDictTopDf _,
     "q_high_freq_ttf" -> qHighFreqTtf _,
+    "q_pulsing" -> qPulsing _,
     "q_facet_lang" -> qFacetLang _,
     "q_facet_dl_hist" -> qFacetDlHist _,
     "q_facet_path" -> qFacetPath _,
@@ -2665,6 +2696,7 @@ object VerifyQueries {
     "q_collection_stats" -> oCollectionStats,
     "q_dict_topdf" -> oDictTopDf,
     "q_high_freq_ttf" -> oHighFreqTtf,
+    "q_pulsing" -> oPulsing,
     "q_facet_lang" -> oFacetLang,
     "q_facet_dl_hist" -> oFacetDlHist,
     "q_facet_path" -> oFacetPath,
