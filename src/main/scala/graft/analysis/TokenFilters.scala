@@ -187,4 +187,47 @@ object TokenFilters {
       if (s == t.term) Array(t)
       else Array(t, t.copy(term = s))
     }
+
+  /** DictionaryCompoundWordTokenFilter (Compound/
+    * DictionaryCompoundWordTokenFilter.cs:96-131 + base
+    * CompoundWordTokenFilterBase.cs:108-142,190-204): Germanic
+    * decompounding — "donaudampfschiff" also indexes "donau", "dampf",
+    * "schiff" so a "schiff" query finds it. Reference semantics
+    * preserved exactly: only tokens of length >= `minWordSize` are
+    * decomposed; the brute-force scan tries every start i and every
+    * length j in [minSubwordSize, maxSubwordSize] IN THAT ORDER (subword
+    * emission order = start asc, then length asc); `onlyLongestMatch`
+    * keeps only the longest dictionary hit per start; the ORIGINAL token
+    * is always emitted first, subwords follow at the same position
+    * (posIncr 0, overlap like synonyms) and carry the ORIGINAL word's
+    * offsets (the >=4.4 behavior — subword offsets are not narrowed).
+    * The dictionary is caller-supplied (the reference loads a user word
+    * list); match is exact against the already-filtered term text. */
+  def dictionaryCompound(tokens: Array[Token], dictionary: Set[String],
+                         minWordSize: Int = 5, minSubwordSize: Int = 2,
+                         maxSubwordSize: Int = 15,
+                         onlyLongestMatch: Boolean = false): Array[Token] =
+    tokens.flatMap { t =>
+      val out = ArrayBuffer(t)
+      val len = t.term.length
+      if (len >= minWordSize) {
+        var i = 0
+        while (i <= len - minSubwordSize) {
+          var longest: String = null
+          var j = minSubwordSize
+          while (j <= maxSubwordSize && i + j <= len) {
+            val sub = t.term.substring(i, i + j)
+            if (dictionary.contains(sub)) {
+              if (onlyLongestMatch) {
+                if (longest == null || longest.length < j) longest = sub
+              } else out += t.copy(term = sub)
+            }
+            j += 1
+          }
+          if (onlyLongestMatch && longest != null) out += t.copy(term = longest)
+          i += 1
+        }
+      }
+      out
+    }
 }

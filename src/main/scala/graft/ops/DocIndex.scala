@@ -97,6 +97,43 @@ object DocIndex {
     dir
   }
 
+  /** Synthetic CJK corpus over the documents table's doc_ids: content =
+    * a deterministic digit string rendered as Han ideographs
+    * (translate 0-9 → 零一二三四五六七八九), so the CJK bigram analyzer
+    * emits one ideograph-pair term per character position and an oracle
+    * can re-derive phrase matches as plain substring counts over the
+    * digit string. Every doc_id ≡ 0 (mod 3) embeds the needle '1234';
+    * the rest embed its reversal; '9' separators stop cross-field spans. */
+  def cjkDocsAsCorpus(spark: SparkSession, sfDir: String) = {
+    import spark.implicits._
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select($"doc_id",
+        concat($"doc_id".cast("string"), lit("9"),
+          when($"doc_id" % 3 === 0, lit("1234")).otherwise(lit("4321")),
+          lit("9"), ($"doc_id" % 1000).cast("string")).as("s"))
+      .select(
+        lit("c").as("repo"),
+        format_string("%010d", $"doc_id").as("path"),
+        lit("0" * 40).as("commit"),
+        lit("zh").as("lang"),
+        translate($"s", "0123456789", "零一二三四五六七八九").as("content"),
+        sha2(translate($"s", "0123456789", "零一二三四五六七八九"), 256).as("sha256"))
+      .as[SourceFile]
+  }
+
+  /** CJK-bigram positions index over [[cjkDocsAsCorpus]] (the
+    * NGramPhraseQuery gate's index: gram terms at consecutive
+    * positions). */
+  def ensureCjk(spark: SparkSession, sfDir: String): String = synchronized {
+    val dir = cacheDir(sfDir) + "-cjk"
+    if (!IndexBuilder.stageDone(spark, dir, "stats")) {
+      IndexBuilder.build(spark, cjkDocsAsCorpus(spark, sfDir), dir,
+        numPartitions = 4, resume = true, analyzerFor = _ => Analyzer.cjk,
+        indexPositions = true)
+    }
+    dir
+  }
+
   /** Documents index with positions AND char offsets (the full
     * ..._AND_OFFSETS IndexOptions level): highlighting reads offsets
     * from the index instead of re-analyzing stored content. */

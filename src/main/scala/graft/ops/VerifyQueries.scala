@@ -1806,6 +1806,74 @@ object VerifyQueries {
        |SELECT term, CAST(sum(tf) AS BIGINT) AS ttf, count(*) AS df FROM tf
        |GROUP BY term ORDER BY ttf DESC, term LIMIT 20""".stripMargin
 
+  /** Dictionary decompounding (DictionaryCompoundWordTokenFilter,
+    * reference: Analysis.Common/Compound/DictionaryCompoundWordTokenFilter
+    * .cs:96-131): per-doc counts of SUBWORD emissions (originals
+    * excluded) for a literal 6-word dictionary, running the real
+    * TokenFilters.dictionaryCompound inside the distributed flatMap. The
+    * oracle re-derives emission counts as substring-occurrence counts
+    * ((len - len(replace))/len(w)) over len>=minWordSize tokens — exact
+    * because the brute-force scan emits one subword per match START and
+    * none of the dictionary words can self-overlap (no proper prefix =
+    * suffix), so non-overlapping replace counting equals start counting. */
+  def qDecompound(spark: SparkSession, sf: String): DataFrame = {
+    import spark.implicits._
+    val dictWords = Seq("merge", "table", "index", "sort", "row", "vector")
+    val dictSet = dictWords.toSet
+    spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"),
+        explode(expr("regexp_extract_all(lower(text), '[a-z0-9_]+', 0)")).as("term"))
+      .as[(Long, String)]
+      .flatMap { case (d, t) =>
+        val out = graft.analysis.TokenFilters.dictionaryCompound(
+          Array(graft.analysis.Token(t, 0, 0, t.length)), dictSet)
+        out.iterator.drop(1).map(s => (d, s.term)) // drop the original passthrough
+      }.toDF("doc_id", "subword")
+      .groupBy(col("doc_id"), col("subword")).agg(count("*").as("cnt"))
+      .orderBy(col("doc_id"), col("subword"))
+  }
+  val oDecompound: String =
+    s"""$OracleCtes, dict(w) AS (
+       |  VALUES ('merge'),('table'),('index'),('sort'),('row'),('vector')
+       |), occ AS (
+       |  SELECT t.doc_id, d.w AS subword,
+       |    (length(t.term) - length(replace(t.term, d.w, ''))) // length(d.w) AS n
+       |  FROM tok t CROSS JOIN dict d
+       |  WHERE length(t.term) >= 5
+       |)
+       |SELECT doc_id, subword, CAST(sum(n) AS BIGINT) AS cnt FROM occ
+       |WHERE n > 0 GROUP BY doc_id, subword ORDER BY doc_id, subword""".stripMargin
+
+  /** NGramPhraseQuery over a CJK-bigram positions index (reference:
+    * Search/NGramPhraseQuery.cs:63-105 + the CJKAnalyzer chain): the
+    * needle 一二三四's three bigrams rewrite to the SPARSE phrase
+    * (一二/0, 三四/2) — the skipped gram 二三 is implied by the n-1
+    * character overlap — so the engine decodes 2 posting lists instead
+    * of 3 and must still produce exactly the substring-occurrence
+    * counts the oracle computes over the synthetic digit strings
+    * ([[DocIndex.cjkDocsAsCorpus]]). Proves the rewrite's soundness
+    * claim end-to-end, not just the rewrite shape. */
+  def qNgramPhrase(spark: SparkSession, sf: String): DataFrame = {
+    val dir = DocIndex.ensureCjk(spark, sf)
+    val searcher = new graft.search.Searcher(new graft.search.IndexReader(spark, dir))
+    val parts = graft.search.NGramPhraseQ(2, Seq("一二", "二三", "三四"))
+      .optimized.asInstanceOf[graft.search.SparsePhraseQ].parts
+    searcher.sparsePhraseFreqs(parts)
+      .toDF("doc_id", "freq", "norm")
+      .select(col("doc_id"), col("freq").cast("long").as("cnt"))
+      .orderBy(col("doc_id"))
+  }
+  val oNgramPhrase: String =
+    """WITH s AS (
+      |  SELECT doc_id, CAST(doc_id AS VARCHAR) || '9' ||
+      |    (CASE WHEN doc_id % 3 = 0 THEN '1234' ELSE '4321' END) || '9' ||
+      |    CAST(doc_id % 1000 AS VARCHAR) AS str
+      |  FROM documents
+      |)
+      |SELECT doc_id,
+      |  (length(str) - length(replace(str, '1234', ''))) // 4 AS cnt
+      |FROM s WHERE str LIKE '%1234%' ORDER BY doc_id""".stripMargin
+
   /** Pulsed postings read (Pulsing41PostingsFormat analog, reference:
     * Codecs/Pulsing/Pulsing41PostingsFormat.cs:30-44): hits for the 5
     * alphabetically-first hapax terms (served by the dictionary's INLINE
@@ -2589,6 +2657,8 @@ object VerifyQueries {
     "q_dict_topdf" -> qDictTopDf _,
     "q_high_freq_ttf" -> qHighFreqTtf _,
     "q_pulsing" -> qPulsing _,
+    "q_decompound" -> qDecompound _,
+    "q_ngram_phrase" -> qNgramPhrase _,
     "q_facet_lang" -> qFacetLang _,
     "q_facet_dl_hist" -> qFacetDlHist _,
     "q_facet_path" -> qFacetPath _,
@@ -2697,6 +2767,8 @@ object VerifyQueries {
     "q_dict_topdf" -> oDictTopDf,
     "q_high_freq_ttf" -> oHighFreqTtf,
     "q_pulsing" -> oPulsing,
+    "q_decompound" -> oDecompound,
+    "q_ngram_phrase" -> oNgramPhrase,
     "q_facet_lang" -> oFacetLang,
     "q_facet_dl_hist" -> oFacetDlHist,
     "q_facet_path" -> oFacetPath,

@@ -50,6 +50,35 @@ final case class PhraseQ(terms: Seq[String], slop: Int = 0, boost: Float = 1f) e
 final case class MultiPhraseQ(slots: Seq[Seq[String]], slop: Int = 0,
                               boost: Float = 1f) extends Query
 
+/** Exact phrase with EXPLICIT term positions — the
+  * `PhraseQuery.Add(Term, position)` surface (reference:
+  * Search/PhraseQuery.cs:120-147): gaps allowed, so `("ab",0), ("cd",2)`
+  * matches "ab" with "cd" two positions later regardless of what sits
+  * between. Requires a positions-enabled index. */
+final case class SparsePhraseQ(parts: Seq[(String, Int)],
+                               boost: Float = 1f) extends Query
+
+/** NGramPhraseQuery (reference: Search/NGramPhraseQuery.cs:63-105): an
+  * exact phrase whose terms are CONSECUTIVE n-grams of one surface
+  * string. Because adjacent grams overlap by n-1 characters, matching
+  * every n-th gram (plus the last) implies the skipped grams match too —
+  * so the optimized query decodes ~1/n of the posting lists for the same
+  * result set. `optimized` applies the reference's exact rewrite rule:
+  * keep positions p where `p % n == 0 || p == last`; phrases too short
+  * to optimize (n < 2 or fewer than 3 grams) fall back to the plain
+  * phrase, exactly like the reference's base.Rewrite. */
+final case class NGramPhraseQ(n: Int, terms: Seq[String],
+                              boost: Float = 1f) extends Query {
+  def optimized: Query =
+    if (n < 2 || terms.length < 3) PhraseQ(terms, 0, boost)
+    else {
+      val lastPos = terms.length - 1
+      SparsePhraseQ(terms.zipWithIndex.collect {
+        case (t, p) if p % n == 0 || p >= lastPos => (t, p)
+      }, boost)
+    }
+}
+
 /** Phrase whose parts may be multi-term sub-queries — `"merg* table"~2`
   * (reference: QueryParsers/ComplexPhrase/ComplexPhraseQueryParser.cs):
   * rewrite expands each multi-term part against the dictionary into a

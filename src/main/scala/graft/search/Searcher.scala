@@ -485,6 +485,7 @@ final class Searcher(val reader: IndexReader, pruneMinBlocks: Int = 64,
     case BoolQ(Seq(single), Nil, Nil, _, boost) if boost == 1f => rewrite(single)
     case bq: BoolQ => bq.copy(must = bq.must.map(rewrite),
       should = bq.should.map(rewrite), mustNot = bq.mustNot.map(rewrite))
+    case ng: NGramPhraseQ => rewrite(ng.optimized)
     case ConstantScoreQ(sub, b) => ConstantScoreQ(rewrite(sub), b)
     case DisMaxQ(qs, tb) => DisMaxQ(qs.map(rewrite), tb)
     case FunctionScoreQ(sub, e) => FunctionScoreQ(rewrite(sub), e)
@@ -552,6 +553,7 @@ final class Searcher(val reader: IndexReader, pruneMinBlocks: Int = 64,
         }
     case bq: BoolQ => scoredBool(bq)
     case PhraseQ(terms, slop, boost) => scoredPhrase(terms, slop, boost)
+    case SparsePhraseQ(parts, boost) => scoredSparsePhrase(parts, boost)
     case MultiPhraseQ(slots, slop, boost) => scoredMultiPhrase(slots, slop, boost)
     case mt if multiTermPred(mt).isDefined =>
       // CONSTANT_SCORE_AUTO fallback: a wide multi-term query (dictionary
@@ -609,6 +611,57 @@ final class Searcher(val reader: IndexReader, pruneMinBlocks: Int = 64,
       else sloppyPhraseFreqs(terms, slop)
     freqs.map { case (docId, freq, norm) =>
       ScoreDoc(docId, BM25.score(freq, norm.toByte, weight, localCache))
+    }
+  }
+
+  /** Exact phrase at EXPLICIT positions (PhraseQuery.Add(term, position)
+    * / the NGramPhraseQuery rewrite target): anchor = a match of the
+    * first part; every later part must sit exactly at anchor + its
+    * relative position. Same BM25 framing as the dense exact phrase
+    * (weight = Σ idf over the parts actually queried — the reference's
+    * optimized PhraseQuery carries only the kept terms, so its weight
+    * drops the skipped grams' idf the same way). Positions index
+    * required — the positionless re-analysis fallback can't see gaps. */
+  private def scoredSparsePhrase(parts: Seq[(String, Int)], boost: Float): Dataset[ScoreDoc] = {
+    require(parts.nonEmpty, "empty sparse phrase")
+    if (parts.size == 1) return scoredRaw(TermQ(parts.head._1, boost))
+    require(reader.hasPositions, "SparsePhraseQ requires a positions-enabled index")
+    val stats = reader.termStats(parts.map(_._1).distinct)
+    if (!parts.forall(p => stats.contains(p._1))) return spark.emptyDataset[ScoreDoc]
+    val weight = BM25.weightValue(
+      parts.map(p => BM25.idf(stats(p._1).df, cs.maxDoc)).sum, boost)
+    val localCache = cache
+    sparsePhraseFreqs(parts).map { case (docId, freq, norm) =>
+      ScoreDoc(docId, BM25.score(freq, norm.toByte, weight, localCache))
+    }
+  }
+
+  /** (docId, anchorCount, normByte) for a sparse phrase — the pruned
+    * aligned postings+positions scans and the one docId shuffle of
+    * [[phraseFreqsFromIndex]], with the binary-search walk offset by each
+    * part's explicit relative position instead of `i`. */
+  def sparsePhraseFreqs(parts: Seq[(String, Int)]): Dataset[(Long, Float, Int)] = {
+    val sorted = parts.sortBy(_._2).toIndexedSeq
+    val rels = sorted.map(p => p._2 - sorted.head._2)
+    val termArr = sorted.map(_._1)
+    val distinct = termArr.distinct
+    val nDistinct = distinct.length
+    val rows = termPositionRows(distinct)
+    rows.groupByKey(_._1).flatMapGroups { (docId, it) =>
+      val posBy = scala.collection.mutable.HashMap.empty[String, Array[Int]]
+      var norm = 0
+      it.foreach { case (_, term, ps, n) => posBy(term) = ps; norm = n }
+      if (posBy.size < nDistinct) Iterator.empty
+      else {
+        var f = 0
+        posBy(termArr.head).foreach { p =>
+          var i = 1
+          while (i < termArr.length &&
+            java.util.Arrays.binarySearch(posBy(termArr(i)), p + rels(i)) >= 0) i += 1
+          if (i == termArr.length) f += 1
+        }
+        if (f > 0) Iterator.single((docId, f.toFloat, norm)) else Iterator.empty
+      }
     }
   }
 

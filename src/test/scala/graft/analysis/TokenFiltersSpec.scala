@@ -69,4 +69,44 @@ class TokenFiltersSpec extends AnyFunSuite {
       .map(t => (t.term, t.position)).toSeq
     assert(got == Seq(("merging", 0), ("merg", 0), ("by", 1)))
   }
+
+  test("dictionaryCompound: brute-force subwords, original first, start-asc order") {
+    val dict = Set("donau", "dampf", "schiff", "fahrt")
+    val ts = toks("donaudampfschifffahrt ahoi")
+    val got = TokenFilters.dictionaryCompound(ts, dict)
+      .map(t => (t.term, t.position)).toSeq
+    // the doc-comment example: compound + its parts at one position;
+    // the short non-compound token passes through untouched
+    assert(got == Seq(("donaudampfschifffahrt", 0), ("donau", 0),
+      ("dampf", 0), ("schiff", 0), ("fahrt", 0), ("ahoi", 1)))
+    // subwords keep the ORIGINAL word's offsets (>=4.4 semantics)
+    val orig = ts.head
+    TokenFilters.dictionaryCompound(ts, dict).take(5).foreach { t =>
+      assert(t.startOff == orig.startOff && t.endOff == orig.endOff)
+    }
+  }
+
+  test("dictionaryCompound: onlyLongestMatch keeps one hit per start") {
+    val dict = Set("schiff", "schifffahrt", "fahrt")
+    val ts = toks("schifffahrt")
+    val all = TokenFilters.dictionaryCompound(ts, dict).map(_.term).toSeq
+    assert(all == Seq("schifffahrt", "schiff", "schifffahrt", "fahrt"))
+    val longest = TokenFilters.dictionaryCompound(ts, dict,
+      onlyLongestMatch = true).map(_.term).toSeq
+    assert(longest == Seq("schifffahrt", "schifffahrt", "fahrt"))
+  }
+
+  test("dictionaryCompound: minWordSize gate and subword-size bounds") {
+    val dict = Set("rind", "dampf", "schifffahrt")
+    // len-4 token < minWordSize(5): not decomposed even though in dict
+    assert(TokenFilters.dictionaryCompound(toks("rind"), dict)
+      .map(_.term).toSeq == Seq("rind"))
+    // a len-5 dictionary word re-emits itself as its own subword
+    // (reference brute force includes i=0, j=len — the documented quirk)
+    assert(TokenFilters.dictionaryCompound(toks("dampf"), dict)
+      .map(_.term).toSeq == Seq("dampf", "dampf"))
+    // subwords longer than maxSubwordSize are never found
+    assert(TokenFilters.dictionaryCompound(toks("schifffahrt"), dict,
+      maxSubwordSize = 8).map(_.term).toSeq == Seq("schifffahrt"))
+  }
 }
