@@ -272,6 +272,38 @@ class PlanSpec extends AnyFunSuite {
     }.isEmpty, "span removal plans a window")
   }
 
+  test("session-5 ops keep their scale shapes (pulsing, sparse phrase, decompound)") {
+    import graft.ops.VerifyQueries
+    val sf = "/root/testdata/sf0.001"
+    // pulsed read: a union of a pruned dictionary read (inline explode)
+    // and a pruned postings decode — no join of any kind, no window
+    val pulsePlan = VerifyQueries.queries("q_pulsing")(spark, sf)
+      .queryExecution.sparkPlan
+    assert(!pulsePlan.toString.toLowerCase.contains("join"),
+      s"pulsed read plans a join:\n$pulsePlan")
+    assert(pulsePlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, "pulsed read plans a window")
+    // sparse/ngram phrase: the aligned postings+positions equi-join and
+    // the one docId aggregation — no cartesian, no window
+    val ngPlan = VerifyQueries.queries("q_ngram_phrase")(spark, sf)
+      .queryExecution.sparkPlan
+    assert(!ngPlan.toString.contains("CartesianProduct") &&
+      !ngPlan.toString.contains("BroadcastNestedLoopJoin"),
+      s"ngram phrase all-pairs:\n$ngPlan")
+    assert(ngPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, "ngram phrase plans a window")
+    // decompound: one map-side flatMap + ONE combinable groupBy — no join
+    val dcPlan = VerifyQueries.queries("q_decompound")(spark, sf)
+      .queryExecution.sparkPlan
+    assert(!dcPlan.toString.toLowerCase.contains("join"),
+      s"decompound plans a join:\n$dcPlan")
+    assert(dcPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, "decompound plans a window")
+  }
+
   test("PQ ADC scan is join-free and map-only down to the bounded top-k") {
     import graft.ops.PipelineQueries
     // Codebooks and the query LUT are literal-inlined: the scoring scan
