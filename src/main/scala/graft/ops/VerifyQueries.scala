@@ -1844,6 +1844,66 @@ object VerifyQueries {
        |SELECT doc_id, subword, CAST(sum(n) AS BIGINT) AS cnt FROM occ
        |WHERE n > 0 GROUP BY doc_id, subword ORDER BY doc_id, subword""".stripMargin
 
+  /** Hunspell affix stemming over a literal .aff/.dic pair (reference:
+    * Analysis/Hunspell/Stemmer.cs + Dictionary.cs): per-doc counts of
+    * every stem emission — direct lookups plus each matching SFX rule —
+    * running the real parser + stemmer inside the distributed flatMap.
+    * The oracle re-derives each of the three suffix rules and the direct
+    * lookup as CASE expressions (affix endsWith + condition class on the
+    * candidate base + base∈words-with-flag), sound because no two rules
+    * can produce the same base for one token (different strip lengths /
+    * mutually exclusive final characters). */
+  def qHunspell(spark: SparkSession, sf: String): DataFrame = {
+    import spark.implicits._
+    val dict = graft.analysis.Hunspell.parse(
+      """SFX D Y 2
+        |SFX D 0 d e
+        |SFX D 0 ed [^ey]
+        |SFX S Y 1
+        |SFX S 0 s [^sxy]
+        |""".stripMargin,
+      """4
+        |merge/D
+        |sort/DS
+        |index
+        |row/S
+        |""".stripMargin)
+    spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"),
+        explode(expr("regexp_extract_all(lower(text), '[a-z0-9_]+', 0)")).as("term"))
+      .as[(Long, String)]
+      .flatMap { case (d, t) =>
+        graft.analysis.Hunspell.stem(dict, t).map(s => (d, s)) }
+      .toDF("doc_id", "stem")
+      .groupBy(col("doc_id"), col("stem")).agg(count("*").as("cnt"))
+      .orderBy(col("doc_id"), col("stem"))
+  }
+  val oHunspell: String =
+    s"""$OracleCtes, em AS (
+       |  SELECT doc_id,
+       |    CASE WHEN term IN ('merge','sort','index','row') THEN term END AS s0,
+       |    CASE WHEN term LIKE '%d' AND length(term) > 1
+       |           AND substr(term, 1, length(term)-1) LIKE '%e'
+       |           AND substr(term, 1, length(term)-1) IN ('merge','sort')
+       |         THEN substr(term, 1, length(term)-1) END AS s1,
+       |    CASE WHEN term LIKE '%ed' AND length(term) > 2
+       |           AND substr(term, length(term)-2, 1) NOT IN ('e','y')
+       |           AND substr(term, 1, length(term)-2) IN ('merge','sort')
+       |         THEN substr(term, 1, length(term)-2) END AS s2,
+       |    CASE WHEN term LIKE '%s' AND length(term) > 1
+       |           AND substr(term, length(term)-1, 1) NOT IN ('s','x','y')
+       |           AND substr(term, 1, length(term)-1) IN ('sort','row')
+       |         THEN substr(term, 1, length(term)-1) END AS s3
+       |  FROM tok
+       |), un AS (
+       |  SELECT doc_id, s0 AS stem FROM em WHERE s0 IS NOT NULL
+       |  UNION ALL SELECT doc_id, s1 FROM em WHERE s1 IS NOT NULL
+       |  UNION ALL SELECT doc_id, s2 FROM em WHERE s2 IS NOT NULL
+       |  UNION ALL SELECT doc_id, s3 FROM em WHERE s3 IS NOT NULL
+       |)
+       |SELECT doc_id, stem, count(*) AS cnt FROM un
+       |GROUP BY doc_id, stem ORDER BY doc_id, stem""".stripMargin
+
   /** NGramPhraseQuery over a CJK-bigram positions index (reference:
     * Search/NGramPhraseQuery.cs:63-105 + the CJKAnalyzer chain): the
     * needle 一二三四's three bigrams rewrite to the SPARSE phrase
@@ -2659,6 +2719,7 @@ object VerifyQueries {
     "q_pulsing" -> qPulsing _,
     "q_decompound" -> qDecompound _,
     "q_ngram_phrase" -> qNgramPhrase _,
+    "q_hunspell" -> qHunspell _,
     "q_facet_lang" -> qFacetLang _,
     "q_facet_dl_hist" -> qFacetDlHist _,
     "q_facet_path" -> qFacetPath _,
@@ -2769,6 +2830,7 @@ object VerifyQueries {
     "q_pulsing" -> oPulsing,
     "q_decompound" -> oDecompound,
     "q_ngram_phrase" -> oNgramPhrase,
+    "q_hunspell" -> oHunspell,
     "q_facet_lang" -> oFacetLang,
     "q_facet_dl_hist" -> oFacetDlHist,
     "q_facet_path" -> oFacetPath,
