@@ -111,11 +111,19 @@ object StreamingIndexer {
     * the global term_dict / collection_stats are re-aggregated. */
   def compact(spark: SparkSession, root: String, outDir: String,
               numPartitions: Int = 8): Unit = {
-    import spark.implicits._
     val gens = generations(spark, root)
     require(gens.nonEmpty, s"no committed generations under $root")
-    val dirs = gens.map(genDir(root, _))
+    compactDirs(spark, gens.map(genDir(root, _)), outDir, numPartitions)
+  }
 
+  /** One concatenation merge over an explicit set of generation dirs —
+    * the OneMerge executor [[compact]] and [[maintainTiered]] share.
+    * Tombstones of the inputs are UNIONED into the output (docIds are
+    * global across generations), so updateDocuments' per-generation
+    * deletes survive a merge instead of resurrecting old versions. */
+  def compactDirs(spark: SparkSession, dirs: Seq[String], outDir: String,
+                  numPartitions: Int = 8): Unit = {
+    import spark.implicits._
     val outPath = new org.apache.hadoop.fs.Path(outDir)
     val fs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(outPath)) fs.delete(outPath, true)
@@ -168,5 +176,50 @@ object StreamingIndexer {
       ManifestRow("postings", 0, null, null, cs.maxDoc, cs.maxDoc, 0L, 0L, now),
       ManifestRow("stats", 0, null, null, cs.maxDoc, cs.maxDoc, 0L, 0L, now)))
       .repartition(1).write.mode(SaveMode.Append).parquet(IndexPaths.manifest(outDir))
+
+    // carry tombstones: global docIds make a plain union correct
+    val tombDirs = dirs.map(graft.build.Deletes.tombstonesPath)
+      .filter(d => fs.exists(new org.apache.hadoop.fs.Path(d)))
+    if (tombDirs.nonEmpty)
+      spark.read.parquet(tombDirs: _*).select($"docId").distinct()
+        .repartition(1).write.mode(SaveMode.Overwrite)
+        .parquet(graft.build.Deletes.tombstonesPath(outDir))
+  }
+
+  /** Background-merge maintenance with the REAL default policy
+    * ([[graft.build.TieredMergePolicy]]): feed the committed generations'
+    * (bytes, docCount, tombstoneCount) to FindMerges, execute each chosen
+    * OneMerge as a [[compactDirs]] concatenation written IN PLACE of the
+    * lowest merged generation id (the merged gens' docId ranges are
+    * disjoint and global, so ids and search results are unchanged), and
+    * drop the swallowed generations. Returns the executed merge specs
+    * (generation-id lists). Unlike [[compact]] this keeps the index
+    * multi-generation — the reference's steady-state shape where merges
+    * bound generation count without ever rewriting everything at once. */
+  def maintainTiered(spark: SparkSession, root: String,
+                     cfg: graft.build.TieredMergePolicy.Config =
+                       graft.build.TieredMergePolicy.Config(),
+                     numPartitions: Int = 8): Seq[Seq[Long]] = {
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dirBytes(d: String): Long =
+      fs.getContentSummary(new org.apache.hadoop.fs.Path(d)).getLength
+    val segs = generations(spark, root).map { g =>
+      val d = genDir(root, g)
+      val maxDoc = spark.read.parquet(IndexPaths.collectionStats(d))
+        .select("maxDoc").head().getLong(0)
+      val dels = graft.build.Deletes.tombstones(spark, d).count()
+      graft.build.TieredMergePolicy.Seg(g, dirBytes(d), maxDoc, dels)
+    }
+    val merges = graft.build.TieredMergePolicy.findMerges(segs, Set.empty, cfg)
+    merges.map { m =>
+      val ids = m.ids.sorted
+      val tmp = s"$root/.merge-${ids.head}"
+      compactDirs(spark, ids.map(genDir(root, _)), tmp, numPartitions)
+      ids.foreach(g => fs.delete(new org.apache.hadoop.fs.Path(genDir(root, g)), true))
+      fs.rename(new org.apache.hadoop.fs.Path(tmp),
+        new org.apache.hadoop.fs.Path(genDir(root, ids.head)))
+      ids
+    }
   }
 }

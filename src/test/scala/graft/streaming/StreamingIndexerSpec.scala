@@ -110,5 +110,16 @@ class StreamingIndexerSpec extends AnyFunSuite {
     StreamingIndexer.updateDocuments(spark, spark.createDataset(Seq(
       mk("c", "brand new doc"))), root, batchId = 2, numPartitions = 2)
     assert(new Searcher(reader).search(TermQ("brand"), 10).length === 1)
+
+    // compaction carries tombstones: the old version must NOT resurrect
+    // in the compacted index (compactDirs unions the per-generation
+    // tombstone tables — global docIds make the plain union correct)
+    val compacted = SparkTestSession.tmpDir("graft-upd-compact-")
+    StreamingIndexer.compact(spark, root, compacted, numPartitions = 2)
+    val sc = new Searcher(new IndexReader(spark, compacted))
+    assert(sc.search(TermQ("oldterm"), 10).isEmpty,
+      "compaction must not resurrect the tombstoned old version")
+    assert(sc.search(TermQ("newterm"), 10).length === 1)
+    assert(sc.search(TermQ("shared"), 10).length === 1)
   }
 }
