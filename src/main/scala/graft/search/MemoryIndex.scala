@@ -140,7 +140,8 @@ final class MemoryIndex private (
     case SpanMultiTermQ(mtq) =>
       SpanOrQ(expandLocal(mtq).map(SpanTermQ))
     case SpanOrQ(cs) => SpanOrQ(cs.map(expandSpans))
-    case SpanNotQ(i, e) => SpanNotQ(expandSpans(i), expandSpans(e))
+    case sn @ SpanNotQ(i, e, _, _) =>
+      sn.copy(include = expandSpans(i), exclude = expandSpans(e))
     case SpanFirstQ(s, end) => SpanFirstQ(expandSpans(s), end)
     case SpanNearQ(cs, slop, ord) => SpanNearQ(cs.map(expandSpans), slop, ord)
     case SpanPositionRangeQ(s, a, b) => SpanPositionRangeQ(expandSpans(s), a, b)

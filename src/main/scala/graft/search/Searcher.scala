@@ -1124,7 +1124,8 @@ final class Searcher(val reader: IndexReader, pruneMinBlocks: Int = 64,
           throw new IllegalArgumentException(s"not a multi-term query: $mq")
       }
       case SpanOrQ(cs) => SpanOrQ(cs.map(expandMulti))
-      case SpanNotQ(i, e) => SpanNotQ(expandMulti(i), expandMulti(e))
+      case sn @ SpanNotQ(i, e, _, _) =>
+        sn.copy(include = expandMulti(i), exclude = expandMulti(e))
       case SpanFirstQ(s, e) => SpanFirstQ(expandMulti(s), e)
       case SpanPositionRangeQ(s, a, b) => SpanPositionRangeQ(expandMulti(s), a, b)
       case SpanNearQ(cs, sl, o) => SpanNearQ(cs.map(expandMulti), sl, o)
@@ -1143,7 +1144,7 @@ final class Searcher(val reader: IndexReader, pruneMinBlocks: Int = 64,
         val subs = cs.map(cands)
         if (subs.exists(_.isEmpty)) None
         else Some(subs.flatten.reduce(_ intersect _))
-      case SpanNotQ(inc, _) => cands(inc)
+      case SpanNotQ(inc, _, _, _) => cands(inc)
       case SpanFirstQ(sub, _) => cands(sub)
       case SpanPositionRangeQ(sub, _, _) => cands(sub)
       case SpanMultiTermQ(_) => None // unreachable after expandMulti

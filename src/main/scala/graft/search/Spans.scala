@@ -24,7 +24,12 @@ import scala.collection.mutable.ArrayBuffer
 sealed trait SpanQuery extends Serializable
 final case class SpanTermQ(term: String) extends SpanQuery
 final case class SpanOrQ(clauses: Seq[SpanQuery]) extends SpanQuery
-final case class SpanNotQ(include: SpanQuery, exclude: SpanQuery) extends SpanQuery
+/** Include-spans not near an exclude-span: rejected when an exclude span
+  * ends after `start - pre` AND starts before `end + post` (reference:
+  * Search/Spans/SpanNotQuery.cs:70-75,187-192 — pre/post widen the
+  * exclusion window; 0/0 is the plain overlap test). */
+final case class SpanNotQ(include: SpanQuery, exclude: SpanQuery,
+                          pre: Int = 0, post: Int = 0) extends SpanQuery
 final case class SpanFirstQ(sub: SpanQuery, end: Int) extends SpanQuery
 final case class SpanNearQ(clauses: Seq[SpanQuery], slop: Int,
                            inOrder: Boolean) extends SpanQuery
@@ -46,7 +51,7 @@ object Spans {
   def terms(q: SpanQuery): Set[String] = q match {
     case SpanTermQ(t) => Set(t)
     case SpanOrQ(cs) => cs.flatMap(terms).toSet
-    case SpanNotQ(inc, exc) => terms(inc) ++ terms(exc)
+    case SpanNotQ(inc, exc, _, _) => terms(inc) ++ terms(exc)
     case SpanFirstQ(sub, _) => terms(sub)
     case SpanNearQ(cs, _, _) => cs.flatMap(terms).toSet
     case SpanPositionRangeQ(sub, _, _) => terms(sub)
@@ -64,9 +69,10 @@ object Spans {
       eval(sub, posOf).filter(s => s._1 >= start && s._2 <= end)
     case SpanMultiTermQ(_) =>
       throw new IllegalStateException("unexpanded SpanMultiTermQ")
-    case SpanNotQ(inc, exc) =>
+    case SpanNotQ(inc, exc, pre, post) =>
       val ex = eval(exc, posOf)
-      eval(inc, posOf).filter(s => !ex.exists(e => e._1 < s._2 && s._1 < e._2))
+      eval(inc, posOf).filter(s =>
+        !ex.exists(e => e._2 > s._1 - pre && e._1 < s._2 + post))
     case SpanNearQ(cs, slop, inOrder) =>
       val lists = cs.map(c => eval(c, posOf))
       if (lists.exists(_.isEmpty)) Array.empty

@@ -58,6 +58,27 @@ class SpanSpec extends AnyFunSuite {
     assert(c === Map(0L -> 1, 2L -> 1))
   }
 
+  test("spanNot pre/post widen the exclusion window (SpanNotQuery.cs:187-192)") {
+    // plain: 'beta' spans not overlapping 'alpha' = every beta
+    assert(counts(SpanNotQ(SpanTermQ("beta"), SpanTermQ("alpha"))) ===
+      Map(0L -> 2, 1L -> 1, 2L -> 1))
+    // killed iff ∃ alpha e: e.end > beta.start − pre AND e.start < beta.end + post
+    // pre=1: alpha ending within 1 position BEFORE beta kills it
+    //   doc0: beta(1,2) killed by alpha(0,1) (1 > 0, 0 < 2);
+    //         beta(5,6) survives (alpha(3,4): 4 > 4 is false) → 1
+    //   doc1: beta(2,3) killed by alpha(1,2) (2 > 1, 1 < 3) → gone
+    //   doc2: beta(0,1) survives (alpha(2,3) starts 2 ≥ 1) → 1
+    assert(counts(SpanNotQ(SpanTermQ("beta"), SpanTermQ("alpha"), pre = 1)) ===
+      Map(0L -> 1, 2L -> 1))
+    // post=2: alpha starting within 2 positions AFTER beta kills it
+    //   doc0: beta(1,2) killed by alpha(3,4) (4 > 1, 3 < 4);
+    //         beta(5,6) survives → 1
+    //   doc1: beta(2,3) survives (alpha(1,2): end 2 > 2 is false) → 1
+    //   doc2: beta(0,1) killed by alpha(2,3) (3 > 0, 2 < 3) → gone
+    assert(counts(SpanNotQ(SpanTermQ("beta"), SpanTermQ("alpha"), post = 2)) ===
+      Map(0L -> 1, 1L -> 1))
+  }
+
   test("spanNear ordered: 3-clause chains within slop") {
     val q3 = SpanNearQ(Seq(SpanTermQ("alpha"), SpanTermQ("beta"),
       SpanTermQ("gamma")), 0, inOrder = true)
