@@ -1904,6 +1904,118 @@ object VerifyQueries {
        |SELECT doc_id, stem, count(*) AS cnt FROM un
        |GROUP BY doc_id, stem ORDER BY doc_id, stem""".stripMargin
 
+  /** Kuromoji lexicon for the morphological-segmentation gates: the ten
+    * kanji digits as unigrams (cost 1000) plus 一二 (1500), 一二三
+    * (2000) and 四五 (1500). Because no two multi-char entries can
+    * overlap at different starts (shared-character check: 12/123 only
+    * contain each other at the SAME start; 45 is char-disjoint) and the
+    * cost structure makes every path cost 1000·len − 500·(#bi + 2·#tri),
+    * the global Viterbi minimum takes EVERY trigram occurrence and every
+    * non-contained bigram occurrence — so segment counts equal
+    * substring-occurrence arithmetic the oracle can compute. */
+  private def kuromojiDigits = {
+    import graft.analysis.Kuromoji.JaEntry
+    "零一二三四五六七八九".map(c => JaEntry(c.toString, 0, 0, 1000)) ++ Seq(
+      JaEntry("一二", 0, 0, 1500), JaEntry("一二三", 0, 0, 2000),
+      JaEntry("四五", 0, 0, 1500))
+  }
+
+  private def kuromojiCounts(spark: SparkSession, sf: String,
+                             mode: graft.analysis.Kuromoji.Mode): DataFrame = {
+    import spark.implicits._
+    val tok = new graft.analysis.Kuromoji(kuromojiDigits, mode = mode)
+    spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id",
+        translate(
+          concat($"doc_id".cast("string"), lit("9"),
+            when($"doc_id" % 3 === 0, lit("1234")).otherwise(lit("4321")),
+            lit("9"), ($"doc_id" % 1000).cast("string")),
+          "0123456789", "零一二三四五六七八九").as("s"))
+      .as[(Long, String)]
+      .flatMap { case (d, s) => tok.tokenize(s).iterator.map(t => (d, t.term)) }
+      .toDF("doc_id", "term")
+      .groupBy(col("doc_id"), col("term")).agg(count("*").as("cnt"))
+      .orderBy(col("doc_id"), col("term"))
+  }
+
+  /** Morphological segmentation, NORMAL mode (reference:
+    * Analysis.Kuromoji/JapaneseTokenizer.cs lattice Viterbi): per-doc
+    * term counts of the least-cost segmentation over the synthetic kanji
+    * corpus ([[DocIndex.cjkDocsAsCorpus]]'s string recipe). The oracle
+    * re-derives every count as substring-occurrence arithmetic over the
+    * digit string — exact by the [[kuromojiDigits]] non-overlap/cost
+    * argument — so equality proves the lattice, the prefix-match arcs
+    * and the min-cost backtrace end-to-end through the distributed
+    * flatMap. */
+  def qKuromoji(spark: SparkSession, sf: String): DataFrame =
+    kuromojiCounts(spark, sf, graft.analysis.Kuromoji.Normal)
+  private val oKuromojiCtes: String =
+    """WITH s AS (
+      |  SELECT doc_id, CAST(doc_id AS VARCHAR) || '9' ||
+      |    (CASE WHEN doc_id % 3 = 0 THEN '1234' ELSE '4321' END) || '9' ||
+      |    CAST(doc_id % 1000 AS VARCHAR) AS str
+      |  FROM documents
+      |), o AS (
+      |  SELECT doc_id,
+      |    (length(str) - length(replace(str, '123', ''))) // 3 AS t123,
+      |    (length(str) - length(replace(str, '12', ''))) // 2 AS t12,
+      |    (length(str) - length(replace(str, '45', ''))) // 2 AS t45,
+      |    length(str) - length(replace(str, '0', '')) AS d0,
+      |    length(str) - length(replace(str, '1', '')) AS d1,
+      |    length(str) - length(replace(str, '2', '')) AS d2,
+      |    length(str) - length(replace(str, '3', '')) AS d3,
+      |    length(str) - length(replace(str, '4', '')) AS d4,
+      |    length(str) - length(replace(str, '5', '')) AS d5,
+      |    length(str) - length(replace(str, '6', '')) AS d6,
+      |    length(str) - length(replace(str, '7', '')) AS d7,
+      |    length(str) - length(replace(str, '8', '')) AS d8,
+      |    length(str) - length(replace(str, '9', '')) AS d9
+      |  FROM s
+      |)""".stripMargin
+  val oKuromoji: String =
+    s"""$oKuromojiCtes, un AS (
+       |  SELECT doc_id, '一二三' AS term, t123 AS cnt FROM o
+       |  UNION ALL SELECT doc_id, '一二', t12 - t123 FROM o
+       |  UNION ALL SELECT doc_id, '四五', t45 FROM o
+       |  UNION ALL SELECT doc_id, '一', d1 - t12 FROM o
+       |  UNION ALL SELECT doc_id, '二', d2 - t12 FROM o
+       |  UNION ALL SELECT doc_id, '三', d3 - t123 FROM o
+       |  UNION ALL SELECT doc_id, '四', d4 - t45 FROM o
+       |  UNION ALL SELECT doc_id, '五', d5 - t45 FROM o
+       |  UNION ALL SELECT doc_id, '零', d0 FROM o
+       |  UNION ALL SELECT doc_id, '六', d6 FROM o
+       |  UNION ALL SELECT doc_id, '七', d7 FROM o
+       |  UNION ALL SELECT doc_id, '八', d8 FROM o
+       |  UNION ALL SELECT doc_id, '九', d9 FROM o
+       |)
+       |SELECT doc_id, term, CAST(cnt AS BIGINT) AS cnt FROM un
+       |WHERE cnt > 0 ORDER BY doc_id, term""".stripMargin
+
+  /** SEARCH mode over the same corpus: the all-kanji trigram pays
+    * (3-2)*3000 (JapaneseTokenizer.cs:284-300), so 一二三 decomposes to
+    * [一二][三] everywhere — the oracle folds the trigram counts into
+    * the bigram/unigram lines. The count DIFFERENCE between this gate
+    * and [[qKuromoji]] is the search-mode penalty, proven end-to-end. */
+  def qKuromojiSearch(spark: SparkSession, sf: String): DataFrame =
+    kuromojiCounts(spark, sf, graft.analysis.Kuromoji.Search)
+  val oKuromojiSearch: String =
+    s"""$oKuromojiCtes, un AS (
+       |  SELECT doc_id, '一二' AS term, t12 AS cnt FROM o
+       |  UNION ALL SELECT doc_id, '四五', t45 FROM o
+       |  UNION ALL SELECT doc_id, '一', d1 - t12 FROM o
+       |  UNION ALL SELECT doc_id, '二', d2 - t12 FROM o
+       |  UNION ALL SELECT doc_id, '三', d3 FROM o
+       |  UNION ALL SELECT doc_id, '四', d4 - t45 FROM o
+       |  UNION ALL SELECT doc_id, '五', d5 - t45 FROM o
+       |  UNION ALL SELECT doc_id, '零', d0 FROM o
+       |  UNION ALL SELECT doc_id, '六', d6 FROM o
+       |  UNION ALL SELECT doc_id, '七', d7 FROM o
+       |  UNION ALL SELECT doc_id, '八', d8 FROM o
+       |  UNION ALL SELECT doc_id, '九', d9 FROM o
+       |)
+       |SELECT doc_id, term, CAST(cnt AS BIGINT) AS cnt FROM un
+       |WHERE cnt > 0 ORDER BY doc_id, term""".stripMargin
+
   /** NGramPhraseQuery over a CJK-bigram positions index (reference:
     * Search/NGramPhraseQuery.cs:63-105 + the CJKAnalyzer chain): the
     * needle 一二三四's three bigrams rewrite to the SPARSE phrase
@@ -2720,6 +2832,8 @@ object VerifyQueries {
     "q_decompound" -> qDecompound _,
     "q_ngram_phrase" -> qNgramPhrase _,
     "q_hunspell" -> qHunspell _,
+    "q_kuromoji" -> qKuromoji _,
+    "q_kuromoji_search" -> qKuromojiSearch _,
     "q_facet_lang" -> qFacetLang _,
     "q_facet_dl_hist" -> qFacetDlHist _,
     "q_facet_path" -> qFacetPath _,
@@ -2831,6 +2945,8 @@ object VerifyQueries {
     "q_decompound" -> oDecompound,
     "q_ngram_phrase" -> oNgramPhrase,
     "q_hunspell" -> oHunspell,
+    "q_kuromoji" -> oKuromoji,
+    "q_kuromoji_search" -> oKuromojiSearch,
     "q_facet_lang" -> oFacetLang,
     "q_facet_dl_hist" -> oFacetDlHist,
     "q_facet_path" -> oFacetPath,
