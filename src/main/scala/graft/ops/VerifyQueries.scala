@@ -2016,6 +2016,37 @@ object VerifyQueries {
        |SELECT doc_id, term, CAST(cnt AS BIGINT) AS cnt FROM un
        |WHERE cnt > 0 ORDER BY doc_id, term""".stripMargin
 
+  /** Chinese HHMM segmentation (reference: Analysis.SmartCn/HHMM/ —
+    * SegGraph + bigram-graph Viterbi over a user-supplied frequency
+    * model): per-doc term counts over the same synthetic kanji corpus.
+    * With zero bigram frequencies every path costs const + Σ per-token
+    * out-weights (-log((0.1(1+f)+0.9)/MAX)), so unigram f=100 (≈12.19)
+    * vs word f=2000000 (≈2.38) makes the shortest path provably the
+    * same greedy-longest segmentation the [[qKuromoji]] argument proves
+    * — one oracle, two INDEPENDENT segmentation algorithms (additive
+    * integer lattice there, smoothed log-probability bigram graph here)
+    * forced to agree end-to-end. */
+  def qSmartcn(spark: SparkSession, sf: String): DataFrame = {
+    import spark.implicits._
+    val dict: Map[String, Int] =
+      "零一二三四五六七八九".map(c => c.toString -> 100).toMap ++
+        Map("一二" -> 2000000, "一二三" -> 2000000, "四五" -> 2000000)
+    val seg = new graft.analysis.SmartCn(dict)
+    spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id",
+        translate(
+          concat($"doc_id".cast("string"), lit("9"),
+            when($"doc_id" % 3 === 0, lit("1234")).otherwise(lit("4321")),
+            lit("9"), ($"doc_id" % 1000).cast("string")),
+          "0123456789", "零一二三四五六七八九").as("s"))
+      .as[(Long, String)]
+      .flatMap { case (d, s) => seg.segment(s).iterator.map(t => (d, t.surface)) }
+      .toDF("doc_id", "term")
+      .groupBy(col("doc_id"), col("term")).agg(count("*").as("cnt"))
+      .orderBy(col("doc_id"), col("term"))
+  }
+  val oSmartcn: String = oKuromoji
+
   /** NGramPhraseQuery over a CJK-bigram positions index (reference:
     * Search/NGramPhraseQuery.cs:63-105 + the CJKAnalyzer chain): the
     * needle 一二三四's three bigrams rewrite to the SPARSE phrase
@@ -2834,6 +2865,7 @@ object VerifyQueries {
     "q_hunspell" -> qHunspell _,
     "q_kuromoji" -> qKuromoji _,
     "q_kuromoji_search" -> qKuromojiSearch _,
+    "q_smartcn" -> qSmartcn _,
     "q_facet_lang" -> qFacetLang _,
     "q_facet_dl_hist" -> qFacetDlHist _,
     "q_facet_path" -> qFacetPath _,
@@ -2947,6 +2979,7 @@ object VerifyQueries {
     "q_hunspell" -> oHunspell,
     "q_kuromoji" -> oKuromoji,
     "q_kuromoji_search" -> oKuromojiSearch,
+    "q_smartcn" -> oSmartcn,
     "q_facet_lang" -> oFacetLang,
     "q_facet_dl_hist" -> oFacetDlHist,
     "q_facet_path" -> oFacetPath,
