@@ -2016,6 +2016,44 @@ object VerifyQueries {
        |SELECT doc_id, term, CAST(cnt AS BIGINT) AS cnt FROM un
        |WHERE cnt > 0 ORDER BY doc_id, term""".stripMargin
 
+  /** Stempel/Egothor patch-trie stemming (reference:
+    * Analysis.Stempel/Egothor.Stemmer/ + Stempel/StempelFilter.cs) over
+    * a literal 5-rule suffix table: per-doc stem counts with the real
+    * reversed-key last-on-path lookup + end-first patch interpreter
+    * running in the distributed flatMap. The oracle re-derives every
+    * rule as a CASE over suffix tests — sound because last-on-path is
+    * longest-suffix-wins ('ies' at depth 3 shadows 's'; the other rules'
+    * final characters are mutually exclusive), minLength <= 3 keeps the
+    * term, and no len>3 term can stem to empty under these patches. */
+  def qStempel(spark: SparkSession, sf: String): DataFrame = {
+    import spark.implicits._
+    val trie = new graft.analysis.Stempel.Trie()
+      .add("ing", "Dc").add("ies", "DcIy").add("ed", "Db")
+      .add("s", "Da").add("y", "Ri")
+    spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"),
+        explode(expr("regexp_extract_all(lower(text), '[a-z0-9_]+', 0)")).as("term"))
+      .as[(Long, String)]
+      .map { case (d, t) => (d, graft.analysis.Stempel.filterTerm(trie, t)) }
+      .toDF("doc_id", "stem")
+      .groupBy(col("doc_id"), col("stem")).agg(count("*").as("cnt"))
+      .orderBy(col("doc_id"), col("stem"))
+  }
+  val oStempel: String =
+    s"""$OracleCtes, st AS (
+       |  SELECT doc_id, CASE
+       |    WHEN length(term) <= 3 THEN term
+       |    WHEN term LIKE '%ies' THEN substr(term, 1, length(term)-3) || 'y'
+       |    WHEN term LIKE '%ing' THEN substr(term, 1, length(term)-3)
+       |    WHEN term LIKE '%ed' THEN substr(term, 1, length(term)-2)
+       |    WHEN term LIKE '%s' THEN substr(term, 1, length(term)-1)
+       |    WHEN term LIKE '%y' THEN substr(term, 1, length(term)-1) || 'i'
+       |    ELSE term END AS stem
+       |  FROM tok
+       |)
+       |SELECT doc_id, stem, count(*) AS cnt FROM st
+       |GROUP BY doc_id, stem ORDER BY doc_id, stem""".stripMargin
+
   /** Chinese HHMM segmentation (reference: Analysis.SmartCn/HHMM/ —
     * SegGraph + bigram-graph Viterbi over a user-supplied frequency
     * model): per-doc term counts over the same synthetic kanji corpus.
@@ -2866,6 +2904,7 @@ object VerifyQueries {
     "q_kuromoji" -> qKuromoji _,
     "q_kuromoji_search" -> qKuromojiSearch _,
     "q_smartcn" -> qSmartcn _,
+    "q_stempel" -> qStempel _,
     "q_facet_lang" -> qFacetLang _,
     "q_facet_dl_hist" -> qFacetDlHist _,
     "q_facet_path" -> qFacetPath _,
@@ -2980,6 +3019,7 @@ object VerifyQueries {
     "q_kuromoji" -> oKuromoji,
     "q_kuromoji_search" -> oKuromojiSearch,
     "q_smartcn" -> oSmartcn,
+    "q_stempel" -> oStempel,
     "q_facet_lang" -> oFacetLang,
     "q_facet_dl_hist" -> oFacetDlHist,
     "q_facet_path" -> oFacetPath,
