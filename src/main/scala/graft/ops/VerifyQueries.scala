@@ -2016,6 +2016,44 @@ object VerifyQueries {
        |SELECT doc_id, term, CAST(cnt AS BIGINT) AS cnt FROM un
        |WHERE cnt > 0 ORDER BY doc_id, term""".stripMargin
 
+  /** ICUTokenizer analog (reference: Analysis.ICU/Segmentation/
+    * ICUTokenizer.cs + ScriptIterator.cs): script-run segmentation +
+    * per-run UAX#29 with a ScriptAttribute, over synthetic mixed-script
+    * strings 'x' + kanji(doc_id digits) + 'y'. The oracle re-derives the
+    * counts directly: each latin sentinel is one LATIN token, each kanji
+    * digit one HAN IDEOGRAPHIC token (UAX#29 emits ideographs per char),
+    * occurrence counts by digit arithmetic — equality proves the run
+    * splitting (no latin token straddles the han run), the per-run
+    * tokenization and the script attribution end-to-end. */
+  def qIcuTokenize(spark: SparkSession, sf: String): DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id",
+        concat(lit("x"),
+          translate($"doc_id".cast("string"),
+            "0123456789", "零一二三四五六七八九"), lit("y")).as("s"))
+      .as[(Long, String)]
+      .flatMap { case (d, s) =>
+        graft.analysis.Icu.tokenize(s).iterator.map(t => (d, t.script, t.term)) }
+      .toDF("doc_id", "script", "term")
+      .groupBy(col("doc_id"), col("script"), col("term")).agg(count("*").as("cnt"))
+      .orderBy(col("doc_id"), col("script"), col("term"))
+  }
+  val oIcuTokenize: String =
+    """WITH s AS (
+      |  SELECT doc_id, CAST(doc_id AS VARCHAR) AS str FROM documents
+      |), un AS (
+      |  SELECT doc_id, 'HAN' AS script,
+      |    translate(d.d, '0123456789', '零一二三四五六七八九') AS term,
+      |    length(str) - length(replace(str, d.d, '')) AS cnt
+      |  FROM s CROSS JOIN (VALUES ('0'),('1'),('2'),('3'),('4'),
+      |    ('5'),('6'),('7'),('8'),('9')) d(d)
+      |  UNION ALL SELECT doc_id, 'LATIN', 'x', 1 FROM s
+      |  UNION ALL SELECT doc_id, 'LATIN', 'y', 1 FROM s
+      |)
+      |SELECT doc_id, script, term, CAST(cnt AS BIGINT) AS cnt FROM un
+      |WHERE cnt > 0 ORDER BY doc_id, script, term""".stripMargin
+
   /** Stempel/Egothor patch-trie stemming (reference:
     * Analysis.Stempel/Egothor.Stemmer/ + Stempel/StempelFilter.cs) over
     * a literal 5-rule suffix table: per-doc stem counts with the real
@@ -2905,6 +2943,7 @@ object VerifyQueries {
     "q_kuromoji_search" -> qKuromojiSearch _,
     "q_smartcn" -> qSmartcn _,
     "q_stempel" -> qStempel _,
+    "q_icu_tokenize" -> qIcuTokenize _,
     "q_facet_lang" -> qFacetLang _,
     "q_facet_dl_hist" -> qFacetDlHist _,
     "q_facet_path" -> qFacetPath _,
@@ -3020,6 +3059,7 @@ object VerifyQueries {
     "q_kuromoji_search" -> oKuromojiSearch,
     "q_smartcn" -> oSmartcn,
     "q_stempel" -> oStempel,
+    "q_icu_tokenize" -> oIcuTokenize,
     "q_facet_lang" -> oFacetLang,
     "q_facet_dl_hist" -> oFacetDlHist,
     "q_facet_path" -> oFacetPath,
