@@ -311,6 +311,42 @@ final class Kuromoji(entries: Seq[Kuromoji.JaEntry],
     Seq(subs.head, toToken(s, a, 0, subs.length)) ++ subs.tail
   }
 
+  /** GraphvizFormatter analog (reference: GraphvizFormatter.cs:49-183):
+    * the lattice as DOT, rankdir LR, one node per character position,
+    * every arc an edge labeled "surface cost(+penalty)", the best path
+    * in the reference's green (#40e050, penwidth 3), BOS/EOS framing
+    * edges. A debugging formatter like the SimpleText codec — feed it to
+    * `dot -Tpng` to see why a segmentation won. */
+  def toDot(s: String): String = {
+    val all = arcs(s)
+    val (path, _) = viterbi(all, 0, s.length, 0, 0, _ => false)
+    val onPath: Set[(Int, Int, String)] =
+      if (path == null) Set.empty
+      else path.map(a => (a.start, a.end,
+        if (a.entry != null) a.entry.surface else "UNK")).toSet
+    val sb = new StringBuilder
+    sb.append("digraph viterbi {\n")
+    sb.append("  graph [ fontsize=30 labelloc=\"t\" label=\"\" " +
+      "splines=true overlap=false rankdir = \"LR\"];\n")
+    sb.append("  edge [ fontcolor=\"red\" color=\"#606060\" ]\n")
+    sb.append("  node [ style=\"filled\" fillcolor=\"#e8e8f0\" " +
+      "shape=\"Mrecord\" ]\n")
+    sb.append("  init -> 0 [label=\"BOS\"]\n")
+    for (a <- all) {
+      val surface = if (a.entry != null) a.entry.surface else "UNK"
+      val label = s"$surface ${a.cost}" +
+        (if (a.penalty > 0) s"+${a.penalty}" else "")
+      val attrs =
+        if (onPath((a.start, a.end, surface)))
+          " color=\"#40e050\" fontcolor=\"#40a050\" penwidth=3 fontsize=20"
+        else ""
+      sb.append(s"""  ${a.start} -> ${a.end} [label="$label"$attrs]\n""")
+    }
+    sb.append(s"  ${s.length} -> fini [label=\"EOS\"]\n")
+    sb.append("}\n")
+    sb.toString
+  }
+
   /** The standard analyzer-chain adapter: absolute positions from the
     * posIncr stream (stacked compounds share their first sub-token's
     * position), graft [[Token]] output. */

@@ -666,6 +666,29 @@ object VerifyQueries {
        |) EXCEPT (SELECT doc_id FROM tf WHERE term = 'vector')
        |ORDER BY doc_id""".stripMargin
 
+  /** ExtendableQueryParser end-to-end (reference: QueryParser/Ext/
+    * ExtendableQueryParser.cs resolve-or-super + Extensions.cs:114-122
+    * split): a registered `pfx` extension turns `pfx:sc` into a
+    * PrefixQuery INSIDE the classic grammar (here composed with a
+    * MUST_NOT clause), driven through the real searcher. */
+  def qParseExt(spark: SparkSession, sf: String): DataFrame = {
+    import spark.implicits._
+    val dir = ensure(spark, sf)
+    val searcher = new graft.search.Searcher(new graft.search.IndexReader(spark, dir),
+      analyzerFor = _ => graft.analysis.Analyzer.sqlParity)
+    val parser = new graft.search.QueryParser(
+      analyzer = graft.analysis.Analyzer.sqlParity,
+      extensions = Map("pfx" -> (eq => graft.search.PrefixQ(eq.rawQueryString))))
+    val q = parser.parse("pfx:sc -vector")
+    searcher.scored(q).map(_.docId).distinct().toDF("doc_id").orderBy(col("doc_id"))
+  }
+  val oParseExt: String =
+    s"""$OracleCtes
+       |SELECT doc_id FROM (
+       |  SELECT DISTINCT doc_id FROM tf WHERE term LIKE 'sc%'
+       |) EXCEPT (SELECT doc_id FROM tf WHERE term = 'vector')
+       |ORDER BY doc_id""".stripMargin
+
   /** XML query syntax end-to-end (reference: QueryParser/Xml/
     * CoreParser.cs builder registry): a BooleanQuery document with a
     * nested analyzed TermsQuery and a MUST_NOT clause compiles onto the
@@ -2944,6 +2967,7 @@ object VerifyQueries {
     "q_smartcn" -> qSmartcn _,
     "q_stempel" -> qStempel _,
     "q_icu_tokenize" -> qIcuTokenize _,
+    "q_parse_ext" -> qParseExt _,
     "q_facet_lang" -> qFacetLang _,
     "q_facet_dl_hist" -> qFacetDlHist _,
     "q_facet_path" -> qFacetPath _,
@@ -3060,6 +3084,7 @@ object VerifyQueries {
     "q_smartcn" -> oSmartcn,
     "q_stempel" -> oStempel,
     "q_icu_tokenize" -> oIcuTokenize,
+    "q_parse_ext" -> oParseExt,
     "q_facet_lang" -> oFacetLang,
     "q_facet_dl_hist" -> oFacetDlHist,
     "q_facet_path" -> oFacetPath,

@@ -27,8 +27,24 @@ import scala.collection.mutable.ArrayBuffer
   * bare clauses are SHOULD, `AND` upgrades both neighbors to MUST,
   * `NOT`/`-` marks MUST_NOT, `+` marks MUST.
   */
+/** An extension-point query fragment (reference:
+  * QueryParser/Ext/ExtensionQuery.cs): the index field in play (the
+  * default text field when the extension key stood alone) and the raw,
+  * unanalyzed query text after the key. */
+final case class ExtensionQuery(field: String, rawQueryString: String)
+
 final class QueryParser(analyzer: Analyzer = Analyzer.standard,
-    keywordFields: Set[String] = Set("repo", "path", "commit", "lang")) {
+    keywordFields: Set[String] = Set("repo", "path", "commit", "lang"),
+    /** ExtendableQueryParser hook (reference: QueryParser/Ext/
+      * ExtendableQueryParser.cs:72-105 + Extensions.cs:114-122): a field
+      * token `field:key:raw` (or `key:raw` on the default field) whose
+      * `key` is registered here parses as
+      * `extensions(key)(ExtensionQuery(field, raw))` instead of a term;
+      * unregistered keys fall back to classic behavior, exactly the
+      * reference's resolve-or-super contract. The default ':' delimiter
+      * is the reference's DEFAULT_EXTENSION_FIELD_DELIMITER. */
+    extensions: Map[String, ExtensionQuery => Query] = Map.empty,
+    defaultFieldName: String = "content") {
 
   private sealed trait Occur
   private case object Should extends Occur
@@ -116,6 +132,22 @@ final class QueryParser(analyzer: Analyzer = Analyzer.standard,
           cur2 = cur2.advance
         }
         return (Some(q), cur2)
+      case Some(key) if extensions.contains(key) =>
+        // `key:raw` — extension on the default field
+        val raw = cur.peek.getOrElse(
+          throw new IllegalArgumentException(s"missing text after '$key:'"))
+        return withBoost(
+          extensions(key)(ExtensionQuery(defaultFieldName, raw)), cur.advance)
+      case Some(f) if cur.peek.exists(_.contains(':')) =>
+        // `field:key:raw` — the lexer split the field off; the remainder
+        // carries key:raw
+        val tok = cur.peek.get
+        val idx = tok.indexOf(':')
+        val key = tok.substring(0, idx)
+        if (extensions.contains(key))
+          return withBoost(
+            extensions(key)(ExtensionQuery(f, tok.substring(idx + 1))),
+            cur.advance)
       case _ => // default text field
     }
     val (q0, nx) = parsePrimary(cur)
@@ -127,6 +159,16 @@ final class QueryParser(analyzer: Analyzer = Analyzer.standard,
       cur2 = cur2.advance
     }
     (q, cur2)
+  }
+
+  private def withBoost(q0: Query, lx: Lexer): (Option[Query], Lexer) = {
+    var q = q0
+    var cur = lx
+    if (cur.peek.exists(_.startsWith("^"))) {
+      q = applyBoost(q, cur.peek.get.drop(1).toFloat)
+      cur = cur.advance
+    }
+    (Some(q), cur)
   }
 
   private def parsePrimary(lx: Lexer): (Option[Query], Lexer) = {

@@ -108,6 +108,19 @@ class KuromojiSpec extends AnyFunSuite {
       .tokenize("一、二").map(_.term).toSeq === Seq("一", "、", "二"))
   }
 
+  test("toDot: lattice as DOT with the best path highlighted") {
+    val dot = new Kuromoji(dict).toDot("一二三")
+    assert(dot.startsWith("digraph viterbi {"))
+    assert(dot.contains("init -> 0 [label=\"BOS\"]"))
+    assert(dot.contains("3 -> fini [label=\"EOS\"]"))
+    // the winning trigram edge is highlighted; the losing bigram is not
+    assert(dot.contains("0 -> 3 [label=\"一二三 2000\" color=\"#40e050\""))
+    assert(dot.contains("0 -> 2 [label=\"一二 1500\"]"))
+    // SEARCH mode shows the penalty in the label
+    val sdot = new Kuromoji(dict, mode = Search).toDot("一二三")
+    assert(sdot.contains("label=\"一二三 2000+3000\""))
+  }
+
   test("filters: baseForm / posStop / katakanaStem") {
     import JapaneseFilters._
     val ts = Array(

@@ -85,6 +85,33 @@ class QueryParserSpec extends AnyFunSuite {
     assert(p.parse("\"a merg*\"") === ComplexPhraseQ(Seq(PrefixQ("merg"))))
   }
 
+  test("ExtendableQueryParser hook: key:raw and field:key:raw resolve " +
+       "registered extensions; unregistered keys fall back to classic " +
+       "(Ext/ExtendableQueryParser.cs resolve-or-super)") {
+    val exts = Map[String, ExtensionQuery => Query](
+      "pfx" -> (eq => PrefixQ(eq.rawQueryString)))
+    val p = new QueryParser(extensions = exts)
+    // key alone: default field flows into the ExtensionQuery
+    assert(p.parse("pfx:mer") === PrefixQ("mer"))
+    // explicit field part (single-text-field engine: field recorded,
+    // query built by the extension)
+    assert(p.parse("content:pfx:mer") === PrefixQ("mer"))
+    // composes with the grammar: boost + boolean context
+    assert(p.parse("pfx:mer^2 -vector") === BoolQ(
+      should = Seq(PrefixQ("mer", boost = 2f)),
+      mustNot = Seq(TermQ("vector"))))
+    // unregistered key: classic behavior (field ignored, term parsed)
+    assert(p.parse("nope:mer") === TermQ("mer"))
+    // field captured verbatim for the extension to use
+    val seen = scala.collection.mutable.ArrayBuffer.empty[ExtensionQuery]
+    val spy = Map[String, ExtensionQuery => Query](
+      "k" -> (eq => { seen += eq; TermQ(eq.rawQueryString) }))
+    new QueryParser(extensions = spy).parse("title:k:abc")
+    assert(seen.toSeq === Seq(ExtensionQuery("title", "abc")))
+    new QueryParser(extensions = spy).parse("k:abc")
+    assert(seen.last === ExtensionQuery("content", "abc"))
+  }
+
   test("classic float fuzzy suffix maps to edits; malformed suffix rejected") {
     val p = new QueryParser()
     assert(p.parse("roam~0.8") === FuzzyQ("roam", 1))
