@@ -44,7 +44,15 @@ final class QueryParser(analyzer: Analyzer = Analyzer.standard,
       * reference's resolve-or-super contract. The default ':' delimiter
       * is the reference's DEFAULT_EXTENSION_FIELD_DELIMITER. */
     extensions: Map[String, ExtensionQuery => Query] = Map.empty,
-    defaultFieldName: String = "content") {
+    defaultFieldName: String = "content",
+    /** AnalyzingQueryParser mode (reference: QueryParser/Analyzing/
+      * AnalyzingQueryParser.cs:67-180): when true, the non-wildcard
+      * chunks of wildcard terms and the whole term of prefix/fuzzy
+      * queries are passed through the analyzer (each chunk must yield
+      * exactly ONE token — none or several is a parse error, the
+      * reference's ParseException contract) instead of the classic
+      * parser's bare lowercasing. */
+    analyzeMultiTerm: Boolean = false) {
 
   private sealed trait Occur
   private case object Should extends Occur
@@ -230,15 +238,48 @@ final class QueryParser(analyzer: Analyzer = Analyzer.standard,
 
   /** One bare word → its query: fuzzy suffix, prefix/wildcard syntax, or
     * analyzed term(s). Shared by the clause and complex-phrase grammars. */
+  /** AnalyzingQueryParser.AnalyzeSingleChunk (:134-180): the chunk must
+    * analyze to exactly one token. */
+  private def analyzeChunk(term: String, chunk: String): String =
+    analyzer.analyzeTerms(chunk).toSeq match {
+      case Seq(one) => one
+      case Seq() => throw new IllegalArgumentException(
+        s"analyzer returned no output for '$chunk' in '$term'")
+      case many => throw new IllegalArgumentException(
+        s"analyzer returned several terms ${many.mkString("\"", "\",\"", "\"")} " +
+          s"for '$chunk' in '$term' — cannot build a multi-term query")
+    }
+
+  private def multiTermText(t: String): String =
+    if (!analyzeMultiTerm) Analyzer.lowerCase(t)
+    else {
+      // analyze between wildcard runs (the (\\.)|([?*]+) walk, :80-115;
+      // this grammar has no escape syntax, so only the wildcard branch)
+      val sb = new StringBuilder
+      var i = 0
+      while (i < t.length) {
+        var j = i
+        while (j < t.length && t.charAt(j) != '*' && t.charAt(j) != '?') j += 1
+        if (j > i) sb.append(analyzeChunk(t, t.substring(i, j)))
+        i = j
+        while (i < t.length && (t.charAt(i) == '*' || t.charAt(i) == '?')) {
+          sb.append(t.charAt(i)); i += 1
+        }
+      }
+      sb.toString
+    }
+
   private def wordToQuery(t: String): Option[Query] = t.lastIndexOf('~') match {
     case i if i >= 0 =>
-      Some(FuzzyQ(Analyzer.lowerCase(t.substring(0, i)),
+      val base = t.substring(0, i)
+      Some(FuzzyQ(
+        if (analyzeMultiTerm) analyzeChunk(t, base) else Analyzer.lowerCase(base),
         fuzzyEdits(t.substring(i + 1))))
     case _ if t.contains("*") || t.contains("?") =>
-      val lowered = Analyzer.lowerCase(t)
-      if (lowered.endsWith("*") && !lowered.dropRight(1).exists(c => c == '*' || c == '?'))
-        Some(PrefixQ(lowered.dropRight(1)))
-      else Some(WildcardQ(lowered))
+      val text = multiTermText(t)
+      if (text.endsWith("*") && !text.dropRight(1).exists(c => c == '*' || c == '?'))
+        Some(PrefixQ(text.dropRight(1)))
+      else Some(WildcardQ(text))
     case _ => analyzer.analyzeTerms(t).toSeq match {
       case Seq() => None // stopword-only clause vanishes
       case Seq(one) => Some(TermQ(one))

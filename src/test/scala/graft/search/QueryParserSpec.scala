@@ -112,6 +112,27 @@ class QueryParserSpec extends AnyFunSuite {
     assert(seen.last === ExtensionQuery("content", "abc"))
   }
 
+  test("AnalyzingQueryParser mode: multi-term chunks pass through the " +
+       "analyzer; one-token-per-chunk enforced (Analyzing/AnalyzingQueryParser.cs)") {
+    import graft.analysis.Analyzer
+    val p = new QueryParser(analyzer = Analyzer.englishStemming,
+      analyzeMultiTerm = true)
+    // prefix/fuzzy: whole term analyzed (Porter stems runnings -> run)
+    assert(p.parse("runnings*") === PrefixQ("run"))
+    assert(p.parse("runnings~1") === FuzzyQ("run", 1))
+    // wildcard: each non-wildcard chunk analyzed, wildcards kept
+    assert(p.parse("runnings*walked") === WildcardQ("run*walk"))
+    assert(p.parse("Mergers?") === WildcardQ("merger?"))
+    // classic mode only lowercases
+    assert(new QueryParser(analyzer = Analyzer.englishStemming)
+      .parse("runnings*") === PrefixQ("runnings"))
+    // zero tokens (stopword chunk) and several tokens are parse errors
+    intercept[IllegalArgumentException](p.parse("the*"))
+    // ',' joins digits but not letters under UAX#29, so the chunk
+    // analyzes to two tokens
+    intercept[IllegalArgumentException](p.parse("x,y*"))
+  }
+
   test("classic float fuzzy suffix maps to edits; malformed suffix rejected") {
     val p = new QueryParser()
     assert(p.parse("roam~0.8") === FuzzyQ("roam", 1))
