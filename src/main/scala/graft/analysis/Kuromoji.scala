@@ -123,23 +123,43 @@ object Kuromoji {
   private val KanjiPenalty = 3000
   private val OtherPenalty = 1700
 
-  /** One lattice arc: [start, end) + ids/cost (+ entry when KNOWN). */
+  /** A user-dictionary row (reference: Dict/UserDictionary.cs — the CSV
+    * "text,segmentation,readings,POS" format): `text` matches in the
+    * lattice as one arc at WORD_COST=-100000 with LEFT_ID=RIGHT_ID=5
+    * (:47-51), and on the best path emits one token PER SEGMENT with the
+    * per-segment reading and the entry's POS. */
+  final case class JaUserEntry(text: String, segments: Seq[String],
+                               readings: Seq[String] = Nil, pos: String = "") {
+    require(segments.mkString == text,
+      s"segments ${segments.mkString("+")} do not spell '$text'")
+    require(readings.isEmpty || readings.length == segments.length,
+      "one reading per segment")
+  }
+  private val UserWordCost = -100000
+  private val UserId = 5
+
+  /** One lattice arc: [start, end) + ids/cost (+ entry when KNOWN,
+    * user row when USER). */
   private final case class Arc(start: Int, end: Int, leftId: Int,
                                rightId: Int, cost: Int,
-                               entry: JaEntry, penalty: Int)
+                               entry: JaEntry, penalty: Int,
+                               user: JaUserEntry = null)
 }
 
 final class Kuromoji(entries: Seq[Kuromoji.JaEntry],
                      connCosts: Map[(Int, Int), Int] = Map.empty,
                      mode: Kuromoji.Mode = Kuromoji.Normal,
                      discardPunctuation: Boolean = true,
-                     classes: Seq[Kuromoji.JaCharClass] = Kuromoji.DefaultClasses)
+                     classes: Seq[Kuromoji.JaCharClass] = Kuromoji.DefaultClasses,
+                     userDict: Seq[Kuromoji.JaUserEntry] = Nil)
     extends Serializable {
   import Kuromoji._
 
   private val byFirst: Map[Char, Seq[JaEntry]] =
     entries.filter(_.surface.nonEmpty).groupBy(_.surface.head)
       .map { case (c, es) => c -> es.sortBy(e => (e.surface.length, e.cost)) }
+  private val userByFirst: Map[Char, Seq[JaUserEntry]] =
+    userDict.filter(_.text.nonEmpty).groupBy(_.text.head)
   private val classByName: Map[String, JaCharClass] =
     classes.map(c => c.name -> c).toMap
   private def conn(r: Int, l: Int): Int = connCosts.getOrElse((r, l), 0)
@@ -161,6 +181,15 @@ final class Kuromoji(entries: Seq[Kuromoji.JaEntry],
     var pos = 0
     while (pos < s.length) {
       var anyMatches = false
+      // USER arcs first (JapaneseTokenizer.cs:612-637): WORD_COST
+      // -100000 guarantees the user segmentation wins
+      for (u <- userByFirst.getOrElse(s.charAt(pos), Nil)
+           if s.startsWith(u.text, pos)) {
+        val end = pos + u.text.length
+        out += Arc(pos, end, UserId, UserId, UserWordCost, null,
+          penalty(s, pos, end), user = u)
+        anyMatches = true
+      }
       for (e <- byFirst.getOrElse(s.charAt(pos), Nil)
            if s.startsWith(e.surface, pos)) {
         val end = pos + e.surface.length
@@ -273,7 +302,20 @@ final class Kuromoji(entries: Seq[Kuromoji.JaEntry],
     while (i < path.length) {
       val a = path(i)
       val emitted: Seq[JaToken] =
-        if (mode == Search && a.penalty > 0) secondBest(s, all, path, i)
+        if (a.user != null) {
+          // USER arc: one token per dictionary segment
+          // (JapaneseTokenizer.cs:1060-1093; never compound-expanded,
+          // :928 `backType != USER`)
+          var off = a.start
+          a.user.segments.zipWithIndex.map { case (seg, k) =>
+            val t = JaToken(seg, off, off + seg.length, 1, 1, known = true,
+              a.user.pos,
+              reading = if (a.user.readings.nonEmpty) a.user.readings(k) else "")
+            off += seg.length
+            t
+          }
+        }
+        else if (mode == Search && a.penalty > 0) secondBest(s, all, path, i)
         else if (mode == Extended && a.entry == null)
           // EXTENDED: unknown word -> unigrams (:1105-1130)
           (a.start until a.end).map(p =>
@@ -323,7 +365,8 @@ final class Kuromoji(entries: Seq[Kuromoji.JaEntry],
     val onPath: Set[(Int, Int, String)] =
       if (path == null) Set.empty
       else path.map(a => (a.start, a.end,
-        if (a.entry != null) a.entry.surface else "UNK")).toSet
+        if (a.entry != null) a.entry.surface
+        else if (a.user != null) a.user.text else "UNK")).toSet
     val sb = new StringBuilder
     sb.append("digraph viterbi {\n")
     sb.append("  graph [ fontsize=30 labelloc=\"t\" label=\"\" " +
@@ -333,7 +376,8 @@ final class Kuromoji(entries: Seq[Kuromoji.JaEntry],
       "shape=\"Mrecord\" ]\n")
     sb.append("  init -> 0 [label=\"BOS\"]\n")
     for (a <- all) {
-      val surface = if (a.entry != null) a.entry.surface else "UNK"
+      val surface = if (a.entry != null) a.entry.surface
+        else if (a.user != null) a.user.text else "UNK"
       val label = s"$surface ${a.cost}" +
         (if (a.penalty > 0) s"+${a.penalty}" else "")
       val attrs =

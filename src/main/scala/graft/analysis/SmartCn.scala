@@ -193,4 +193,61 @@ final class SmartCn(wordFreq: Map[String, Int],
     segment(s).map(filter).zipWithIndex.map { case (t, i) =>
       Token(t.surface, i, t.start, t.end)
     }
+
+  /** SentenceTokenizer.cs:63-125 restated index-based: a sentence ends
+    * at (and includes) one of 。，！？；,!?; or at TWO consecutive
+    * space-likes (the first space stays in the sentence text, the second
+    * is consumed into the offset only); leading space-likes are skipped.
+    * Returns (text, startOff, endOff). */
+  def sentences(s: String): Seq[(String, Int, Int)] = {
+    val spaces = " 　\t\r\n"
+    val punct = "。，！？；,!?;"
+    val out = ArrayBuffer.empty[(String, Int, Int)]
+    var i = 0 // read cursor
+    var tokenStart = 0
+    var tokenEnd = 0
+    var more = true
+    while (more) {
+      val buf = new StringBuilder
+      var atBegin = true
+      tokenStart = tokenEnd
+      var ci = if (i < s.length) s.charAt(i).toInt else -1
+      i += 1
+      var looping = true
+      while (looping) {
+        if (ci == -1) looping = false
+        else if (punct.indexOf(ci) >= 0) {
+          buf.append(ci.toChar); tokenEnd += 1; looping = false
+        } else if (atBegin && spaces.indexOf(ci) >= 0) {
+          tokenStart += 1; tokenEnd += 1
+          ci = if (i < s.length) s.charAt(i).toInt else -1
+          i += 1
+        } else {
+          buf.append(ci.toChar); atBegin = false; tokenEnd += 1
+          val pch = ci
+          ci = if (i < s.length) s.charAt(i).toInt else -1
+          i += 1
+          if (ci != -1 && spaces.indexOf(ci) >= 0 && spaces.indexOf(pch) >= 0) {
+            tokenEnd += 1; looping = false
+          }
+        }
+      }
+      if (buf.isEmpty) more = false
+      else out += ((buf.toString, tokenStart, tokenEnd))
+    }
+    out.toSeq
+  }
+
+  /** The HMMChineseTokenizer / SmartChineseAnalyzer pipeline: sentence
+    * split, then per-sentence HHMM segmentation + SegTokenFilter, global
+    * offsets and running positions (HMMChineseTokenizer.cs:36-49). */
+  def analyzeSentences(s: String): Array[Token] = {
+    var pos = -1
+    sentences(s).iterator.flatMap { case (text, start, _) =>
+      segment(text).iterator.map(filter).map { t =>
+        pos += 1
+        Token(t.surface, pos, t.start + start, t.end + start)
+      }
+    }.toArray
+  }
 }

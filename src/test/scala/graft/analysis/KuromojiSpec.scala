@@ -108,6 +108,28 @@ class KuromojiSpec extends AnyFunSuite {
       .tokenize("一、二").map(_.term).toSeq === Seq("一", "、", "二"))
   }
 
+  test("user dictionary: custom segmentation wins at WORD_COST -100000 " +
+       "and emits per-segment tokens (Dict/UserDictionary.cs)") {
+    import JapaneseExtras._
+    // without the user entry, the lexicon segments 一二三 as the trigram
+    val user = Seq(JaUserEntry("一二三", Seq("一二", "三"),
+      readings = Seq("イチニ", "サン"), pos = "カスタム名詞"))
+    val tok = new Kuromoji(dict, userDict = user)
+    val ts = tok.tokenize("九一二三九")
+    assert(ts.map(t => (t.term, t.startOff, t.endOff, t.partOfSpeech)).toSeq ===
+      Seq(("九", 0, 1, ""), ("一二", 1, 3, "カスタム名詞"),
+          ("三", 3, 4, "カスタム名詞"), ("九", 4, 5, "")))
+    // per-segment readings flow to the reading-form filter
+    assert(readingForm(ts).map(_.term).toSeq ===
+      Seq("九", "イチニ", "サン", "九"))
+    // SEARCH mode never compound-expands a user match (:928 backType != USER)
+    assert(new Kuromoji(dict, mode = Search, userDict = user)
+      .tokenize("一二三").map(t => (t.term, t.posIncr)).toSeq ===
+      Seq(("一二", 1), ("三", 1)))
+    // malformed segmentation rejected
+    intercept[IllegalArgumentException](JaUserEntry("一二", Seq("一", "三")))
+  }
+
   test("toDot: lattice as DOT with the best path highlighted") {
     val dot = new Kuromoji(dict).toDot("一二三")
     assert(dot.startsWith("digraph viterbi {"))

@@ -62,6 +62,20 @@ class SmartCnSpec extends AnyFunSuite {
     assert(sc2.segment("一二").map(_.surface).toSeq === Seq("一二"))
   }
 
+  test("sentence tokenizer: punctuation-inclusive splits, double-space " +
+       "rule, leading spaces skipped (SentenceTokenizer.cs:63-125)") {
+    val sc = new SmartCn(dict)
+    assert(sc.sentences("一二。三四！ 五六") === Seq(
+      ("一二。", 0, 3), ("三四！", 3, 6), ("五六", 7, 9)))
+    // two consecutive spaces end the sentence; the first stays in text
+    assert(sc.sentences("一  二") === Seq(("一 ", 0, 3), ("二", 3, 4)))
+    // full pipeline: per-sentence HHMM with global offsets/positions;
+    // the 。 delimiter token normalizes to ','
+    val ts = sc.analyzeSentences("一二。三四")
+    assert(ts.map(t => (t.term, t.position, t.startOff, t.endOff)).toSeq ===
+      Seq(("一二", 0, 0, 2), (",", 1, 2, 3), ("三", 2, 3, 4), ("四", 3, 4, 5)))
+  }
+
   test("SegTokenFilter: fullwidth fold + lowercase + delimiter to comma") {
     val sc = new SmartCn(dict)
     val out = sc.analyze("ＡＢc１2。三")
