@@ -2039,6 +2039,35 @@ object VerifyQueries {
        |SELECT doc_id, term, CAST(cnt AS BIGINT) AS cnt FROM un
        |WHERE cnt > 0 ORDER BY doc_id, term""".stripMargin
 
+  /** PathHierarchyTokenizer end-to-end (reference:
+    * Analysis/Path/PathHierarchyTokenizer.cs): prefix-path tokens over
+    * source/lang/bucket paths, counted corpus-wide — the taxonomy-facet
+    * building block as a tokenizer. The oracle derives each prefix
+    * depth explicitly. */
+  def qPathHierarchy(spark: SparkSession, sf: String): DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(s"$sf/documents.parquet")
+      .select(concat(col("source"), lit("/"), col("lang"), lit("/"),
+        (col("doc_id") % 10).cast("string")).as("p"))
+      .as[String]
+      .flatMap(p => graft.analysis.Tokenizers.pathHierarchy(p).iterator.map(_.term))
+      .toDF("term")
+      .groupBy(col("term")).agg(count("*").as("cnt"))
+      .orderBy(col("term"))
+  }
+  val oPathHierarchy: String =
+    """WITH p AS (
+      |  SELECT source AS p1,
+      |         source || '/' || lang AS p2,
+      |         source || '/' || lang || '/' || CAST(doc_id % 10 AS VARCHAR) AS p3
+      |  FROM documents
+      |), un AS (
+      |  SELECT p1 AS term FROM p
+      |  UNION ALL SELECT p2 FROM p
+      |  UNION ALL SELECT p3 FROM p
+      |)
+      |SELECT term, count(*) AS cnt FROM un GROUP BY term ORDER BY term""".stripMargin
+
   /** ICUTokenizer analog (reference: Analysis.ICU/Segmentation/
     * ICUTokenizer.cs + ScriptIterator.cs): script-run segmentation +
     * per-run UAX#29 with a ScriptAttribute, over synthetic mixed-script
@@ -2968,6 +2997,7 @@ object VerifyQueries {
     "q_stempel" -> qStempel _,
     "q_icu_tokenize" -> qIcuTokenize _,
     "q_parse_ext" -> qParseExt _,
+    "q_path_hierarchy" -> qPathHierarchy _,
     "q_facet_lang" -> qFacetLang _,
     "q_facet_dl_hist" -> qFacetDlHist _,
     "q_facet_path" -> qFacetPath _,
@@ -3085,6 +3115,7 @@ object VerifyQueries {
     "q_stempel" -> oStempel,
     "q_icu_tokenize" -> oIcuTokenize,
     "q_parse_ext" -> oParseExt,
+    "q_path_hierarchy" -> oPathHierarchy,
     "q_facet_lang" -> oFacetLang,
     "q_facet_dl_hist" -> oFacetDlHist,
     "q_facet_path" -> oFacetPath,
