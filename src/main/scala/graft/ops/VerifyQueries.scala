@@ -2039,6 +2039,70 @@ object VerifyQueries {
        |SELECT doc_id, term, CAST(cnt AS BIGINT) AS cnt FROM un
        |WHERE cnt > 0 ORDER BY doc_id, term""".stripMargin
 
+  /** Multi-word SynonymFilter end-to-end (reference:
+    * Analysis/Synonym/SynonymFilter.cs): the contraction `hash table =>
+    * hashtable` plus the expansion class `merge, combine` run inside the
+    * distributed flatMap; per-doc term counts. The oracle re-derives the
+    * greedy matcher as adjacency arithmetic — every (hash, table)
+    * adjacency is consumed (a match's last token is never `hash`, so no
+    * pair's head can be eaten by an earlier match), so
+    * seg(hashtable) = occ(hashtable) + pairs, seg(hash/table) = occ −
+    * pairs, and the expansion emits both class members per occurrence of
+    * either. Equality proves greedy matching, contraction collapse and
+    * expansion stacking end-to-end. */
+  def qSynonymMulti(spark: SparkSession, sf: String): DataFrame = {
+    import spark.implicits._
+    val map = graft.analysis.Synonyms.parseSolr(
+      """hash table => hashtable
+        |merge, combine
+        |""".stripMargin)
+    spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"),
+        expr("regexp_extract_all(lower(text), '[a-z0-9_]+', 0)").as("ts"))
+      .as[(Long, Seq[String])]
+      .flatMap { case (d, ws) =>
+        val toks = ws.zipWithIndex.map { case (w, i) =>
+          graft.analysis.Token(w, i, 0, 0) }.toArray
+        graft.analysis.Synonyms.filterTokens(toks, map).iterator.map(t => (d, t.term))
+      }
+      .toDF("doc_id", "term")
+      .groupBy(col("doc_id"), col("term")).agg(count("*").as("cnt"))
+      .orderBy(col("doc_id"), col("term"))
+  }
+  val oSynonymMulti: String =
+    """WITH arr AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS a
+      |  FROM documents
+      |), tokp AS (
+      |  SELECT doc_id, unnest(a) AS term,
+      |         unnest(generate_series(1, len(a))) AS pos
+      |  FROM arr
+      |), tf2 AS (
+      |  SELECT doc_id, term, count(*) AS tf FROM tokp GROUP BY doc_id, term
+      |), pairs AS (
+      |  SELECT doc_id, count(*) AS p FROM (
+      |    SELECT doc_id, term,
+      |           lead(term) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+      |    FROM tokp
+      |  ) WHERE term = 'hash' AND nxt = 'table' GROUP BY doc_id
+      |), mc AS (
+      |  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS m FROM tf2
+      |  WHERE term IN ('merge', 'combine') GROUP BY doc_id
+      |), un AS (
+      |  SELECT doc_id, 'hashtable' AS term, p AS cnt FROM pairs
+      |  UNION ALL SELECT doc_id, term, tf FROM tf2 WHERE term = 'hashtable'
+      |  UNION ALL SELECT tf2.doc_id, tf2.term, tf2.tf - COALESCE(pairs.p, 0)
+      |    FROM tf2 LEFT JOIN pairs USING (doc_id)
+      |    WHERE tf2.term IN ('hash', 'table')
+      |  UNION ALL SELECT doc_id, 'merge', m FROM mc
+      |  UNION ALL SELECT doc_id, 'combine', m FROM mc
+      |  UNION ALL SELECT doc_id, term, tf FROM tf2
+      |    WHERE term NOT IN ('hash', 'table', 'merge', 'combine', 'hashtable')
+      |)
+      |SELECT doc_id, term, CAST(sum(cnt) AS BIGINT) AS cnt FROM un
+      |GROUP BY doc_id, term HAVING sum(cnt) > 0
+      |ORDER BY doc_id, term""".stripMargin
+
   /** PathHierarchyTokenizer end-to-end (reference:
     * Analysis/Path/PathHierarchyTokenizer.cs): prefix-path tokens over
     * source/lang/bucket paths, counted corpus-wide — the taxonomy-facet
@@ -2998,6 +3062,7 @@ object VerifyQueries {
     "q_icu_tokenize" -> qIcuTokenize _,
     "q_parse_ext" -> qParseExt _,
     "q_path_hierarchy" -> qPathHierarchy _,
+    "q_synonym_multi" -> qSynonymMulti _,
     "q_facet_lang" -> qFacetLang _,
     "q_facet_dl_hist" -> qFacetDlHist _,
     "q_facet_path" -> qFacetPath _,
@@ -3116,6 +3181,7 @@ object VerifyQueries {
     "q_icu_tokenize" -> oIcuTokenize,
     "q_parse_ext" -> oParseExt,
     "q_path_hierarchy" -> oPathHierarchy,
+    "q_synonym_multi" -> oSynonymMulti,
     "q_facet_lang" -> oFacetLang,
     "q_facet_dl_hist" -> oFacetDlHist,
     "q_facet_path" -> oFacetPath,
