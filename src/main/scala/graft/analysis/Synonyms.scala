@@ -86,6 +86,30 @@ object Synonyms {
     b.build()
   }
 
+  /** WordnetSynonymParser (Analysis/Synonym/WordnetSynonymParser.cs):
+    * prolog lines `s(100001740,1,'entity',n,1,11).` — words grouped by
+    * synset id form equivalence classes with the same expand semantics
+    * as the Solr format; `''` escapes a quote; multi-word entries split
+    * on whitespace. */
+  def parseWordnet(text: String, expand: Boolean = true,
+                   analyze: String => Seq[String] = _.toLowerCase.split("\\s+").toSeq): SynonymMap = {
+    val Line = """s\(\s*(\d+)\s*,\s*\d+\s*,\s*'(.*)'\s*,.*\)\s*\.?\s*""".r
+    val synsets = mutable.LinkedHashMap.empty[String, ArrayBuffer[Seq[String]]]
+    for (line0 <- text.linesIterator; line = line0.trim if line.nonEmpty) line match {
+      case Line(id, w) =>
+        val word = analyze(w.replace("''", "'"))
+        val ws = synsets.getOrElseUpdate(id, ArrayBuffer.empty)
+        if (!ws.contains(word)) ws += word
+      case _ => // tolerate non-s() lines like the reference's parser skips
+    }
+    val b = new Builder
+    for ((_, members) <- synsets if members.length > 1) {
+      if (expand) for (in <- members; out <- members) b.add(in, out, includeOrig = false)
+      else for (in <- members) b.add(in, members.head, includeOrig = false)
+    }
+    b.build()
+  }
+
   /** An output token with the PositionLengthAttribute the plain [[Token]]
     * lacks. */
   final case class SynToken(term: String, position: Int, startOff: Int,
