@@ -2039,6 +2039,34 @@ object VerifyQueries {
        |SELECT doc_id, term, CAST(cnt AS BIGINT) AS cnt FROM un
        |WHERE cnt > 0 ORDER BY doc_id, term""".stripMargin
 
+  /** QueryAutoStopWordAnalyzer end-to-end (reference:
+    * Analysis/Query/QueryAutoStopWordAnalyzer.cs): the stop set derived
+    * from the index's OWN df at maxPercentDocs=0.2 (terms with df >
+    * floor(0.2·maxDoc) are stopped, the reference's strict-greater
+    * int-truncated contract), applied to a literal SHOULD list — hits of
+    * the surviving terms. The oracle re-derives the threshold from its
+    * own df/maxdoc CTEs, so neither side hard-codes which terms stop. */
+  def qAutoStopwords(spark: SparkSession, sf: String): DataFrame = {
+    import spark.implicits._
+    val dir = ensure(spark, sf)
+    val reader = new graft.search.IndexReader(spark, dir)
+    val threshold = (0.2f * reader.collectionStats.maxDoc).toInt
+    val stop = graft.search.AutoStopwords.stopWords(spark, dir, threshold)
+    val terms = Seq("merge", "sort", "vector", "the", "hash")
+      .filterNot(stop.contains)
+    val searcher = new graft.search.Searcher(reader)
+    searcher.scored(graft.search.BoolQ(should = terms.map(graft.search.TermQ(_))))
+      .map(_.docId).distinct().toDF("doc_id").orderBy(col("doc_id"))
+  }
+  val oAutoStopwords: String =
+    s"""$OracleCtes, sel AS (
+       |  SELECT term FROM df
+       |  WHERE term IN ('merge', 'sort', 'vector', 'the', 'hash')
+       |    AND df <= CAST(floor(0.2 * (SELECT maxdoc FROM stats)) AS BIGINT)
+       |)
+       |SELECT DISTINCT doc_id FROM tf JOIN sel USING (term)
+       |ORDER BY doc_id""".stripMargin
+
   /** Multi-word SynonymFilter end-to-end (reference:
     * Analysis/Synonym/SynonymFilter.cs): the contraction `hash table =>
     * hashtable` plus the expansion class `merge, combine` run inside the
@@ -3063,6 +3091,7 @@ object VerifyQueries {
     "q_parse_ext" -> qParseExt _,
     "q_path_hierarchy" -> qPathHierarchy _,
     "q_synonym_multi" -> qSynonymMulti _,
+    "q_auto_stopwords" -> qAutoStopwords _,
     "q_facet_lang" -> qFacetLang _,
     "q_facet_dl_hist" -> qFacetDlHist _,
     "q_facet_path" -> qFacetPath _,
@@ -3182,6 +3211,7 @@ object VerifyQueries {
     "q_parse_ext" -> oParseExt,
     "q_path_hierarchy" -> oPathHierarchy,
     "q_synonym_multi" -> oSynonymMulti,
+    "q_auto_stopwords" -> oAutoStopwords,
     "q_facet_lang" -> oFacetLang,
     "q_facet_dl_hist" -> oFacetDlHist,
     "q_facet_path" -> oFacetPath,
