@@ -139,7 +139,7 @@ final class SmartCn(wordFreq: Map[String, Int],
   }
 
   /** BiSegGraph edge weight (BiSegGraph.cs:105-113). */
-  private[analysis] def edgeWeight(t1: SegToken, t2: SegToken): Double = {
+  def edgeWeight(t1: SegToken, t2: SegToken): Double = {
     val smooth = 0.1
     val tiny = 1.0 / MaxFrequence
     val b12 = bigramFreq.getOrElse((t1.id, t2.id), 0).toDouble

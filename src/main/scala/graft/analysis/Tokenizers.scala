@@ -79,6 +79,17 @@ object Tokenizers {
   def trim(ts: Array[Token]): Array[Token] =
     ts.map(t => t.copy(term = t.term.trim))
 
+  /** PositionFilter (Analysis/Position/PositionFilter.cs): the first
+    * token keeps its position, every later token advances by
+    * `increment` (default 0 — all tokens share one position, the
+    * query-side phrase-flattening trick). */
+  def positionFilter(ts: Array[Token], increment: Int = 0): Array[Token] =
+    if (ts.isEmpty) ts
+    else {
+      var pos = ts.head.position
+      ts.head +: ts.tail.map { t => pos += increment; t.copy(position = pos) }
+    }
+
   // --------------------------------------------------------------
   // UAX29URLEmailTokenizer (Analysis/Standard/UAX29URLEmailTokenizer.cs)
   // --------------------------------------------------------------

@@ -43,6 +43,13 @@ class TokenizersSpec extends AnyFunSuite {
     assert(trim(Array(Token(" x ", 0, 0, 3))).head.term === "x")
   }
 
+  test("positionFilter: all tokens stack at the first position (incr 0) " +
+       "or advance by a constant") {
+    val ts = Array(Token("a", 0, 0, 1), Token("b", 1, 2, 3), Token("c", 2, 4, 5))
+    assert(positionFilter(ts).map(_.position).toSeq === Seq(0, 0, 0))
+    assert(positionFilter(ts, 1).map(_.position).toSeq === Seq(0, 1, 2))
+  }
+
   test("urlEmailTokenize: URLs and emails as single typed tokens, UAX#29 " +
        "between (Standard/UAX29URLEmailTokenizer.cs)") {
     val ts = urlEmailTokenize("see https://ex.com/a?b=1#f and mail bob@ex.co.uk now")
