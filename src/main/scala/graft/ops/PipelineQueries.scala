@@ -1405,6 +1405,37 @@ object PipelineQueries {
     s"SELECT doc_id, trim($inner) AS clean FROM documents ORDER BY doc_id"
   }
 
+  /** MediaWiki strip as a corpus-scale column op (the wiki-dump
+    * preprocessing twin of q_strip_html): documents wrapped in literal
+    * wiki markup exercising templates (incl. one nested), a table, a
+    * citation, piped + plain + external links, bold/italic, a heading
+    * and list markers; the oracle re-applies the SAME step chain under
+    * DuckDB's RE2 (group refs translated $1→\\1), so equality proves the
+    * chain is dialect-portable and the strip deterministic. */
+  def qStripWiki(spark: SparkSession, sf: String): DataFrame =
+    docs(spark, sf).select(col("doc_id"),
+      TextAnalysis.stripWiki(concat(
+        lit("== Heading ==\n{{infobox|a={{nested}}|b=2}}\n* item one\n" +
+          "'''bold''' and ''italic'' [[target|shown]] [[plain]] " +
+          "[https://x.org label] [https://y.org]<ref>cite</ref>\n{| table |}\n"),
+        col("text"),
+        lit("\n# numbered {{stub}}")))
+        .as("clean"))
+      .orderBy(col("doc_id"))
+  val oStripWiki: String = {
+    val pre = "== Heading ==\n{{infobox|a={{nested}}|b=2}}\n* item one\n" +
+      "'''bold''' and ''italic'' [[target|shown]] [[plain]] " +
+      "[https://x.org label] [https://y.org]<ref>cite</ref>\n{| table |}\n"
+    val post = "\n# numbered {{stub}}"
+    def lit(s: String) = "'" + s.replace("'", "''").replace("\n", "' || chr(10) || '") + "'"
+    val wrapped = s"${lit(pre)} || text || ${lit(post)}"
+    val inner = TextAnalysis.WikiStripSteps.foldLeft(wrapped) { case (e, (p, r)) =>
+      val rr = r.replace("$1", "\\1")
+      s"regexp_replace($e, '${p.replace("'", "''")}', '${rr.replace("'", "''")}', 'g')"
+    }
+    s"SELECT doc_id, trim($inner) AS clean FROM documents ORDER BY doc_id"
+  }
+
   /** BPE round-2 surface: the pair census AFTER the first learned merge —
     * exercises the trainer's full argmax → greedy-leftmost merge →
     * recount loop against an oracle that derives merge 1 itself and
@@ -1441,6 +1472,7 @@ object PipelineQueries {
   val queries: Map[String, Q] = Map(
     "q_bpe_merge" -> qBpeMerge _,
     "q_strip_html" -> qStripHtml _,
+    "q_strip_wiki" -> qStripWiki _,
     "q_perceptron" -> qPerceptron _,
     "q_bpe_pairs" -> qBpePairs _,
     "q_keywords" -> qKeywords _,
@@ -1494,6 +1526,7 @@ object PipelineQueries {
   val oracles: Map[String, String] = Map(
     "q_bpe_merge" -> oBpeMerge,
     "q_strip_html" -> oStripHtml,
+    "q_strip_wiki" -> oStripWiki,
     "q_perceptron" -> oPerceptron,
     "q_bpe_pairs" -> oBpePairs,
     "q_keywords" -> oKeywords,

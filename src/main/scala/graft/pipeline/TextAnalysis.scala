@@ -280,6 +280,39 @@ object TextAnalysis {
   def stripHtml(text: Column): Column =
     trim(HtmlStripSteps.foldLeft(text) { case (c, (p, r)) => regexp_replace(c, p, r) })
 
+  /** MediaWiki-markup strip for wiki-dump training corpora (the wiki
+    * sibling of [[stripHtml]]; the reference's WikipediaTokenizer
+    * recognizes the same constructs as typed tokens —
+    * Analysis/Wikipedia/WikipediaTokenizer.cs — while a training
+    * pipeline wants them REMOVED, so this is the strip formulation):
+    * templates (innermost-first, three passes so nesting depth ≤ 3
+    * resolves), tables, ref tags, piped/plain internal links keeping the
+    * display text, labeled/bare external links, bold/italic quotes,
+    * heading rails, list markers, leftover tags, whitespace collapse.
+    * Lookaround-free and group-refs only in replacements, so the chain
+    * runs identically under Java regex and RE2 (replacement syntax
+    * translated $1→\\1 for DuckDB by the oracle builder). */
+  val WikiStripSteps: Seq[(String, String)] = {
+    val template = ("\\{\\{[^{}]*\\}\\}", " ")
+    Seq(
+      template, template, template, // nested templates, depth <= 3
+      ("\\{\\|[\\s\\S]*?\\|\\}", " "),                    // tables
+      ("<ref[^>/]*/>", " "),                               // empty refs
+      ("<ref[^>]*>[\\s\\S]*?</ref>", " "),                 // citations
+      ("\\[\\[[^\\[\\]|]*\\|([^\\[\\]]*)\\]\\]", "$1"),    // piped links
+      ("\\[\\[([^\\[\\]]*)\\]\\]", "$1"),                  // plain links
+      ("\\[https?://[^ \\]]+ ([^\\]]*)\\]", "$1"),         // labeled ext links
+      ("\\[https?://[^\\]]*\\]", " "),                     // bare ext links
+      ("'{2,5}", ""),                                       // bold/italic
+      ("(?m)^=+ *([^=\\n]*?) *=+ *$", "$1"),               // headings
+      ("(?m)^[*#:;]+ *", ""),                              // list markers
+      ("<[^>]*>", " "),                                     // leftover tags
+      ("[ \\t\\r\\n]+", " "))
+  }
+
+  def stripWiki(text: Column): Column =
+    trim(WikiStripSteps.foldLeft(text) { case (c, (p, r)) => regexp_replace(c, p, r) })
+
   // ------------------------------------------------ named filter rule packs
 
   /** Gopher document-quality rules (Rae et al. 2021, arXiv:2112.11446
