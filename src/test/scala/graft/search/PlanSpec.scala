@@ -320,4 +320,33 @@ class PlanSpec extends AnyFunSuite {
     assert(planStr.contains("TakeOrderedAndProject"),
       s"PQ top-k must be the bounded TakeOrderedAndProject:\n$planStr")
   }
+
+  test("session-7 ops keep their scale shapes (CJK segmentation, synonyms, " +
+       "ICU/path tokenizers, wiki strip)") {
+    import graft.ops.{PipelineQueries, VerifyQueries}
+    val sf = "/root/testdata/sf0.001"
+    // every segmentation/tokenization gate is a map-only flatMap over the
+    // corpus + ONE combinable groupBy: no join of ANY kind, no window —
+    // the 100 TB shape (the dictionary/model is a broadcast-free closure
+    // constant)
+    for (name <- Seq("q_kuromoji", "q_kuromoji_search", "q_smartcn",
+        "q_stempel", "q_icu_tokenize", "q_path_hierarchy", "q_synonym_multi")) {
+      val plan = VerifyQueries.queries(name)(spark, sf).queryExecution.sparkPlan
+      val planStr = plan.toString
+      assert(!planStr.toLowerCase.contains("join"),
+        s"$name plans a join:\n$planStr")
+      assert(plan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }.isEmpty, s"$name plans a window:\n$planStr")
+    }
+    // wiki strip: pure row-level column expressions — no exchange beyond
+    // the output sort, no join, no window
+    val wPlan = PipelineQueries.queries("q_strip_wiki")(spark, sf)
+      .queryExecution.sparkPlan
+    assert(!wPlan.toString.toLowerCase.contains("join"),
+      s"wiki strip plans a join:\n$wPlan")
+    assert(wPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, "wiki strip plans a window")
+  }
 }
