@@ -85,6 +85,20 @@ object DocIndex {
     dir
   }
 
+  /** Keyword-fields-ONLY index over the same corpus (no text tokens —
+    * the secondary side of a ParallelIndexReader: bolting metadata
+    * fields onto an existing text index without re-indexing it). */
+  def ensureKeywordOnly(spark: SparkSession, sfDir: String): String = synchronized {
+    val dir = cacheDir(sfDir) + "-kwonly"
+    if (!IndexBuilder.stageDone(spark, dir, "stats")) {
+      IndexBuilder.build(spark, documentsAsCorpus(spark, sfDir), dir,
+        numPartitions = 8, resume = true,
+        analyzerFor = _ => new Analyzer(Set.empty, tokenizer = _ => Array.empty),
+        keywordFields = Seq("lang", "path"))
+    }
+    dir
+  }
+
   /** Documents index with the positions sidecar (indexPositions = true):
     * phrase/span queries on it read positions instead of re-analyzing. */
   def ensurePositions(spark: SparkSession, sfDir: String): String = synchronized {

@@ -2039,6 +2039,30 @@ object VerifyQueries {
        |SELECT doc_id, term, CAST(cnt AS BIGINT) AS cnt FROM un
        |WHERE cnt > 0 ORDER BY doc_id, term""".stripMargin
 
+  /** ParallelAtomicReader analog end-to-end (reference:
+    * Index/ParallelAtomicReader.cs): the plain TEXT index and a
+    * keyword-fields-ONLY index built over the same corpus (same docIds,
+    * disjoint term spaces) read as ONE index — the add-fields-without-
+    * re-indexing tool. A MUST(text term, keyword term) boolean runs
+    * through the parallel reader's unioned dictionary/postings; the
+    * oracle intersects the text hits with the metadata directly. */
+  def qParallelFields(spark: SparkSession, sf: String): DataFrame = {
+    import spark.implicits._
+    val primary = ensure(spark, sf)
+    val kw = DocIndex.ensureKeywordOnly(spark, sf)
+    val reader = new graft.search.ParallelIndexReader(spark, primary, Seq(kw))
+    val searcher = new graft.search.Searcher(reader)
+    searcher.scored(graft.search.BoolQ(
+      must = Seq(graft.search.TermQ("merge"), graft.search.TermQ("lang:en"))))
+      .map(_.docId).distinct().toDF("doc_id").orderBy(col("doc_id"))
+  }
+  val oParallelFields: String =
+    s"""$OracleCtes
+       |SELECT DISTINCT tf.doc_id FROM tf
+       |JOIN documents d ON tf.doc_id = d.doc_id
+       |WHERE tf.term = 'merge' AND d.lang = 'en'
+       |ORDER BY tf.doc_id""".stripMargin
+
   /** QueryAutoStopWordAnalyzer end-to-end (reference:
     * Analysis/Query/QueryAutoStopWordAnalyzer.cs): the stop set derived
     * from the index's OWN df at maxPercentDocs=0.2 (terms with df >
@@ -3092,6 +3116,7 @@ object VerifyQueries {
     "q_path_hierarchy" -> qPathHierarchy _,
     "q_synonym_multi" -> qSynonymMulti _,
     "q_auto_stopwords" -> qAutoStopwords _,
+    "q_parallel_fields" -> qParallelFields _,
     "q_facet_lang" -> qFacetLang _,
     "q_facet_dl_hist" -> qFacetDlHist _,
     "q_facet_path" -> qFacetPath _,
@@ -3212,6 +3237,7 @@ object VerifyQueries {
     "q_path_hierarchy" -> oPathHierarchy,
     "q_synonym_multi" -> oSynonymMulti,
     "q_auto_stopwords" -> oAutoStopwords,
+    "q_parallel_fields" -> oParallelFields,
     "q_facet_lang" -> oFacetLang,
     "q_facet_dl_hist" -> oFacetDlHist,
     "q_facet_path" -> oFacetPath,
