@@ -230,4 +230,30 @@ object TokenFilters {
       }
       out
     }
+
+  /** SetKeywordMarkerFilter / PatternKeywordMarkerFilter + the stemmers'
+    * KeywordAttribute contract (Miscellaneous/SetKeywordMarkerFilter.cs,
+    * PatternKeywordMarkerFilter.cs; every reference stemmer starts with
+    * `if (!keywordAttr.IsKeyword)`): protected words pass through the
+    * wrapped stemmer untouched. The reference marks an attribute the
+    * downstream filter consults; here the protection composes directly
+    * onto our `String => String` stemmer hook — same chain semantics,
+    * no shared mutable attribute. */
+  def keywordMarker(stem: String => String, keywords: Set[String] = Set.empty,
+                    pattern: Option[String] = None): String => String = {
+    val p = pattern.map(java.util.regex.Pattern.compile(_))
+    w => if (keywords.contains(w) || p.exists(_.matcher(w).matches())) w
+         else stem(w)
+  }
+
+  /** StemmerOverrideFilter (Miscellaneous/StemmerOverrideFilter.cs): a
+    * word→stem dictionary consulted FIRST; a hit emits the override and
+    * marks the token keyword so no later stemmer re-stems it — exactly
+    * the short-circuit below. */
+  def stemmerOverride(overrides: Map[String, String], stem: String => String,
+                      ignoreCase: Boolean = false): String => String = {
+    val dict = if (ignoreCase) overrides.map { case (k, v) => (k.toLowerCase, v) }
+               else overrides
+    w => dict.getOrElse(if (ignoreCase) w.toLowerCase else w, stem(w))
+  }
 }

@@ -130,4 +130,41 @@ object Tokenizers {
     plain(pos, s.length)
     out.toArray
   }
+
+  /** PatternTokenizer (Analysis/Pattern/PatternTokenizer.cs): regex-driven
+    * tokenization. `group = -1` is split semantics — tokens are the
+    * non-empty stretches BETWEEN matches; `group >= 0` emits that
+    * capturing group of every match. Zero-length tokens are never
+    * emitted (the reference's guard), and a group that did not
+    * participate in its match is skipped. Returns a reusable tokenizer
+    * (pattern compiled once; rides the task closure). */
+  def patternTokenizer(regex: String, group: Int = -1): String => Array[RawToken] = {
+    val p = java.util.regex.Pattern.compile(regex)
+    val groupCount = p.matcher("").groupCount()
+    require(group <= groupCount,
+      s"invalid group specified: pattern only has $groupCount capturing groups")
+    s => {
+      val out = ArrayBuffer.empty[RawToken]
+      val m = p.matcher(s)
+      if (group >= 0) {
+        while (m.find()) {
+          val st = m.start(group)
+          val en = m.end(group)
+          if (st >= 0 && en > st)
+            out += RawToken(s.substring(st, en), st, en, UAX29Tokenizer.ALPHANUM)
+        }
+      } else {
+        var last = 0
+        while (m.find()) {
+          if (m.start > last)
+            out += RawToken(s.substring(last, m.start), last, m.start,
+              UAX29Tokenizer.ALPHANUM)
+          last = m.end
+        }
+        if (last < s.length)
+          out += RawToken(s.substring(last), last, s.length, UAX29Tokenizer.ALPHANUM)
+      }
+      out.toArray
+    }
+  }
 }

@@ -2222,6 +2222,98 @@ object VerifyQueries {
       |SELECT doc_id, script, term, CAST(cnt AS BIGINT) AS cnt FROM un
       |WHERE cnt > 0 ORDER BY doc_id, script, term""".stripMargin
 
+  /** PatternTokenizer end-to-end (reference: Analysis/Pattern/
+    * PatternTokenizer.cs, split mode): regex-split tokenization of the
+    * corpus — top-50 terms by count. Map-only flatMap + one combinable
+    * groupBy; the compiled pattern rides the closure. The oracle splits
+    * with the same regex in DuckDB (empty tokens dropped both sides). */
+  def qPatternTokenize(spark: SparkSession, sf: String): DataFrame = {
+    import spark.implicits._
+    val tok = graft.analysis.Tokenizers.patternTokenizer("[^A-Za-z0-9]+")
+    spark.read.parquet(s"$sf/documents.parquet")
+      .select($"text").as[String]
+      .flatMap(c => tok(c).iterator.map(_.term))
+      .toDF("term").groupBy($"term").agg(count("*").as("cnt"))
+      .orderBy(col("cnt").desc, col("term")).limit(50)
+  }
+  val oPatternTokenize: String =
+    """WITH toks AS (
+      |  SELECT unnest(regexp_split_to_array(text, '[^A-Za-z0-9]+')) AS term
+      |  FROM documents
+      |)
+      |SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM toks
+      |WHERE term <> '' GROUP BY term ORDER BY cnt DESC, term LIMIT 50""".stripMargin
+
+  /** MappingCharFilter end-to-end (reference: Analysis/CharFilter/
+    * MappingCharFilter.cs): code-operator canonicalization — '->', '::',
+    * '=>' rewritten to sentinel words ahead of tokenization (the
+    * wrapTokenizer offset correction is proven in CharFilterSpec; the
+    * gate checks the rewrite+tokenize term stream). A literal prefix
+    * exercises every rule on every doc; content occurrences add on top.
+    * Oracle = the equivalent replace chain (sound here: no key overlaps
+    * another and no replacement contains a key, so sequential replace ≡
+    * greedy longest-match). */
+  def qMappingCharfilter(spark: SparkSession, sf: String): DataFrame = {
+    import spark.implicits._
+    val tok = graft.analysis.CharFilters.wrapTokenizer(
+      graft.analysis.CharFilters.mapping(Map(
+        "->" -> " ARROW ", "::" -> " SCOPE ", "=>" -> " FATARROW ")),
+      graft.analysis.Tokenizers.patternTokenizer("\\s+"))
+    spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", concat(lit("x->y::z=>w "), $"text").as("s"))
+      .as[(Long, String)]
+      .flatMap { case (d, s) => tok(s).iterator.map(t => (d, t.term)) }
+      .toDF("doc_id", "term")
+      .where($"term".isin("ARROW", "SCOPE", "FATARROW"))
+      .groupBy($"doc_id", $"term").agg(count("*").as("cnt"))
+      .orderBy($"doc_id", $"term")
+  }
+  val oMappingCharfilter: String =
+    """WITH s AS (
+      |  SELECT doc_id, 'x->y::z=>w ' || text AS str FROM documents
+      |), m AS (
+      |  SELECT doc_id, replace(replace(replace(str,
+      |    '->', ' ARROW '), '::', ' SCOPE '), '=>', ' FATARROW ') AS str
+      |  FROM s
+      |), t AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(str, '\s+')) AS term FROM m
+      |)
+      |SELECT doc_id, term, CAST(count(*) AS BIGINT) AS cnt FROM t
+      |WHERE term IN ('ARROW', 'SCOPE', 'FATARROW')
+      |GROUP BY doc_id, term ORDER BY doc_id, term""".stripMargin
+
+  /** HyphenationCompoundWordTokenFilter end-to-end (reference:
+    * Analysis/Compound/HyphenationCompoundWordTokenFilter.cs + the Liang
+    * pattern engine): per-doc synthetic compounds decompounded through a
+    * literal pattern table + dictionary — exercising the pattern path,
+    * the dictionary gate and the partLength-1 linking-morpheme fallback
+    * (verkehrS). The oracle re-states each compound's hand-derived split
+    * (HyphenationSpec proves the engine derives them from the patterns). */
+  def qDecompoundHyph(spark: SparkSession, sf: String): DataFrame = {
+    import spark.implicits._
+    val h = new graft.analysis.Hyphenator(Seq("n1b", "k1s", "s1z", "k1h"))
+    val dict = Set("daten", "bank", "system", "verkehr", "zeichen", "haus")
+    val words = Array("datenbanksystem", "verkehrszeichen", "bankhaus")
+    spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id").as[Long]
+      .flatMap { d =>
+        val w = words((d % 3).toInt)
+        graft.analysis.Hyphenation.hyphenationCompound(
+          Array(graft.analysis.Token(w, 0, 0, w.length)), h, Some(dict))
+          .iterator.map(t => (d, t.term))
+      }.toDF("doc_id", "term").orderBy($"doc_id", $"term")
+  }
+  val oDecompoundHyph: String =
+    """WITH c AS (SELECT doc_id, doc_id % 3 AS r FROM documents),
+      |e AS (
+      |  SELECT doc_id, unnest(CASE
+      |    WHEN r = 0 THEN ['datenbanksystem', 'daten', 'bank', 'system']
+      |    WHEN r = 1 THEN ['verkehrszeichen', 'verkehr', 'zeichen']
+      |    ELSE ['bankhaus', 'bank', 'haus'] END) AS term
+      |  FROM c
+      |)
+      |SELECT doc_id, term FROM e ORDER BY doc_id, term""".stripMargin
+
   /** Stempel/Egothor patch-trie stemming (reference:
     * Analysis.Stempel/Egothor.Stemmer/ + Stempel/StempelFilter.cs) over
     * a literal 5-rule suffix table: per-doc stem counts with the real
@@ -3112,6 +3204,9 @@ object VerifyQueries {
     "q_smartcn" -> qSmartcn _,
     "q_stempel" -> qStempel _,
     "q_icu_tokenize" -> qIcuTokenize _,
+    "q_pattern_tokenize" -> qPatternTokenize _,
+    "q_mapping_charfilter" -> qMappingCharfilter _,
+    "q_decompound_hyph" -> qDecompoundHyph _,
     "q_parse_ext" -> qParseExt _,
     "q_path_hierarchy" -> qPathHierarchy _,
     "q_synonym_multi" -> qSynonymMulti _,
@@ -3233,6 +3328,9 @@ object VerifyQueries {
     "q_smartcn" -> oSmartcn,
     "q_stempel" -> oStempel,
     "q_icu_tokenize" -> oIcuTokenize,
+    "q_pattern_tokenize" -> oPatternTokenize,
+    "q_mapping_charfilter" -> oMappingCharfilter,
+    "q_decompound_hyph" -> oDecompoundHyph,
     "q_parse_ext" -> oParseExt,
     "q_path_hierarchy" -> oPathHierarchy,
     "q_synonym_multi" -> oSynonymMulti,

@@ -349,4 +349,28 @@ class PlanSpec extends AnyFunSuite {
       case w: org.apache.spark.sql.execution.window.WindowExec => w
     }.isEmpty, "wiki strip plans a window")
   }
+
+  test("char-filter / pattern-tokenizer / hyphenation gates keep the " +
+       "map-only-plus-one-groupBy shape") {
+    import graft.ops.VerifyQueries
+    val sf = "/root/testdata/sf0.001"
+    // rules, patterns and the Liang table all ride the task closure as
+    // constants: no join of any kind, no window — the 100 TB shape
+    for (name <- Seq("q_pattern_tokenize", "q_mapping_charfilter",
+        "q_decompound_hyph")) {
+      val plan = VerifyQueries.queries(name)(spark, sf).queryExecution.sparkPlan
+      val planStr = plan.toString
+      assert(!planStr.toLowerCase.contains("join"),
+        s"$name plans a join:\n$planStr")
+      assert(plan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }.isEmpty, s"$name plans a window:\n$planStr")
+    }
+    // the top-50 term census must end in the bounded TakeOrderedAndProject,
+    // never a global sort
+    val tPlan = VerifyQueries.queries("q_pattern_tokenize")(
+      spark, sf).queryExecution.sparkPlan.toString
+    assert(tPlan.contains("TakeOrderedAndProject"),
+      s"pattern-tokenize top-k must be TakeOrderedAndProject:\n$tPlan")
+  }
 }
