@@ -1927,6 +1927,60 @@ object VerifyQueries {
        |SELECT doc_id, stem, count(*) AS cnt FROM un
        |GROUP BY doc_id, stem ORDER BY doc_id, stem""".stripMargin
 
+  /** KStem gate: 24 inflected forms, each assigned to docs by pure
+    * doc_id arithmetic, stemmed through the distributed KStemmer against
+    * a fixed 26-word lexicon. The form→stem truth table in the oracle is
+    * HAND-TRACED through the reference rule cascade (Analysis/En/
+    * KStemmer.cs — the same traces as KStemSpec), so the gate verifies
+    * the distributed pipeline reproduces the reference-derived stems —
+    * the Kuromoji/Hyphenation gate pattern. */
+  private val kstemGateLexicon = Set(
+    "merge", "sort", "index", "table", "row", "query", "happy", "plan",
+    "commit", "big", "amplify", "immune", "capacity", "organize", "govern",
+    "define", "oppose", "resign", "optimum", "military", "heuristic",
+    "create", "cross", "aid", "backfill", "microcode")
+
+  private val kstemGateForms: Array[(String, String)] = Array(
+    "merges" -> "merge", "tables" -> "table", "queries" -> "query",
+    "crosses" -> "cross", "indexes" -> "index", "sorted" -> "sort",
+    "planned" -> "plan", "sorting" -> "sort", "committing" -> "commit",
+    "bigger" -> "big", "happier" -> "happy", "happiness" -> "happy",
+    "immunity" -> "immune", "organization" -> "organize",
+    "amplification" -> "amplify", "definition" -> "define",
+    "oppositions" -> "oppose", "resignation" -> "resign",
+    "optimal" -> "optimum", "militarily" -> "military",
+    "heuristically" -> "heuristic", "mergeability" -> "merge",
+    "italians" -> "italy", "governs" -> "govern")
+
+  def qKStem(spark: SparkSession, sf: String): DataFrame = {
+    import spark.implicits._
+    val forms = kstemGateForms.map(_._1)
+    val lex = kstemGateLexicon
+    spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", explode(lit((0 until 5).toArray)).as("i"))
+      .withColumn("form",
+        element_at(lit(forms), (($"doc_id" + $"i" * 5) % 24).cast("int") + 1))
+      .select($"doc_id", $"form").as[(Long, String)]
+      .mapPartitions { it =>
+        val st = new graft.analysis.KStemmer(lex)
+        it.map { case (d, f) => (d, st.stem(f)) }
+      }
+      .toDF("doc_id", "stem")
+      .groupBy(col("stem")).agg(count("*").as("cnt"))
+      .orderBy(col("stem"))
+  }
+  val oKStem: String = {
+    val values = kstemGateForms.zipWithIndex
+      .map { case ((f, s), i) => s"($i,'$f','$s')" }.mkString(", ")
+    s"""WITH forms(idx, form, stem) AS (VALUES $values),
+       |seq(i) AS (VALUES (0),(1),(2),(3),(4)),
+       |sel AS (
+       |  SELECT d.doc_id, f.stem FROM documents d CROSS JOIN seq s
+       |  JOIN forms f ON f.idx = (d.doc_id + s.i * 5) % 24
+       |)
+       |SELECT stem, count(*) AS cnt FROM sel GROUP BY stem ORDER BY stem""".stripMargin
+  }
+
   /** Kuromoji lexicon for the morphological-segmentation gates: the ten
     * kanji digits as unigrams (cost 1000) plus 一二 (1500), 一二三
     * (2000) and 四五 (1500). Because no two multi-char entries can
@@ -3203,6 +3257,7 @@ object VerifyQueries {
     "q_kuromoji_search" -> qKuromojiSearch _,
     "q_smartcn" -> qSmartcn _,
     "q_stempel" -> qStempel _,
+    "q_kstem" -> qKStem _,
     "q_icu_tokenize" -> qIcuTokenize _,
     "q_pattern_tokenize" -> qPatternTokenize _,
     "q_mapping_charfilter" -> qMappingCharfilter _,
@@ -3327,6 +3382,7 @@ object VerifyQueries {
     "q_kuromoji_search" -> oKuromojiSearch,
     "q_smartcn" -> oSmartcn,
     "q_stempel" -> oStempel,
+    "q_kstem" -> oKStem,
     "q_icu_tokenize" -> oIcuTokenize,
     "q_pattern_tokenize" -> oPatternTokenize,
     "q_mapping_charfilter" -> oMappingCharfilter,
