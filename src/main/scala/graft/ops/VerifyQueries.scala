@@ -1709,6 +1709,30 @@ object VerifyQueries {
        |SELECT count(DISTINCT d.lang) AS groups
        |FROM tf JOIN documents d USING (doc_id) WHERE tf.term = 'merge'""".stripMargin
 
+  /** AllGroupHeadsCollector (reference:
+    * Lucene.Net.Grouping/AbstractAllGroupHeadsCollector.cs,
+    * Term/TermAllGroupHeadsCollector.cs): for each group among the hits,
+    * the ONE doc that wins the within-group sort — here (score desc,
+    * docId asc) per lang, the reference's relevance-head default. One
+    * combinable min(struct(-score, doc_id)) aggregation — no window. */
+  def qGroupHeads(spark: SparkSession, sf: String): DataFrame = {
+    val dir = ensure(spark, sf)
+    val s = scoredHits(spark, sf, Seq("merge")).select(col("doc_id"), col("score"))
+    val langs = spark.read.parquet(IndexPaths.docstats(dir))
+      .select(col("docId").as("doc_id"), col("lang"))
+    graft.search.Grouping.allGroupHeads(
+      s.join(broadcast(langs), Seq("doc_id")), "lang", Seq(negate(col("score"))))
+      .orderBy(col("lang"))
+  }
+  val oGroupHeads: String =
+    s"""${oracleScored(Seq("merge"))}
+       |SELECT lang, doc_id FROM (
+       |  SELECT d.lang, s.doc_id,
+       |    row_number() OVER (PARTITION BY d.lang
+       |                       ORDER BY s.score DESC, s.doc_id) AS rn
+       |  FROM scored s JOIN documents d USING (doc_id)
+       |) WHERE rn = 1 ORDER BY lang""".stripMargin
+
   /** GroupFacetCollector (reference:
     * Lucene.Net.Grouping/AbstractGroupFacetCollector.cs): facet counts
     * WITHIN each group — hits of 'merge' grouped by lang, faceted by
@@ -3226,6 +3250,7 @@ object VerifyQueries {
     "q_suggest_freetext" -> qSuggestFreetext _,
     "q_fold_term" -> qFoldTerm _,
     "q_group_distinct" -> qGroupDistinct _,
+    "q_group_heads" -> qGroupHeads _,
     "q_group_searchafter" -> qGroupSearchAfter _,
     "q_group_facet" -> qGroupFacet _,
     "q_searchafter" -> qSearchAfter _,
@@ -3351,6 +3376,7 @@ object VerifyQueries {
     "q_suggest_freetext" -> oSuggestFreetext,
     "q_fold_term" -> oFoldTerm,
     "q_group_distinct" -> oGroupDistinct,
+    "q_group_heads" -> oGroupHeads,
     "q_group_searchafter" -> oGroupSearchAfter,
     "q_group_facet" -> oGroupFacet,
     "q_searchafter" -> oSearchAfter,

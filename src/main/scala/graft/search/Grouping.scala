@@ -28,4 +28,24 @@ object Grouping {
     * map-side combined. */
   def groupFacets(hits: DataFrame, groupCol: String, facetCol: String): DataFrame =
     hits.groupBy(col(groupCol), col(facetCol)).agg(count("*").as("hits"))
+
+  /** AllGroupHeadsCollector (AbstractAllGroupHeadsCollector.cs /
+    * Term/TermAllGroupHeadsCollector.cs): for every group among the
+    * hits, the single doc that wins the within-group sort — the "group
+    * head". The reference keeps one mutable GroupHead per group and
+    * challenges it doc-by-doc, ties keeping the earlier (lower) docId;
+    * here the same contract is ONE combinable aggregation:
+    * `min(struct(sortKeys…, doc_id))` — struct comparison is
+    * lexicographic, so the minimum IS the head under (sortKeys asc,
+    * docId asc). Descending keys are passed negated (score desc →
+    * `-score`), exactly how the reference flips comparator sign via
+    * m_reversed. No window, no per-group state: map-side partial heads
+    * combine associatively, so the op is one shuffle of |groups| rows
+    * at any corpus size. Result: (group, doc_id) — the RetrieveGroupHeads
+    * set, keyed by group. */
+  def allGroupHeads(hits: DataFrame, groupCol: String,
+                    sortKeys: Seq[org.apache.spark.sql.Column]): DataFrame =
+    hits.groupBy(col(groupCol))
+      .agg(min(struct((sortKeys :+ col("doc_id")): _*)).as("head"))
+      .select(col(groupCol), col("head.doc_id").as("doc_id"))
 }

@@ -212,8 +212,44 @@ object StreamingIndexer {
       graft.build.TieredMergePolicy.Seg(g, dirBytes(d), maxDoc, dels)
     }
     val merges = graft.build.TieredMergePolicy.findMerges(segs, Set.empty, cfg)
+    executeMerges(spark, root, merges.map(_.ids), numPartitions)
+  }
+
+  /** Background-merge maintenance with [[graft.build.LogMergePolicy]] —
+    * the adjacent-runs-only policy family (LogByteSize/LogDoc). Because
+    * generation ids ARE arrival order and Log merges only adjacent
+    * windows, the merged index keeps ingestion order end to end — the
+    * policy for time-sorted corpora with order-based early termination.
+    * Same stats feed and OneMerge executor as [[maintainTiered]]. */
+  def maintainLog(spark: SparkSession, root: String,
+                  cfg: graft.build.LogMergePolicy.Config =
+                    graft.build.LogMergePolicy.logByteSize,
+                  numPartitions: Int = 8): Seq[Seq[Long]] = {
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dirBytes(d: String): Long =
+      fs.getContentSummary(new org.apache.hadoop.fs.Path(d)).getLength
+    val segs = generations(spark, root).sorted.map { g =>
+      val d = genDir(root, g)
+      val maxDoc = spark.read.parquet(IndexPaths.collectionStats(d))
+        .select("maxDoc").head().getLong(0)
+      val dels = graft.build.Deletes.tombstones(spark, d).count()
+      graft.build.LogMergePolicy.Seg(g, dirBytes(d), maxDoc, dels)
+    }
+    val merges = graft.build.LogMergePolicy.findMerges(segs, cfg)
+    executeMerges(spark, root, merges.map(_.ids), numPartitions)
+  }
+
+  /** Execute chosen merges: each id-list concatenates into the lowest
+    * merged generation id (docId ranges are disjoint and global, so ids
+    * and search results are unchanged); swallowed generations dropped. */
+  private def executeMerges(spark: SparkSession, root: String,
+                            merges: Seq[Seq[Long]],
+                            numPartitions: Int): Seq[Seq[Long]] = {
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     merges.map { m =>
-      val ids = m.ids.sorted
+      val ids = m.sorted
       val tmp = s"$root/.merge-${ids.head}"
       compactDirs(spark, ids.map(genDir(root, _)), tmp, numPartitions)
       ids.foreach(g => fs.delete(new org.apache.hadoop.fs.Path(genDir(root, g)), true))
