@@ -373,4 +373,30 @@ class PlanSpec extends AnyFunSuite {
     assert(tPlan.contains("TakeOrderedAndProject"),
       s"pattern-tokenize top-k must be TakeOrderedAndProject:\n$tPlan")
   }
+
+  test("session-9 ops keep their scale shapes (KStem, group heads)") {
+    import graft.ops.VerifyQueries
+    val sf = "/root/testdata/sf0.001"
+    // q_kstem: the lexicon rides the task closure — map-only stemming +
+    // ONE combinable groupBy; no join, no window
+    val kPlan = VerifyQueries.queries("q_kstem")(spark, sf)
+      .queryExecution.sparkPlan
+    assert(!kPlan.toString.toLowerCase.contains("join"),
+      s"q_kstem plans a join:\n$kPlan")
+    assert(kPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, "q_kstem plans a window")
+    // q_group_heads: the head is a combinable struct-min aggregation —
+    // NO window may appear (a window would single-thread each group's
+    // full hit list through one task; the aggregate form partial-combines
+    // map-side)
+    val gPlan = VerifyQueries.queries("q_group_heads")(spark, sf)
+      .queryExecution.sparkPlan
+    assert(gPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, s"q_group_heads must aggregate, not window:\n$gPlan")
+    assert(gPlan.toString.contains("HashAggregate") ||
+      gPlan.toString.contains("SortAggregate"),
+      s"q_group_heads must be an aggregation:\n$gPlan")
+  }
 }
