@@ -2005,6 +2005,74 @@ object VerifyQueries {
        |SELECT stem, count(*) AS cnt FROM sel GROUP BY stem ORDER BY stem""".stripMargin
   }
 
+  /** Beider–Morse gate: 8 surnames assigned by doc_id arithmetic, each
+    * encoded by the distributed BMPM engine over a literal rule set in
+    * the reference file grammar; every name→tokens row in the oracle's
+    * truth table is HAND-TRACED through the reference engine semantics
+    * (PhoneticEngine.cs — same traces as BeiderMorseSpec): language
+    * guessing picks gen_rules_ger for schmidt (sch evidence) and
+    * gen_rules_eng for smith (th evidence) so both land on 'smit' via
+    * the approx dt→t final rule; ambiguous weber/wagner emit BOTH the
+    * v[ger] and w[eng] renderings; 'van helsing' double-encodes with and
+    * without the prefix. */
+  private val bmBase = "abcdeghilmnorstvy"
+    .map(c => s""""$c" "" "" "$c"""").mkString("\n")
+  private val bmRes: Map[String, String] = Map(
+    "base.txt" -> bmBase,
+    "lang.txt" -> "sch ger true\nth eng true",
+    "gen_languages.txt" -> "eng\nger",
+    "gen_rules_any.txt" ->
+      ("\"sch\" \"\" \"\" \"s\"\n\"th\" \"\" \"\" \"t\"\n" +
+        "\"w\" \"\" \"\" \"(v[ger]|w[eng])\"\n#include base.txt"),
+    "gen_rules_eng.txt" ->
+      ("\"th\" \"\" \"\" \"t\"\n\"w\" \"\" \"\" \"w\"\n#include base.txt"),
+    "gen_rules_ger.txt" ->
+      ("\"sch\" \"\" \"\" \"s\"\n\"w\" \"\" \"\" \"v\"\n#include base.txt"),
+    "gen_approx_common.txt" -> "\"dt\" \"\" \"\" \"t\"",
+    "gen_approx_any.txt" -> "", "gen_approx_eng.txt" -> "",
+    "gen_approx_ger.txt" -> "")
+
+  private val bmTruth: Array[(String, Seq[String])] = Array(
+    "schmidt" -> Seq("smit"),
+    "smith" -> Seq("smit"),
+    "weber" -> Seq("veber", "weber"),
+    "wagner" -> Seq("vagner", "wagner"),
+    "meyer" -> Seq("meyer"),
+    "thiele" -> Seq("tiele"),
+    "van helsing" -> Seq("helsing", "vanhelsing"),
+    "schneider" -> Seq("sneider"))
+
+  def qBeiderMorse(spark: SparkSession, sf: String): DataFrame = {
+    import spark.implicits._
+    val names = bmTruth.map(_._1)
+    val res = bmRes
+    spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", explode(lit((0 until 3).toArray)).as("i"))
+      .withColumn("name",
+        element_at(lit(names), (($"doc_id" + $"i" * 3) % 8).cast("int") + 1))
+      .select($"doc_id", $"name").as[(Long, String)]
+      .mapPartitions { it =>
+        val bm = new graft.analysis.BeiderMorse(
+          graft.analysis.BeiderMorse.Generic,
+          graft.analysis.BeiderMorse.Approx, concat = true, res(_))
+        it.flatMap { case (d, n) => bm.encodeTokens(n).map(t => (d, t)) }
+      }
+      .toDF("doc_id", "token")
+      .groupBy(col("token")).agg(count("*").as("cnt"))
+      .orderBy(col("token"))
+  }
+  val oBeiderMorse: String = {
+    val values = bmTruth.zipWithIndex.flatMap { case ((n, ts), i) =>
+      ts.map(t => s"($i,'$t')") }.mkString(", ")
+    s"""WITH truth(idx, token) AS (VALUES $values),
+       |seq(i) AS (VALUES (0),(1),(2)),
+       |sel AS (
+       |  SELECT d.doc_id, t.token FROM documents d CROSS JOIN seq s
+       |  JOIN truth t ON t.idx = (d.doc_id + s.i * 3) % 8
+       |)
+       |SELECT token, count(*) AS cnt FROM sel GROUP BY token ORDER BY token""".stripMargin
+  }
+
   /** Kuromoji lexicon for the morphological-segmentation gates: the ten
     * kanji digits as unigrams (cost 1000) plus 一二 (1500), 一二三
     * (2000) and 四五 (1500). Because no two multi-char entries can
@@ -3283,6 +3351,7 @@ object VerifyQueries {
     "q_smartcn" -> qSmartcn _,
     "q_stempel" -> qStempel _,
     "q_kstem" -> qKStem _,
+    "q_beider_morse" -> qBeiderMorse _,
     "q_icu_tokenize" -> qIcuTokenize _,
     "q_pattern_tokenize" -> qPatternTokenize _,
     "q_mapping_charfilter" -> qMappingCharfilter _,
@@ -3409,6 +3478,7 @@ object VerifyQueries {
     "q_smartcn" -> oSmartcn,
     "q_stempel" -> oStempel,
     "q_kstem" -> oKStem,
+    "q_beider_morse" -> oBeiderMorse,
     "q_icu_tokenize" -> oIcuTokenize,
     "q_pattern_tokenize" -> oPatternTokenize,
     "q_mapping_charfilter" -> oMappingCharfilter,

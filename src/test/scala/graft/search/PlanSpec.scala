@@ -374,18 +374,20 @@ class PlanSpec extends AnyFunSuite {
       s"pattern-tokenize top-k must be TakeOrderedAndProject:\n$tPlan")
   }
 
-  test("session-9 ops keep their scale shapes (KStem, group heads)") {
+  test("session-9 ops keep their scale shapes (KStem, Beider–Morse, group heads)") {
     import graft.ops.VerifyQueries
     val sf = "/root/testdata/sf0.001"
-    // q_kstem: the lexicon rides the task closure — map-only stemming +
-    // ONE combinable groupBy; no join, no window
-    val kPlan = VerifyQueries.queries("q_kstem")(spark, sf)
-      .queryExecution.sparkPlan
-    assert(!kPlan.toString.toLowerCase.contains("join"),
-      s"q_kstem plans a join:\n$kPlan")
-    assert(kPlan.collect {
-      case w: org.apache.spark.sql.execution.window.WindowExec => w
-    }.isEmpty, "q_kstem plans a window")
+    // q_kstem / q_beider_morse: lexicon and rule set ride the task
+    // closure — map-only encode + ONE combinable groupBy; no join, no window
+    for (name <- Seq("q_kstem", "q_beider_morse")) {
+      val kPlan = VerifyQueries.queries(name)(spark, sf)
+        .queryExecution.sparkPlan
+      assert(!kPlan.toString.toLowerCase.contains("join"),
+        s"$name plans a join:\n$kPlan")
+      assert(kPlan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }.isEmpty, s"$name plans a window")
+    }
     // q_group_heads: the head is a combinable struct-min aggregation —
     // NO window may appear (a window would single-thread each group's
     // full hit list through one task; the aggregate form partial-combines
