@@ -48,7 +48,8 @@ object BeiderMorse {
   case object Exact extends RuleType("exact")
 
   val Any = "any"
-  private val DefaultMaxPhonemes = 20
+  /** PhoneticEngine.cs DEFAULT_MAX_PHONEMES. */
+  val DefaultMaxPhonemes = 20
 
   // ------------------------------------------------------- language sets
 
@@ -260,11 +261,23 @@ object BeiderMorse {
     rules.toSeq
   }
 
-  /** Languages.cs GetInstance: one language name per non-comment line. */
-  def parseLanguages(text: String): Set[String] =
-    text.linesIterator.map(_.trim)
-      .filterNot(l => l.isEmpty || l.startsWith("/*") || l.endsWith("*/"))
-      .toSet
+  /** Languages.cs GetInstance: one language name per non-comment line,
+    * with the reference's stateful extended-comment tracking (the shipped
+    * BMPM resources open with a multi-line license block whose interior
+    * lines must not become "languages"). */
+  def parseLanguages(text: String): Set[String] = {
+    val out = mutable.Set.empty[String]
+    var inExt = false
+    for (rawLine <- text.linesIterator) {
+      val line = rawLine.trim
+      if (inExt) {
+        if (line.endsWith("*/")) inExt = false
+      } else if (line.startsWith("/*")) {
+        inExt = true
+      } else if (line.nonEmpty) out += line
+    }
+    out.toSet
+  }
 }
 
 /** The PhoneticEngine (PhoneticEngine.cs) over caller-supplied rule
@@ -278,7 +291,7 @@ final class BeiderMorse(
     ruleType: BeiderMorse.RuleType,
     concat: Boolean,
     resources: String => String,
-    maxPhonemes: Int = 20) extends Serializable {
+    maxPhonemes: Int = BeiderMorse.DefaultMaxPhonemes) extends Serializable {
   import BeiderMorse._
 
   require(ruleType != null)
@@ -358,7 +371,10 @@ final class BeiderMorse(
   /** ApplyFinalRules: per input phoneme, re-run the rules over its text
     * (unmatched chars APPENDED, unlike the main pass), union into a set
     * sorted by phoneme text (the COMPARER — so duplicates collapse and
-    * the output '|' join is ordered). */
+    * the output '|' join is ordered). Same-text phonemes keep the FIRST
+    * one's language set (plain UnionWith in the reference,
+    * PhoneticEngine.cs:411 — the commons-codec 1.9 level the reference
+    * ships; later codec versions merge the language sets instead). */
   private def applyFinalRules(b: Builder, finalRules: Map[String, Seq[Rule]]): Builder = {
     if (finalRules.isEmpty) return b
     val acc = mutable.SortedMap.empty[String, Phoneme]
@@ -407,6 +423,9 @@ final class BeiderMorse(
     val words = input.split("\\s+").toSeq
     val words2: Seq[String] = nameType match {
       case Sephardic =>
+        // crash parity: a word of only apostrophes makes split return an
+        // empty array and .last throw — exactly the reference's
+        // parts[parts.Length-1] IndexOutOfRange on the same input
         words.map(w => w.split("'").last).filterNot(nameType.prefixes.contains)
       case Ashkenazi => words.filterNot(nameType.prefixes.contains)
       case Generic => words

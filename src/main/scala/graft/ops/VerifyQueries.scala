@@ -1958,13 +1958,13 @@ object VerifyQueries {
     * KStemmer.cs — the same traces as KStemSpec), so the gate verifies
     * the distributed pipeline reproduces the reference-derived stems —
     * the Kuromoji/Hyphenation gate pattern. */
-  private val kstemGateLexicon = Set(
+  private[graft] val kstemGateLexicon = Set(
     "merge", "sort", "index", "table", "row", "query", "happy", "plan",
     "commit", "big", "amplify", "immune", "capacity", "organize", "govern",
     "define", "oppose", "resign", "optimum", "military", "heuristic",
     "create", "cross", "aid", "backfill", "microcode")
 
-  private val kstemGateForms: Array[(String, String)] = Array(
+  private[graft] val kstemGateForms: Array[(String, String)] = Array(
     "merges" -> "merge", "tables" -> "table", "queries" -> "query",
     "crosses" -> "cross", "indexes" -> "index", "sorted" -> "sort",
     "planned" -> "plan", "sorting" -> "sort", "committing" -> "commit",
@@ -2015,9 +2015,9 @@ object VerifyQueries {
     * the approx dt→t final rule; ambiguous weber/wagner emit BOTH the
     * v[ger] and w[eng] renderings; 'van helsing' double-encodes with and
     * without the prefix. */
-  private val bmBase = "abcdeghilmnorstvy"
+  private[graft] val bmBase = "abcdeghilmnorstvy"
     .map(c => s""""$c" "" "" "$c"""").mkString("\n")
-  private val bmRes: Map[String, String] = Map(
+  private[graft] val bmRes: Map[String, String] = Map(
     "base.txt" -> bmBase,
     "lang.txt" -> "sch ger true\nth eng true",
     "gen_languages.txt" -> "eng\nger",
@@ -2032,7 +2032,7 @@ object VerifyQueries {
     "gen_approx_any.txt" -> "", "gen_approx_eng.txt" -> "",
     "gen_approx_ger.txt" -> "")
 
-  private val bmTruth: Array[(String, Seq[String])] = Array(
+  private[graft] val bmTruth: Array[(String, Seq[String])] = Array(
     "schmidt" -> Seq("smit"),
     "smith" -> Seq("smit"),
     "weber" -> Seq("veber", "weber"),

@@ -200,16 +200,8 @@ object StreamingIndexer {
                      cfg: graft.build.TieredMergePolicy.Config =
                        graft.build.TieredMergePolicy.Config(),
                      numPartitions: Int = 8): Seq[Seq[Long]] = {
-    val fs = new org.apache.hadoop.fs.Path(root)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def dirBytes(d: String): Long =
-      fs.getContentSummary(new org.apache.hadoop.fs.Path(d)).getLength
-    val segs = generations(spark, root).map { g =>
-      val d = genDir(root, g)
-      val maxDoc = spark.read.parquet(IndexPaths.collectionStats(d))
-        .select("maxDoc").head().getLong(0)
-      val dels = graft.build.Deletes.tombstones(spark, d).count()
-      graft.build.TieredMergePolicy.Seg(g, dirBytes(d), maxDoc, dels)
+    val segs = segStats(spark, root).map { case (g, bytes, maxDoc, dels) =>
+      graft.build.TieredMergePolicy.Seg(g, bytes, maxDoc, dels)
     }
     val merges = graft.build.TieredMergePolicy.findMerges(segs, Set.empty, cfg)
     executeMerges(spark, root, merges.map(_.ids), numPartitions)
@@ -225,19 +217,30 @@ object StreamingIndexer {
                   cfg: graft.build.LogMergePolicy.Config =
                     graft.build.LogMergePolicy.logByteSize,
                   numPartitions: Int = 8): Seq[Seq[Long]] = {
-    val fs = new org.apache.hadoop.fs.Path(root)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def dirBytes(d: String): Long =
-      fs.getContentSummary(new org.apache.hadoop.fs.Path(d)).getLength
-    val segs = generations(spark, root).sorted.map { g =>
-      val d = genDir(root, g)
-      val maxDoc = spark.read.parquet(IndexPaths.collectionStats(d))
-        .select("maxDoc").head().getLong(0)
-      val dels = graft.build.Deletes.tombstones(spark, d).count()
-      graft.build.LogMergePolicy.Seg(g, dirBytes(d), maxDoc, dels)
+    // generations() is id-sorted = arrival order: exactly the adjacency
+    // the Log policy's windows assume
+    val segs = segStats(spark, root).map { case (g, bytes, maxDoc, dels) =>
+      graft.build.LogMergePolicy.Seg(g, bytes, maxDoc, dels)
     }
     val merges = graft.build.LogMergePolicy.findMerges(segs, cfg)
     executeMerges(spark, root, merges.map(_.ids), numPartitions)
+  }
+
+  /** Per committed generation: (id, dir bytes, maxDoc, tombstone count) —
+    * the stats feed both merge policies consume. */
+  private def segStats(spark: SparkSession,
+                       root: String): Seq[(Long, Long, Long, Long)] = {
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    generations(spark, root).map { g =>
+      val d = genDir(root, g)
+      val bytes =
+        fs.getContentSummary(new org.apache.hadoop.fs.Path(d)).getLength
+      val maxDoc = spark.read.parquet(IndexPaths.collectionStats(d))
+        .select("maxDoc").head().getLong(0)
+      val dels = graft.build.Deletes.tombstones(spark, d).count()
+      (g, bytes, maxDoc, dels)
+    }
   }
 
   /** Execute chosen merges: each id-list concatenates into the lowest

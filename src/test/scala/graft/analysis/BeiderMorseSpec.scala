@@ -12,38 +12,9 @@ import org.scalatest.funsuite.AnyFunSuite
 class BeiderMorseSpec extends AnyFunSuite {
   import BeiderMorse._
 
-  // identity rules for the letters the vectors use — 'w' deliberately
-  // absent (each language file defines its own w)
-  private val base = "abcdeghilmnorstvy"
-    .map(c => s""""$c" "" "" "$c"""").mkString("\n")
-
-  private val res: Map[String, String] = Map(
-    "base.txt" -> base,
-    "lang.txt" ->
-      """sch ger true   // sch is German evidence
-        |th eng true    // th is English evidence
-        |""".stripMargin,
-    "gen_languages.txt" -> "eng\nger",
-    "gen_rules_any.txt" ->
-      """"sch" "" "" "s"
-        |"th" "" "" "t"
-        |"w" "" "" "(v[ger]|w[eng])"
-        |#include base.txt
-        |""".stripMargin,
-    "gen_rules_eng.txt" ->
-      """"th" "" "" "t"
-        |"w" "" "" "w"
-        |#include base.txt
-        |""".stripMargin,
-    "gen_rules_ger.txt" ->
-      """"sch" "" "" "s"
-        |"w" "" "" "v"
-        |#include base.txt
-        |""".stripMargin,
-    "gen_approx_common.txt" -> """"dt" "" "" "t"""",
-    "gen_approx_any.txt" -> "",
-    "gen_approx_eng.txt" -> "",
-    "gen_approx_ger.txt" -> "")
+  // the ONE shared rule set: the gate's oracle truth table is hand-traced
+  // against exactly these rules, so the spec and the gate cannot drift
+  private val res: Map[String, String] = graft.ops.VerifyQueries.bmRes
 
   private def ashRes: Map[String, String] =
     res.map { case (k, v) => k.replace("gen_", "ash_") -> v } ++
@@ -121,6 +92,14 @@ class BeiderMorseSpec extends AnyFunSuite {
     assert(ab.pattern === "ab")
     assert(ab.phoneme.phonemes.map(_.text) === Seq("p", "q", ""))
     assert(rules("b").head.pattern === "b") // via include
+  }
+
+  test("languages file: extended comment blocks are skipped statefully") {
+    // the shipped BMPM resources open with a multi-line license block —
+    // interior lines must not become languages (Languages.cs inExtendedComment)
+    assert(parseLanguages(
+      "/*\n * Licensed to the Apache Software Foundation\n */\neng\nger\n")
+      === Set("eng", "ger"))
   }
 
   test("context pattern fast paths match their regex semantics") {

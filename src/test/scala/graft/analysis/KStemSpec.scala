@@ -9,11 +9,9 @@ import org.scalatest.funsuite.AnyFunSuite
   * conflation/nationality/proper-noun tables. */
 class KStemSpec extends AnyFunSuite {
 
-  private val lexicon = Set(
-    "merge", "sort", "index", "table", "row", "query", "happy", "plan",
-    "commit", "big", "amplify", "immune", "capacity", "organize", "govern",
-    "define", "oppose", "resign", "optimum", "military", "heuristic",
-    "create", "cross", "aid", "backfill", "microcode")
+  // the ONE shared lexicon: the gate's oracle truth table is hand-traced
+  // against exactly these words, so the spec and the gate cannot drift
+  private val lexicon = graft.ops.VerifyQueries.kstemGateLexicon
 
   private val st = new KStemmer(lexicon)
 

@@ -13,9 +13,7 @@ object AnalysisFuzzProps extends Properties("AnalysisFuzz") {
 
   // ---- KStem ----
 
-  private val kstem = new KStemmer(Set(
-    "merge", "sort", "index", "table", "row", "query", "happy", "plan",
-    "commit", "big", "govern", "define", "cross", "aid"))
+  private val kstem = new KStemmer(graft.ops.VerifyQueries.kstemGateLexicon)
 
   private val lowerWord: Gen[String] = for {
     n <- Gen.chooseNum(0, 60)
@@ -31,7 +29,8 @@ object AnalysisFuzzProps extends Properties("AnalysisFuzz") {
     forAll(anyToken) { t =>
       val out = kstem.stem(t)
       val alpha = t.nonEmpty && t.forall(c => c >= 'a' && c <= 'z')
-      if (!alpha || t.length <= 2 || t.length >= 49) out == t
+      // declines at len<=2 or len>=50 (k = len-1 >= MaxWordLen-1)
+      if (!alpha || t.length <= 2 || t.length >= 50) out == t
       else out.nonEmpty
     }
 
@@ -45,25 +44,8 @@ object AnalysisFuzzProps extends Properties("AnalysisFuzz") {
 
   // ---- Beider–Morse (over the spec's rule set) ----
 
-  private val base = "abcdeghilmnorstvy"
-    .map(c => s""""$c" "" "" "$c"""").mkString("\n")
-  private val res: Map[String, String] = Map(
-    "base.txt" -> base,
-    "lang.txt" -> "sch ger true\nth eng true",
-    "gen_languages.txt" -> "eng\nger",
-    "gen_rules_any.txt" ->
-      ("\"sch\" \"\" \"\" \"s\"\n\"th\" \"\" \"\" \"t\"\n" +
-        "\"w\" \"\" \"\" \"(v[ger]|w[eng])\"\n#include base.txt"),
-    "gen_rules_eng.txt" ->
-      ("\"th\" \"\" \"\" \"t\"\n\"w\" \"\" \"\" \"w\"\n#include base.txt"),
-    "gen_rules_ger.txt" ->
-      ("\"sch\" \"\" \"\" \"s\"\n\"w\" \"\" \"\" \"v\"\n#include base.txt"),
-    "gen_approx_common.txt" -> "\"dt\" \"\" \"\" \"t\"",
-    "gen_approx_any.txt" -> "", "gen_approx_eng.txt" -> "",
-    "gen_approx_ger.txt" -> "")
-
   private val bm = new BeiderMorse(BeiderMorse.Generic, BeiderMorse.Approx,
-    concat = true, res)
+    concat = true, graft.ops.VerifyQueries.bmRes)
 
   private val nameGen: Gen[String] = for {
     n <- Gen.chooseNum(1, 12)
