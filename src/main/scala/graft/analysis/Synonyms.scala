@@ -40,7 +40,6 @@ object Synonyms {
     private[Synonyms] val byFirst: Map[String, Seq[Seq[String]]] =
       rules.keys.toSeq.groupBy(_.head)
         .map { case (w, ks) => w -> ks.sortBy(-_.length) } // longest first
-    val maxInputLength: Int = (1 +: rules.keys.map(_.length).toSeq).max
   }
 
   final class Builder {

@@ -97,7 +97,12 @@ object Tokenizers {
   // The reference compiles the full RFC 3986/5321 grammars into its
   // JFlex scanner; this restatement recognizes the same common shapes
   // (scheme://..., www.-led hosts, user@host emails) with documented
-  // simplifications (no IP-literal hosts, no quoted local parts).
+  // simplifications: no IP-literal hosts, no quoted local parts, and
+  // the URL tail is the greedy non-space run — RFC 3986 admits ','
+  // ')' '.' etc. as path/query sub-delims, so trailing sentence
+  // punctuation after a URL is swallowed into the token where the
+  // reference's DFA may end the token at the last structurally-valid
+  // char instead ("https://ex.com," → one token here, two there).
   private val UrlRe =
     """(?i)\b(?:[a-z][a-z0-9+.-]*://|www\.)[^\s<>"]+""".r
   private val EmailRe =

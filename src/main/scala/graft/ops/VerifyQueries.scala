@@ -2220,7 +2220,10 @@ object VerifyQueries {
     import spark.implicits._
     val dir = ensure(spark, sf)
     val reader = new graft.search.IndexReader(spark, dir)
-    val threshold = (0.2f * reader.collectionStats.maxDoc).toInt
+    // double floor, SAME expression shape as the oracle's
+    // floor(0.2 * maxdoc) — a float32 product would diverge by ±1 at
+    // hundreds-of-millions maxDoc and silently split the gate
+    val threshold = math.floor(0.2 * reader.collectionStats.maxDoc).toLong
     val stop = graft.search.AutoStopwords.stopWords(spark, dir, threshold)
     val terms = Seq("merge", "sort", "vector", "the", "hash")
       .filterNot(stop.contains)

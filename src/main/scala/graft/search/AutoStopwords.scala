@@ -18,7 +18,7 @@ object AutoStopwords {
 
   val DefaultMaxDocFreqPercent = 0.4f
 
-  def stopWords(spark: SparkSession, dir: String, maxDocFreq: Int): Set[String] = {
+  def stopWords(spark: SparkSession, dir: String, maxDocFreq: Long): Set[String] = {
     import spark.implicits._
     spark.read.parquet(IndexPaths.termDict(dir))
       .where(col("df") > maxDocFreq)
@@ -28,14 +28,32 @@ object AutoStopwords {
   def stopWordsPercent(spark: SparkSession, dir: String,
                        maxPercentDocs: Float = DefaultMaxDocFreqPercent): Set[String] = {
     val reader = new IndexReader(spark, dir)
-    stopWords(spark, dir, (maxPercentDocs * reader.collectionStats.maxDoc).toInt)
+    // the reference thresholds on reader.NumDocs — LIVE docs, deletes
+    // excluded (:86-91) — and multiplies in float32 ((int)(float * int))
+    val numDocs = reader.collectionStats.maxDoc -
+      graft.build.Deletes.tombstones(spark, dir).count()
+    stopWords(spark, dir, (maxPercentDocs * numDocs).toInt.toLong)
   }
 
-  /** The wrapped analyzer: the delegate's chain with the derived terms
-    * added to its stop set (the reference composes a StopFilter over the
-    * delegate's components, :150-170 — same observable effect). */
-  def analyzer(delegate: Analyzer, auto: Set[String]): Analyzer =
-    new Analyzer(delegate.stopWords ++ auto, delegate.maxTokenLength,
-      delegate.tokenizer, delegate.stemmer, delegate.synonyms,
-      delegate.fold, delegate.elisionArticles, delegate.lowerCaser)
+  /** The wrapped analyzer: the reference composes a StopFilter around the
+    * END of the delegate's chain (:150-170) — AFTER any stemming — and
+    * the derived stop terms are post-stem index terms, so the filter must
+    * run on the delegate's OUTPUT tokens, not inside its pre-stem stop
+    * slot. Survivors keep their original positions (StopFilter's
+    * position-increment gaps); length/numOverlap recount what an inverter
+    * downstream of the trailing filter would see. */
+  def analyzer(delegate: Analyzer, auto: Set[String]): AutoStopAnalyzer =
+    AutoStopAnalyzer(delegate, auto)
+}
+
+final case class AutoStopAnalyzer(delegate: Analyzer, auto: Set[String])
+    extends Serializable {
+  def analyze(text: String): graft.analysis.AnalyzedDoc = {
+    val d = delegate.analyze(text)
+    if (auto.isEmpty) return d
+    val kept = d.tokens.filterNot(t => auto.contains(t.term))
+    val distinctPositions = kept.iterator.map(_.position).toSet.size
+    graft.analysis.AnalyzedDoc(kept, kept.length, kept.length - distinctPositions)
+  }
+  def analyzeTerms(text: String): Array[String] = analyze(text).tokens.map(_.term)
 }

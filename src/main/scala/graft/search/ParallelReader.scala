@@ -35,20 +35,15 @@ final class ParallelIndexReader(spark: SparkSession, primary: String,
   override def postings: DataFrame = unionOf(IndexPaths.postings)
   override def termDict: DataFrame = unionOf(IndexPaths.termDict)
 
-  override lazy val termFirstChars: Seq[Char] = {
-    import spark.implicits._
-    val haveAll = all.forall { d =>
-      val p = new org.apache.hadoop.fs.Path(IndexPaths.termFirstChars(d))
-      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
-    }
-    if (haveAll)
-      unionOf(IndexPaths.termFirstChars).distinct().as[String]
-        .collect().toSeq.filter(_.nonEmpty).map(_.charAt(0)).distinct.sorted
-    else
-      termDict.select(substring($"term", 1, 1).as("c"))
-        .where(length($"c") > 0).distinct().as[String]
-        .collect().toSeq.filter(_.nonEmpty).map(_.charAt(0)).sorted
-  }
+  override lazy val termFirstChars: Seq[Char] = firstCharsAcross(all)
+
+  // leading-wildcard seeks must expand through EVERY parallel term
+  // space: available only when all sides carry the reversed-dict
+  // sidecar (else fall back to scanning the unioned dictionary — a
+  // primary-only expansion would silently miss secondary keyword terms)
+  override lazy val hasReversedDict: Boolean =
+    allHave(all, IndexPaths.termDictRev)
+  override def termDictRev: DataFrame = unionOf(IndexPaths.termDictRev)
 
   override def tombstoneDirs: Seq[String] = all
 }

@@ -156,13 +156,35 @@ class IndexReader(val spark: SparkSession, val dir: String) extends Serializable
       throw new IllegalArgumentException(
         s"multi-term query expands to more than $maxExpansions terms"))
 
+  /** True when every listed dir carries the sidecar at `path` — the
+    * presence gate every optional-sidecar feature shares (single,
+    * multi-generation and parallel readers alike). */
+  protected def allHave(ds: Seq[String], path: String => String): Boolean =
+    ds.forall { d =>
+      val p = new org.apache.hadoop.fs.Path(path(d))
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    }
+
+  /** The dictionary alphabet across `ds`: union of the build-time
+    * first-chars sidecars when all present, else derived once from this
+    * reader's (possibly unioned/re-aggregated) termDict. */
+  protected def firstCharsAcross(ds: Seq[String]): Seq[Char] = {
+    import spark.implicits._
+    if (allHave(ds, graft.build.IndexPaths.termFirstChars))
+      spark.read.parquet(ds.map(graft.build.IndexPaths.termFirstChars): _*)
+        .distinct().as[String]
+        .collect().toSeq.filter(_.nonEmpty).map(_.charAt(0)).distinct.sorted
+    else
+      termDict.select(substring($"term", 1, 1).as("c"))
+        .where(length($"c") > 0).distinct().as[String]
+        .collect().toSeq.filter(_.nonEmpty).map(_.charAt(0)).sorted
+  }
+
   /** True when the reversed-dictionary sidecar exists
     * ([[graft.build.ReversedDict]]) — leading wildcards then SEEK a
     * reversed-prefix range instead of scanning the whole dictionary. */
-  lazy val hasReversedDict: Boolean = {
-    val p = new org.apache.hadoop.fs.Path(graft.build.IndexPaths.termDictRev(dir))
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
-  }
+  lazy val hasReversedDict: Boolean =
+    allHave(Seq(dir), graft.build.IndexPaths.termDictRev)
   def termDictRev: DataFrame =
     spark.read.parquet(graft.build.IndexPaths.termDictRev(dir))
 
@@ -186,15 +208,7 @@ class IndexReader(val spark: SparkSession, val dir: String) extends Serializable
   /** The dictionary's alphabet (distinct first characters) — read from the
     * tiny build-time sidecar when present, else derived once per reader.
     * Feeds the fuzzy range banding ([[DictSeek.fuzzyRanges]]). */
-  lazy val termFirstChars: Seq[Char] = {
-    val p = new org.apache.hadoop.fs.Path(graft.build.IndexPaths.termFirstChars(dir))
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val df =
-      if (fs.exists(p)) spark.read.parquet(graft.build.IndexPaths.termFirstChars(dir))
-      else termDict.select(substring($"term", 1, 1).as("c"))
-        .where(length($"c") > 0).distinct()
-    df.as[String].collect().toSeq.filter(_.nonEmpty).map(_.charAt(0)).sorted
-  }
+  lazy val termFirstChars: Seq[Char] = firstCharsAcross(Seq(dir))
 
   /** Directories whose tombstone tables apply to this view. */
   def tombstoneDirs: Seq[String] = Seq(dir)
@@ -277,19 +291,18 @@ final class MultiIndexReader(spark0: SparkSession, dirs: Seq[String])
   }
   override def payloads: DataFrame = unionOf(IndexPaths.payloads)
 
-  override lazy val termFirstChars: Seq[Char] = {
-    val haveAll = dirs.forall { d =>
-      val p = new org.apache.hadoop.fs.Path(IndexPaths.termFirstChars(d))
-      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
-    }
-    if (haveAll)
-      unionOf(IndexPaths.termFirstChars).distinct().as[String]
-        .collect().toSeq.filter(_.nonEmpty).map(_.charAt(0)).distinct.sorted
-    else // legacy generation without the sidecar: derive from the dict
-      termDict.select(substring($"term", 1, 1).as("c"))
-        .where(length($"c") > 0).distinct().as[String]
-        .collect().toSeq.filter(_.nonEmpty).map(_.charAt(0)).sorted
-  }
+  override lazy val termFirstChars: Seq[Char] = firstCharsAcross(dirs)
+
+  // leading wildcards may only take the reversed-dict seek when EVERY
+  // generation carries the sidecar — a head-only check would silently
+  // drop matches living in newer generations; otherwise the multi-term
+  // path falls back to scanning the unioned dictionary (correct, slower)
+  override lazy val hasReversedDict: Boolean =
+    allHave(dirs, IndexPaths.termDictRev)
+  // distinct: the same (rterm, term) row can appear in several
+  // generations and would otherwise count against maxExpansions twice
+  override def termDictRev: DataFrame =
+    unionOf(IndexPaths.termDictRev).distinct()
 
   override def tombstoneDirs: Seq[String] = dirs
 }

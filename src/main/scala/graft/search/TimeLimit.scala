@@ -18,9 +18,11 @@ import org.apache.spark.sql.SparkSession
 object TimeLimit {
 
   final class TimeExceededException(val timeAllowedMs: Long,
-                                    val timeElapsedMs: Long)
+                                    val timeElapsedMs: Long,
+                                    cause: Throwable = null)
       extends RuntimeException(
-        s"Elapsed time: ${timeElapsedMs}ms exceeded allowed search time: ${timeAllowedMs}ms.")
+        s"Elapsed time: ${timeElapsedMs}ms exceeded allowed search time: ${timeAllowedMs}ms.",
+        cause)
 
   /** Run `body` (any driver action — search, count, collect) with a
     * wall-clock budget. Cancellation uses
@@ -36,6 +38,12 @@ object TimeLimit {
     val start = System.nanoTime()
     val timer = new java.util.Timer("graft-timelimit", true)
     @volatile var fired = false
+    // save the caller's own job group so nesting works: a bare
+    // clearJobGroup() would strip an ENCLOSING withTimeout's group from
+    // the jobs that follow, making the outer budget silently non-binding
+    val prevId = sc.getLocalProperty("spark.jobGroup.id")
+    val prevDesc = sc.getLocalProperty("spark.job.description")
+    val prevInterrupt = sc.getLocalProperty("spark.job.interruptOnCancel")
     sc.setJobGroup(group, "time-limited search", interruptOnCancel = true)
     try {
       timer.schedule(new java.util.TimerTask {
@@ -46,14 +54,20 @@ object TimeLimit {
       }, timeoutMs)
       try body
       catch {
-        case _: Throwable if fired =>
+        // only non-fatal failures convert (an OOM Error stays an Error),
+        // and the original failure rides along as the cause — a
+        // post-deadline AnalysisException is still diagnosable
+        case scala.util.control.NonFatal(e) if fired =>
           throw new TimeExceededException(timeoutMs,
-            (System.nanoTime() - start) / 1000000L)
-        case e: Throwable => throw e
+            (System.nanoTime() - start) / 1000000L, e)
       }
     } finally {
       timer.cancel()
-      sc.clearJobGroup()
+      if (prevId != null) {
+        sc.setLocalProperty("spark.jobGroup.id", prevId)
+        sc.setLocalProperty("spark.job.description", prevDesc)
+        sc.setLocalProperty("spark.job.interruptOnCancel", prevInterrupt)
+      } else sc.clearJobGroup()
     }
   }
 }

@@ -80,6 +80,22 @@ class ParallelReaderSpec extends AnyFunSuite {
     val got = hits(r, TermQ("merge")).map(_._1)
     assert(got === Set(0L, 2L)) // f1 hidden from the TEXT query too
   }
+
+  test("leading wildcards expand through EVERY parallel term space") {
+    // reversed-dict sidecars on BOTH sides: '*:scala' must resolve the
+    // SECONDARY's keyword term (a primary-only expansion returns nothing)
+    graft.build.ReversedDict.build(spark, textDir, numPartitions = 2)
+    graft.build.ReversedDict.build(spark, kwDir, numPartitions = 2)
+    val r = parallel
+    assert(r.hasReversedDict)
+    val got = hits(r, WildcardQ("*:scala")).map(_._1)
+    assert(got === Set(0L, 1L))
+    // one side missing the sidecar → the seek is OFF (correct fallback),
+    // never a primary-only expansion
+    val rNoSidecar = new ParallelIndexReader(spark, textDir,
+      Seq(combinedDir)) // combined build has no reversed dict
+    assert(!rNoSidecar.hasReversedDict)
+  }
 }
 
 object ParallelReaderSpec {

@@ -26,4 +26,29 @@ class TimeLimitSpec extends AnyFunSuite {
     // the session is still usable after the cancellation
     assert(spark.range(10).count() === 10)
   }
+
+  test("a post-deadline failure carries the real error as the cause") {
+    val ex = intercept[TimeLimit.TimeExceededException] {
+      TimeLimit.withTimeout(spark, 50) {
+        Thread.sleep(300) // deadline fires (no job to cancel)
+        throw new IllegalStateException("typo'd column")
+      }
+    }
+    assert(ex.getCause != null &&
+      ex.getCause.getMessage === "typo'd column")
+  }
+
+  test("nesting restores the enclosing job group (outer budget stays binding)") {
+    val sc = spark.sparkContext
+    TimeLimit.withTimeout(spark, 60000) {
+      val outerGroup = sc.getLocalProperty("spark.jobGroup.id")
+      assert(outerGroup != null && outerGroup.startsWith("graft-timelimit-"))
+      val inner = TimeLimit.withTimeout(spark, 60000) { 42 }
+      assert(inner === 42)
+      // the inner finally must restore the OUTER group, not clear it —
+      // else jobs after the inner call escape the outer deadline
+      assert(sc.getLocalProperty("spark.jobGroup.id") === outerGroup)
+    }
+    assert(sc.getLocalProperty("spark.jobGroup.id") == null)
+  }
 }
