@@ -42,10 +42,14 @@ object Hunspell {
     * regex at the matching end. */
   final case class AffixRule(flag: Char, strip: String, affix: String,
                              cond: String, crossProduct: Boolean) {
+    // hunspell bracket conditions are literal character LISTS, so a mid-
+    // class '-' must not become a regex range — the reference escapes it
+    // before compiling (Dictionary.cs:461 condition.Replace("-", "\\-"))
+    private[Hunspell] lazy val condEsc = cond.replace("-", "\\-")
     private[Hunspell] lazy val suffixRe =
-      if (cond == ".") null else java.util.regex.Pattern.compile("(?s).*" + cond + "$")
+      if (cond == ".") null else java.util.regex.Pattern.compile("(?s).*" + condEsc + "$")
     private[Hunspell] lazy val prefixRe =
-      if (cond == ".") null else java.util.regex.Pattern.compile("(?s)^" + cond + ".*")
+      if (cond == ".") null else java.util.regex.Pattern.compile("(?s)^" + condEsc + ".*")
   }
 
   final case class Dict(words: Map[String, Set[Char]],
@@ -67,12 +71,18 @@ object Hunspell {
       val parts = line.split("\\s+")
       if ((parts(0) == "PFX" || parts(0) == "SFX") && parts.length >= 4) {
         val flag = parts(1).head
-        if (parts(3).forall(_.isDigit)) // header: PFX flag Y/N count
+        // header: PFX flag Y/N count (the cross-product column is always
+        // Y or N — without that guard a zero-affix rule `SFX X a 0 .`
+        // would be swallowed as a header)
+        if ((parts(2) == "Y" || parts(2) == "N") && parts(3).forall(_.isDigit))
           cross((parts(0), flag)) = parts(2) == "Y"
         else {
           val strip = if (parts(2) == "0") "" else parts(2)
-          val affix0 = if (parts(3) == "0") "" else parts(3)
-          val affix = affix0.takeWhile(_ != '/') // strip continuation classes
+          // continuation classes strip FIRST, then '0' means empty — the
+          // reference's order (Dictionary.cs), so `0/YZ` is the zero
+          // affix, not a literal '0'
+          val affix0 = parts(3).takeWhile(_ != '/')
+          val affix = if (affix0 == "0") "" else affix0
           val cond = if (parts.length > 4) parts(4) else "."
           val rule = AffixRule(flag, strip, affix, cond,
             cross.getOrElse((parts(0), flag), false))
@@ -82,7 +92,12 @@ object Hunspell {
     }
     val words = dic.linesIterator.map(_.trim)
       .filter(l => l.nonEmpty && !l.startsWith("#") && !l.forall(_.isDigit))
-      .map { l =>
+      .map { l0 =>
+        // trailing morphological fields (`word/FLAGS po:verb`) are cut at
+        // the first tab/space, like the reference (Dictionary.cs:828-840)
+        // — otherwise they pollute the flag set (or the word itself)
+        val cut = l0.indexWhere(c => c == '\t' || c == ' ')
+        val l = if (cut < 0) l0 else l0.substring(0, cut)
         val slash = l.indexOf('/')
         val w0 = if (slash < 0) l else l.substring(0, slash)
         val w = if (ignoreCase) w0.toLowerCase else w0

@@ -180,10 +180,11 @@ object PipelineQueries {
        |  SELECT doc_id,
        |    list_filter(regexp_split_to_array(trim(page), '\\s+'), w -> len(w) > 0) AS words,
        |    list_filter(string_split(page, chr(10)), l -> len(trim(l)) > 0) AS lines,
-       |    CAST(len(regexp_extract_all(page, '#|\\.\\.\\.')) AS BIGINT) AS symbols
+       |    CAST(len(regexp_extract_all(page, '#')) AS BIGINT) AS hashes,
+       |    CAST(len(regexp_extract_all(page, '\\.\\.\\.')) AS BIGINT) AS ellsym
        |  FROM pg
        |), gm AS (
-       |  SELECT doc_id, symbols,
+       |  SELECT doc_id, hashes, ellsym,
        |    CAST(len(words) AS BIGINT) AS nw,
        |    CAST(coalesce(list_sum(list_transform(words, w -> len(w))), 0) AS BIGINT) AS tot_chars,
        |    CAST(len(lines) AS BIGINT) AS n_lines,
@@ -196,7 +197,7 @@ object PipelineQueries {
        |)""".stripMargin
   private val GopherKeepSql: String =
     """((nw >= 50 AND nw <= 100000) AND (tot_chars >= nw * 3 AND tot_chars <= nw * 10)
-      | AND (symbols * 10 <= nw) AND (bullets * 10 <= n_lines)
+      | AND (hashes * 10 <= nw AND ellsym * 10 <= nw) AND (bullets * 10 <= n_lines * 9)
       | AND (ells * 10 <= n_lines * 3) AND (alphas * 10 >= nw * 8)
       | AND (stophits >= 2))""".stripMargin.replace("\n", " ")
   val oGopherRules: String =
@@ -204,8 +205,8 @@ object PipelineQueries {
        |SELECT doc_id, nw AS n_words,
        |  (nw >= 50 AND nw <= 100000) AS r_word_count,
        |  (tot_chars >= nw * 3 AND tot_chars <= nw * 10) AS r_mean_len,
-       |  (symbols * 10 <= nw) AS r_symbol,
-       |  (bullets * 10 <= n_lines) AS r_bullet,
+       |  (hashes * 10 <= nw AND ellsym * 10 <= nw) AS r_symbol,
+       |  (bullets * 10 <= n_lines * 9) AS r_bullet,
        |  (ells * 10 <= n_lines * 3) AS r_ellipsis,
        |  (alphas * 10 >= nw * 8) AS r_alpha,
        |  (stophits >= 2) AS r_stops,

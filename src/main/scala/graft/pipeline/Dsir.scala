@@ -14,12 +14,14 @@ import org.apache.spark.sql.functions._
   * with f ranging over hashed unigram+bigram buckets and p̂ the
   * add-alpha-smoothed bucket frequencies.
   *
-  * 100 TB shape: one corpus-sized pass explodes features (map-only), one
-  * combinable groupBy builds the per-bucket census (`buckets` rows — the
-  * model is TINY), the log-ratio table broadcasts onto the per-doc bucket
-  * counts (a second combinable groupBy keyed by doc), so the whole job is
-  * two map-side-combined shuffles and a broadcast — no corpus-sized join,
-  * no window, no driver materialization beyond the B-row model. Bucket
+  * 100 TB shape: ONE corpus-sized pass explodes features (map-only) into
+  * a combinable groupBy keyed (doc, bucket) — the checkpointed per-doc
+  * bucket table, ≤ docs×B rows. The bucket census (B rows — the model is
+  * TINY) DERIVES from that table, never re-reading the corpus, and the
+  * log-ratio table broadcasts back onto it for the final doc-keyed
+  * fold — so the whole job is one corpus shuffle, two stats-sized
+  * aggregations and a broadcast: no corpus-sized join, no window, no
+  * driver materialization beyond the B-row model. Bucket
   * ids ride the dense parity dictionary (see Dedup.denseIds) so an
   * independent engine reproduces them bit-for-bit; a production run would
   * swap the dictionary for xxhash64 like the fingerprint prod path. */
@@ -43,12 +45,17 @@ object Dsir {
     val fb = feats.join(dict, "f")
       .select(col("doc_id"), col("tgt"),
         ((col("sid") * 131 + 7) % buckets).as("b"))
-    // bucket census over raw (= all docs) and the target slice: B rows,
-    // checkpointed so the corpus pass runs once (totals + ratio read it)
-    val census = fb.groupBy(col("b")).agg(
-      count(lit(1)).as("cr"),
-      sum(when(col("tgt"), 1L).otherwise(0L)).as("ct"))
+    // ONE corpus-sized pass: the per-(doc, bucket) counts — then the
+    // bucket census DERIVES from them (cr = Σ c per bucket), so nothing
+    // downstream re-runs the explode+dictionary lineage. What's
+    // checkpointed is the ≤ docs×buckets row table, not corpus-sized fb.
+    // tgt rides the grouping key (functionally dependent on doc_id).
+    val perDoc = fb.groupBy(col("doc_id"), col("tgt"), col("b"))
+      .agg(count(lit(1)).as("c"))
       .localCheckpoint()
+    val census = perDoc.groupBy(col("b")).agg(
+      sum(col("c")).as("cr"),
+      sum(when(col("tgt"), col("c")).otherwise(0L)).as("ct"))
     // grand totals are two driver scalars (stats-sized, like the k-means
     // codebook inline) — folding them as literals keeps the ratio table a
     // pure projection instead of a census×totals nested-loop join
@@ -58,7 +65,6 @@ object Dsir {
     val ratio = census.select(col("b"),
       (log((col("ct") + alpha) / (tt + alpha * buckets))
         - log((col("cr") + alpha) / (tr + alpha * buckets))).as("lr"))
-    val perDoc = fb.groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
     perDoc.join(broadcast(ratio), "b")
       .groupBy(col("doc_id"))
       .agg(sum(col("c")).cast("long").as("n_feats"),

@@ -325,21 +325,15 @@ object Similarity {
     vecs.select(col("vec_id") +: extraCols.map(col) ++: codeCols: _*)
   }
 
-  /** PQ asymmetric-distance top-k (ADC — the paper's Fig. 2 right):
-    * the query stays un-quantized; per subspace a k-entry lookup table
-    * LUT[j][c] = ‖q_j − centroid_{j,c}‖² is computed once on the driver
-    * (m·k doubles, summed in ascending dim order so any engine
-    * reproduces it), and each stored vector's approximate squared L2
-    * distance is the sum of m `element_at` lookups on its codes — a
-    * map-only scan over the code table + bounded top-k, never touching
-    * the float matrix. At 10^9×1536 fp32 (6 TB) the m=96/k=256 code
-    * table is 96 GB: THE memory-bound brute-force-ANN trade. */
-  def pqTopK(vecs: DataFrame, query: Seq[Float], m: Int, k: Int,
-             iters: Int, topK: Int): DataFrame = {
-    val cbs = pqTrain(vecs, m, k, iters)
-    val sub = Dims / m
-    val qd = query.map(_.toDouble).toArray
-    val dists = cbs.zipWithIndex.map { case (cb, j) =>
+  /** Per-subspace ADC lookup columns over a CODE table: LUT[j][c] =
+    * ‖q_j − centroid_{j,c}‖², computed once on the driver (m·k doubles,
+    * summed in ascending dim order so any engine reproduces it); each
+    * stored vector's distance contribution is one `element_at` on its
+    * `c{j}` code column. */
+  private def adcCols(codebooks: Seq[Seq[(Int, Array[Double])]],
+                      qd: Array[Double]): Seq[Column] = {
+    val sub = Dims / codebooks.length
+    codebooks.zipWithIndex.map { case (cb, j) =>
       val lut = cb.sortBy(_._1).map { case (_, cent) =>
         var s = 0.0; var i = 0
         while (i < sub) { val d = qd(j * sub + i) - cent(i); s += d * d; i += 1 }
@@ -347,9 +341,32 @@ object Similarity {
       }
       element_at(typedLit(lut), col(s"c$j") + 1)
     }
-    pqEncode(vecs, cbs)
-      .select(col("vec_id"), round(dists.reduce(_ + _), 6).as("adc"))
+  }
+
+  /** PQ asymmetric-distance top-k over a PRE-ENCODED code table (ADC —
+    * the paper's Fig. 2 right): the query stays un-quantized and each
+    * stored vector's approximate squared L2 distance is the sum of m
+    * LUT lookups on its codes — a map-only scan over the code table +
+    * bounded top-k, never touching the float matrix. THIS is the
+    * serving entry: train once ([[pqTrain]]), encode once ([[pqEncode]],
+    * store the codes), then every query is this scan. At 10^9×1536 fp32
+    * (6 TB) the m=96/k=256 code table is 96 GB: THE memory-bound
+    * brute-force-ANN trade. */
+  def pqAdcTopK(codes: DataFrame, codebooks: Seq[Seq[(Int, Array[Double])]],
+                query: Seq[Float], topK: Int): DataFrame = {
+    val dists = adcCols(codebooks, query.map(_.toDouble).toArray)
+    codes.select(col("vec_id"), round(dists.reduce(_ + _), 6).as("adc"))
       .orderBy(col("adc"), col("vec_id")).limit(topK)
+  }
+
+  /** Train + encode + [[pqAdcTopK]] in one call — the gate/toy-scale
+    * convenience. A production deployment never uses this: it re-trains
+    * the codebooks (m·iters corpus passes) per query; serve from stored
+    * codes via [[pqAdcTopK]] instead. */
+  def pqTopK(vecs: DataFrame, query: Seq[Float], m: Int, k: Int,
+             iters: Int, topK: Int): DataFrame = {
+    val cbs = pqTrain(vecs, m, k, iters)
+    pqAdcTopK(pqEncode(vecs, cbs), cbs, query, topK)
   }
 
   /** IVF-PQ top-k (Jégou et al. 2011 §IV, the faiss IVFADC structure in
@@ -359,31 +376,47 @@ object Similarity {
     * cells (at corpus scale `cell` is the table's partition key →
     * partition-pruned source scan), and within the probed cells every
     * vector is scored by the PQ ADC lookup — codes + LUT only, the float
-    * matrix untouched. The 10^9-vector serving plan: memory = codes,
-    * I/O = probed cells only, compute = m adds per candidate. */
+    * matrix untouched. This variant TRAINS per call — gate/toy-scale
+    * convenience; production serves stored codes via [[ivfPqAdcTopK]]. */
   def ivfPqTopK(vecs: DataFrame, query: Seq[Float], m: Int, k: Int,
                 iters: Int, nProbe: Int, topK: Int): DataFrame = {
     val cents = ivfCodebook(vecs)
+    val cbs = pqTrain(vecs, m, k, iters)
     val qd = query.map(_.toDouble).toArray
-    val probed = cents.sortBy { case (_, c) =>
+    val probed = probeCells(cents, qd, nProbe)
+    // gate-scale shortcut: only the probed cells are even encoded (the
+    // serving path instead reads stored codes — see [[ivfPqAdcTopK]])
+    val probedVecs = ivfAssign(vecs, cents)
+      .where(col("cell").isInCollection(probed))
+      .select(col("vec_id"), col("embedding"), col("cell"))
+    ivfPqAdcTopK(pqEncode(probedVecs, cbs, extraCols = Seq("cell")),
+      cents, cbs, query, nProbe, topK)
+  }
+
+  /** The `nProbe` coarse cells nearest the query (squared L2 on the
+    * driver — the centroid table is tiny by construction). */
+  private def probeCells(cents: Seq[(Int, Array[Double])], qd: Array[Double],
+                         nProbe: Int): Seq[Int] =
+    cents.sortBy { case (_, c) =>
       var s = 0.0; var i = 0
       while (i < c.length) { val d = qd(i) - c(i); s += d * d; i += 1 }
       s
     }.take(nProbe).map(_._1)
-    val cbs = pqTrain(vecs, m, k, iters)
-    val sub = Dims / m
-    val dists = cbs.zipWithIndex.map { case (cb, j) =>
-      val lut = cb.sortBy(_._1).map { case (_, cent) =>
-        var s = 0.0; var i = 0
-        while (i < sub) { val d = qd(j * sub + i) - cent(i); s += d * d; i += 1 }
-        s
-      }
-      element_at(typedLit(lut), col(s"c$j") + 1)
-    }
-    val probedVecs = ivfAssign(vecs, cents)
-      .where(col("cell").isInCollection(probed))
-      .select(col("vec_id"), col("embedding"), col("cell"))
-    pqEncode(probedVecs, cbs, extraCols = Seq("cell"))
+
+  /** IVF-PQ serving entry over a PRE-ENCODED code table carrying its
+    * coarse `cell` column ([[ivfAssign]] + [[pqEncode]] output, stored
+    * partitioned by cell): prune to the query's `nProbe` nearest cells
+    * (partition-pruned scan at corpus scale), then ADC-score codes only
+    * — the float matrix untouched, training amortized across every
+    * query. Memory = codes, I/O = probed cells, compute = m adds per
+    * candidate: the 10^9-vector serving plan. */
+  def ivfPqAdcTopK(codes: DataFrame, cents: Seq[(Int, Array[Double])],
+                   codebooks: Seq[Seq[(Int, Array[Double])]],
+                   query: Seq[Float], nProbe: Int, topK: Int): DataFrame = {
+    val qd = query.map(_.toDouble).toArray
+    val probed = probeCells(cents, qd, nProbe)
+    val dists = adcCols(codebooks, qd)
+    codes.where(col("cell").isInCollection(probed))
       .select(col("vec_id"), col("cell"), round(dists.reduce(_ + _), 6).as("adc"))
       .orderBy(col("adc"), col("vec_id")).limit(topK)
   }

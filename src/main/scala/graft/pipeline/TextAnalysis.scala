@@ -318,17 +318,21 @@ object TextAnalysis {
   /** Gopher document-quality rules (Rae et al. 2021, arXiv:2112.11446
     * Appendix A1.1 — the published thresholds, verbatim): word count in
     * [50, 100k], mean word length in [3, 10], symbol-to-word ratio
-    * (# or …) ≤ 0.1, ≤ 10% bullet-started lines, ≤ 30% ellipsis-ended
-    * lines, ≥ 80% of words contain an alphabetic char, ≥ 2 of the 8
-    * indicator stop words. Every threshold is evaluated in INTEGER form
-    * (e.g. symbols·10 ≤ words instead of a float ratio) so independent
-    * engines agree bit-for-bit; words = whitespace split (the paper
-    * operates pre-tokenizer). Map-only column expressions. */
+    * ≤ 0.1 for EACH of '#' and '…' individually (the paper removes on
+    * "either the hash symbol or the ellipsis" exceeding 0.1), ≤ 90%
+    * bullet-started lines (the paper removes on "more than 90% of lines
+    * starting with a bullet point"), ≤ 30% ellipsis-ended lines, ≥ 80%
+    * of words contain an alphabetic char, ≥ 2 of the 8 indicator stop
+    * words. Every threshold is evaluated in INTEGER form (e.g.
+    * hashes·10 ≤ words instead of a float ratio) so independent engines
+    * agree bit-for-bit; words = whitespace split (the paper operates
+    * pre-tokenizer). Map-only column expressions. */
   def gopherRules(docs: DataFrame, text: Column): DataFrame = {
     val words = filter(split(trim(text), "\\s+"), w => length(w) > 0)
     val nw = size(words).cast("long")
     val totChars = aggregate(words, lit(0L), (a, w) => a + length(w).cast("long"))
-    val symbols = size(regexp_extract_all(text, lit("#|\\.\\.\\."), lit(0))).cast("long")
+    val hashes = size(regexp_extract_all(text, lit("#"), lit(0))).cast("long")
+    val ellipses = size(regexp_extract_all(text, lit("\\.\\.\\."), lit(0))).cast("long")
     val lines = filter(split(text, "\n"), l => length(trim(l)) > 0)
     val nLines = size(lines).cast("long")
     val bulletLines = size(filter(lines, l => l.rlike("^\\s*[-*•]"))).cast("long")
@@ -338,8 +342,8 @@ object TextAnalysis {
     val stopHits = size(filter(words, w => lower(w).isInCollection(stops))).cast("long")
     val rWordCount = nw >= 50L && nw <= 100000L
     val rMeanLen = totChars >= nw * 3L && totChars <= nw * 10L
-    val rSymbol = symbols * 10L <= nw
-    val rBullet = bulletLines * 10L <= nLines
+    val rSymbol = hashes * 10L <= nw && ellipses * 10L <= nw
+    val rBullet = bulletLines * 10L <= nLines * 9L
     val rEllipsis = ellipsisLines * 10L <= nLines * 3L
     val rAlpha = alphaWords * 10L >= nw * 8L
     val rStops = stopHits >= 2L

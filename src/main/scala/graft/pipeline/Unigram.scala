@@ -33,23 +33,31 @@ object Unigram {
 
   val MaxPieceLen = 8
 
-  /** Substring seed census: every substring (length ≤ maxLen) of every
-    * word type, weighted by word frequency — one map-only two-level
-    * expansion + ONE combinable groupBy. (piece, n). */
-  def seedCensus(docs: DataFrame, maxLen: Int = MaxPieceLen): DataFrame =
-    Bpe.wordTypes(docs)
+  /** Substring seed census over a word-type table `wt(w, n)`: every
+    * substring (length ≤ maxLen) of every word type, weighted by word
+    * frequency — one map-only two-level expansion + ONE combinable
+    * groupBy. (piece, n). The wt-shaped entry exists so [[train]] feeds
+    * its CHECKPOINTED type table here instead of re-tokenizing the
+    * corpus. */
+  def seedCensusOfTypes(wt: DataFrame, maxLen: Int = MaxPieceLen): DataFrame =
+    wt
       .select(col("w"), col("n"), explode(sequence(lit(1), length(col("w")))).as("i"))
       .select(col("n"), explode(expr(
         s"transform(sequence(1, least($maxLen, length(w) - i + 1)), l -> substring(w, i, l))"))
         .as("piece"))
       .groupBy(col("piece")).agg(sum(col("n")).as("n"))
 
+  /** [[seedCensusOfTypes]] from the raw corpus (tokenize + type census
+    * first). */
+  def seedCensus(docs: DataFrame, maxLen: Int = MaxPieceLen): DataFrame =
+    seedCensusOfTypes(Bpe.wordTypes(docs), maxLen)
+
   /** Seed model: top `seedSize` pieces by (count desc, piece asc) UNION
     * every single character (so any word stays segmentable), scores
     * normalized to log-probabilities. */
-  def seedVocab(docs: DataFrame, seedSize: Int,
-                maxLen: Int = MaxPieceLen): Map[String, Double] = {
-    val census = seedCensus(docs, maxLen)
+  def seedVocabOfTypes(wt: DataFrame, seedSize: Int,
+                       maxLen: Int = MaxPieceLen): Map[String, Double] = {
+    val census = seedCensusOfTypes(wt, maxLen)
     val top = census.orderBy(col("n").desc, col("piece")).limit(seedSize)
     val singles = census.where(length(col("piece")) === 1)
     val picked = top.unionByName(singles).distinct()
@@ -57,6 +65,11 @@ object Unigram {
     val total = picked.values.sum
     picked.map { case (p, c) => p -> math.log(c / total) }
   }
+
+  /** [[seedVocabOfTypes]] from the raw corpus. */
+  def seedVocab(docs: DataFrame, seedSize: Int,
+                maxLen: Int = MaxPieceLen): Map[String, Double] =
+    seedVocabOfTypes(Bpe.wordTypes(docs), seedSize, maxLen)
 
   private def logSumExp(a: Double, b: Double): Double =
     if (a == Double.NegativeInfinity) b
@@ -163,7 +176,9 @@ object Unigram {
             maxLen: Int = MaxPieceLen): Map[String, Double] = {
     val wt = Bpe.wordTypes(docs).localCheckpoint()
     try {
-      var model = seedVocab(docs, seedSize, maxLen)
+      // the seed reads the SAME checkpointed type table as the EM rounds
+      // — the corpus is tokenized exactly once per train() call
+      var model = seedVocabOfTypes(wt, seedSize, maxLen)
       // NOTE: EM is monotone in likelihood only BETWEEN prunes (pruning
       // removes probability mass by design) — UnigramSpec asserts the
       // prune-free monotone case; no cross-prune invariant is claimed.

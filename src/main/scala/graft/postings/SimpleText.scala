@@ -60,7 +60,12 @@ object SimpleText {
           (term, ids(i), sb.toString)
         }
       }.toDF("term", "docId", "body")
-      .repartitionByRange(4, $"term", $"docId")
+      // range-partition by TERM ALONE: with docId in the partitioning key
+      // a high-df term could straddle a partition boundary and the
+      // per-partition lastTerm state would re-emit its header, breaking
+      // the reference grammar's one-header-per-term invariant (a skewed
+      // term then fills one partition — fine for a debugging codec)
+      .repartitionByRange(4, $"term")
       .sortWithinPartitions($"term", $"docId")
       .as[(String, Long, String)]
       .mapPartitions { it =>

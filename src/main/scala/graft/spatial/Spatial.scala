@@ -196,10 +196,14 @@ object Spatial {
     val latMax = math.min(90.0, centerLat + latDeg)
     val maxAbsLat = math.min(89.9, math.max(math.abs(latMin), math.abs(latMax)))
     val lonDeg = math.min(360.0, latDeg / math.cos(maxAbsLat * math.Pi / 180.0))
+    // a circle whose latitude band clamps at a pole CONTAINS that pole and
+    // therefore spans every longitude — no cosine widening can cover the
+    // far side of the pole, so the interval must be the full circle
+    val poleInside = latMax >= 90.0 || latMin <= -90.0
     // dateline wrap → two disjoint lon intervals (reference handles this
     // in SpatialContext's world-wrap; we split the cover instead)
     val lonIntervals: Seq[(Double, Double)] =
-      if (lonDeg * 2 >= 360.0) Seq((-180.0, 180.0))
+      if (poleInside || lonDeg * 2 >= 360.0) Seq((-180.0, 180.0))
       else {
         val lo = centerLon - lonDeg; val hi = centerLon + lonDeg
         if (lo < -180.0) Seq((-180.0, hi), (lo + 360.0, 180.0))

@@ -71,6 +71,38 @@ class HunspellSpec extends AnyFunSuite {
     assert(Hunspell.stem(dict, "cries") === Seq("cries", "cry"))
   }
 
+  test("dic morphological fields are cut at the first tab/space (Dictionary.cs:828-840)") {
+    val d = Hunspell.parse(aff,
+      "3\ndrink/S\tpo:verb\nswim/D is:gerund st:swim\nrun po:verb\n")
+    assert(d.words("drink") === Set('S'), "flags stop at the tab")
+    assert(d.words("swim") === Set('D'), "flags stop at the space")
+    assert(d.words.contains("run") && d.words("run") === Set.empty,
+      "morph fields on a flagless entry don't swallow the word")
+    assert(Hunspell.stem(d, "drinks") === Seq("drink"))
+  }
+
+  test("affix '0/XY' is the ZERO affix (continuation strip before the 0 check)") {
+    val d = Hunspell.parse(
+      "SFX X Y 2\nSFX X   a   0/YZ   .\nSFX X   0   s      .\n",
+      "2\nword/X\nworda/X\n")
+    // the zero-affix rule parses to an empty affix, NOT the literal "0":
+    // 'word0' must not be treated as strip-0-add-a of 'worda'
+    assert(d.suffixes.map(_.affix).sorted === Seq("", "s"))
+    assert(Hunspell.stem(d, "word0") === Seq.empty)
+    assert(Hunspell.stem(d, "words") === Seq("word"))
+  }
+
+  test("mid-class '-' in a condition is a literal, not a regex range") {
+    // hunspell bracket conditions are literal char lists: [o-u]t means
+    // {o,'-',u} before t — the reference escapes '-' (Dictionary.cs:461)
+    val d = Hunspell.parse(
+      "SFX T Y 1\nSFX T   0   ing   [o-u]t\n", "2\nadapt/T\nshoot/T\n")
+    // 'adapt' ends in 'pt': p is inside the o..u RANGE but not the literal
+    // set, so 'adapting' must NOT stem; 'shoot' ends 'ot' and must
+    assert(Hunspell.stem(d, "adapting") === Seq.empty)
+    assert(Hunspell.stem(d, "shooting") === Seq("shoot"))
+  }
+
   test("filter: unknown unchanged, first stem replaces, rest overlap; longestOnly") {
     val toks = "zzz cries walked".split(' ').zipWithIndex
       .map { case (t, i) => Token(t, i, 0, t.length) }

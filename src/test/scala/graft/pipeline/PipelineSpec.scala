@@ -216,6 +216,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(top(2)._2 >= top(1)._2, "ascending distance order")
   }
 
+  test("PQ serving path: pre-encoded codes + pqAdcTopK ≡ the train-inside wrapper") {
+    // the production shape: train once, encode once (store the codes),
+    // serve many queries from the code table alone
+    def v(seed: Int): Seq[Float] =
+      (0 until Similarity.Dims).map(i => math.sin(seed * 31 + i * 7).toFloat)
+    val local = (0 until 12).map(s => (s.toLong, v(s))).toDF("vec_id", "embedding")
+    val cbs = Similarity.pqTrain(local, m = 2, k = 4, iters = 2)
+    val codes = Similarity.pqEncode(local, cbs)
+      .localCheckpoint() // "stored": scoring below must touch codes only
+      .drop("embedding")
+    for (qseed <- Seq(0, 5, 9)) {
+      val served = Similarity.pqAdcTopK(codes, cbs, v(qseed), topK = 4)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val wrapped = Similarity.pqTopK(local, v(qseed), m = 2, k = 4, iters = 2, topK = 4)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(served === wrapped, s"query seed $qseed")
+    }
+  }
+
   test("IVF-PQ: survivors come only from probed cells; ADC agrees with the pure-PQ scan") {
     val vecsL = vecs.withColumn("label", (col("vec_id") % 3).cast("int"))
     val q = vecsL.where($"vec_id" === 0).select($"embedding").as[Seq[Float]].head()
@@ -287,7 +306,18 @@ class PipelineSpec extends AnyFunSuite {
       3L -> (goodWords + " " + (1 to 40).map(_ => "#").mkString(" ")), // symbols > 10%
       4L -> (goodWords.split(" ").map(w => s"$w...").mkString("\n")), // ellipsis lines > 30%
       5L -> (goodWords + " " + (1 to 100).map(_ => "123").mkString(" ")), // alpha < 80%
-      6L -> (1 to 60).map(i => s"word$i here$i").mkString(" ")) // < 2 stop words
+      6L -> (1 to 60).map(i => s"word$i here$i").mkString(" "), // < 2 stop words
+      // bullet rule is "more than 90% of lines", NOT 10%: a 50%-bullet doc
+      // must PASS (regression: the threshold was inverted) ...
+      7L -> (goodWords + "\n- the and of have with"),
+      // ... and 19 of 20 bullet lines (95%) must fire it
+      8L -> (goodWords + "\n" +
+        (1 to 19).map(_ => "- the and of have with").mkString("\n")),
+      // symbol ratio is per-symbol ("either the hash symbol or the
+      // ellipsis"): 20 '#' + 20 '...' over 341 words = 5.9% each (pass)
+      // though 11.7% combined (the old fused rule wrongly fired)
+      9L -> (goodWords + " " + (1 to 20).map(_ => "...").mkString(" ") +
+        " " + (1 to 20).map(_ => "#").mkString(" ") + " tail"))
     val r = TextAnalysis.gopherRules(cases.toDF("doc_id", "text"), $"text")
       .collect().map(x => x.getAs[Long]("doc_id") -> x).toMap
     assert(r(0L).getAs[Boolean]("keep"), "clean doc passes all rules")
@@ -298,6 +328,12 @@ class PipelineSpec extends AnyFunSuite {
     assert(!r(5L).getAs[Boolean]("r_alpha"))
     assert(!r(6L).getAs[Boolean]("r_stops"))
     assert((1L to 6L).forall(i => !r(i).getAs[Boolean]("keep")))
+    assert(r(7L).getAs[Boolean]("r_bullet") && r(7L).getAs[Boolean]("keep"),
+      "50% bullet lines is under the paper's 90% removal threshold")
+    assert(!r(8L).getAs[Boolean]("r_bullet") && !r(8L).getAs[Boolean]("keep"),
+      "95% bullet lines fires the rule")
+    assert(r(9L).getAs[Boolean]("r_symbol") && r(9L).getAs[Boolean]("keep"),
+      "hash and ellipsis ratios are judged individually, not combined")
   }
 
   test("C4 rules: line retention + page filters") {

@@ -45,6 +45,26 @@ class SimpleTextSpec extends AnyFunSuite {
     assert(got.contains(("dogs", 1L, 2)))
   }
 
+  test("each term header appears exactly once, even when a term's postings span range partitions") {
+    // 200 docs all containing "common": with (term, docId) range
+    // partitioning its postings straddled partition boundaries and the
+    // per-partition lastTerm state re-emitted '  term common' mid-stream,
+    // breaking the reference's one-header-per-term grammar
+    import spark.implicits._
+    val d = SparkTestSession.tmpDir("graft-st-straddle-")
+    val docs = (0 until 200).map { i =>
+      val content = s"common word$i"
+      graft.corpus.SourceFile("r", s"f$i.txt", "c0", "scala", content,
+        graft.corpus.CorpusGen.sha256Hex(content))
+    }
+    IndexBuilder.build(spark, spark.createDataset(docs), d, 4)
+    val (_, text) = dumpText(d)
+    val headers = text.linesIterator.filter(_.startsWith("  term ")).toSeq
+    assert(headers.contains("  term common"))
+    assert(headers.size === headers.distinct.size,
+      s"duplicate term headers: ${headers.diff(headers.distinct).distinct}")
+  }
+
   test("positions level: pos lines emitted and parsed back") {
     val (txtDir, text) = dumpText(posDir)
     assert(text.contains("      pos "))

@@ -126,4 +126,25 @@ class SpatialSpec extends AnyFunSuite {
       col("lon").between(r.lonMin, r.lonMax)).select("id").collect().map(_.getLong(0)).sorted
     assert(want.nonEmpty && got.sameElements(want))
   }
+
+  test("distanceQuery over a stored index: pole-containing circle wraps all longitudes") {
+    // regression: a small circle whose latitude band clamps at +90 contains
+    // the pole, so a point on the FAR side (lon ~179) is ~2.2 km away yet
+    // was pruned out by the cosine-widened candidate interval (±25.8°)
+    import spark.implicits._
+    val polar = Seq((90001L, 89.99, 179.0), (90002L, 89.97, -120.0), (90003L, 89.99, 25.0))
+      .toDF("id", "lat", "lon")
+    val dir = java.nio.file.Files.createTempDirectory("graft-spatial3").toString
+    Spatial.writeIndex(points(2000).union(polar), col("lat"), col("lon"),
+      s"$dir/idx", numPartitions = 4)
+    val idx = spark.read.parquet(s"$dir/idx")
+    val (clat, clon, rad) = (89.99, 0.0, 5.0)
+    val got = Spatial.distanceQuery(idx, col("lat"), col("lon"), clat, clon, rad)
+      .select("id").collect().map(_.getLong(0)).sorted
+    val want = idx.withColumn("d",
+        Spatial.haversineKm(col("lat"), col("lon"), lit(clat), lit(clon)))
+      .where(col("d") <= rad).select("id").collect().map(_.getLong(0)).sorted
+    assert(want.contains(90001L), "fixture: the far-side-of-pole point is in radius")
+    assert(got.sameElements(want))
+  }
 }
