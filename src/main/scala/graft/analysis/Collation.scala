@@ -40,10 +40,21 @@ object Collation {
   }
 
   /** Analyzer whose terms are collation keys for `locale` — index and
-    * query sides must use the same locale, like the reference warns. */
+    * query sides must use the same locale, like the reference warns.
+    * The stemmer closure ships into the distributed indexing flatMap, so
+    * it must serialize: `java.text.Collator` is NOT Serializable (and
+    * `getCollationKey` is synchronized), so the closure carries only the
+    * locale's language tag and rebuilds a per-THREAD collator on the
+    * executor — serializable and lock-free. */
   def keyAnalyzer(locale: Locale): Analyzer = {
-    val c = collator(locale)
-    new Analyzer(Set.empty, 255, UAX29Tokenizer.tokenize,
-      Some(t => keyFor(c, t)))
+    val tag = locale.toLanguageTag
+    val stem = new (String => String) with Serializable {
+      @transient private lazy val tl = new ThreadLocal[Collator] {
+        override def initialValue(): Collator =
+          collator(Locale.forLanguageTag(tag))
+      }
+      def apply(t: String): String = keyFor(tl.get(), t)
+    }
+    new Analyzer(Set.empty, 255, UAX29Tokenizer.tokenize, Some(stem))
   }
 }

@@ -25,11 +25,18 @@ object TokenFilters {
   /** ShingleFilter (ShingleFilter.cs:37-46,96-143): word n-grams of
     * `minN..maxN` adjacent tokens joined by `sep`; position gaps (stop
     * words removed upstream advance positions) are represented by the
-    * filler token "_" exactly like the reference; each shingle takes the
-    * position and start offset of its first real token and the end
-    * offset of its last. `outputUnigrams` keeps the original tokens,
-    * with shingles overlapping them at the same position. Shingles made
-    * ENTIRELY of fillers are never emitted. */
+    * filler token "_" exactly like the reference. A filler "occupies no
+    * space": it carries the zero-width span (nextReal.start,
+    * nextReal.start) (ShingleFilter.cs:401,447), so a shingle's offsets
+    * are simply its window's (head.start, last.end) — the reference
+    * test's "divide _" = (7,19) / "_ sentence" = (19,27) shapes.
+    * `outputUnigrams` keeps the original tokens, with shingles
+    * overlapping them at the same position. Shingles made ENTIRELY of
+    * fillers are never emitted. Same-position overlap (synonyms,
+    * stem-with-original) collapses to the FIRST emitted variant per
+    * slot — a stated deviation: the reference's queue-based filter
+    * shingles graph tokens linearly (its known non-graph behavior),
+    * which we deliberately do not restate. */
   def shingle(tokens: Array[Token], minN: Int = 2, maxN: Int = 2,
       sep: String = " ", outputUnigrams: Boolean = true,
       filler: String = "_"): Array[Token] = {
@@ -39,26 +46,33 @@ object TokenFilters {
     val base = tokens.head.position
     val last = tokens.last.position
     val slots = Array.fill[Token](last - base + 1)(null)
-    tokens.foreach(t => slots(t.position - base) = t) // first token per slot wins
-    val line = slots.zipWithIndex.map { case (t, i) =>
-      if (t != null) t else Token(filler, base + i, -1, -1)
+    tokens.foreach { t =>
+      val s = t.position - base
+      if (slots(s) == null) slots(s) = t // first token per slot wins
+    }
+    val line = new Array[Token](slots.length)
+    val isFiller = new Array[Boolean](slots.length)
+    var nextRealStart = -1
+    for (i <- (slots.length - 1) to 0 by -1) {
+      if (slots(i) != null) { line(i) = slots(i); nextRealStart = slots(i).startOff }
+      else {
+        line(i) = Token(filler, base + i, nextRealStart, nextRealStart)
+        isFiller(i) = true
+      }
     }
     val out = new ArrayBuffer[Token](line.length * (maxN - minN + 2))
     var i = 0
     while (i < line.length) {
       val t = line(i)
-      if (t.startOff >= 0 && outputUnigrams) out += t
+      if (!isFiller(i) && outputUnigrams) out += t
       var n = minN
       while (n <= maxN && i + n <= line.length) {
-        val window = line.slice(i, i + n)
         // shingles may BEGIN or END with fillers (the reference's
         // stop-gap bigrams "divide _" / "_ sentence"); only an
         // all-filler window is dropped
-        if (window.exists(_.startOff >= 0)) {
-          val text = window.map(_.term).mkString(sep)
-          out += Token(text, t.position,
-            window.find(_.startOff >= 0).get.startOff,
-            window.reverse.find(_.endOff >= 0).get.endOff)
+        if (!(i until i + n).forall(isFiller)) {
+          val text = line.slice(i, i + n).map(_.term).mkString(sep)
+          out += Token(text, t.position, line(i).startOff, line(i + n - 1).endOff)
         }
         n += 1
       }
@@ -101,9 +115,11 @@ object TokenFilters {
   }
 
   /** CommonGramsFilter (CommonGramsFilter.cs:87-97): for each adjacent
-    * pair where EITHER word is common, emit "w1_w2" at the SAME position
-    * as the pair's second word (posIncr 0), alongside both originals —
-    * "man of the year" adds man_of, of_the, the_year. Only directly
+    * pair where EITHER word is common, emit "w1_w2" alongside both
+    * originals — "man of the year" adds man_of, of_the, the_year. The
+    * gram is emitted with posIncr 0 directly AFTER the first word
+    * (GramToken(), CommonGramsFilter.cs:201), so it shares the FIRST
+    * word's position and spans (w1.start, w2.end). Only directly
     * adjacent positions pair (a stop-gap breaks adjacency, matching the
     * reference's posIncr handling). */
   def commonGrams(tokens: Array[Token], commonWords: Set[String],
@@ -117,7 +133,7 @@ object TokenFilters {
         val nxt = tokens(i + 1)
         if (nxt.position == t.position + 1 &&
             (commonWords.contains(t.term) || commonWords.contains(nxt.term))) {
-          out += Token(t.term + sep + nxt.term, nxt.position, t.startOff, nxt.endOff)
+          out += Token(t.term + sep + nxt.term, t.position, t.startOff, nxt.endOff)
         }
       }
       i += 1
@@ -252,8 +268,12 @@ object TokenFilters {
     * the short-circuit below. */
   def stemmerOverride(overrides: Map[String, String], stem: String => String,
                       ignoreCase: Boolean = false): String => String = {
-    val dict = if (ignoreCase) overrides.map { case (k, v) => (k.toLowerCase, v) }
+    // Locale.ROOT like the rest of the analysis package: a tr/az default
+    // JVM locale would fold I → dotless ı on one side only and silently
+    // never match
+    val root = java.util.Locale.ROOT
+    val dict = if (ignoreCase) overrides.map { case (k, v) => (k.toLowerCase(root), v) }
                else overrides
-    w => dict.getOrElse(if (ignoreCase) w.toLowerCase else w, stem(w))
+    w => dict.getOrElse(if (ignoreCase) w.toLowerCase(root) else w, stem(w))
   }
 }

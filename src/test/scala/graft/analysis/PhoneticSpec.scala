@@ -14,6 +14,10 @@ class PhoneticSpec extends AnyFunSuite {
     assert(Phonetic.soundex("Ashcraft") === "A261") // h/w transparent
     assert(Phonetic.soundex("Tymczak") === "T522")
     assert(Phonetic.soundex("Pfister") === "P236")
+    // non-letters strip before encoding (SoundexUtils.Clean): they do
+    // not reset duplicate suppression like a vowel would
+    assert(Phonetic.soundex("b2b") === "B000")
+    assert(Phonetic.soundex("O'Brien") === Phonetic.soundex("OBrien"))
   }
 
   test("NYSIIS: canonical traces and sound-alike collisions") {
@@ -29,6 +33,10 @@ class PhoneticSpec extends AnyFunSuite {
     assert(!Phonetic.nysiis("BRANDT").endsWith("T")) // NDT tail → D
     // distinct-sounding names do NOT collide
     assert(Phonetic.nysiis("WASHINGTON") !== Phonetic.nysiis("JEFFERSON"))
+    // end-of-word is a NON-vowel for the H rule (reference feeds SPACE
+    // as next): trailing vowel+H transcodes, so SARAH ≡ SARA
+    assert(Phonetic.nysiis("SARAH") === "SAR")
+    assert(Phonetic.nysiis("SARAH") === Phonetic.nysiis("SARA"))
   }
 
   test("Refined Soundex: published example + finer classes separate Soundex collisions") {
@@ -47,6 +55,11 @@ class PhoneticSpec extends AnyFunSuite {
     // sound-alike German pairs collide
     assert(Phonetic.cologne("Meyer") === Phonetic.cologne("Maier"))
     assert(Phonetic.cologne("Schmidt") === Phonetic.cologne("Schmitt"))
+    // silent H (and any non-letter) BREAKS duplicate suppression
+    // (ColognePhonetic.cs:359-366): equal codes across it both emit
+    assert(Phonetic.cologne("hochkant") === "04462")
+    assert(Phonetic.cologne("bhb") === "11")
+    assert(Phonetic.cologne("bb") === "1")
   }
 
   test("Metaphone: published single-word vectors (rule-by-rule coverage)") {
@@ -113,6 +126,11 @@ class PhoneticSpec extends AnyFunSuite {
       "APA1111111" -> Seq("able", "appear"))
     for ((code, words) <- groups; word <- words)
       assert(Phonetic.caverphone2(word) === code, s"caverphone2($word)")
+    // the -ough head rule replaces the WHOLE gh (rough → rou2f), so
+    // rough collides with ruff — the g must not survive as K
+    assert(Phonetic.caverphone2("rough") === "RF11111111")
+    assert(Phonetic.caverphone2("rough") === Phonetic.caverphone2("ruff"))
+    assert(Phonetic.caverphone2("enough") === "ANF1111111")
   }
 
   test("Caverphone 1.0: published examples (6-char codes, 1.0-only rules)") {
@@ -124,6 +142,7 @@ class PhoneticSpec extends AnyFunSuite {
     for (w <- Seq("add", "aid", "at", "art", "eat", "earth", "head", "hit",
       "hot", "hold", "hard", "heart", "it", "out", "old"))
       assert(Phonetic.caverphone1(w) === "AT1111", s"caverphone1($w)")
+    assert(Phonetic.caverphone1("rough") === "RF1111") // gh fully replaced
   }
 
   test("Daitch-Mokotoff: published vectors incl. branching and foldings") {

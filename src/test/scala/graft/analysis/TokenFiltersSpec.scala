@@ -14,12 +14,19 @@ class TokenFiltersSpec extends AnyFunSuite {
   test("shingle: bigrams with stop-gap fillers, unigrams kept") {
     // reference doc example: stop word leaves a gap -> "divide _", "_ sentence"
     val ts = toks("please divide this sentence", stop = Set("this"))
-    val got = TokenFilters.shingle(ts).map(t => (t.term, t.position)).toSeq
+    val full = TokenFilters.shingle(ts)
+    val got = full.map(t => (t.term, t.position)).toSeq
     assert(got == Seq(
       ("please", 0), ("please divide", 0),
       ("divide", 1), ("divide _", 1),
       ("_ sentence", 2),
       ("sentence", 3)))
+    // fillers occupy no space — span (nextReal.start, nextReal.start),
+    // so offsets match ShingleFilterTest's BI_GRAM_TOKENS_WITH_HOLES:
+    // "divide _" = (7,19), "_ sentence" = (19,27)
+    val offs = full.map(t => t.term -> (t.startOff, t.endOff)).toMap
+    assert(offs("divide _") === (7, 19))
+    assert(offs("_ sentence") === (19, 27))
   }
 
   test("shingle: trigram range, no unigrams") {
@@ -40,8 +47,16 @@ class TokenFiltersSpec extends AnyFunSuite {
 
   test("commonGrams: reference example man of the year") {
     val ts = toks("man of the year")
-    val got = TokenFilters.commonGrams(ts, Set("of", "the")).map(_.term).toSeq
+    val grams = TokenFilters.commonGrams(ts, Set("of", "the"))
+    val got = grams.map(_.term).toSeq
     assert(got == Seq("man", "man_of", "of", "of_the", "the", "the_year", "year"))
+    // the gram rides posIncr 0 after the FIRST word (GramToken,
+    // CommonGramsFilter.cs:201): same position as w1, offsets spanning both
+    val byTerm = grams.map(t => t.term -> t).toMap
+    assert(byTerm("man_of").position === byTerm("man").position)
+    assert(byTerm("of_the").position === byTerm("of").position)
+    assert(byTerm("man_of").startOff === byTerm("man").startOff &&
+      byTerm("man_of").endOff === byTerm("of").endOff)
     // a position gap breaks adjacency: no gram across a removed stop word
     val gap = toks("man of the year", stop = Set("of"))
     val got2 = TokenFilters.commonGrams(gap, Set("the")).map(_.term).toSeq
