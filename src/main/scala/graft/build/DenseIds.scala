@@ -13,16 +13,30 @@ object DenseIds {
 
   /** (keyCol, idCol) with ids dense from `base` in ascending key order. */
   def assign(keys: DataFrame, keyCol: String, idCol: String,
-             numPartitions: Int = 32, base: Long = 1L): DataFrame = {
-    val sorted = keys.select(col(keyCol)).distinct()
-      .repartitionByRange(numPartitions, col(keyCol))
-      .sortWithinPartitions(col(keyCol))
+             numPartitions: Int = 32, base: Long = 1L): DataFrame =
+    rank(keys.select(col(keyCol)).distinct(), Seq(keyCol), idCol,
+      numPartitions, base)
+
+  /** The shared core: dense global sort rank over `sortCols`, every
+    * input column carried through, `idCol` appended — used by [[assign]]
+    * (distinct single-key dictionaries) and IndexSorter.sortBy (the
+    * (sortField, oldId) docId remap). Input rows must be distinct in
+    * `sortCols` (ties would get arbitrary but distinct ranks). */
+  def rank(rows: DataFrame, sortCols: Seq[String], idCol: String,
+           numPartitions: Int = 32, base: Long = 1L): DataFrame = {
+    val reserved = Seq("mid", "pid", "localIdx", "offset")
+    require(rows.columns.forall(c => !reserved.contains(c)),
+      s"input columns collide with rank internals: ${reserved.mkString(",")}")
+    val carried = rows.columns.toSeq.map(col)
+    val sorted = rows
+      .repartitionByRange(numPartitions, sortCols.map(col): _*)
+      .sortWithinPartitions(sortCols.map(col): _*)
       // monotonically_increasing_id = pid << 33 | local ordinal; range
       // partitions carry ascending key ranges, so cumulative offsets in
       // pid order reproduce the global sort rank
-      .select(col(keyCol), monotonically_increasing_id().as("mid"))
-      .select(col(keyCol), shiftright(col("mid"), 33).cast("int").as("pid"),
-        col("mid").bitwiseAND((1L << 33) - 1).as("localIdx"))
+      .select(carried :+ monotonically_increasing_id().as("mid"): _*)
+      .select(carried :+ shiftright(col("mid"), 33).cast("int").as("pid")
+        :+ col("mid").bitwiseAND((1L << 33) - 1).as("localIdx"): _*)
       // the per-partition count action below and the caller's consumption
       // would otherwise each run the distinct+sort lineage; the dictionary
       // is key-cardinality-sized, so caching it is the cheaper trade
@@ -31,7 +45,7 @@ object DenseIds {
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     var off = base
     val offsets = counts.map { case (pid, n) => val o = (pid, off); off += n; o }
-    val offDf = keys.sparkSession.createDataFrame(offsets.toSeq)
+    val offDf = rows.sparkSession.createDataFrame(offsets.toSeq)
       .toDF("pid", "offset")
     // Materialize the final mapping (lineage-free, eager) and release the
     // cached dictionary NOW rather than leaving it to ContextCleaner GC —
@@ -45,7 +59,7 @@ object DenseIds {
     // deployments; the lineage-backed alternative was the cache-leak this
     // replaces.
     val result = sorted.join(broadcast(offDf), Seq("pid"))
-      .select(col(keyCol), (col("offset") + col("localIdx")).as(idCol))
+      .select(carried :+ (col("offset") + col("localIdx")).as(idCol): _*)
       .localCheckpoint(true)
     sorted.unpersist(blocking = false)
     result

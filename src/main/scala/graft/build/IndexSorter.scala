@@ -39,50 +39,55 @@ object IndexSorter {
     val keys = DocValues.readDocstats(spark, dir)
       .join(dead, col("docId") === col("deadId"), "left_anti")
       .select(col(sortField).as("sk"), col("docId").as("oldId"))
-    // dense rank in (sk, oldId) order without a global window: range
-    // partitions carry ascending (sk, oldId) ranges, so per-partition
-    // offsets rebased in pid order reproduce the global sort rank
-    val sorted = keys
-      .repartitionByRange(numPartitions, $"sk", $"oldId")
-      .sortWithinPartitions($"sk", $"oldId")
-      .select($"oldId", monotonically_increasing_id().as("mid"))
-      .select($"oldId", shiftright($"mid", 33).cast("int").as("pid"),
-        $"mid".bitwiseAND((1L << 33) - 1).as("localIdx"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val counts = sorted.groupBy($"pid").agg(count("*").as("n"))
-      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-    var off = 0L
-    val offsets = counts.map { case (pid, n) => val o = (pid, off); off += n; o }
-    val offDf = spark.createDataFrame(offsets.toSeq).toDF("pid", "offset")
-    val remap = sorted.join(broadcast(offDf), Seq("pid"))
-      .select($"oldId", ($"offset" + $"localIdx").as("newId"))
-      .localCheckpoint(true)
-    sorted.unpersist(blocking = false)
+    // dense rank in (sk, oldId) order without a global window — the
+    // shared DenseIds range-partition + offset-rebase core, here ranking
+    // a composite key with the oldId carried through
+    val remap = DenseIds.rank(keys, Seq("sk", "oldId"), "newId",
+        numPartitions, base = 0L)
+      .select($"oldId", $"newId")
     Deletes.rewriteWithRemap(spark, dir, outDir, remap, numPartitions)
   }
 
-  /** First `k` docs containing `term` in index-sort order, decoding only
-    * the leading blocks (EarlyTerminatingSortingCollector). Requires a
-    * [[sortBy]]-rewritten index (per-term blocks cover disjoint ascending
-    * docId ranges). Returns (docId, tf) rows, docId ascending, ≤ k. */
+  /** First `k` LIVE docs containing `term` in index-sort order, decoding
+    * only the leading blocks (EarlyTerminatingSortingCollector — whose
+    * scorers iterate liveDocs, so tombstoned docs neither surface nor
+    * consume the k budget). Requires a [[sortBy]]-rewritten index
+    * (per-term blocks cover disjoint ascending docId ranges). Block
+    * counts include dead docs, so the decoded prefix is EXTENDED
+    * (budget doubling, ≤ log rounds — one round when nothing is
+    * deleted) until k live hits are in hand or the term is exhausted.
+    * Returns (docId, tf) rows, docId ascending, ≤ k. */
   def earlyTopK(spark: SparkSession, dir: String, term: String, k: Int): DataFrame = {
     import spark.implicits._
     val meta = spark.read.parquet(IndexPaths.postings(dir))
       .where($"term" === term)
       .select($"firstDocId", $"numDocs")
       .collect().map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1)
-    var need = k
-    val keep = meta.takeWhile { case (_, n) =>
-      val take = need > 0; need -= n; take
-    }.map(_._1)
-    spark.read.parquet(IndexPaths.postings(dir))
-      .where($"term" === term && $"firstDocId".isin(keep.toIndexedSeq: _*))
-      .select($"term", $"firstDocId", $"lastDocId", $"numDocs", $"maxTf",
-        $"maxNorm", $"sumTf", $"segId", $"bytes").as[PostingRow]
-      .flatMap { r =>
-        val (ids, tfs, _) = PostingsCodec.decodeBlock(r.firstDocId, r.numDocs, r.bytes)
-        ids.indices.map(i => (ids(i), tfs(i)))
-      }.toDF("docId", "tf")
-      .orderBy($"docId").limit(k)
+    val dead = Deletes.tombstones(spark, dir).toDF("docId").distinct()
+    def decodePrefix(budget: Long): (DataFrame, Boolean) = {
+      var need = budget
+      val keep = meta.takeWhile { case (_, n) =>
+        val take = need > 0; need -= n; take
+      }
+      val live = spark.read.parquet(IndexPaths.postings(dir))
+        .where($"term" === term && $"firstDocId".isin(keep.map(_._1).toIndexedSeq: _*))
+        .select($"term", $"firstDocId", $"lastDocId", $"numDocs", $"maxTf",
+          $"maxNorm", $"sumTf", $"segId", $"bytes").as[PostingRow]
+        .flatMap { r =>
+          val (ids, tfs, _) = PostingsCodec.decodeBlock(r.firstDocId, r.numDocs, r.bytes)
+          ids.indices.map(i => (ids(i), tfs(i)))
+        }.toDF("docId", "tf")
+        .join(dead, Seq("docId"), "left_anti")
+      (live, keep.length == meta.length)
+    }
+    var budget = k.toLong
+    while (true) {
+      val (live, exhausted) = decodePrefix(budget)
+      // k rows are driver-small by contract — collect once, no cache
+      val rows = live.orderBy($"docId").limit(k).as[(Long, Int)].collect()
+      if (exhausted || rows.length >= k) return rows.toSeq.toDF("docId", "tf")
+      budget *= 2
+    }
+    throw new IllegalStateException("unreachable")
   }
 }

@@ -30,22 +30,42 @@ object Snapshots {
       .filter(_.startsWith("snap=")).map(_.stripPrefix("snap=").toLong).sorted
   }
 
-  /** Pin the current commit point; returns the new snapshot id. */
+  /** Pin the current commit point; returns the new snapshot id.
+    *
+    * Crash-atomic: the snapshot is STAGED under a `.tmp-snap-<id>` name
+    * (invisible to [[list]], which filters on `snap=`) and RENAMED into
+    * place only once both the tombstone copy and the meta watermark are
+    * on disk — the rename is the commit marker, so a crash mid-create
+    * can never leave a listed snapshot whose meta is missing (which
+    * would break genWatermark/docstatsAt forever and shift id
+    * allocation). Concurrency contract: like the reference's
+    * SnapshotDeletionPolicy (which runs inside IndexWriter), create()
+    * belongs to the single writer — tombstones and watermark are
+    * captured between the writer's own operations, not under concurrent
+    * mutation. */
   def create(spark: SparkSession, dir: String): Long = {
     import spark.implicits._
     val id = list(spark, dir).lastOption.map(_ + 1L).getOrElse(0L)
+    val fs = new org.apache.hadoop.fs.Path(root(dir))
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = s"${root(dir)}/.tmp-snap-$id"
+    val tmpPath = new org.apache.hadoop.fs.Path(tmp)
+    fs.delete(tmpPath, true) // stale leftover from a crashed create()
     // tombstone set as of now (possibly empty — written anyway so the
     // snapshot is self-contained)
     Deletes.tombstones(spark, dir).toDF("docId").distinct()
       .repartition(1)
       .write.mode(SaveMode.ErrorIfExists)
-      .parquet(Deletes.tombstonesPath(snapDir(dir, id)))
+      .parquet(Deletes.tombstonesPath(tmp))
     val gen =
       if (!DocValues.hasUpdates(spark, dir)) -1L
       else spark.read.parquet(DocValues.updatesPath(dir))
         .agg(coalesce(max(col("gen")), lit(-1L))).head().getLong(0)
     spark.createDataset(Seq((id, gen))).toDF("id", "genWatermark")
-      .repartition(1).write.mode(SaveMode.ErrorIfExists).parquet(metaPath(dir, id))
+      .repartition(1).write.mode(SaveMode.ErrorIfExists).parquet(s"$tmp/meta")
+    val target = new org.apache.hadoop.fs.Path(snapDir(dir, id))
+    require(fs.rename(tmpPath, target),
+      s"snapshot commit rename failed (target exists? $target)")
     id
   }
 

@@ -53,7 +53,7 @@ object Javascript {
 
   private val Funcs2: Map[String, (Column, Column) => Column] = Map(
     "atan2" -> ((y: Column, x: Column) => atan2(y, x)),
-    "logn" -> ((base: Column, x: Column) => log(x) / log(base)),
+    "logn" -> ((base: Column, x: Column) => ieeeDiv(log(x), log(base))),
     "max" -> ((a: Column, b: Column) => greatest(a, b)),
     "min" -> ((a: Column, b: Column) => least(a, b)),
     "pow" -> ((a: Column, b: Column) => pow(a, b)))
@@ -77,6 +77,22 @@ object Javascript {
 
   private def bool(c: Column): Column = c =!= lit(0d)
   private def asDouble(c: Column): Column = when(c, lit(1d)).otherwise(lit(0d))
+
+  /** IEEE double division/remainder. Spark's non-ANSI Divide/Remainder
+    * return NULL on a zero divisor, but the reference compiles to IL
+    * double arithmetic where x/0 = ±Infinity and 0/0 = x%0 = NaN — and
+    * a null here would silently coerce to false/0 in every downstream
+    * boolean/score context. (A -0.0 divisor is treated as +0 — sign-of-
+    * zero is not recoverable through Catalyst comparisons; stated
+    * simplification.) */
+  private def ieeeDiv(a: Column, b: Column): Column =
+    when(b === lit(0d),
+      when(a > lit(0d), lit(Double.PositiveInfinity))
+        .when(a < lit(0d), lit(Double.NegativeInfinity))
+        .otherwise(lit(Double.NaN)))
+      .otherwise(a / b)
+  private def ieeeMod(a: Column, b: Column): Column =
+    when(b === lit(0d), lit(Double.NaN)).otherwise(a % b)
 
   private final class Parser(src: String, bindings: Map[String, Column]) {
     private var i = 0
@@ -215,7 +231,11 @@ object Javascript {
       var op = tryEat("*", "/", "%")
       while (op.isDefined) {
         val r = unary()
-        c = op.get match { case "*" => c * r; case "/" => c / r; case "%" => c % r }
+        c = op.get match {
+          case "*" => c * r
+          case "/" => ieeeDiv(c, r)
+          case "%" => ieeeMod(c, r)
+        }
         op = tryEat("*", "/", "%")
       }
       c

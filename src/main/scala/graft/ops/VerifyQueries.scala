@@ -1308,7 +1308,7 @@ object VerifyQueries {
        |)
        |SELECT c.start_idx, c.end_idx, c.term AS combined, df.df AS freq
        |FROM cand c JOIN df USING (term)
-       |ORDER BY freq DESC, start_idx LIMIT 5""".stripMargin
+       |ORDER BY (end_idx - start_idx), freq DESC, start_idx LIMIT 5""".stripMargin
 
   /** PK-filter index split (reference: Misc/Index/PKIndexSplitter.cs —
     * "All documents that match the filter are sent to dir1, remaining
@@ -1656,7 +1656,7 @@ object VerifyQueries {
        |  SELECT t2 AS word, CAST(count(*) AS BIGINT) AS c12 FROM pairs
        |  WHERE t1 = 'hash' GROUP BY 1
        |), c1 AS (
-       |  SELECT CAST(count(*) AS BIGINT) AS c FROM pairs WHERE t1 = 'hash'
+       |  SELECT CAST(count(*) AS BIGINT) AS c FROM pos WHERE t = 'hash'
        |), uni AS (
        |  SELECT t AS word, CAST(count(*) AS BIGINT) AS cw FROM pos GROUP BY 1
        |), tot AS (

@@ -17,12 +17,19 @@ object Facets {
 
   /** Counts at every path depth: a row with path `a/b/c` counts toward
     * `a`, `a/b`, and `a/b/c`. */
-  def taxonomyCounts(df: DataFrame, pathCol: String, sep: String = "/"): DataFrame = {
-    val parts = s"split($pathCol, '$sep')"
-    df.select(explode(expr(
-      s"transform(sequence(1, size($parts)), i -> array_join(slice($parts, 1, i), '$sep'))"
-    )).as("path"))
+  def taxonomyCounts(df: DataFrame, pathCol: String, sep: String = "/"): DataFrame =
+    df.select(explode(prefixPaths(pathCol, sep)).as("path"))
       .groupBy(col("path")).agg(count("*").as("hits"))
+
+  /** All prefix paths of `pathCol` as an array column. Pure Column API:
+    * the separator is regex-QUOTED for the split (split() takes a regex —
+    * a '.' separator would otherwise split on every character) and a
+    * literal for the rejoin, and nothing is interpolated into SQL text
+    * (a quote in the separator or column name can't break the plan). */
+  private def prefixPaths(pathCol: String, sep: String): Column = {
+    val parts = split(col(pathCol), java.util.regex.Pattern.quote(sep))
+    transform(sequence(lit(1), size(parts)),
+      i => array_join(slice(parts, lit(1), i), sep))
   }
 
   /** Drill-down: the immediate children of `parent` in a counts rollup
@@ -89,19 +96,22 @@ object Facets {
     * rides the same prefix-explode as [[taxonomyCounts]] and ONE
     * map-side-combinable groupBy sums the whole rollup. */
   def associationSums(df: DataFrame, pathCol: String, value: Column,
-      sep: String = "/"): DataFrame = {
-    val parts = s"split($pathCol, '$sep')"
-    df.select(explode(expr(
-      s"transform(sequence(1, size($parts)), i -> array_join(slice($parts, 1, i), '$sep'))"
-    )).as("path"), value.as("v"))
+      sep: String = "/"): DataFrame =
+    df.select(explode(prefixPaths(pathCol, sep)).as("path"), value.as("v"))
       .groupBy(col("path")).agg(sum(col("v")).as("sum_value"))
-  }
 
   /** One facet range, bounds normalized to inclusive exactly as the
-    * reference constructor does (Facet/Range/LongRange.cs: an exclusive
-    * min becomes min+1, an exclusive max becomes max-1). */
+    * reference constructor does (Facet/Range/LongRange.cs:71-93: an
+    * exclusive min becomes min+1, an exclusive max becomes max-1 — and
+    * an exclusive bound AT the type's extremum is rejected like the
+    * reference's FailNoMatch, instead of silently WRAPPING into a
+    * match-everything range). */
   final case class LongFacetRange(label: String, min: Long, minInclusive: Boolean,
       max: Long, maxInclusive: Boolean) {
+    require(minInclusive || min != Long.MaxValue,
+      s"range $label: exclusive min at Long.MaxValue matches nothing")
+    require(maxInclusive || max != Long.MinValue,
+      s"range $label: exclusive max at Long.MinValue matches nothing")
     val minIncl: Long = if (minInclusive) min else min + 1
     val maxIncl: Long = if (maxInclusive) max else max - 1
     require(minIncl <= maxIncl, s"range $label is empty")
@@ -121,10 +131,18 @@ object Facets {
     val aggs = ranges.zipWithIndex.map { case (r, i) =>
       count(when(value >= r.minIncl && value <= r.maxIncl, 1)).as(s"__r$i")
     }
-    val one = df.agg(aggs.head, aggs.tail: _*)
-    val pairs = ranges.zipWithIndex
-      .map { case (r, i) => s"'${r.label}', __r$i" }.mkString(", ")
-    one.select(expr(s"stack(${ranges.size}, $pairs) AS (label, hits)"))
+    unpivotRanges(df.agg(aggs.head, aggs.tail: _*), ranges.map(_.label))
+  }
+
+  /** (label, hits) rows in declaration order from the one-row aggregate —
+    * labels ride as typed literals, never interpolated into SQL text (a
+    * quote in a UI-supplied label must not break the plan). */
+  private def unpivotRanges(one: DataFrame, labels: Seq[String]): DataFrame = {
+    val rows = labels.zipWithIndex.map { case (l, i) =>
+      struct(lit(l).as("label"), col(s"__r$i").as("hits"))
+    }
+    one.select(explode(array(rows: _*)).as("lr"))
+      .select(col("lr.label").as("label"), col("lr.hits").as("hits"))
   }
 
   /** Double twin of [[LongFacetRange]] (Facet/Range/DoubleRange.cs:60-105):
@@ -134,6 +152,12 @@ object Facets {
   final case class DoubleFacetRange(label: String, min: Double, minInclusive: Boolean,
       max: Double, maxInclusive: Boolean) {
     require(!min.isNaN && !max.isNaN, "range bound cannot be NaN")
+    // nextUp(+Inf) == +Inf, so an exclusive bound at the infinity has no
+    // adjacent representable — the reference FailNoMatch-es (DoubleRange.cs)
+    require(minInclusive || min != Double.PositiveInfinity,
+      s"range $label: exclusive min at +Infinity matches nothing")
+    require(maxInclusive || max != Double.NegativeInfinity,
+      s"range $label: exclusive max at -Infinity matches nothing")
     val minIncl: Double = if (minInclusive) min else Math.nextUp(min)
     val maxIncl: Double =
       if (maxInclusive) max else Math.nextAfter(max, Double.NegativeInfinity)
@@ -150,9 +174,6 @@ object Facets {
     val aggs = ranges.zipWithIndex.map { case (r, i) =>
       count(when(value >= r.minIncl && value <= r.maxIncl, 1)).as(s"__r$i")
     }
-    val one = df.agg(aggs.head, aggs.tail: _*)
-    val pairs = ranges.zipWithIndex
-      .map { case (r, i) => s"'${r.label}', __r$i" }.mkString(", ")
-    one.select(expr(s"stack(${ranges.size}, $pairs) AS (label, hits)"))
+    unpivotRanges(df.agg(aggs.head, aggs.tail: _*), ranges.map(_.label))
   }
 }

@@ -39,15 +39,23 @@ object Highlighter {
     val end = math.min(toks.length - 1, best + windowTokens - 1)
     val fragStart = toks(best).startOff
     val fragEnd = toks(end).endOff
+    // overlapping hit tokens (same-position synonyms, sub-word overlap)
+    // cannot be marked with flat tags — keep the earliest-starting hit
+    // of each overlap group, the SAME dedupe bestFragmentFromOffsets
+    // applies, so inserts never produce crossed markup
+    val spans = {
+      val sorted = (best to end).filter(isHit)
+        .map(j => (toks(j).startOff, toks(j).endOff)).sorted
+      val keep = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+      var lastEnd = -1
+      sorted.foreach { h => if (h._1 >= lastEnd) { keep += h; lastEnd = h._2 } }
+      keep
+    }
     // mark hits inside the fragment, back-to-front so offsets stay valid
     val sb = new StringBuilder(content.substring(fragStart, fragEnd))
-    var j = end
-    while (j >= best) {
-      if (isHit(j)) {
-        sb.insert(toks(j).endOff - fragStart, postTag)
-        sb.insert(toks(j).startOff - fragStart, preTag)
-      }
-      j -= 1
+    spans.reverseIterator.foreach { case (s, e) =>
+      sb.insert(e - fragStart, postTag)
+      sb.insert(s - fragStart, preTag)
     }
     Some(Fragment(sb.toString, bestHits))
   }

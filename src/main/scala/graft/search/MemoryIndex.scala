@@ -110,6 +110,17 @@ final class MemoryIndex private (
       if (slots.exists(_.isEmpty)) None
       else matchScore(MultiPhraseQ(slots, slop, b))
 
+    case SparsePhraseQ(parts, b) =>
+      // explicit-position phrase (PhraseQuery.Add(term, position)):
+      // same anchor walk as Searcher.sparsePhraseFreqs, same weight
+      // framing (Σ idf over the parts actually queried — all idf1 here)
+      val freq = sparsePhraseFreq(parts)
+      if (freq > 0) Some((b * parts.size * idf1 * tfNorm(freq.toFloat)).toFloat)
+      else None
+
+    case ng: NGramPhraseQ =>
+      matchScore(ng.optimized) // the Searcher rewrites before scoring too
+
     case FunctionScoreQ(sub, expr) =>
       matchScore(sub).map(s => ScoreExpr.eval(expr, s, docLen.toFloat))
 
@@ -146,6 +157,25 @@ final class MemoryIndex private (
     case SpanNearQ(cs, slop, ord) => SpanNearQ(cs.map(expandSpans), slop, ord)
     case SpanPositionRangeQ(s, a, b) => SpanPositionRangeQ(expandSpans(s), a, b)
     case t: SpanTermQ => t
+  }
+
+  /** Sparse-phrase anchor count — [[Searcher.sparsePhraseFreqs]]'s
+    * binary-search walk with each part offset by its explicit relative
+    * position. */
+  private def sparsePhraseFreq(parts: Seq[(String, Int)]): Int = {
+    require(parts.nonEmpty, "empty sparse phrase")
+    val sorted = parts.sortBy(_._2).toIndexedSeq
+    if (sorted.exists(p => !contains(p._1))) return 0
+    if (sorted.length == 1) return tf(sorted.head._1)
+    val rels = sorted.map(_._2 - sorted.head._2)
+    var f = 0
+    posOf(sorted.head._1).foreach { p =>
+      var i = 1
+      while (i < sorted.length &&
+        java.util.Arrays.binarySearch(posOf(sorted(i)._1), p + rels(i)) >= 0) i += 1
+      if (i == sorted.length) f += 1
+    }
+    f
   }
 
   /** slop=0 phrase freq — the same binary-search consecutive-positions
@@ -286,6 +316,9 @@ object MemoryIndex {
     case BoostingQ(pos, _, _) => requiredTerms(pos)
     case MultiPhraseQ(slots, _, _) =>
       slots.collect { case Seq(only) => only }.toSet
+    case SparsePhraseQ(parts, _) => parts.map(_._1).toSet
+    // consistent with evaluation, which scores the OPTIMIZED rewrite
+    case ng: NGramPhraseQ => requiredTerms(ng.optimized)
     case _ => Set.empty
   }
 }

@@ -46,17 +46,27 @@ object Percolate {
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(queries)
     docs.select(col("doc_id"), col("text")).as[(Long, String)]
-      .mapPartitions { it =>
-        val qs = bc.value
-        val required = qs.map(q => MemoryIndex.requiredTerms(q._2))
-        it.flatMap { case (docId, text) =>
-          val mi = MemoryIndex.fromText(text, analyzer)
-          qs.iterator.zip(required.iterator).collect {
-            case ((qid, q), req)
-                if req.forall(mi.contains) && mi.matches(q) => (qid, docId)
-          }
-        }
-      }.toDF("query_id", "doc_id")
+      .mapPartitions(it => evalPartition(bc.value, analyzer, it))
+      .toDF("query_id", "doc_id")
+  }
+
+  /** The per-partition percolation body — required-term prescreen + full
+    * [[MemoryIndex]] evaluation of every stored query against each
+    * (docId, text). Shared by this batch entry and
+    * [[graft.streaming.StreamingPercolate.alerts]] (the streaming form
+    * is the SAME pure map); call it inside `mapPartitions` with the
+    * broadcast's value. */
+  private[graft] def evalPartition(qs: Seq[(Long, Query)],
+      analyzer: graft.analysis.Analyzer,
+      it: Iterator[(Long, String)]): Iterator[(Long, Long)] = {
+    val required = qs.map(q => MemoryIndex.requiredTerms(q._2))
+    it.flatMap { case (docId, text) =>
+      val mi = MemoryIndex.fromText(text, analyzer)
+      qs.iterator.zip(required.iterator).collect {
+        case ((qid, q), req)
+            if req.forall(mi.contains) && mi.matches(q) => (qid, docId)
+      }
+    }
   }
 
   /** Match stored conjunctive queries against document term sets.

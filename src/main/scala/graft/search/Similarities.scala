@@ -218,7 +218,9 @@ final class IBSPLSimilarity(avgdl: Float, c: Float = 1f,
     var sum = 0f
     var i = 1
     while (i < w.length) {
-      val lambda = w(i)
+      // DistributionSPL.cs:43-46 — a ubiquitous term (df == maxDoc)
+      // yields lambda == 1 and 0/0 = NaN without the reference's clamp
+      val lambda = if (w(i) == 1f) 0.99f else w(i)
       sum += boost * (-math.log(
         (math.pow(lambda, tfn / (tfn + 1)) - lambda) / (1 - lambda))).toFloat
       i += 1
@@ -341,10 +343,14 @@ object DFR {
     def tfn(tf: Float, dl: Float, ttf: Double, sumTtf: Double, avgdl: Float): Float
   }
 
-  /** Uniform distribution of frequency (NormalizationH1.cs:44-47). */
+  /** Uniform distribution of frequency (NormalizationH1.cs:56-59).
+    * NOTE: the reference stores `c` but never uses it — Tfn is
+    * `tf * avgFieldLength / len`, c-invariant; the parameter is kept
+    * for constructor parity only, and the float op ORDER matches the
+    * reference exactly (multiply first, then divide). */
   final case class NormalizationH1(c: Float = 1f) extends Normalization {
     def tfn(tf: Float, dl: Float, ttf: Double, sumTtf: Double, avgdl: Float): Float =
-      c * tf * (avgdl / dl)
+      tf * avgdl / dl
   }
 
   /** Logarithmic density decay (NormalizationH2.cs:56-59). */

@@ -183,7 +183,11 @@ object Suggest {
       .where(col("next").isNotNull)
     val ctx = pairs.where(col("t") === context)
     val big = ctx.groupBy(col("next").as("word")).agg(count(lit(1)).as("c12"))
-    val c1 = ctx.agg(count(lit(1)).as("c1"))
+    // backoff denominator = the context's FULL unigram count (the
+    // reference divides by the context gram's model weight,
+    // FreeTextSuggester.cs:684-697) — counting only pair-occurrences
+    // would inflate P(w|ctx) whenever the context ends documents
+    val c1 = pos.where(col("t") === context).agg(count(lit(1)).as("c1"))
     val uni = pos.groupBy(col("t").as("word")).agg(count(lit(1)).as("cw"))
     val tot = pos.agg(count(lit(1)).as("n"))
     uni.join(big, Seq("word"), "left")
@@ -222,10 +226,18 @@ object Suggest {
     import spark.implicits._
     val minLen = math.max(minBreakWordLength, 1)
     // all compositions of `word` into 2..maxChanges+1 parts of >= minLen
-    def compositions(s: String, partsLeft: Int): Seq[Seq[String]] =
-      if (partsLeft == 1) { if (s.length >= minLen) Seq(Seq(s)) else Nil }
-      else (minLen to s.length - minLen).flatMap(i =>
-        compositions(s.substring(i), partsLeft - 1).map(s.substring(0, i) +: _))
+    // CODEPOINTS, split only on codepoint boundaries — the reference
+    // measures with CodePointCount/OffsetByCodePoints
+    // (WordBreakSpellChecker.cs:281-287); UTF-16 splitting would cut
+    // surrogate pairs into undictionariable lone halves
+    def compositions(s: String, partsLeft: Int): Seq[Seq[String]] = {
+      val cps = s.codePointCount(0, s.length)
+      if (partsLeft == 1) { if (cps >= minLen) Seq(Seq(s)) else Nil }
+      else (minLen to cps - minLen).flatMap { i =>
+        val cut = s.offsetByCodePoints(0, i)
+        compositions(s.substring(cut), partsLeft - 1).map(s.substring(0, cut) +: _)
+      }
+    }
     val cands = (2 to maxChanges + 1)
       .flatMap(k => compositions(word, k))
       .zipWithIndex
@@ -255,8 +267,10 @@ object Suggest {
     * runs terms(i..j) with j-i <= maxChanges and combined length <=
     * maxCombineWordLength are driver-generated (the query is one typed
     * phrase); ONE dictionary equi-join supplies the combined term's df.
-    * Ranked df desc then first index — the reference's freq-queue order
-    * made total. Returns (start_idx, end_idx, combined, freq). */
+    * Ranked NUMBER OF COMBINATIONS asc, then freq desc, then first
+    * index — CombinationsThenFreqComparer (WordBreakSpellChecker.cs:
+    * 482-502: fewer changes beat higher frequency) made total.
+    * Returns (start_idx, end_idx, combined, freq). */
   def suggestWordCombinations(termDict: DataFrame, terms: Seq[String],
       maxSuggestions: Int = 5, maxChanges: Int = 1,
       maxCombineWordLength: Int = 20, minFreq: Long = 1L): DataFrame = {
@@ -267,14 +281,15 @@ object Suggest {
       j <- (i + 1) until terms.length
       if j - i <= maxChanges
       combined = terms.slice(i, j + 1).mkString
-      if combined.length <= maxCombineWordLength
+      // codepoints, like the reference's CodePointCount cap
+      if combined.codePointCount(0, combined.length) <= maxCombineWordLength
     } yield (i, j, combined)
     val candDf = cands.toDF("start_idx", "end_idx", "term")
     candDf.join(termDict.select(col("term"), col("df")), "term")
       .where(col("df") >= minFreq)
       .select(col("start_idx"), col("end_idx"), col("term").as("combined"),
         col("df").as("freq"))
-      .orderBy(col("freq").desc, col("start_idx"))
+      .orderBy(col("end_idx") - col("start_idx"), col("freq").desc, col("start_idx"))
       .limit(maxSuggestions)
   }
 

@@ -142,17 +142,25 @@ object Surround {
         weighted(lx, q)
       case _ =>
         lx.next()
-        val t0 = tok
-        // field prefix accepted & dropped (single positioned text field)
-        val t1 = if (lx.peek.contains(":")) { lx.next(); lx.next() } else t0
-        val raw = if (t1.contains(":")) t1.substring(t1.indexOf(':') + 1) else t1
-        val w = raw.toLowerCase
-        val q =
-          if (w.endsWith("*") && !w.dropRight(1).exists(c => c == '*' || c == '?'))
-            SrndPrefix(w.dropRight(1))
-          else if (w.exists(c => c == '*' || c == '?')) SrndTrunc(w)
-          else SrndTerm(w)
-        weighted(lx, q)
+        if (lx.peek.contains(":")) {
+          // field prefix accepted & dropped (single positioned text
+          // field). Recurse into a full primary like the reference's
+          // FieldsQuery production, so `title:(a 3w b)` and chained
+          // `a:b:term` parse; a trailing `field:` is a parse error,
+          // not an index crash
+          lx.next()
+          if (lx.peek.isEmpty)
+            throw new IllegalArgumentException(s"expected a query after '$tok:'")
+          primary(lx)
+        } else {
+          val w = tok.toLowerCase
+          val q =
+            if (w.endsWith("*") && !w.dropRight(1).exists(c => c == '*' || c == '?'))
+              SrndPrefix(w.dropRight(1))
+            else if (w.exists(c => c == '*' || c == '?')) SrndTrunc(w)
+            else SrndTerm(w)
+          weighted(lx, q)
+        }
     }
   }
 

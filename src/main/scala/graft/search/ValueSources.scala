@@ -53,8 +53,13 @@ object ValueSources {
     * SumTotalTermFreqValueSource.cs — collection-stats constants. */
   def maxDoc(reader: IndexReader): ScoreExpr =
     Const(reader.collectionStats.maxDoc.toFloat)
+
+  /** NumDocsValueSource.cs:43 returns reader.NumDocs — LIVE docs, i.e.
+    * maxDoc minus deletions — not the build-time docCount constant
+    * (same convention as AutoStopwords.stopWordsPercent). */
   def numDocs(reader: IndexReader): ScoreExpr =
-    Const(reader.collectionStats.docCount.toFloat)
+    Const((reader.collectionStats.maxDoc -
+      graft.build.Deletes.tombstones(reader.spark, reader.dir).count()).toFloat)
   def sumTotalTermFreq(reader: IndexReader): ScoreExpr =
     Const(reader.collectionStats.sumTotalTermFreq.toFloat)
 

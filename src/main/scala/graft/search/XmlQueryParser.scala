@@ -63,11 +63,18 @@ object XmlQueryParser {
     case "UserQuery" =>
       new QueryParser(graft.analysis.Analyzer.sqlParity).parse(text(e))
     case "BoostingQuery" =>
+      // the DEMOTION factor lives on the BoostQuery CHILD (default 0.01);
+      // the root's boost attribute is the overall query boost
+      // (BoostingQueryBuilder.cs:45-51)
       val kids = children(e).map(c => c.getTagName -> c).toMap
-      BoostingQ(
+      val bq = BoostingQ(
         query(children(kids("Query")).head),
         query(children(kids("BoostQuery")).head),
-        attr(e, "boost", "0.01").toFloat)
+        attr(kids("BoostQuery"), "boost", "0.01").toFloat)
+      val overall = boost(e)
+      if (overall == 1.0f) bq
+      else FunctionScoreQ(bq,
+        ScoreExpr.Mul(ScoreExpr.SubScore, ScoreExpr.Const(overall)))
     case "BooleanQuery" =>
       val clauses = children(e).filter(_.getTagName == "Clause")
       def occ(o: String) = clauses
@@ -84,8 +91,13 @@ object XmlQueryParser {
     case "SpanOr" => SpanOrQ(children(e).map(span))
     case "SpanOrTerms" => SpanOrQ(terms(e).map(SpanTermQ)) // analyzed union
     case "SpanNear" =>
-      SpanNearQ(children(e).map(span), attr(e, "slop", "0").toInt,
-        inOrder = attr(e, "inOrder", "true").toBoolean)
+      // slop is MANDATORY and inOrder defaults FALSE (SpanNearBuilder.cs:
+      // 39-41 GetAttributeOrFail / GetAttribute(e, "inOrder", false)) —
+      // a true default would silently drop unordered matches
+      val slopStr = e.getAttribute("slop")
+      require(slopStr != null && slopStr.nonEmpty, "SpanNear requires a slop attribute")
+      SpanNearQ(children(e).map(span), slopStr.toInt,
+        inOrder = attr(e, "inOrder", "false").toBoolean)
     case "SpanFirst" => SpanFirstQ(span(children(e).head), attr(e, "end", "1").toInt)
     case "SpanNot" =>
       val kids = children(e).map(c => c.getTagName -> c).toMap

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.analysis.Analyzer
-import graft.search.{MemoryIndex, Query}
+import graft.search.Query
 import org.apache.spark.sql.{DataFrame, Dataset}
 
 /** Streaming percolation — the alerting use of prospective search
@@ -31,16 +31,9 @@ object StreamingPercolate {
     val spark = docs.sparkSession
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(queries)
-    docs.mapPartitions { it =>
-      val qs = bc.value
-      val required = qs.map(q => MemoryIndex.requiredTerms(q._2))
-      it.flatMap { d =>
-        val mi = MemoryIndex.fromText(d.text, analyzer)
-        qs.iterator.zip(required.iterator).collect {
-          case ((qid, q), req)
-              if req.forall(mi.contains) && mi.matches(q) => (qid, d.doc_id)
-        }
-      }
-    }.toDF("query_id", "doc_id")
+    docs.mapPartitions(it =>
+      graft.search.Percolate.evalPartition(bc.value, analyzer,
+        it.map(d => (d.doc_id, d.text))))
+      .toDF("query_id", "doc_id")
   }
 }

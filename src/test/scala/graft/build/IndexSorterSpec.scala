@@ -71,5 +71,24 @@ class IndexSorterSpec extends AnyFunSuite {
     var need = k
     val decoded = kept.takeWhile { case (_, n) => val t = need > 0; need -= n; t }
     assert(decoded.length < blocks, "early termination decoded every block")
+
+    // regression: deletes AFTER the sorted rewrite — tombstoned docs must
+    // neither surface nor consume the k budget (the reference collector
+    // only ever sees liveDocs)
+    val deadIds = full.take(5)
+    Deletes.deleteDocs(spark, out, spark.createDataset(deadIds))
+    val liveEarly = IndexSorter.earlyTopK(spark, out, "def", k)
+      .select("docId").as[Long].collect().toSeq
+    val liveFull = {
+      spark.read.parquet(IndexPaths.postings(out)).where($"term" === "def")
+        .select($"term", $"firstDocId", $"lastDocId", $"numDocs", $"maxTf",
+          $"maxNorm", $"sumTf", $"segId", $"bytes").as[PostingRow]
+        .flatMap { pr =>
+          val (ids, _, _) = graft.postings.PostingsCodec.decodeBlock(pr.firstDocId, pr.numDocs, pr.bytes)
+          ids.toSeq
+        }.collect().sorted.filterNot(deadIds.contains).take(k).toSeq
+    }
+    assert(liveEarly === liveFull)
+    assert(liveEarly.size === k && deadIds.forall(d => !liveEarly.contains(d)))
   }
 }

@@ -34,6 +34,25 @@ class SnapshotSpec extends AnyFunSuite {
     assert(Snapshots.list(spark, dir) === Seq(snap1))
   }
 
+  test("crashed create leaves no half-snapshot: staging is invisible, next create reuses the id") {
+    import spark.implicits._
+    val dir = SparkTestSession.tmpDir("graft-snap-crash-")
+    IndexBuilder.build(spark, spark.createDataset(CorpusGen.microFixture), dir, 2)
+    val s0 = Snapshots.create(spark, dir)
+    // simulate a crash mid-create: a stage dir exists (tombstones, no
+    // meta, no rename) — the old layout listed it and then
+    // genWatermark() failed forever
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stale = new org.apache.hadoop.fs.Path(s"${Snapshots.root(dir)}/.tmp-snap-${s0 + 1}")
+    fs.mkdirs(stale)
+    assert(Snapshots.list(spark, dir) === Seq(s0), "staging dirs are not listed")
+    val s1 = Snapshots.create(spark, dir) // must clear the leftover and commit
+    assert(s1 === s0 + 1)
+    assert(Snapshots.genWatermark(spark, dir, s1) === -1L, "committed snapshot is complete")
+    assert(Snapshots.list(spark, dir) === Seq(s0, s1))
+  }
+
   test("snapshot pins docvalue updates at the gen watermark") {
     import spark.implicits._
     val dir = SparkTestSession.tmpDir("graft-snap-dv-")

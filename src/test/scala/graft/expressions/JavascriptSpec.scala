@@ -26,6 +26,17 @@ class JavascriptSpec extends AnyFunSuite {
     assert(eval("7 / 2") === 3.5d)
   }
 
+  test("division by zero follows IEEE doubles like the reference's IL, never null") {
+    // Spark's non-ANSI Divide returns NULL on /0; the compiled surface
+    // must restore x/0 = ±Inf, 0/0 = x%0 = NaN and keep booleans sane
+    assert(eval("1 / x", "x" -> 0).isPosInfinity)
+    assert(eval("-1 / x", "x" -> 0).isNegInfinity)
+    assert(eval("0 / x", "x" -> 0).isNaN)
+    assert(eval("5 % x", "x" -> 0).isNaN)
+    assert(eval("1 / x > 2 ? 10 : 20", "x" -> 0) === 10d, "Inf is truthy and > 2")
+    assert(eval("1 / x > 0", "x" -> 0) === 1d)
+  }
+
   test("comparison and boolean ops return 1/0; truthiness is != 0") {
     assert(eval("3 > 2") === 1d)
     assert(eval("3 < 2") === 0d)

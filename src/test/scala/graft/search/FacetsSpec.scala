@@ -38,6 +38,38 @@ class FacetsSpec extends AnyFunSuite {
     assert(got == Map("x" -> 10L, "x/y" -> 2L, "x/z" -> 3L))
   }
 
+  test("taxonomy separators are literals, not regexes; labels with quotes are safe") {
+    // a '.' separator must not split on every character (split() is
+    // regex-backed — regression for the raw-SQL interpolation)
+    val df = Seq("com.example.app", "com.example").toDF("p")
+    val got = Facets.taxonomyCounts(df, "p", sep = ".")
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("com" -> 2L, "com.example" -> 2L, "com.example.app" -> 1L))
+    // a single quote in a range label must not break plan construction
+    val counts = Facets.rangeCounts(Seq(1L, 2L).toDF("v"), col("v"),
+      Seq(Facets.LongFacetRange("men's wear", 0, minInclusive = true,
+        10, maxInclusive = true))).as[(String, Long)].collect().toMap
+    assert(counts == Map("men's wear" -> 2L))
+  }
+
+  test("exclusive bounds at the type extremum are rejected (FailNoMatch), not wrapped") {
+    import Facets.{DoubleFacetRange, LongFacetRange}
+    intercept[IllegalArgumentException] {
+      LongFacetRange("wrap", Long.MaxValue, minInclusive = false, 100L, maxInclusive = true)
+    }
+    intercept[IllegalArgumentException] {
+      LongFacetRange("wrap2", 0L, minInclusive = true, Long.MinValue, maxInclusive = false)
+    }
+    intercept[IllegalArgumentException] {
+      DoubleFacetRange("inf", Double.PositiveInfinity, minInclusive = false,
+        Double.PositiveInfinity, maxInclusive = true)
+    }
+    intercept[IllegalArgumentException] {
+      DoubleFacetRange("ninf", -1.0, minInclusive = true,
+        Double.NegativeInfinity, maxInclusive = false)
+    }
+  }
+
   test("rangeCounts: overlapping ranges each count independently; bounds normalize") {
     import Facets.LongFacetRange
     val df = Seq(5L, 10L, 15L, 20L, 25L).toDF("doc_id")

@@ -127,6 +127,17 @@ class FunctionQuerySpec extends AnyFunSuite {
     assert(math.abs(i - (math.log(6.0 / 3.0) + 1.0).toFloat) < 1e-7)
   }
 
+  test("numDocs is LIVE docs (reader.NumDocs): deletions subtract, maxDoc does not") {
+    import spark.implicits._
+    val d2 = SparkTestSession.tmpDir("graft-funcq-live-")
+    IndexBuilder.build(spark, spark.createDataset(CorpusGen.microFixture), d2, 2)
+    val r = new IndexReader(spark, d2)
+    assert(ValueSources.numDocs(r) === Const(6f))
+    graft.build.Deletes.deleteDocs(spark, d2, spark.createDataset(Seq(0L, 5L)))
+    assert(ValueSources.numDocs(r) === Const(4f), "NumDocsValueSource.cs:43 excludes deletions")
+    assert(ValueSources.maxDoc(r) === Const(6f), "maxDoc stays the commit constant")
+  }
+
   test("scaleDocLen resolves to the Linear twin of ScaleFloatFunction") {
     // fixture lengths: min 1, max 2 → scale into [0,1]: slope 1, intercept -1
     val s = ValueSources.scaleDocLen(searcher.reader, 0f, 1f)

@@ -48,6 +48,25 @@ class MemoryIndexSpec extends AnyFunSuite {
     assert(s1 == s2) // both freq=1, same length => same score
   }
 
+  test("sparse and n-gram phrases (regression: these crashed the multi-term catch-all)") {
+    // text positions: alpha(0,3) beta(1,5) gamma(2) delta(4)
+    assert(mi.matches(SparsePhraseQ(Seq(("alpha", 0), ("gamma", 2))))) // gap of 1
+    assert(mi.matches(SparsePhraseQ(Seq(("beta", 0), ("delta", 3)))))  // 1 → 4
+    assert(!mi.matches(SparsePhraseQ(Seq(("alpha", 0), ("delta", 2)))))
+    assert(!mi.matches(SparsePhraseQ(Seq(("alpha", 0), ("omega", 1)))))
+    // anchor count: alpha→beta at (0,1) AND (3,5)? rel=1: 3+1=4 is delta — one anchor
+    val s = mi.matchScore(SparsePhraseQ(Seq(("alpha", 0), ("beta", 1)))).get
+    assert(s > 0f)
+    // NGramPhraseQ delegates to its optimized rewrite, like the Searcher
+    assert(mi.matches(NGramPhraseQ(2, Seq("alpha", "beta", "gamma"))))
+    assert(!mi.matches(NGramPhraseQ(2, Seq("beta", "alpha", "gamma"))))
+    // prescreen stays sound for both
+    assert(MemoryIndex.requiredTerms(SparsePhraseQ(Seq(("alpha", 0), ("gamma", 2))))
+      === Set("alpha", "gamma"))
+    assert(MemoryIndex.requiredTerms(NGramPhraseQ(2, Seq("a", "b", "c")))
+      === Set("a", "c")) // the optimized rewrite keeps p%2==0 and the last
+  }
+
   test("multi-phrase slots incl. repeat groups") {
     assert(mi.matches(MultiPhraseQ(Seq(Seq("alpha", "zeta"), Seq("beta")))))
     assert(!mi.matches(MultiPhraseQ(Seq(Seq("zeta"), Seq("beta")))))

@@ -166,6 +166,21 @@ class SimilaritySpec extends AnyFunSuite {
     assert(hits(0).score === expected)
   }
 
+  test("IB SPL clamps lambda==1 like the reference: ubiquitous term scores finite") {
+    // df == maxDoc gives lambda = (df+1)/(maxDoc+1) = 1 → 0/0 = NaN
+    // without DistributionSPL.cs:43-46's lambda = 0.99f clamp
+    val sim = new IBSPLSimilarity(avgdl)
+    val w = Array(1f, 1f) // (boost, lambda) for a term in every doc
+    val s = sim.score(2f, BM25.encodeNorm(2), w)
+    assert(!s.isNaN && !s.isInfinite)
+    def log2(x: Double) = math.log(x) / math.log(2)
+    val dl = BM25.NormTable(BM25.encodeNorm(2) & 0xff)
+    val tfn = (2f * log2(1 + avgdl / dl)).toFloat
+    val lam = 0.99f
+    assert(s === (-math.log(
+      (math.pow(lam, tfn / (tfn + 1)) - lam) / (1 - lam))).toFloat)
+  }
+
   test("DFR I(F)L2: closed form (c=1, F = totalTermFreq)") {
     val hits = searcher.searchWith(new DFRSimilarity(DFR.ModelIF, DFR.AfterEffectL, DFR.NormalizationH2(), avgdl), TermQ("dogs"), 10)
     assert(hits.map(_.docId).toSeq === Seq(1L))
@@ -214,11 +229,12 @@ class SimilaritySpec extends AnyFunSuite {
     val lam = (2L + 1.0) / (6L + (2L + 1.0))
     val modelG = (log2(lam + 1) + tfn2 * log2((1 + lam) / lam)).toFloat
     assert(g(0).score === modelG * (1f / (tfn2 + 1f)))
-    // H1 normalization (NormalizationH1.cs): tfn = c·tf·(avgdl/dl)
+    // H1 normalization (NormalizationH1.cs:58): tfn = tf·avgdl/dl —
+    // the reference ignores c entirely, and the op order matters
     val h1 = searcher.searchWith(
       new DFRSimilarity(DFR.ModelIn, DFR.AfterEffectL, DFR.NormalizationH1(), avgdl),
       TermQ("dogs"), 10)
-    val tfnH1 = 1f * 2f * (avgdl / dl)
+    val tfnH1 = 2f * avgdl / dl
     val in = tfnH1 * log2((6L + 1) / (1L + 0.5)).toFloat
     assert(h1(0).score === in * (1f / (tfnH1 + 1f)))
   }

@@ -166,4 +166,19 @@ class SuggestSpec extends AnyFunSuite {
       .as[(Int, Int, String, Long)].collect().toSeq
     assert(short == Seq((0, 1, "merge", 40L)))
   }
+
+  test("suggestWordCombinations ranks FEWER combinations first, freq second") {
+    val spark2 = spark
+    import spark2.implicits._
+    // CombinationsThenFreqComparer (WordBreakSpellChecker.cs:482-502):
+    // a 1-change combine beats a 2-change combine regardless of freq
+    val dict = Seq(("luce", 10L), ("lucene", 500L)).toDF("term", "df")
+    val got = Suggest.suggestWordCombinations(dict, Seq("lu", "ce", "ne"),
+      maxChanges = 2).as[(Int, Int, String, Long)].collect().toSeq
+    assert(got == Seq((0, 1, "luce", 10L), (0, 2, "lucene", 500L)))
+    val top1 = Suggest.suggestWordCombinations(dict, Seq("lu", "ce", "ne"),
+      maxChanges = 2, maxSuggestions = 1)
+      .as[(Int, Int, String, Long)].collect().toSeq
+    assert(top1 == Seq((0, 1, "luce", 10L)))
+  }
 }

@@ -47,6 +47,14 @@ class SurroundSpec extends AnyFunSuite {
     assert(parse("content: merge") === SrndTerm("merge"))
     assert(parse("(a OR b) AND c") ===
       SrndAnd(Seq(SrndOr(Seq(SrndTerm("a"), SrndTerm("b"))), SrndTerm("c"))))
+    // field prefix recurses into a full primary (the reference's
+    // FieldsQuery production): parenthesized and chained forms parse,
+    // and a trailing 'field:' is a parse ERROR, not an index crash
+    assert(parse("title:(a 3w b)") ===
+      SrndDistance(Seq(SrndTerm("a"), SrndTerm("b")), 3, ordered = true))
+    assert(parse("a:b:merge") === SrndTerm("merge"))
+    assert(parse("title:app*") === SrndPrefix("app"))
+    assertThrows[IllegalArgumentException](parse("title:"))
   }
 
   test("distance subtree compiles to span algebra; slop = distance - 1") {

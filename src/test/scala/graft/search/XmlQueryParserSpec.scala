@@ -38,13 +38,30 @@ class XmlQueryParserSpec extends AnyFunSuite {
     assert(b.minShouldMatch === 1)
   }
 
-  test("BoostingQuery wires positive/context/boost") {
-    val b = q(
-      """<BoostingQuery boost="0.2">
+  test("BoostingQuery: demotion from the BoostQuery child, root boost is overall") {
+    // BoostingQueryBuilder.cs:45-51 — the demotion factor is the
+    // BoostQuery CHILD's boost attribute (default 0.01); the root's
+    // boost attribute scales the whole query
+    val plain = q(
+      """<BoostingQuery>
+        |  <Query><TermQuery>pos</TermQuery></Query>
+        |  <BoostQuery boost="0.2"><TermQuery>ctx</TermQuery></BoostQuery>
+        |</BoostingQuery>""".stripMargin).asInstanceOf[BoostingQ]
+    assert(plain === BoostingQ(TermQ("pos"), TermQ("ctx"), 0.2f))
+    val dflt = q(
+      """<BoostingQuery>
         |  <Query><TermQuery>pos</TermQuery></Query>
         |  <BoostQuery><TermQuery>ctx</TermQuery></BoostQuery>
         |</BoostingQuery>""".stripMargin).asInstanceOf[BoostingQ]
-    assert(b === BoostingQ(TermQ("pos"), TermQ("ctx"), 0.2f))
+    assert(dflt.contextBoost === 0.01f)
+    val boosted = q(
+      """<BoostingQuery boost="2.0">
+        |  <Query><TermQuery>pos</TermQuery></Query>
+        |  <BoostQuery><TermQuery>ctx</TermQuery></BoostQuery>
+        |</BoostingQuery>""".stripMargin).asInstanceOf[FunctionScoreQ]
+    assert(boosted.q === BoostingQ(TermQ("pos"), TermQ("ctx"), 0.01f))
+    assert(boosted.expr ===
+      ScoreExpr.Mul(ScoreExpr.SubScore, ScoreExpr.Const(2.0f)))
   }
 
   test("span builders produce SpanQuery trees (Left)") {
@@ -56,6 +73,14 @@ class XmlQueryParserSpec extends AnyFunSuite {
         |  <SpanTerm>a</SpanTerm><SpanTerm>b</SpanTerm>
         |</SpanNear>""".stripMargin).asInstanceOf[SpanNearQ]
     assert(near.slop === 2 && !near.inOrder)
+    // inOrder DEFAULTS false (SpanNearBuilder.cs:41); slop is mandatory
+    val dflt = s(
+      """<SpanNear slop="1">
+        |  <SpanTerm>a</SpanTerm><SpanTerm>b</SpanTerm>
+        |</SpanNear>""".stripMargin).asInstanceOf[SpanNearQ]
+    assert(!dflt.inOrder)
+    assertThrows[IllegalArgumentException](s(
+      "<SpanNear><SpanTerm>a</SpanTerm><SpanTerm>b</SpanTerm></SpanNear>"))
     assert(s("<SpanFirst end='3'><SpanTerm>a</SpanTerm></SpanFirst>") ===
       SpanFirstQ(SpanTermQ("a"), 3))
     val not = s(
