@@ -334,6 +334,28 @@ object Analyzer {
       elisionArticles = ElisionArticles.getOrElse(lang, Set.empty),
       lowerCaser = LowerCasers.getOrElse(lang, LowerCaseFn))
 
+  /** Reference-DEFAULT per-language stemming chain: the stemmer each
+    * reference `<Lang>Analyzer` actually wires at 4.8 — the UniNE light
+    * stemmers for fr/es/it/pt, GermanNormalization→GermanLight for de
+    * ([[LightStemmers3]], reference-parity restatements), Porter for en,
+    * Snowball elsewhere ([[LightStemmers.byLang]] fallback). Use this
+    * chain when index terms must match a reference index bit-for-bit;
+    * [[stemmingForLang]] keeps the engine's documented independent trio. */
+  def referenceStemmingForLang(lang: String): Analyzer = {
+    val refStem: Option[String => String] = lang match {
+      case "fr" => Some(LightStemmers3.frenchLight)
+      case "es" => Some(LightStemmers3.spanishLight)
+      case "it" => Some(LightStemmers3.italianLight)
+      case "pt" => Some(LightStemmers3.portugueseLight)
+      case "de" => Some((w: String) =>
+        LightStemmers3.germanLight(Normalizers.germanNormalization(w)))
+      case l => LightStemmers.byLang.get(l)
+    }
+    new Analyzer(perLang(lang), 255, UAX29Tokenizer.tokenize, refStem,
+      elisionArticles = ElisionArticles.getOrElse(lang, Set.empty),
+      lowerCaser = LowerCasers.getOrElse(lang, LowerCaseFn))
+  }
+
   /** Full-Snowball per-language chain (reference SnowballFilter shape:
     * tokenize → lowercase → stop → SnowballStemmer) — opt-in where
     * [[stemmingForLang]]'s default is a light stemmer (es/de). */
