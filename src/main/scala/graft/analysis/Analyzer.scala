@@ -406,3 +406,16 @@ object Analyzer {
     sb.toString
   }
 }
+
+/** PerFieldAnalyzerWrapper analog (reference:
+  * Analysis/Miscellaneous/PerFieldAnalyzerWrapper.cs:51-74): route each
+  * field to its own analyzer, falling back to `default`. The reference's
+  * other Analyzer wrappers compose the same way: LimitTokenCountAnalyzer
+  * = a wrapper applying TokenFilters.limitTokenCount, ShingleAnalyzerWrapper
+  * = TokenFilters.shingle over the delegate's output. */
+final case class PerFieldAnalyzer(default: Analyzer,
+    overrides: Map[String, Analyzer] = Map.empty) extends Serializable {
+  def forField(field: String): Analyzer = overrides.getOrElse(field, default)
+  def analyze(field: String, text: String): AnalyzedDoc =
+    forField(field).analyze(text)
+}

@@ -172,4 +172,86 @@ object Tokenizers {
       out.toArray
     }
   }
+
+  /** KeywordTokenizer (Analysis/Core/KeywordTokenizer.cs): the whole
+    * input as one token. */
+  def keyword(s: String): Array[RawToken] =
+    if (s.isEmpty) Array.empty
+    else Array(RawToken(s, 0, s.length, "word"))
+
+  /** CharTokenizer family (Analysis/Core/CharTokenizer.cs + Letter/
+    * Whitespace/LowerCaseTokenizer): maximal runs of accepted chars.
+    * Lowercasing belongs to the chain's LowerCaseFilter stage (the
+    * LowerCaseTokenizer fusion is an optimization, not a semantic). */
+  def charTokenize(accept: Int => Boolean)(s: String): Array[RawToken] = {
+    val out = new ArrayBuffer[RawToken]()
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      val cp = s.codePointAt(i)
+      if (accept(cp)) {
+        val start = i
+        var j = i
+        while (j < n && accept(s.codePointAt(j))) j += Character.charCount(s.codePointAt(j))
+        out += RawToken(s.substring(start, j), start, j, "word")
+        i = j
+      } else i += Character.charCount(cp)
+    }
+    out.toArray
+  }
+
+  /** LetterTokenizer: runs of Unicode letters. */
+  val letterTokenize: String => Array[RawToken] =
+    charTokenize(Character.isLetter)(_)
+
+  /** WhitespaceTokenizer: runs of non-whitespace. */
+  val whitespaceTokenize: String => Array[RawToken] =
+    charTokenize(cp => !Character.isWhitespace(cp))(_)
+
+  /** NGramTokenizer (Analysis/NGram/NGramTokenizer.cs, 4.4 semantics):
+    * all codepoint n-grams of sizes [minGram, maxGram] over the raw
+    * input, start-major then increasing size — "abcde" (1,2) → a, ab, b,
+    * bc, c, cd, d, de, e. Every gram advances the position (the 4.4
+    * tokenizer's posIncr is always 1). */
+  def ngramTokenize(minGram: Int, maxGram: Int)(s: String): Array[RawToken] = {
+    require(minGram >= 1 && minGram <= maxGram, "invalid gram range")
+    // codepoint start offsets
+    val starts = new ArrayBuffer[Int]()
+    var i = 0
+    while (i < s.length) { starts += i; i += Character.charCount(s.codePointAt(i)) }
+    starts += s.length
+    val out = new ArrayBuffer[RawToken]()
+    var a = 0
+    val ncp = starts.length - 1
+    while (a < ncp) {
+      var g = minGram
+      while (g <= maxGram && a + g <= ncp) {
+        out += RawToken(s.substring(starts(a), starts(a + g)), starts(a), starts(a + g), "word")
+        g += 1
+      }
+      a += 1
+    }
+    out.toArray
+  }
+
+  /** EdgeNGramTokenizer (Analysis/NGram/EdgeNGramTokenizer.cs, FRONT) and
+    * the deprecated BACK side (Lucene43EdgeNGramTokenizer) — "abcde"
+    * (1,3) → a, ab, abc / e, de, cde. */
+  def edgeNGramTokenize(minGram: Int, maxGram: Int, back: Boolean = false)
+      (s: String): Array[RawToken] = {
+    require(minGram >= 1 && minGram <= maxGram, "invalid gram range")
+    val starts = new ArrayBuffer[Int]()
+    var i = 0
+    while (i < s.length) { starts += i; i += Character.charCount(s.codePointAt(i)) }
+    starts += s.length
+    val ncp = starts.length - 1
+    val out = new ArrayBuffer[RawToken]()
+    var g = minGram
+    while (g <= maxGram && g <= ncp) {
+      if (back) out += RawToken(s.substring(starts(ncp - g), s.length), starts(ncp - g), s.length, "word")
+      else out += RawToken(s.substring(0, starts(g)), 0, starts(g), "word")
+      g += 1
+    }
+    out.toArray
+  }
 }

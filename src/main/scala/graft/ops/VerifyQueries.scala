@@ -897,6 +897,76 @@ object VerifyQueries {
        |       CAST(count(*) AS BIGINT) AS cnt
        |FROM pts GROUP BY 1, 2 ORDER BY cell_x, cell_y""".stripMargin
 
+  /** Geohash heat map (reference: Lucene.Net.Spatial/Prefix/Tree/
+    * GeohashPrefixTree.cs — the second prefix tree): counts per
+    * precision-3 geohash cell. The engine side is the codegen'd
+    * [[graft.spatial.Geohash.geohashCol]]; the oracle rebuilds the
+    * 15-bit lon-first MSB interleave with explicit SQL bit arithmetic and
+    * maps 5-bit groups through the base-32 alphabet — equality proves the
+    * unrolled column interleave IS the published geohash. */
+  def qGeohashCells(spark: SparkSession, sf: String): DataFrame = {
+    graft.spatial.Geohash // touch to load
+    eventPoints(spark, sf)
+      .withColumn("gh", graft.spatial.Geohash.geohashCol(col("lat"), col("lon"), 3))
+      .groupBy("gh").count().withColumnRenamed("count", "cnt")
+      .orderBy(col("gh"))
+  }
+  val oGeohashCells: String = {
+    // precision 3: 15 bits, 8 lon + 7 lat, MSB-first, lon bit first
+    val bitTerms = (0 until 15).map { i =>
+      val (src, srcBit) =
+        if (i % 2 == 0) ("lonq", 7 - i / 2) else ("latq", 6 - i / 2)
+      s"((($src >> $srcBit) & 1) << ${14 - i})"
+    }.mkString(" | ")
+    val alphabet = "0123456789bcdefghjkmnpqrstuvwxyz"
+    s"""$OraclePts,
+       |q AS (
+       |  SELECT least(255, greatest(0,
+       |           CAST(floor((lon + 180.0e0) / 360.0e0 * 256.0e0) AS BIGINT))) AS lonq,
+       |         least(127, greatest(0,
+       |           CAST(floor((lat + 90.0e0) / 180.0e0 * 128.0e0) AS BIGINT))) AS latq
+       |  FROM pts
+       |), acc AS (SELECT ($bitTerms) AS a FROM q)
+       |SELECT substr('$alphabet', CAST((a >> 10) & 31 AS INT) + 1, 1)
+       |    || substr('$alphabet', CAST((a >> 5) & 31 AS INT) + 1, 1)
+       |    || substr('$alphabet', CAST(a & 31 AS INT) + 1, 1) AS gh,
+       |  CAST(count(*) AS BIGINT) AS cnt
+       |FROM acc GROUP BY 1 ORDER BY gh""".stripMargin
+  }
+
+  /** Spatial text front-end (reference: Queries/SpatialArgsParser.cs):
+    * `Intersects(BUFFER(POINT(x y), dDeg))` parsed and executed — the
+    * circle's degree radius converts through the same km-per-degree
+    * constant the band math uses, and the oracle is the plain haversine
+    * predicate at that radius. */
+  def qSpatialArgs(spark: SparkSession, sf: String): DataFrame = {
+    val args = graft.spatial.SpatialArgs.parse(
+      "Intersects(BUFFER(POINT(10.0 20.0), 18.0))")
+    graft.spatial.SpatialArgs.query(eventPoints(spark, sf),
+        col("lat"), col("lon"), args)
+      .select(col("event_id"), round(col("dist_km"), 6).as("dist_km"))
+      .orderBy(col("dist_km"), col("event_id")).limit(50)
+  }
+  val oSpatialArgs: String = {
+    val radiusKm = 18.0 * 111.19492664455873d // the engine's exact double
+    s"""$OraclePts
+       |SELECT event_id,
+       |  round(2.0e0 * 6371.0e0 * asin(least(1.0e0, sqrt(
+       |    sin((20.0e0 - lat) * 1.7453292519943295e-2 / 2.0e0)
+       |      * sin((20.0e0 - lat) * 1.7453292519943295e-2 / 2.0e0)
+       |    + cos(lat * 1.7453292519943295e-2) * cos(20.0e0 * 1.7453292519943295e-2)
+       |      * sin((10.0e0 - lon) * 1.7453292519943295e-2 / 2.0e0)
+       |      * sin((10.0e0 - lon) * 1.7453292519943295e-2 / 2.0e0)))), 6) AS dist_km
+       |FROM pts
+       |WHERE 2.0e0 * 6371.0e0 * asin(least(1.0e0, sqrt(
+       |    sin((20.0e0 - lat) * 1.7453292519943295e-2 / 2.0e0)
+       |      * sin((20.0e0 - lat) * 1.7453292519943295e-2 / 2.0e0)
+       |    + cos(lat * 1.7453292519943295e-2) * cos(20.0e0 * 1.7453292519943295e-2)
+       |      * sin((10.0e0 - lon) * 1.7453292519943295e-2 / 2.0e0)
+       |      * sin((10.0e0 - lon) * 1.7453292519943295e-2 / 2.0e0)))) <= ${radiusKm}e0
+       |ORDER BY dist_km, event_id LIMIT 50""".stripMargin
+  }
+
   /** Percolation (reference: Lucene.Net.Memory/MemoryIndex.cs — the
     * prospective-search primitive). 100 stored conjunctive queries are
     * derived deterministically from the term dictionary (rank by df desc,
@@ -3284,6 +3354,8 @@ object VerifyQueries {
     "q_spatial_indexed" -> qSpatialIndexed _,
     "q_spatial_distance" -> qSpatialDistance _,
     "q_spatial_cells" -> qSpatialCells _,
+    "q_geohash_cells" -> qGeohashCells _,
+    "q_spatial_args" -> qSpatialArgs _,
     "q_percolate" -> qPercolate _,
     "q_percolate_phrase" -> qPercolatePhrase _,
     "q_duplicate_filter" -> qDuplicateFilter _,
@@ -3411,6 +3483,8 @@ object VerifyQueries {
     "q_spatial_indexed" -> oSpatialIndexed,
     "q_spatial_distance" -> oSpatialDistance,
     "q_spatial_cells" -> oSpatialCells,
+    "q_geohash_cells" -> oGeohashCells,
+    "q_spatial_args" -> oSpatialArgs,
     "q_percolate" -> oPercolate,
     "q_percolate_phrase" -> oPercolatePhrase,
     "q_duplicate_filter" -> oDuplicateFilter,

@@ -111,4 +111,110 @@ object Highlighter {
     }
     Some(Fragment(sb.toString, end - best + 1))
   }
+
+  /** NullFragmenter semantics (reference:
+    * Highlight/NullFragmenter.cs — "the entire text as one fragment"):
+    * mark every hit in the FULL content, no windowing. Overlap groups
+    * dedupe like the windowed paths. */
+  def markAll(content: String, hitOffsets: Seq[(Int, Int)],
+              preTag: String = "<b>", postTag: String = "</b>"): String = {
+    val sorted = hitOffsets.sorted
+    val keep = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    var lastEnd = -1
+    sorted.foreach { h => if (h._1 >= lastEnd) { keep += h; lastEnd = h._2 } }
+    val sb = new StringBuilder(content)
+    keep.reverseIterator.foreach { case (s, e) =>
+      sb.insert(e, postTag)
+      sb.insert(s, preTag)
+    }
+    sb.toString
+  }
+
+  /** OffsetLimitTokenFilter semantics (reference:
+    * Highlight/OffsetLimitTokenFilter.cs:30-55): only the first
+    * `offsetLimit` chars of the content participate in highlighting —
+    * the reference stops the token stream once offsets pass the limit. */
+  def bestFragmentLimited(analyzer: Analyzer, content: String,
+      queryTerms: Set[String], offsetLimit: Int, windowTokens: Int = 12,
+      preTag: String = "<b>", postTag: String = "</b>"): Option[Fragment] =
+    bestFragment(analyzer, content.substring(0, math.min(offsetLimit, content.length)),
+      queryTerms, windowTokens, preTag, postTag)
+
+  /** Markup encoders + score-gradient formatting (reference:
+    * Highlight/SimpleHTMLEncoder.cs, GradientFormatter.cs,
+    * SpanGradientFormatter.cs). */
+  object Formatters {
+
+    /** SimpleHTMLEncoder.HtmlEncode (:44-80): &, <, >, ", ' escaped —
+      * apply to fragment text BEFORE inserting tags when the content may
+      * contain markup. */
+    def htmlEncode(s: String): String = {
+      val sb = new java.lang.StringBuilder(s.length + 16)
+      s.foreach {
+        case '&' => sb.append("&amp;")
+        case '<' => sb.append("&lt;")
+        case '>' => sb.append("&gt;")
+        case '"' => sb.append("&quot;")
+        case '\'' => sb.append("&#x27;")
+        case c => sb.append(c)
+      }
+      sb.toString
+    }
+
+    /** GradientFormatter (:30-200): linear per-channel interpolation
+      * between min and max colors by score/maxScore, clamped to [0,1];
+      * returns the `<font …>` open tag the reference emits (color and/or
+      * background present when their gradient endpoints were given). */
+    final case class Gradient(maxScore: Float,
+        minForegroundColor: Option[String] = None,
+        maxForegroundColor: Option[String] = None,
+        minBackgroundColor: Option[String] = None,
+        maxBackgroundColor: Option[String] = None) {
+
+      private def channel(hex: String, i: Int): Int =
+        Integer.parseInt(hex.stripPrefix("#").substring(i * 2, i * 2 + 2), 16)
+
+      private def interpolate(min: String, max: String, score: Float): String = {
+        val f = math.min(1f, math.max(0f, score / maxScore))
+        val rgb = (0 until 3).map { i =>
+          val v = channel(min, i) + ((channel(max, i) - channel(min, i)) * f).toInt
+          f"$v%02x"
+        }.mkString
+        "#" + rgb
+      }
+
+      def foreground(score: Float): Option[String] = for {
+        lo <- minForegroundColor; hi <- maxForegroundColor
+      } yield interpolate(lo, hi, score)
+
+      def background(score: Float): Option[String] = for {
+        lo <- minBackgroundColor; hi <- maxBackgroundColor
+      } yield interpolate(lo, hi, score)
+
+      /** The open/close tag pair for one hit at `score`. */
+      def tags(score: Float): (String, String) = {
+        val fg = foreground(score).map(c => s"""color="$c" """).getOrElse("")
+        val bg = background(score).map(c => s"""style="background: $c" """).getOrElse("")
+        (s"<font $fg$bg>".replace(" >", ">"), "</font>")
+      }
+    }
+  }
+
+  /** Per-hit scored markup — the GradientFormatter/SpanGradientFormatter
+    * application shape: each hit carries its own score and gets its own
+    * interpolated tags. */
+  def markAllScored(content: String, hits: Seq[(Int, Int, Float)],
+      gradient: Formatters.Gradient): String = {
+    val sorted = hits.sortBy(h => (h._1, h._2))
+    val keep = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Float)]
+    var lastEnd = -1
+    sorted.foreach { h => if (h._1 >= lastEnd) { keep += h; lastEnd = h._2 } }
+    val sb = new StringBuilder(content)
+    keep.reverseIterator.foreach { case (s, e, sc) =>
+      val (pre, post) = gradient.tags(sc)
+      sb.insert(e, post)
+      sb.insert(s, pre)
+    }
+    sb.toString
+  }
 }

@@ -65,6 +65,100 @@ final class QueryParser(analyzer: Analyzer = Analyzer.standard,
     q
   }
 
+  /** PrecedenceQueryParser mode (reference:
+    * QueryParser/Flexible/Precedence/PrecedenceQueryParser.cs +
+    * BooleanModifiersQueryNodeProcessor.cs): same token syntax as
+    * [[parse]], but AND binds TIGHTER than OR instead of the classic
+    * parser's upgrade-the-neighbors behavior — `a AND b OR c` parses as
+    * `(+a +b) c`, `((a OR b) AND NOT c) OR d` as `(+(a b) -c) d`
+    * (TestPrecedenceQueryParser.cs:222-271). Explicit `+`/`-`/`NOT`
+    * modifiers override the AND-group default. */
+  def parsePrecedence(input: String): Query = {
+    val (q, rest) = precOr(new Lexer(input))
+    require(rest.peek.isEmpty, s"dangling input at '${rest.remaining}'")
+    q.getOrElse(BoolQ(Nil, Nil, Nil))
+  }
+
+  private def combineClauses(cl: Seq[(Occur, Query)]): Query = {
+    val must = cl.collect { case (Must, q) => q }
+    val should = cl.collect { case (Should, q) => q }
+    val mustNot = cl.collect { case (MustNot, q) => q }
+    (must, should, mustNot) match {
+      case (Seq(one), Nil, Nil) => one
+      case (Nil, Seq(one), Nil) => one
+      case _ => BoolQ(must, should, mustNot)
+    }
+  }
+
+  private def precOr(lx: Lexer): (Option[Query], Lexer) = {
+    val groups = ArrayBuffer.empty[(Occur, Query)]
+    var cur = lx
+    var done = false
+    while (!done && cur.peek.exists(_ != ")")) {
+      val (m, nx) = precAnd(cur)
+      m.foreach(groups += _)
+      cur = nx
+      if (cur.peek.exists(t => t == "OR" || t == "||")) cur = cur.advance
+      else if (!cur.peek.exists(_ != ")")) done = true
+      // bare adjacency = default OR: just loop
+    }
+    if (groups.isEmpty) (None, cur)
+    else (Some(combineClauses(groups.toSeq)), cur)
+  }
+
+  /** One AND-bound group; returns its occur at the enclosing OR level
+    * (a lone clause carries its own modifier up; a multi-clause AND
+    * group is itself an unmodified SHOULD member). */
+  private def precAnd(lx: Lexer): (Option[(Occur, Query)], Lexer) = {
+    val members = ArrayBuffer.empty[(Occur, Query)]
+    var cur = lx
+    val (m0, nx0) = precMod(cur)
+    m0.foreach(members += _)
+    cur = nx0
+    while (cur.peek.exists(t => t == "AND" || t == "&&")) {
+      cur = cur.advance
+      val (m, nx) = precMod(cur)
+      m.foreach(members += _)
+      cur = nx
+    }
+    if (members.isEmpty) (None, cur)
+    else if (members.length == 1) (Some(members(0)), cur)
+    else {
+      // AND group: unmodified members become MUST, explicit -/NOT stay out
+      val upgraded = members.toSeq.map {
+        case (Should, q) => (Must: Occur, q)
+        case other => other
+      }
+      (Some((Should, combineClauses(upgraded))), cur)
+    }
+  }
+
+  private def precMod(lx: Lexer): (Option[(Occur, Query)], Lexer) = {
+    var cur = lx
+    var occ: Occur = Should
+    cur.peek match {
+      case Some("NOT") | Some("!") => occ = MustNot; cur = cur.advance
+      case Some("+") => occ = Must; cur = cur.advance
+      case Some("-") => occ = MustNot; cur = cur.advance
+      case _ =>
+    }
+    if (cur.peek.contains("(")) {
+      val (q, nx) = precOr(cur.advance)
+      require(nx.peek.contains(")"), "unbalanced parenthesis")
+      var cur2 = nx.advance
+      var q2 = q
+      if (cur2.peek.exists(_.startsWith("^"))) {
+        val boost = cur2.peek.get.drop(1).toFloat
+        q2 = q2.map(applyBoost(_, boost))
+        cur2 = cur2.advance
+      }
+      (q2.map(qq => (occ, qq)), cur2)
+    } else {
+      val (q, nx) = parseClause(cur)
+      (q.map(qq => (occ, qq)), nx)
+    }
+  }
+
   // ------------------------------------------------------------- grammar
 
   private def parseQuery(lx: Lexer): (Query, Lexer) = {

@@ -1,6 +1,6 @@
 package graft.search
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Autocomplete + spell correction over the term dictionary (reference:
@@ -306,4 +306,64 @@ object Suggest {
       case Some(_) => lit(false) // empty alphabet: nothing can match
       case None => lit(true)
     }
+
+
+  // --- dictionary adapters (the reference's IDictionary family) --------
+
+  /** HighFrequencyDictionary (reference: Lucene.Net.Suggest/Spell/
+    * HighFrequencyDictionary.cs:34-60): the dictionary is the index's own
+    * terms ABOVE a document-frequency threshold — `thresh` is the
+    * fraction of live docs a term must appear in (the reference's float
+    * constructor arg; minDf = ceil(thresh × numDocs)). Feed the result
+    * to [[completeFromDictionary]] / spell checking. */
+  def highFrequencyDictionary(reader: IndexReader, thresh: Float): DataFrame = {
+    val live = reader.collectionStats.maxDoc -
+      graft.build.Deletes.tombstones(reader.spark, reader.dir).count()
+    val minDf = math.ceil(thresh.toDouble * live).toLong
+    reader.termDict.where(col("df") >= lit(minDf)).select(col("term"), col("df"))
+  }
+
+  /** LuceneDictionary (Spell/LuceneDictionary.cs): every index term,
+    * weightless (df carried for ranking parity with [[complete]]). */
+  def luceneDictionary(reader: IndexReader): DataFrame =
+    reader.termDict.select(col("term"), col("df"))
+
+  /** PlainTextDictionary / FileDictionary (Spell/PlainTextDictionary.cs,
+    * Suggest/FileDictionary.cs): caller-supplied entries — one term per
+    * row, FileDictionary's optional weight (default 1). At corpus scale
+    * the entries would arrive as a DataFrame already; this adapter is for
+    * driver-side lists (suggester bootstrapping). */
+  def plainTextDictionary(spark: org.apache.spark.sql.SparkSession,
+      entries: Seq[(String, Long)]): DataFrame = {
+    import spark.implicits._
+    entries.toDF("term", "df")
+  }
+
+  /** DocumentDictionary (Suggest/DocumentDictionary.cs:38-60): terms and
+    * weights drawn from document FIELDS — `termCol` supplies the
+    * suggestion text, `weightCol` its weight (the reference's weight
+    * field / DocumentValueSourceDictionary's computed value — pass any
+    * Column expression, the ValueSource analog). */
+  def documentDictionary(docs: DataFrame, termCol: Column,
+      weightCol: Column): DataFrame =
+    docs.select(termCol.as("term"), weightCol.cast("long").as("df"))
+      .where(col("term").isNotNull)
+
+  /** Prefix completion over ANY dictionary DataFrame (term, df) — the
+    * Lookup.Build + Lookup(prefix) pair for the adapters above. */
+  def completeFromDictionary(dict: DataFrame, prefix: String, k: Int): DataFrame =
+    dict.where(col("term").startsWith(prefix))
+      .orderBy(col("df").desc, col("term")).limit(k)
+
+  /** SuggestStopFilter (reference: Suggest/Analyzing/SuggestStopFilter.cs
+    * :30-100): query-side stop filter that KEEPS a trailing stopword the
+    * user may still be typing — "find the" keeps "the" (it reads as a
+    * prefix) while "the find" drops it; a kept trailing stopword is only
+    * kept when nothing follows it (endOffset == text end in the
+    * reference; last-token here). */
+  def suggestStopFilter(tokens: Array[graft.analysis.Token],
+      stopWords: Set[String]): Array[graft.analysis.Token] =
+    tokens.zipWithIndex.filter { case (t, i) =>
+      !stopWords.contains(t.term) || i == tokens.length - 1
+    }.map(_._1)
 }
