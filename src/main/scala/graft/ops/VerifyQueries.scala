@@ -1779,6 +1779,49 @@ object VerifyQueries {
        |SELECT count(DISTINCT d.lang) AS groups
        |FROM tf JOIN documents d USING (doc_id) WHERE tf.term = 'merge'""".stripMargin
 
+  /** DistinctValuesCollector (reference:
+    * Lucene.Net.Grouping/Term/TermDistinctValuesCollector.cs,
+    * Function/FunctionDistinctValuesCollector.cs): per group among the
+    * hits, the distinct values of a second field — rendered as a sorted
+    * joined string so the hash compare is array-free. One combinable
+    * aggregation ([[graft.search.Grouping.distinctValues]]). */
+  def qGroupDistinctValues(spark: SparkSession, sf: String): DataFrame = {
+    val dir = ensure(spark, sf)
+    val h = hits(spark, dir, Seq("merge")).select("doc_id")
+    val meta = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("lang"), col("source"))
+    graft.search.Grouping.distinctValues(
+        h.join(broadcast(meta), Seq("doc_id")), col("lang"), col("source"))
+      .select(col("group").as("lang"),
+        array_join(col("values"), ",").as("sources"),
+        col("distinct_count"))
+      .orderBy(col("lang"))
+  }
+  val oGroupDistinctValues: String =
+    s"""$OracleCtes
+       |SELECT d.lang AS lang,
+       |       string_agg(DISTINCT d.source, ',' ORDER BY d.source) AS sources,
+       |       CAST(count(DISTINCT d.source) AS BIGINT) AS distinct_count
+       |FROM tf JOIN documents d USING (doc_id) WHERE tf.term = 'merge'
+       |GROUP BY 1 ORDER BY lang""".stripMargin
+
+  /** TermsFilter (reference: Lucene.Net.Queries/TermsFilter.cs) through
+    * the Query ADT: constant-score any-of-terms set query — scores are
+    * exactly the boost (1.0), ranking is docId. */
+  def qTermsFilter(spark: SparkSession, sf: String): DataFrame = {
+    import spark.implicits._
+    val dir = ensure(spark, sf)
+    val s = new graft.search.Searcher(new graft.search.IndexReader(spark, dir))
+    val td: Array[graft.search.ScoreDoc] = s.search(
+      graft.search.Filters.termsFilter(Seq("merge", "vector", "quantum")), 30)
+    td.toSeq.map(d => (d.docId, d.score.toDouble)).toDF("doc_id", "score")
+  }
+  val oTermsFilter: String =
+    s"""$OracleCtes
+       |SELECT DISTINCT doc_id, 1.0e0 AS score FROM tf
+       |WHERE term IN ('merge', 'vector', 'quantum')
+       |ORDER BY doc_id LIMIT 30""".stripMargin
+
   /** AllGroupHeadsCollector (reference:
     * Lucene.Net.Grouping/AbstractAllGroupHeadsCollector.cs,
     * Term/TermAllGroupHeadsCollector.cs): for each group among the hits,
@@ -3393,6 +3436,8 @@ object VerifyQueries {
     "q_suggest_freetext" -> qSuggestFreetext _,
     "q_fold_term" -> qFoldTerm _,
     "q_group_distinct" -> qGroupDistinct _,
+    "q_group_distinct_values" -> qGroupDistinctValues _,
+    "q_terms_filter" -> qTermsFilter _,
     "q_group_heads" -> qGroupHeads _,
     "q_group_searchafter" -> qGroupSearchAfter _,
     "q_group_facet" -> qGroupFacet _,
@@ -3522,6 +3567,8 @@ object VerifyQueries {
     "q_suggest_freetext" -> oSuggestFreetext,
     "q_fold_term" -> oFoldTerm,
     "q_group_distinct" -> oGroupDistinct,
+    "q_group_distinct_values" -> oGroupDistinctValues,
+    "q_terms_filter" -> oTermsFilter,
     "q_group_heads" -> oGroupHeads,
     "q_group_searchafter" -> oGroupSearchAfter,
     "q_group_facet" -> oGroupFacet,

@@ -129,4 +129,138 @@ object SimpleText {
       out.iterator
     }.toDF("term", "docId", "tf", "positions")
   }
+
+
+  // --- the other SimpleText family members -----------------------------
+
+  private def writeFramed(spark: SparkSession, outDir: String, name: String,
+      header: Option[String], bodyLines: DataFrame, footer: String = "END\n"): Unit = {
+    val bodyDir = s"$outDir/_body_$name"
+    bodyLines.write.mode(SaveMode.Overwrite).text(bodyDir)
+    val outFs = new org.apache.hadoop.fs.Path(outDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val os = outFs.create(new org.apache.hadoop.fs.Path(s"$outDir/$name"), true)
+    try {
+      header.foreach(h => os.write(h.getBytes("UTF-8")))
+      outFs.listStatus(new org.apache.hadoop.fs.Path(bodyDir))
+        .filter(_.getPath.getName.startsWith("part-"))
+        .sortBy(_.getPath.getName)
+        .foreach { st =>
+          val in = outFs.open(st.getPath)
+          try org.apache.hadoop.io.IOUtils.copyBytes(in, os, 64 * 1024, false)
+          finally in.close()
+        }
+      os.write(footer.getBytes("UTF-8"))
+    } finally os.close()
+    outFs.delete(new org.apache.hadoop.fs.Path(bodyDir), true)
+  }
+
+  private val StoredFieldNames =
+    Seq("repo", "path", "commit", "lang", "content", "sha256")
+
+  /** SimpleTextStoredFieldsWriter (reference:
+    * Codecs/SimpleText/SimpleTextStoredFieldsWriter.cs:49-120 grammar):
+    * per doc `doc <n>` / `  numfields <k>` / per field `  field <num>` /
+    * `    name <name>` / `    type string` / `    value <v>`, closed by
+    * END — this engine's stored fields are the docs table's six string
+    * columns. Values with embedded newlines are escaped (\n) so the
+    * line grammar stays parseable; [[readStoredFields]] unescapes. */
+  def dumpStoredFields(spark: SparkSession, indexDir: String, outDir: String): Unit = {
+    import spark.implicits._
+    val docs = graft.build.DocsTable.read(spark, indexDir)
+    val lines = docs
+      .repartitionByRange(4, $"docId").sortWithinPartitions($"docId")
+      .select($"docId", $"repo", $"path", $"commit", $"lang", $"content", $"sha256")
+      .as[(Long, String, String, String, String, String, String)]
+      .map { case (id, repo, path, commitV, lang, content, sha) =>
+        val vals = Seq(repo, path, commitV, lang, content, sha)
+        val sb = new StringBuilder
+        sb.append("doc ").append(id).append('\n')
+        sb.append("  numfields ").append(vals.length)
+        vals.zipWithIndex.foreach { case (v, i) =>
+          sb.append('\n').append("  field ").append(i)
+          sb.append('\n').append("    name ").append(StoredFieldNames(i))
+          sb.append('\n').append("    type string")
+          sb.append('\n').append("    value ")
+            .append(if (v == null) "" else v.replace("\\", "\\\\").replace("\n", "\\n"))
+        }
+        sb.toString
+      }.toDF("value")
+    writeFramed(spark, outDir, "simpletext.fld", None, lines)
+  }
+
+  /** The lossless inverse of [[dumpStoredFields]]: (docId, field, value)
+    * rows. */
+  def readStoredFields(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.textFile(dir).coalesce(1).mapPartitions { it =>
+      var docId = -1L
+      var name: String = null
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String)]
+      it.foreach { row =>
+        row.split('\n').foreach { line =>
+          if (line.startsWith("doc ")) docId = line.substring(4).toLong
+          else if (line.startsWith("    name ")) name = line.substring(9)
+          else if (line.startsWith("    value "))
+            out += ((docId, name, line.substring(10)
+              .replace("\\n", "\n").replace("\\\\", "\\")))
+        }
+      }
+      out.iterator
+    }.toDF("docId", "field", "value")
+  }
+
+  /** SimpleTextLiveDocsFormat (reference:
+    * Codecs/SimpleText/SimpleTextLiveDocsFormat.cs:53-150): `size <n>`
+    * then one `  doc <i>` line per LIVE doc, then END. */
+  def dumpLiveDocs(spark: SparkSession, indexDir: String, outDir: String): Unit = {
+    import spark.implicits._
+    val docs = graft.build.DocsTable.read(spark, indexDir).select($"docId")
+    val dead = graft.build.Deletes.tombstones(spark, indexDir).toDF("deadId")
+    val size = docs.count()
+    val lines = docs.join(dead, $"docId" === $"deadId", "left_anti")
+      .repartitionByRange(4, $"docId").sortWithinPartitions($"docId")
+      .select($"docId").as[Long]
+      .map(id => s"  doc $id").toDF("value")
+    writeFramed(spark, outDir, "simpletext.liv", Some(s"size $size\n"), lines)
+  }
+
+  /** SimpleTextFieldInfosWriter (reference:
+    * Codecs/SimpleText/SimpleTextFieldInfosWriter.cs:47-140): the field
+    * schema rendered with the engine's real per-field capabilities —
+    * `content` positioned/normed with its sidecar levels, keyword fields
+    * indexed-only with norms omitted (DOCS_ONLY). Driver-sized (a
+    * handful of fields), written directly. */
+  def dumpFieldInfos(spark: SparkSession, indexDir: String, outDir: String,
+      keywordFields: Seq[String] = Seq("repo", "path", "commit", "lang")): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(indexDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def has(p: String) = fs.exists(new org.apache.hadoop.fs.Path(p))
+    val hasPos = has(IndexPaths.positions(indexDir))
+    val hasOff = has(IndexPaths.offsets(indexDir))
+    val hasPay = has(IndexPaths.payloads(indexDir))
+    val fields = ("content", true) +: keywordFields.map((_, false))
+    val sb = new StringBuilder
+    sb.append("number of fields ").append(fields.length).append('\n')
+    fields.zipWithIndex.foreach { case ((name, positioned), num) =>
+      sb.append("  name ").append(name).append('\n')
+      sb.append("  number ").append(num).append('\n')
+      sb.append("  indexed true\n")
+      sb.append("  term vectors false\n")
+      sb.append("  payloads ").append(positioned && hasPay).append('\n')
+      sb.append("  norms ").append(positioned).append('\n')
+      sb.append("  doc values null\n")
+      val opts =
+        if (!positioned) "DOCS_ONLY"
+        else if (hasOff) "DOCS_AND_FREQS_AND_POSITIONS_AND_OFFSETS"
+        else if (hasPos) "DOCS_AND_FREQS_AND_POSITIONS"
+        else "DOCS_AND_FREQS"
+      sb.append("  index options ").append(opts).append('\n')
+      sb.append("  attributes 0\n")
+    }
+    val outFs = new org.apache.hadoop.fs.Path(outDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val os = outFs.create(new org.apache.hadoop.fs.Path(s"$outDir/simpletext.inf"), true)
+    try os.write(sb.toString.getBytes("UTF-8")) finally os.close()
+  }
 }

@@ -176,4 +176,20 @@ object Facets {
     }
     unpivotRanges(df.agg(aggs.head, aggs.tail: _*), ranges.map(_.label))
   }
+
+
+  /** PrintTaxonomyStats analog (reference:
+    * Lucene.Net.Facet/Taxonomy/PrintTaxonomyStats.cs:38-90): per
+    * top-level DIMENSION, the ordinal count (distinct paths beneath it,
+    * the dimension itself included) and the total label occurrences —
+    * the summary the reference tool prints per top-level category. One
+    * aggregation over [[taxonomyCounts]]' prefix-exploded frame. */
+  def taxonomyStats(df: DataFrame, pathCol: String, sep: String = "/"): DataFrame = {
+    val counts = taxonomyCounts(df, pathCol, sep)
+    counts
+      .withColumn("dimension",
+        substring_index(col("path"), sep, 1))
+      .groupBy(col("dimension"))
+      .agg(count("*").as("ords"), sum(col("hits")).as("occurrences"))
+  }
 }

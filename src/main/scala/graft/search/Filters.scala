@@ -44,4 +44,15 @@ object Filters {
         case Xor => xor(acc, s)
       }
     }
+
+
+  /** TermsFilter (reference: Lucene.Net.Queries/TermsFilter.cs:38-60):
+    * docs containing ANY of a term set, constant-score — as a Query node
+    * it is the SHOULD union wrapped constant-score (the reference's
+    * bitset OR); keyword-field terms pass as `field:value` strings like
+    * everywhere else. */
+  def termsFilter(terms: Seq[String]): Query = {
+    require(terms.nonEmpty, "TermsFilter needs at least one term")
+    ConstantScoreQ(BoolQ(Nil, terms.distinct.map(TermQ(_)), Nil))
+  }
 }

@@ -48,4 +48,33 @@ object Grouping {
     hits.groupBy(col(groupCol))
       .agg(min(struct((sortKeys :+ col("doc_id")): _*)).as("head"))
       .select(col(groupCol), col("head.doc_id").as("doc_id"))
+
+  // --- Function* collectors (ValueSource-keyed grouping) ---------------
+
+  /** The Function*Collector family (reference:
+    * Lucene.Net.Grouping/Function/{FunctionAllGroupsCollector,
+    * FunctionAllGroupHeadsCollector,FunctionDistinctValuesCollector,
+    * FunctionFirstPassGroupingCollector}.cs): identical collectors keyed
+    * by a COMPUTED ValueSource instead of a field. On Spark a ValueSource
+    * is just a Column expression, so each is the same aggregation over
+    * `expr` — `groupBy(expr)` is as combinable as `groupBy(col)`. */
+  def allGroupsBy(hits: DataFrame, groupExpr: org.apache.spark.sql.Column): DataFrame =
+    hits.select(groupExpr.as("group")).distinct()
+
+  def allGroupHeadsBy(hits: DataFrame, groupExpr: org.apache.spark.sql.Column,
+                      sortKeys: Seq[org.apache.spark.sql.Column]): DataFrame =
+    hits.groupBy(groupExpr.as("group"))
+      .agg(min(struct((sortKeys :+ col("doc_id")): _*)).as("head"))
+      .select(col("group"), col("head.doc_id").as("doc_id"))
+
+  /** DistinctValuesCollector (Term/TermDistinctValuesCollector.cs,
+    * Function/FunctionDistinctValuesCollector.cs): for each group among
+    * the hits, the set of distinct values of a second field/expression —
+    * `collect_set` is the reference's per-group HashSet, map-side
+    * combined; the sorted array makes the result deterministic. */
+  def distinctValues(hits: DataFrame, groupExpr: org.apache.spark.sql.Column,
+                     valueExpr: org.apache.spark.sql.Column): DataFrame =
+    hits.groupBy(groupExpr.as("group"))
+      .agg(array_sort(collect_set(valueExpr)).as("values"),
+           countDistinct(valueExpr).as("distinct_count"))
 }

@@ -104,10 +104,27 @@ object Geohash {
 
   // ------------------------------------------------------------ column
 
-  /** Geohash of (lat, lon) as a codegen'd Column — the interleave is
-    * unrolled at plan-build time into shift/mask arithmetic over the
-    * quantized axes (the same shape as the quad tree's [[Spatial.mortonCol]]),
-    * then mapped through the alphabet; no UDF. */
+  // Morton magic-mask ladder over up-to-30-bit values (precision ≤ 12 →
+  // nlon ≤ 30): the DAG-free bit spread (each step references the prior
+  // step, not the input — the same shape [[Spatial.mortonCol]] uses).
+  private def spread30(c: Column): Column = {
+    var x = c.bitwiseAND(lit(0x3FFFFFFFL))
+    x = (x.bitwiseOR(shiftleft(x, 16))).bitwiseAND(lit(0x0000FFFF0000FFFFL))
+    x = (x.bitwiseOR(shiftleft(x, 8))).bitwiseAND(lit(0x00FF00FF00FF00FFL))
+    x = (x.bitwiseOR(shiftleft(x, 4))).bitwiseAND(lit(0x0F0F0F0F0F0F0F0FL))
+    x = (x.bitwiseOR(shiftleft(x, 2))).bitwiseAND(lit(0x3333333333333333L))
+    (x.bitwiseOR(shiftleft(x, 1))).bitwiseAND(lit(0x5555555555555555L))
+  }
+
+  /** Geohash of (lat, lon) as a codegen'd Column, no UDF. The MSB-first
+    * lon-first interleave IS a Morton code — geohash bit (14-2k) is lon
+    * bit k, bit (14-(2k+1)) is lat bit k, so
+    * `acc = spread(lonQ) | spread(latQ) << 1` — and the base-32 string
+    * is one `conv` + `translate` (conv's 0-9A-V digits mapped onto the
+    * geohash alphabet), so the interleave appears EXACTLY ONCE in the
+    * expression tree: naive per-char extraction would re-inline the
+    * whole interleave per character and blow the stage out of
+    * whole-stage codegen (PlanSpec asserts it stays in). */
   def geohashCol(lat: Column, lon: Column, precision: Int): Column = {
     require(precision >= 1 && precision <= MaxLevels, s"precision $precision")
     val bits = 5 * precision
@@ -117,22 +134,10 @@ object Geohash {
       floor((lon + 180.0d) / 360.0d * (1L << nlon).toDouble))).cast("long")
     val latQ = least(lit((1L << nlat) - 1), greatest(lit(0L),
       floor((lat + 90.0d) / 180.0d * (1L << nlat).toDouble))).cast("long")
-    // MSB-first interleave: global bit i (0 = MSB) ← lon bit when i even
-    var acc: Column = lit(0L)
-    var i = 0
-    while (i < bits) {
-      val src = if (i % 2 == 0) lonQ else latQ
-      val srcBit = (if (i % 2 == 0) nlon else nlat) - 1 - i / 2
-      acc = acc.bitwiseOR(
-        shiftleft(shiftright(src, srcBit).bitwiseAND(lit(1L)), bits - 1 - i))
-      i += 1
-    }
-    // 5-bit groups → alphabet chars
-    val chars = (0 until precision).map { j =>
-      val group = shiftright(acc, 5 * (precision - 1 - j)).bitwiseAND(lit(31L))
-      element_at(lit(Alphabet.toCharArray.map(_.toString)), (group + 1).cast("int"))
-    }
-    concat(chars: _*)
+    val acc = spread30(lonQ).bitwiseOR(shiftleft(spread30(latQ), 1))
+    translate(
+      lpad(conv(acc.cast("string"), 10, 32), precision, "0"),
+      "0123456789ABCDEFGHIJKLMNOPQRSTUV", Alphabet)
   }
 
   /** Covering cells of a bbox at `precision`: step the cell lattice over

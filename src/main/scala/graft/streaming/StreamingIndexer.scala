@@ -3,7 +3,7 @@ package graft.streaming
 import graft.analysis.Analyzer
 import graft.build.{CollectionStatsRow, IndexBuilder, IndexPaths, ManifestRow}
 import graft.corpus.SourceFile
-import org.apache.spark.sql.{Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
@@ -86,6 +86,36 @@ object StreamingIndexer {
         graft.build.Deletes.deleteDocs(spark, g, dead)
     }
     appendBatch(spark, batch, root, batchId, numPartitions, analyzerFor)
+  }
+
+  /** LiveFieldValues analog (reference:
+    * /root/reference/src/Lucene.Net/Search/LiveFieldValues.cs:30-120):
+    * the reference tracks id→value in a RAM map so searchers see a key's
+    * LAST indexed value before any reader refresh; here every generation
+    * is immediately readable, so the contract is one relational read:
+    * per primary key (`path`), the requested field from the NEWEST
+    * generation whose doc is still live (per-generation tombstones
+    * respected — an updateDocuments delete in gen g hides older values
+    * the same way the reference's delete purges the map). One
+    * struct-max aggregation, map-side combinable: max(struct(gen, docId,
+    * value)) per key. */
+  def liveFieldValues(spark: SparkSession, root: String,
+                      field: String): DataFrame = {
+    import spark.implicits._
+    val gens = generations(spark, root)
+    require(gens.nonEmpty, s"no generations under $root")
+    val perGen = gens.map { b =>
+      val dir = genDir(root, b)
+      val dead = graft.build.Deletes.tombstones(spark, dir).toDF("deadId")
+      graft.build.DocsTable.read(spark, dir)
+        .join(dead, col("docId") === col("deadId"), "left_anti")
+        .select(col("path"), lit(b).as("gen"), col("docId"),
+          col(field).cast("string").as("value"))
+    }
+    perGen.reduce(_.unionByName(_))
+      .groupBy(col("path"))
+      .agg(max(struct(col("gen"), col("docId"), col("value"))).as("w"))
+      .select(col("path"), col("w.value").as(field))
   }
 
   /** Start the streaming indexer on a SourceFile stream. */

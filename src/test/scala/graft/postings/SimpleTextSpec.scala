@@ -78,4 +78,52 @@ class SimpleTextSpec extends AnyFunSuite {
       assert(r.getSeq[Int](3).length === r.getInt(2))
     }
   }
+
+
+  test("stored fields dump: reference grammar + lossless roundtrip") {
+    val out = graft.SparkTestSession.tmpDir("graft-st-fld-")
+    SimpleText.dumpStoredFields(spark, dir, out)
+    val text = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$out/simpletext.fld")), "UTF-8")
+    assert(text.startsWith("doc 0\n  numfields 6\n  field 0\n    name repo\n    type string\n    value "))
+    assert(text.trim.endsWith("END"))
+    val back = SimpleText.readStoredFields(spark, out)
+    val docs = graft.build.DocsTable.read(spark, dir)
+    val origPaths = docs.select("docId", "path").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val dumped = back.where(org.apache.spark.sql.functions.col("field") === "path")
+      .collect().map(r => (r.getLong(0), r.getString(2))).toMap
+    assert(dumped == origPaths)
+  }
+
+  test("live docs dump lists exactly the non-tombstoned docs") {
+    import spark.implicits._
+    // fresh tiny index, delete one doc
+    val d = graft.SparkTestSession.tmpDir("graft-st-liv-")
+    IndexBuilder.build(spark, spark.createDataset(CorpusGen.local(5)), d, 2)
+    graft.build.Deletes.deleteDocs(spark, d, spark.createDataset(Seq(2L)))
+    val out = graft.SparkTestSession.tmpDir("graft-st-livout-")
+    SimpleText.dumpLiveDocs(spark, d, out)
+    val text = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$out/simpletext.liv")), "UTF-8")
+    val lines = text.linesIterator.toSeq
+    assert(lines.head == "size 5")
+    assert(lines.filter(_.startsWith("  doc ")).map(_.substring(6).toLong) ==
+      Seq(0L, 1L, 3L, 4L))
+    assert(lines.last == "END")
+  }
+
+  test("field infos dump reflects the index's real per-field capabilities") {
+    val out = graft.SparkTestSession.tmpDir("graft-st-inf-")
+    SimpleText.dumpFieldInfos(spark, posDir, out)
+    val text = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$out/simpletext.inf")), "UTF-8")
+    assert(text.startsWith("number of fields 5\n  name content\n"))
+    assert(text.contains("  index options DOCS_AND_FREQS_AND_POSITIONS\n"))
+    assert(text.contains("  name lang\n"))
+    // keyword fields are DOCS_ONLY with norms omitted
+    assert(text.contains("  index options DOCS_ONLY"))
+    val norms = text.linesIterator.filter(_.startsWith("  norms ")).toSeq
+    assert(norms.head == "  norms true" && norms.tail.forall(_ == "  norms false"))
+  }
 }

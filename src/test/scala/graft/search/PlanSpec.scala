@@ -401,4 +401,34 @@ class PlanSpec extends AnyFunSuite {
       gPlan.toString.contains("SortAggregate"),
       s"q_group_heads must be an aggregation:\n$gPlan")
   }
+
+
+  test("session-11 ops keep their scale shapes (geohash cells, spatial args)") {
+    import graft.ops.VerifyQueries
+    val sf = "/root/testdata/sf0.001"
+    // q_geohash_cells: the unrolled interleave is pure column arithmetic —
+    // scan → project → ONE combinable hash aggregate; no join, no window,
+    // and the whole pre-shuffle stage is codegen'd
+    val gdf = VerifyQueries.queries("q_geohash_cells")(spark, sf)
+    val gp = gdf.queryExecution.sparkPlan
+    assert(!gp.toString.toLowerCase.contains("join"), s"geohash cells joins:\n$gp")
+    assert(gp.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, "geohash cells plans a window")
+    // AQE renders only the header until the plan runs — execute THIS
+    // instance, then the final plan's '*(n)' markers prove the interleave
+    // stayed inside whole-stage codegen (the per-char extraction form
+    // regressed exactly here: 3x-inlined interleave -> no codegen stage)
+    gdf.collect()
+    val gs = gdf.queryExecution.executedPlan.toString
+    assert(gs.contains("*(") || gs.contains("WholeStageCodegen"),
+      s"geohash interleave fell out of codegen:\n$gs")
+    // q_spatial_args (circle): ONE filter stage carrying the haversine
+    // refine — no join, no window
+    val a = VerifyQueries.queries("q_spatial_args")(spark, sf).queryExecution.sparkPlan
+    assert(!a.toString.toLowerCase.contains("join"), s"spatial args joins:\n$a")
+    assert(a.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, "spatial args plans a window")
+  }
 }
