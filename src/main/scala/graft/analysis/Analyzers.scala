@@ -41,6 +41,13 @@ object Analyzers {
     new Analyzer(Set.empty, Int.MaxValue, Tokenizers.keyword,
       lowerCaser = Identity)
 
+  /** BrazilianAnalyzer (Analysis/Br/BrazilianAnalyzer.cs): standard
+    * chain + Portuguese stop set + [[BrazilianStemmer]] (the hand-coded
+    * Orengo-style default, not Snowball). */
+  val brazilian: Analyzer =
+    new Analyzer(Analyzer.PortugueseStopWords, 255, UAX29Tokenizer.tokenize,
+      Some(BrazilianStemmer.stemToken))
+
   /** UAX29URLEmailAnalyzer: URL/email-aware word break + lowercase +
     * English stop. */
   val uax29UrlEmail: Analyzer =

@@ -83,6 +83,12 @@ object ClassicTokenizer {
     var i = 0
     val n = s.length
     while (i < n) {
+      // every production starts with a letter or digit (CJ chars are
+      // letters) — skip separators without running the 13 matchers
+      val cp = s.codePointAt(i)
+      if (!Character.isLetterOrDigit(cp)) {
+        i += Character.charCount(cp)
+      } else {
       var bestEnd = i
       var bestType: String = null
       var r = 0
@@ -105,6 +111,7 @@ object ClassicTokenizer {
         else
           out += RawToken(s.substring(i, bestEnd), i, bestEnd, bestType)
         i = bestEnd
+      }
       }
     }
     out.toArray

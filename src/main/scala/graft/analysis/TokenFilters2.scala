@@ -294,4 +294,27 @@ object TokenFilters2 {
   /** TokenTypeSinkFilter over the typed RawToken stage. */
   def typeSink(ts: Array[RawToken], tpe: String): Array[RawToken] =
     ts.filter(_.tpe == tpe)
+
+
+  /** PrefixAwareTokenFilter (reference:
+    * Miscellaneous/PrefixAwareTokenFilter.cs:30-100): concatenate two
+    * token streams — the suffix stream's positions continue after the
+    * prefix's last position and its offsets are shifted past the
+    * prefix's last end offset (the reference's UpdateSuffixToken). Used
+    * to mark boundaries (e.g. a sentinel token ahead of a field). */
+  def prefixAware(prefix: Array[Token], suffix: Array[Token]): Array[Token] = {
+    if (prefix.isEmpty) return suffix
+    val lastPos = prefix.last.position
+    val lastEnd = prefix.last.endOff
+    prefix ++ suffix.map(t =>
+      t.copy(position = t.position + lastPos + 1,
+        startOff = t.startOff + lastEnd, endOff = t.endOff + lastEnd))
+  }
+
+  /** PrefixAndSuffixAwareTokenFilter (reference:
+    * Miscellaneous/PrefixAndSuffixAwareTokenFilter.cs): sandwich the
+    * input between a prefix and a suffix stream. */
+  def prefixAndSuffixAware(prefix: Array[Token], input: Array[Token],
+      suffix: Array[Token]): Array[Token] =
+    prefixAware(prefixAware(prefix, input), suffix)
 }

@@ -189,6 +189,26 @@ object SimpleText {
     writeFramed(spark, outDir, "simpletext.fld", None, lines)
   }
 
+  // single left-to-right pass: sequential replace("\\n"→NL, then
+  // "\\\\"→"\\") corrupts a literal backslash-n ("\\\\n" would decode to
+  // backslash+NL instead of backslash+n)
+  private def unescape(s: String): String = {
+    if (s.indexOf('\\') < 0) return s
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case 'n' => sb.append('\n'); i += 2
+          case '\\' => sb.append('\\'); i += 2
+          case _ => sb.append(c); i += 1
+        }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
   /** The lossless inverse of [[dumpStoredFields]]: (docId, field, value)
     * rows. */
   def readStoredFields(spark: SparkSession, dir: String): DataFrame = {
@@ -202,8 +222,7 @@ object SimpleText {
           if (line.startsWith("doc ")) docId = line.substring(4).toLong
           else if (line.startsWith("    name ")) name = line.substring(9)
           else if (line.startsWith("    value "))
-            out += ((docId, name, line.substring(10)
-              .replace("\\n", "\n").replace("\\\\", "\\")))
+            out += ((docId, name, unescape(line.substring(10))))
         }
       }
       out.iterator

@@ -358,12 +358,15 @@ object Suggest {
   /** SuggestStopFilter (reference: Suggest/Analyzing/SuggestStopFilter.cs
     * :30-100): query-side stop filter that KEEPS a trailing stopword the
     * user may still be typing — "find the" keeps "the" (it reads as a
-    * prefix) while "the find" drops it; a kept trailing stopword is only
-    * kept when nothing follows it (endOffset == text end in the
-    * reference; last-token here). */
+    * prefix) while "the find" drops it. The reference keeps the trailing
+    * stopword only when its END OFFSET touches the end of the input
+    * (:79-84 — "find the " with a trailing space means the word is
+    * finished, so it stops out like any other); pass `textLen` to get
+    * that check, omit it for the last-token-only approximation. */
   def suggestStopFilter(tokens: Array[graft.analysis.Token],
-      stopWords: Set[String]): Array[graft.analysis.Token] =
+      stopWords: Set[String], textLen: Int = -1): Array[graft.analysis.Token] =
     tokens.zipWithIndex.filter { case (t, i) =>
-      !stopWords.contains(t.term) || i == tokens.length - 1
+      !stopWords.contains(t.term) ||
+        (i == tokens.length - 1 && (textLen < 0 || t.endOff == textLen))
     }.map(_._1)
 }

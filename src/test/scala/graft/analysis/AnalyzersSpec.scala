@@ -37,6 +37,11 @@ class AnalyzersSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](Analyzers.snowball("klingon"))
   }
 
+  test("brazilian analyzer uses the hand-coded stemmer") {
+    assert(Analyzers.brazilian.analyze("boatos bobagem").tokens.map(_.term).toSeq ==
+      Seq("boat", "bobag"))
+  }
+
   test("limited and shingled wrappers") {
     val d = Analyzers.limited(Analyzer.noStop, 2)("a b c d")
     assert(d.tokens.map(_.term).toSeq == Seq("a", "b"))

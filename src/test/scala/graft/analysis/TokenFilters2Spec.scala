@@ -159,4 +159,19 @@ class TokenFilters2Spec extends AnyFunSuite {
     assert(TokenFilters2.typeSink(ClassicTokenizer.tokenize("foo 1-2"), "<NUM>")
       .map(_.term).toSeq == Seq("1-2"))
   }
+
+
+  test("prefix-aware concatenation shifts suffix positions and offsets") {
+    val pre = Array(Token("^", 0, 0, 1))
+    val in = tok("a", "b") // positions 0,1; offsets (0,1),(10,11)
+    val out = TokenFilters2.prefixAware(pre, in)
+    assert(out.map(_.term).toSeq == Seq("^", "a", "b"))
+    assert(out.map(_.position).toSeq == Seq(0, 1, 2))
+    assert(out(1).startOff == 1 && out(2).startOff == 11)
+    val both = TokenFilters2.prefixAndSuffixAware(pre, in, Array(Token("$", 0, 0, 1)))
+    assert(both.map(_.term).toSeq == Seq("^", "a", "b", "$"))
+    assert(both.last.position == 3)
+    // empty prefix is the identity
+    assert(TokenFilters2.prefixAware(Array.empty, in).toSeq == in.toSeq)
+  }
 }

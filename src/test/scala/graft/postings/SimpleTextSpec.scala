@@ -94,6 +94,13 @@ class SimpleTextSpec extends AnyFunSuite {
     val dumped = back.where(org.apache.spark.sql.functions.col("field") === "path")
       .collect().map(r => (r.getLong(0), r.getString(2))).toMap
     assert(dumped == origPaths)
+    // content carries real newlines — the escape/unescape roundtrip must
+    // be lossless, including a literal backslash-n (not the same as \n)
+    val origContent = docs.select("docId", "content").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val dumpedContent = back.where(org.apache.spark.sql.functions.col("field") === "content")
+      .collect().map(r => (r.getLong(0), r.getString(2))).toMap
+    assert(dumpedContent == origContent)
   }
 
   test("live docs dump lists exactly the non-tombstoned docs") {

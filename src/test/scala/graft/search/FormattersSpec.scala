@@ -70,5 +70,12 @@ class FormattersSpec extends AnyFunSuite {
       .map(_.term).toSeq == Seq("find"))
     assert(Suggest.suggestStopFilter(t("find", "the", "best"), stops)
       .map(_.term).toSeq == Seq("find", "best"))
+    // reference end-offset rule: "find the " (trailing space) stops "the"
+    val withOffs = Array(graft.analysis.Token("find", 0, 0, 4),
+      graft.analysis.Token("the", 1, 5, 8))
+    assert(Suggest.suggestStopFilter(withOffs, stops, textLen = 8)
+      .map(_.term).toSeq == Seq("find", "the"))
+    assert(Suggest.suggestStopFilter(withOffs, stops, textLen = 9)
+      .map(_.term).toSeq == Seq("find"))
   }
 }
