@@ -53,15 +53,42 @@ object DictSeek {
   def wildcardPrefix(pattern: String): String =
     pattern.takeWhile(c => c != '*' && c != '?')
 
+  /** True when the regex has an alternation at paren depth 0 outside a
+    * character class — the one place a '|' makes the LEADING literals
+    * optional. A '|' inside balanced parens ("ab(c|d)") or a class
+    * ("a[|]b") cannot reach past its group, so the literals before it
+    * remain a sound mandatory prefix. Escapes skip their next char;
+    * unbalanced ')' degrades to "top-level" (depth <= 0) so malformed
+    * patterns stay conservative. */
+  private[search] def hasTopLevelAlternation(rx: String): Boolean = {
+    var depth = 0
+    var inClass = false
+    var i = 0
+    while (i < rx.length) {
+      rx.charAt(i) match {
+        case '\\' => i += 1
+        case '[' if !inClass => inClass = true
+        case ']' if inClass => inClass = false
+        case '(' if !inClass => depth += 1
+        case ')' if !inClass => depth -= 1
+        case '|' if !inClass && depth <= 0 => return true
+        case _ =>
+      }
+      i += 1
+    }
+    false
+  }
+
   /** Leading literal run of a regex that is anchored at ^: plain chars
     * whose following char is not a quantifier. Conservative — stops at
     * any metacharacter, and yields NO prefix at all when the pattern
-    * contains an alternation anywhere ('|', even escaped — conservative),
-    * because a top-level `foo|bar` makes the leading literals optional
-    * and a range on them would silently drop the other branch's
-    * matches. */
+    * has a TOP-LEVEL alternation (a `foo|bar` branch makes the leading
+    * literals optional and a range on them would silently drop the other
+    * branch's matches); a grouped alternation ("f:(?:a|b)" — the
+    * multi-field keyword rewrite's shape) keeps its mandatory literal
+    * head. */
   def regexpPrefix(rx: String): String = {
-    if (rx.indexOf('|') >= 0) return ""
+    if (hasTopLevelAlternation(rx)) return ""
     val meta = ".?*+(){}[]|^$\\"
     val sb = new StringBuilder
     var i = 0

@@ -103,7 +103,13 @@ object MultiFieldQueryParser {
     case TermQ(t, b) => Some(TermQ(s"$f:$t", b))
     case PrefixQ(p, b) => Some(PrefixQ(s"$f:$p", b))
     case WildcardQ(p, b) => Some(WildcardQ(s"$f:$p", b))
-    case RegexpQ(r, b) => Some(RegexpQ(java.util.regex.Pattern.quote(f + ":") + r, b))
+    case RegexpQ(r, b) =>
+      // literal "f:" head + non-capturing group: the group keeps a
+      // top-level alternation in `r` from escaping the prefix, and the
+      // PLAIN literal head (no \Q quoting) stays visible to
+      // DictSeek.regexpPrefix so the rewritten query still seeks the
+      // field's dictionary slice
+      Some(RegexpQ(f + ":(?:" + r + ")", b))
     case FuzzyQ(t, e, b) => Some(FuzzyQ(s"$f:$t", e, b))
     case TermRangeQ(lo, hi, il, ih, b) =>
       Some(TermRangeQ(if (lo == null) f + ":" else s"$f:$lo",

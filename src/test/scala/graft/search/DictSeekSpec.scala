@@ -75,10 +75,18 @@ class DictSeekSpec extends AnyFunSuite {
     assert(DictSeek.regexpPrefix("ab?c") === "a")
     assert(DictSeek.regexpPrefix("(ab)c") === "")
     assert(DictSeek.regexpPrefix("a\\d") === "a")
-    // alternation makes the leading literal OPTIONAL — no prefix at all,
-    // or `foo|bar` would range-exclude every 'bar' match
+    // a TOP-LEVEL alternation makes the leading literal OPTIONAL — no
+    // prefix at all, or `foo|bar` would range-exclude every 'bar' match
     assert(DictSeek.regexpPrefix("foo|bar") === "")
-    assert(DictSeek.regexpPrefix("fo(o|b)ar") === "")
+    // …but a GROUPED alternation cannot reach past its parens: the
+    // literals before the group stay mandatory and still seek
+    assert(DictSeek.regexpPrefix("fo(o|b)ar") === "fo")
+    assert(DictSeek.regexpPrefix("lang:(?:scala|java)") === "lang:")
+    // class-contained and escaped pipes are literals, not alternations
+    assert(DictSeek.regexpPrefix("ab[|]c") === "ab")
+    assert(DictSeek.regexpPrefix("ab\\|c") === "ab")
+    // unbalanced close degrades to conservative no-prefix
+    assert(DictSeek.regexpPrefix(")a|b") === "")
   }
 
   test("succ produces the least upper bound of a prefix subtree") {

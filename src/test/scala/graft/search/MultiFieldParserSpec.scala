@@ -72,6 +72,17 @@ class MultiFieldParserSpec extends AnyFunSuite {
     assert(qf == BoolQ(Seq(TermQ("merge")), Nil, Seq(TermQ("path:merge"))))
   }
 
+  test("multi-field — regex keeps a seekable literal prefix and groups alternations") {
+    val mf = new MultiFieldQueryParser(Seq("lang"), Analyzer.noStop)
+    val q = mf.parse("/scala|java/").asInstanceOf[RegexpQ]
+    assert(q.regex == "lang:(?:scala|java)")
+    // the engine's anchored matcher: full-term semantics on the slice
+    assert("lang:java".matches("^(?:" + q.regex + ")$"))
+    assert(!"other:java".matches("^(?:" + q.regex + ")$"))
+    // the literal head is extractable for the dictionary seek
+    assert(DictSeek.regexpPrefix(q.regex).startsWith("lang:"))
+  }
+
   test("multi-field — open ranges close within the keyword field slice") {
     val mf = new MultiFieldQueryParser(Seq("lang"), Analyzer.noStop)
     val q = mf.parse("[a TO *]").asInstanceOf[TermRangeQ]
