@@ -459,7 +459,20 @@ final class KStemmer(lexicon: Iterable[String]) extends Serializable {
 
   /** Stem one (already-lowercased) term. Returns the term itself when the
     * stemmer declines (too short/long, non-alpha, dictionary no-change). */
+  // Owner-thread guard: the j/k/buffer state corrupts SILENTLY under
+  // concurrent use, so the first stem() pins the instance to its thread
+  // and any other thread fails loudly. Deserialized task copies re-pin
+  // (transient), so the construct-per-partition idiom is unaffected;
+  // genuinely shared use goes through [[KStemmer.threadLocal]].
+  @transient private var ownerThread: Long = 0L
+
   def stem(term: String): String = {
+    val t = Thread.currentThread().getId
+    if (ownerThread == 0L) ownerThread = t
+    else if (ownerThread != t)
+      throw new IllegalStateException(
+        s"KStemmer is not thread-safe: owned by thread $ownerThread, " +
+          s"called from $t — construct per task or use KStemmer.threadLocal")
     k = term.length - 1
     if (k <= 1 || k >= MaxWordLen - 1) return term
     val e0 = dict.get(term)
@@ -503,6 +516,17 @@ final class KStemmer(lexicon: Iterable[String]) extends Serializable {
 
 object KStemmer {
   private[analysis] val MaxWordLen = 50
+
+  /** A share-safe stem function: one [[KStemmer]] per calling thread
+    * (lazily built), so a single reference can cross thread boundaries —
+    * e.g. captured by a long-lived service — without tripping the
+    * owner-thread guard or corrupting buffer state. */
+  def threadLocal(lexicon: Iterable[String]): String => String = {
+    val tl = new ThreadLocal[KStemmer] {
+      override def initialValue(): KStemmer = new KStemmer(lexicon)
+    }
+    term => tl.get().stem(term)
+  }
 
   final class Entry(val root: String, val exception: Boolean) extends Serializable
 

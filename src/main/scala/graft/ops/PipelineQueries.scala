@@ -834,9 +834,33 @@ object PipelineQueries {
       |FROM a ORDER BY doc_id""".stripMargin
 
   /** Batched stub feature extraction — no SQL oracle (mapPartitions
-    * plumbing; driver records the rows-only check). */
+    * plumbing; driver records the rows-only check). Only the FLOAT
+    * feature moments stay rows-only; the integer half of the stub is
+    * oracled by [[qMultimodalFrames]]. */
   def qMultimodalStats(spark: SparkSession, sf: String): DataFrame =
     Multimodal.modalityStats(spark, docs(spark, sf))
+
+  /** The SQL-expressible half of the stub decoder: the stub's
+    * `n_frames = 1 + byte_len % 7` is exact integer arithmetic, so the
+    * per-modality (n, frames) counts CAN be oracled even while the float
+    * features stay rows-only — and the oracle still exercises the full
+    * batched mapPartitions decode path (it aggregates the decoder's
+    * OUTPUT, not a SQL shortcut). */
+  def qMultimodalFrames(spark: SparkSession, sf: String): DataFrame =
+    Multimodal.extractFeatures(spark, Multimodal.assets(docs(spark, sf))).toDF()
+      .groupBy(col("modality"))
+      .agg(count("*").as("n"), sum(col("n_frames")).cast("long").as("frames"))
+      .orderBy(col("modality"))
+  val oMultimodalFrames: String =
+    """WITH a AS (
+      |  SELECT doc_id,
+      |    ['image','audio','video','text'][CAST(doc_id % 4 + 1 AS INT)] AS modality,
+      |    CAST(octet_length(encode(text)) AS BIGINT) AS byte_len
+      |  FROM documents
+      |)
+      |SELECT modality, count(*) AS n,
+      |  CAST(sum(1 + byte_len % 7) AS BIGINT) AS frames
+      |FROM a GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** Production-hash MinHash LSH (xxhash64) — no SQL oracle (Spark-only
     * hash); correctness vs the parity path is asserted in ScalaTest. */
@@ -1522,7 +1546,8 @@ object PipelineQueries {
     "q_repetition" -> qRepetition _,
     "q_fingerprint" -> qFingerprint _,
     "q_multimodal_meta" -> qMultimodalMeta _,
-    "q_multimodal_stats" -> qMultimodalStats _)
+    "q_multimodal_stats" -> qMultimodalStats _,
+    "q_multimodal_frames" -> qMultimodalFrames _)
 
   val oracles: Map[String, String] = Map(
     "q_bpe_merge" -> oBpeMerge,
@@ -1572,5 +1597,6 @@ object PipelineQueries {
     "q_redact" -> oRedact,
     "q_repetition" -> oRepetition,
     "q_fingerprint" -> oFingerprint,
-    "q_multimodal_meta" -> oMultimodalMeta)
+    "q_multimodal_meta" -> oMultimodalMeta,
+    "q_multimodal_frames" -> oMultimodalFrames)
 }

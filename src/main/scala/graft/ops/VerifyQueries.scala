@@ -2544,6 +2544,47 @@ object VerifyQueries {
       |WHERE term IN ('ARROW', 'SCOPE', 'FATARROW')
       |GROUP BY doc_id, term ORDER BY doc_id, term""".stripMargin
 
+  /** HTMLStripCharFilter end-to-end (reference: Analysis/CharFilter/
+    * HTMLStripCharFilter.cs): each doc's text wrapped in synthetic
+    * markup (block tag + comment + inline tag + entity BEFORE the first
+    * token, so every offset is non-trivially shifted), stripped with
+    * offset correction, tokenized — and the FIRST token's corrected
+    * offsets slice the RAW markup back to the token text ("highlight
+    * the original web page"). The oracle recomputes the constant prefix
+    * arithmetic (39 markup chars before the text) and slices the same
+    * markup string in SQL. */
+  def qStripHtmlOffsets(spark: SparkSession, sf: String): DataFrame = {
+    import spark.implicits._
+    val tok = graft.analysis.CharFilters.wrapTokenizer(
+      graft.analysis.CharFilters.htmlStrip(),
+      graft.analysis.UAX29Tokenizer.tokenize)
+    spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id",
+        concat(lit("<div class=\"d\"><!-- id --><b>&amp;</b> "),
+          $"text", lit("</div>")).as("markup"))
+      .as[(Long, String)]
+      .flatMap { case (d, m) =>
+        tok(m).headOption.map(t => (d, t.term.toLowerCase,
+          t.startOff.toLong, t.endOff.toLong,
+          m.substring(t.startOff, math.min(t.endOff, m.length))))
+      }
+      .toDF("doc_id", "term", "start_off", "end_off", "snip")
+      .orderBy($"doc_id")
+  }
+  val oStripHtmlOffsets: String =
+    """WITH m AS (
+      |  SELECT doc_id,
+      |    '<div class="d"><!-- id --><b>&amp;</b> ' || text || '</div>' AS markup,
+      |    length(text) - length(ltrim(text, ' ')) AS lead,
+      |    regexp_extract(ltrim(text, ' '), '^[a-z0-9_]+') AS tok
+      |  FROM documents
+      |)
+      |SELECT doc_id, tok AS term,
+      |  CAST(39 + lead AS BIGINT) AS start_off,
+      |  CAST(39 + lead + length(tok) AS BIGINT) AS end_off,
+      |  substring(markup, 39 + lead + 1, length(tok)) AS snip
+      |FROM m WHERE tok <> '' ORDER BY doc_id""".stripMargin
+
   /** HyphenationCompoundWordTokenFilter end-to-end (reference:
     * Analysis/Compound/HyphenationCompoundWordTokenFilter.cs + the Liang
     * pattern engine): per-doc synthetic compounds decompounded through a
@@ -3475,6 +3516,7 @@ object VerifyQueries {
     "q_icu_tokenize" -> qIcuTokenize _,
     "q_pattern_tokenize" -> qPatternTokenize _,
     "q_mapping_charfilter" -> qMappingCharfilter _,
+    "q_strip_html_offsets" -> qStripHtmlOffsets _,
     "q_decompound_hyph" -> qDecompoundHyph _,
     "q_parse_ext" -> qParseExt _,
     "q_path_hierarchy" -> qPathHierarchy _,
@@ -3606,6 +3648,7 @@ object VerifyQueries {
     "q_icu_tokenize" -> oIcuTokenize,
     "q_pattern_tokenize" -> oPatternTokenize,
     "q_mapping_charfilter" -> oMappingCharfilter,
+    "q_strip_html_offsets" -> oStripHtmlOffsets,
     "q_decompound_hyph" -> oDecompoundHyph,
     "q_parse_ext" -> oParseExt,
     "q_path_hierarchy" -> oPathHierarchy,

@@ -363,56 +363,90 @@ object Dedup {
     * per PAIR either over-deletes or leaves duplicates, so docs must be
     * grouped into clusters and one keeper chosen per cluster.
     *
-    * Algorithm: iterative min-label propagation (the MapReduce-CC
-    * baseline of Kiveris et al., "Connected Components in MapReduce and
-    * Beyond", SoCC 2014). Every node starts labeled with its own id; each
-    * round takes `least(own, min(neighbor labels))`; fixpoint = every
-    * node holds its component's min id. Each round is ONE equi-join of
-    * the label table against the symmetric edge list plus one map-side-
-    * combinable min-aggregation — no driver-side graph, no windows.
-    * Rounds needed = graph diameter; near-dup clusters are near-cliques
-    * (an LSH bucket emits all its pairs), so 2-4 rounds in practice.
-    * Adversarial long chains would want the alternating star-contraction
-    * variant from the same paper (O(log n) rounds); the row shapes here
-    * are the building blocks it would reuse.
+    * Algorithm: alternating large-star / small-star contraction
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC 2014, Alg. 2/3): each round rewires every node's
+    * larger-neighbors (large-star) then its smaller-neighbors
+    * (small-star) to the minimum of its closed neighborhood. Both steps
+    * are ONE symmetric-edge groupBy-min plus one equi-join — no
+    * driver-side graph, no windows — and the composition converges in
+    * O(log n) rounds on ANY graph shape, including the adversarial long
+    * chains where plain min-label propagation needs diameter rounds
+    * (the reason the previous implementation threw after 30 rounds on
+    * path graphs). Near-dup clusters are near-cliques, which still
+    * finish in 2-3 rounds.
     *
-    * Convergence is detected by the label-sum invariant: labels only ever
-    * decrease, so `sum(labels)` is strictly monotone until the fixpoint —
-    * one decimal-exact aggregate per round instead of a change-count
-    * join. Each round's result is localCheckpoint'd to truncate lineage
-    * (an iterative plan would otherwise double in depth every round).
+    * Convergence: edge endpoints only ever move DOWN (every rewire
+    * targets a closed-neighborhood minimum), so (count, sum(u), sum(v))
+    * over the oriented edge set is monotone until the fixpoint; when the
+    * cheap decimal aggregates repeat, one definitive `except` pass
+    * (count already equal, so one direction suffices) confirms set
+    * equality. At the fixpoint the edges form stars centered at each
+    * component's minimum id — the labels are read straight off the edge
+    * list. Each round is localCheckpoint'd to truncate lineage (an
+    * iterative plan would otherwise double in depth every round).
     *
     * Returns `(node, cluster)` — cluster = min node id of the component.
     * Throws if `maxIter` rounds don't converge (honest failure beats a
-    * silently wrong partition of the corpus). */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 30): DataFrame = {
-    val edges = pairs.select(col("a").as("u"), col("b").as("v"))
-      .union(pairs.select(col("b").as("u"), col("a").as("v")))
-      .distinct().localCheckpoint(true)
-    var labels = edges.select(col("u").as("node")).distinct()
-      .select(col("node"), col("node").as("lab")).localCheckpoint(true)
-    def labSum(df: DataFrame): java.math.BigDecimal = {
-      val r = df.agg(sum(col("lab").cast("decimal(38,0)"))).head()
-      if (r.isNullAt(0)) java.math.BigDecimal.ZERO else r.getDecimal(0)
+    * silently wrong partition of the corpus; at O(log n) rounds the
+    * default 50 covers any practical corpus). */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+    val nodes = pairs.select(col("a").as("node"))
+      .union(pairs.select(col("b").as("node"))).distinct().localCheckpoint(true)
+    // canonical orientation u > v; self-loops carry no connectivity
+    var edges = pairs.select(greatest(col("a"), col("b")).as("u"),
+        least(col("a"), col("b")).as("v"))
+      .where(col("u") =!= col("v")).distinct().localCheckpoint(true)
+
+    // large-star: for each node, larger neighbors attach to the closed-
+    // neighborhood min; emitted edges stay (larger, smaller)-oriented
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy(col("u"))
+        .agg(min(col("v")).as("mn"))
+        .select(col("u").as("c"), least(col("u"), col("mn")).as("m"))
+      sym.join(mins, sym("u") === col("c"))
+        .where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .where(col("u") =!= col("v")).distinct()
     }
-    var prevSum = labSum(labels)
+    // small-star: each node's smaller neighbors (plus itself) attach to
+    // their min; input/output both (larger, smaller)-oriented
+    def smallStar(e: DataFrame): DataFrame = {
+      val mins = e.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val rewired = e.join(mins, Seq("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .where(col("u") =!= col("v"))
+      val self = mins.select(col("u"), col("m").as("v"))
+      rewired.union(self).distinct()
+    }
+
+    def stat(e: DataFrame): (Long, java.math.BigDecimal, java.math.BigDecimal) = {
+      val r = e.agg(count(lit(1)),
+        sum(col("u").cast("decimal(38,0)")), sum(col("v").cast("decimal(38,0)"))).head()
+      (r.getLong(0),
+        if (r.isNullAt(1)) java.math.BigDecimal.ZERO else r.getDecimal(1),
+        if (r.isNullAt(2)) java.math.BigDecimal.ZERO else r.getDecimal(2))
+    }
+    var prev = stat(edges)
+    var converged = prev._1 == 0L
     var iter = 0
-    while (iter < maxIter) {
-      val nbrMin = edges.join(labels, edges("v") === labels("node"))
-        .groupBy(col("u")).agg(min(col("lab")).as("nlab"))
-      val next = labels.join(nbrMin, labels("node") === nbrMin("u"), "left")
-        .select(labels("node"),
-          least(labels("lab"), coalesce(col("nlab"), labels("lab"))).as("lab"))
-        .localCheckpoint(true)
-      val s = labSum(next)
-      labels = next
+    while (!converged && iter < maxIter) {
+      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      val s = stat(next)
+      if (s._1 == prev._1 && s._2.compareTo(prev._2) == 0 &&
+          s._3.compareTo(prev._3) == 0 &&
+          next.except(edges).isEmpty) converged = true
+      edges = next
+      prev = s
       iter += 1
-      if (s.compareTo(prevSum) == 0) return labels
-      prevSum = s
     }
-    throw new IllegalStateException(
-      s"connectedComponents did not converge in $maxIter rounds — " +
-        "pathological chain graph; use a star-contraction variant")
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds")
+    val labels = edges.select(col("u").as("node"), col("v").as("lab"))
+    nodes.join(labels, Seq("node"), "left")
+      .select(col("node"), coalesce(col("lab"), col("node")).as("lab"))
   }
 
   /** MinHash near-dup clusters with keeper selection: every doc that

@@ -47,7 +47,7 @@ trait Explains { self: Searcher =>
         Explanation(m.value * b, s"Boosting: context matched, × $b", Seq(m, c))
       else Explanation(m.value, "Boosting: context not matched", Seq(m))
     case bq: BoolQ => explainBool(bq, docId)
-    case PhraseQ(terms, slop, boost) =>
+    case PhraseQ(terms, slop, boost, _) =>
       // one-doc point lookup: push the docId predicate, don't collect all
       val freqs: Option[(Float, Int)] =
         if (slop == 0)

@@ -85,7 +85,7 @@ final class MemoryIndex private (
       if (ss.isEmpty) None
       else { val mx = ss.max; Some(mx + tie * (ss.sum - mx)) }
 
-    case PhraseQ(terms, slop, b) =>
+    case PhraseQ(terms, slop, b, _) =>
       val freq =
         if (terms.size == 1) tf(terms.head).toFloat
         else if (slop == 0) exactPhraseFreq(terms.toIndexedSeq).toFloat
@@ -309,7 +309,7 @@ object MemoryIndex {
     * contribute nothing (sound, just less selective). */
   def requiredTerms(q: Query): Set[String] = q match {
     case TermQ(t, _) => Set(t)
-    case PhraseQ(ts, _, _) => ts.toSet
+    case PhraseQ(ts, _, _, _) => ts.toSet
     case BoolQ(must, _, _, _, _) => must.flatMap(requiredTerms).toSet
     case ConstantScoreQ(sub, _) => requiredTerms(sub)
     case FunctionScoreQ(sub, _) => requiredTerms(sub)

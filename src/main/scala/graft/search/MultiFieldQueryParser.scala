@@ -117,13 +117,25 @@ object MultiFieldQueryParser {
         // slice (":" + 1 = ";" prefix), not the global dictionary
         if (hi == null) f + ";" else s"$f:$hi",
         il, if (hi == null) false else ih, b))
-    case PhraseQ(terms, _, b) => Some(TermQ(s"$f:${terms.mkString(" ")}", b))
+    case PhraseQ(terms, _, b, raw) =>
+      // KeywordAnalyzer semantics: the EXACT quoted text is the keyword
+      // value. `raw` carries it through the parse untouched; analyzed
+      // terms (lowercased/stopped/stemmed) are only a fallback for
+      // hand-built PhraseQ nodes that never had a raw form.
+      Some(TermQ(s"$f:${raw.getOrElse(terms.mkString(" "))}", b))
     case BoolQ(must, should, mustNot, msm, b) =>
-      val m = must.flatMap(prefixField(_, f))
-      val s = should.flatMap(prefixField(_, f))
-      val n = mustNot.flatMap(prefixField(_, f))
-      if (m.isEmpty && s.isEmpty && n.isEmpty) None
-      else Some(BoolQ(m, s, n, msm, b))
+      // A MUST clause the keyword field can't express must fail the
+      // WHOLE per-field interpretation: dropping it would broaden the
+      // field's branch past the original semantics.
+      val m = must.map(prefixField(_, f))
+      if (m.exists(_.isEmpty)) None
+      else {
+        val s = should.flatMap(prefixField(_, f))
+        val n = mustNot.flatMap(prefixField(_, f))
+        val mm = m.flatten
+        if (mm.isEmpty && s.isEmpty && n.isEmpty) None
+        else Some(BoolQ(mm, s, n, msm, b))
+      }
     case ConstantScoreQ(sub, b) => prefixField(sub, f).map(ConstantScoreQ(_, b))
     case DisMaxQ(qs, tb) =>
       val sub = qs.flatMap(prefixField(_, f))

@@ -69,6 +69,93 @@ object Percolate {
     }
   }
 
+  /** Serialize a stored-query set into a TABLE — the non-broadcast
+    * percolation's stored side: (query_id, qbytes) with the Query ADT
+    * Java-serialized (all Query nodes are case classes). At real scale
+    * this table is persisted once and read per batch; the Seq overload is
+    * the bootstrap convenience. */
+  def queryTable(spark: org.apache.spark.sql.SparkSession,
+      queries: Seq[(Long, Query)]): DataFrame = {
+    import spark.implicits._
+    queries.map { case (id, q) => (id, serializeQuery(q)) }
+      .toDF("query_id", "qbytes")
+  }
+
+  private[graft] def serializeQuery(q: Query): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val oos = new java.io.ObjectOutputStream(bos)
+    oos.writeObject(q); oos.close()
+    bos.toByteArray
+  }
+
+  private[graft] def deserializeQuery(b: Array[Byte]): Query = {
+    val ois = new java.io.ObjectInputStream(new java.io.ByteArrayInputStream(b))
+    try ois.readObject().asInstanceOf[Query] finally ois.close()
+  }
+
+  /** Full-query percolation WITHOUT broadcasting the stored queries — the
+    * scale path for saved-search sets past broadcast size (millions of
+    * alerts): the required-term prescreen becomes an EQUI-JOIN of the
+    * docs' distinct terms against a (query_id, required term) table, the
+    * conjunctive count filter keeps only (query_id, doc_id) candidates
+    * whose doc holds ALL required terms, and the full [[MemoryIndex]]
+    * evaluation runs over candidates only — repartitioned by doc so each
+    * doc is analyzed ONCE per partition run, with a per-partition query
+    * deserialization cache. Queries with NO required terms (pure
+    * disjunctions over multi-term leaves) cannot be prescreened and fall
+    * back to evaluating against every doc — they are the percolation
+    * analog of a full scan and should be rare in a real alert set.
+    *
+    * Result ≡ [[memoryPercolate]] (PercolateSpec proves it with
+    * autoBroadcastJoinThreshold=-1). */
+  def memoryPercolateJoin(docs: DataFrame, queryTab: DataFrame,
+      analyzer: graft.analysis.Analyzer): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val qreq = queryTab.select(col("query_id"), col("qbytes"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, b) =>
+        val req = MemoryIndex.requiredTerms(deserializeQuery(b))
+        if (req.isEmpty) Iterator((id, null: String, 0))
+        else req.iterator.map(t => (id, t, req.size))
+      }.toDF("query_id", "term", "n_req")
+    val docTerms = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        analyzer.analyzeTerms(text).distinct.iterator.map(t => (id, t))
+      }.toDF("doc_id", "term")
+    val screened = qreq.where(col("term").isNotNull)
+      .join(docTerms, Seq("term"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("got"), max(col("n_req")).as("n_req"))
+      .where(col("got") === col("n_req"))
+      .select(col("query_id"), col("doc_id"))
+    val unscreenable = qreq.where(col("term").isNull)
+      .select(col("query_id")).distinct()
+      .crossJoin(docs.select(col("doc_id")))
+      .select(col("query_id"), col("doc_id"))
+    val candidates = screened.union(unscreenable)
+    candidates
+      .join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
+      .join(queryTab, Seq("query_id"))
+      .repartition(col("doc_id"))
+      .sortWithinPartitions(col("doc_id"))
+      .select(col("doc_id"), col("text"), col("query_id"), col("qbytes"))
+      .as[(Long, String, Long, Array[Byte])]
+      .mapPartitions { it =>
+        val qcache = scala.collection.mutable.HashMap.empty[Long, Query]
+        var curDoc = Long.MinValue
+        var mi: MemoryIndex = null
+        it.flatMap { case (docId, text, qid, qb) =>
+          if (docId != curDoc || mi == null) {
+            curDoc = docId
+            mi = MemoryIndex.fromText(text, analyzer)
+          }
+          val q = qcache.getOrElseUpdate(qid, deserializeQuery(qb))
+          if (mi.matches(q)) Iterator((qid, docId)) else Iterator.empty
+        }
+      }.toDF("query_id", "doc_id")
+  }
+
   /** Match stored conjunctive queries against document term sets.
     *
     * @param queries  (query_id: long, must: array<string> non-empty,

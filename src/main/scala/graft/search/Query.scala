@@ -42,8 +42,12 @@ final case class TermRangeQ(lower: String, upper: String,
     boost: Float = 1f) extends Query
 
 /** Exact phrase over positions (ExactPhraseScorer semantics); requires a
-  * positions-enabled index. */
-final case class PhraseQ(terms: Seq[String], slop: Int = 0, boost: Float = 1f) extends Query
+  * positions-enabled index. `raw`, when present, is the ORIGINAL quoted
+  * text before analysis — the KeywordAnalyzer view a keyword-field
+  * rewrite needs (MultiFieldQueryParser), since `terms` are already
+  * lowercased/stopped/stemmed by the content analyzer. */
+final case class PhraseQ(terms: Seq[String], slop: Int = 0, boost: Float = 1f,
+    raw: Option[String] = None) extends Query
 
 /** Phrase whose slot i accepts ANY of `slots(i)` (MultiPhraseQuery.cs);
   * slop > 0 runs the sloppy traversal over per-slot position unions. */

@@ -299,7 +299,7 @@ final class QueryParser(analyzer: Analyzer = Analyzer.standard,
           (if (parts.isEmpty) None else Some(ComplexPhraseQ(parts, slop)), cur)
         } else {
           val terms = analyzer.analyzeTerms(inner).toSeq
-          (if (terms.isEmpty) None else Some(PhraseQ(terms, slop)), cur)
+          (if (terms.isEmpty) None else Some(PhraseQ(terms, slop, raw = Some(inner))), cur)
         }
       case t if t.startsWith("[") || t.startsWith("{") =>
         // range token is pre-assembled by the lexer: [lo TO hi] / {lo TO hi}

@@ -482,7 +482,7 @@ final class Searcher(val reader: IndexReader, pruneMinBlocks: Int = 64,
     case ComplexPhraseQ(parts, slop, b) =>
       val slots = parts.map {
         case TermQ(t, _) => Seq(t)
-        case PhraseQ(Seq(t), _, _) => Seq(t)
+        case PhraseQ(Seq(t), _, _, _) => Seq(t)
         case mt if multiTermPred(mt).isDefined =>
           reader.expandTerms(multiTermPred(mt).get, maxClauseCount)
         case other => throw new IllegalArgumentException(
@@ -565,7 +565,7 @@ final class Searcher(val reader: IndexReader, pruneMinBlocks: Int = 64,
           if (matched == null) sd else ScoreDoc(sd.docId, sd.score * b)
         }
     case bq: BoolQ => scoredBool(bq)
-    case PhraseQ(terms, slop, boost) => scoredPhrase(terms, slop, boost)
+    case PhraseQ(terms, slop, boost, _) => scoredPhrase(terms, slop, boost)
     case SparsePhraseQ(parts, boost) => scoredSparsePhrase(parts, boost)
     case MultiPhraseQ(slots, slop, boost) => scoredMultiPhrase(slots, slop, boost)
     case mt if multiTermPred(mt).isDefined =>
@@ -1437,8 +1437,8 @@ final class Searcher(val reader: IndexReader, pruneMinBlocks: Int = 64,
 
   private def toSimClause(q: Query): SimClause = q match {
     case TermQ(t, b) => SimClause(Seq(t), 0, b, phrase = false)
-    case PhraseQ(Seq(t), _, b) => SimClause(Seq(t), 0, b, phrase = false)
-    case PhraseQ(ts, slop, b) => SimClause(ts, slop, b, phrase = true)
+    case PhraseQ(Seq(t), _, b, _) => SimClause(Seq(t), 0, b, phrase = false)
+    case PhraseQ(ts, slop, b, _) => SimClause(ts, slop, b, phrase = true)
     case other => throw new UnsupportedOperationException(
       s"searchWith clause must be a term or phrase, got $other")
   }

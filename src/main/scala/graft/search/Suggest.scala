@@ -314,12 +314,14 @@ object Suggest {
     * HighFrequencyDictionary.cs:34-60): the dictionary is the index's own
     * terms ABOVE a document-frequency threshold — `thresh` is the
     * fraction of live docs a term must appear in (the reference's float
-    * constructor arg; minDf = ceil(thresh × numDocs)). Feed the result
-    * to [[completeFromDictionary]] / spell checking. */
+    * constructor arg; minDf = (int)(thresh × numDocs) — TRUNCATED, as
+    * HighFrequencyDictionary.cs does, so terms with df between floor and
+    * ceil of the product are still included). Feed the result to
+    * [[completeFromDictionary]] / spell checking. */
   def highFrequencyDictionary(reader: IndexReader, thresh: Float): DataFrame = {
     val live = reader.collectionStats.maxDoc -
       graft.build.Deletes.tombstones(reader.spark, reader.dir).count()
-    val minDf = math.ceil(thresh.toDouble * live).toLong
+    val minDf = (thresh.toDouble * live).toLong
     reader.termDict.where(col("df") >= lit(minDf)).select(col("term"), col("df"))
   }
 

@@ -117,13 +117,17 @@ object Geohash {
   }
 
   /** Geohash of (lat, lon) as a codegen'd Column, no UDF. The MSB-first
-    * lon-first interleave IS a Morton code — geohash bit (14-2k) is lon
-    * bit k, bit (14-(2k+1)) is lat bit k, so
-    * `acc = spread(lonQ) | spread(latQ) << 1` — and the base-32 string
-    * is one `conv` + `translate` (conv's 0-9A-V digits mapped onto the
-    * geohash alphabet), so the interleave appears EXACTLY ONCE in the
-    * expression tree: naive per-char extraction would re-inline the
-    * whole interleave per character and blow the stage out of
+    * lon-first interleave IS a Morton code, but which lane (even/odd bit
+    * positions of the packed long) holds lon depends on the PARITY of
+    * `bits = 5*precision`: the LSB of the packed value is the LAST bit
+    * of the MSB-first sequence, which is a lon bit when `bits` is odd
+    * (odd precision) and a lat bit when `bits` is even. So
+    * `acc = spread(lon) | spread(lat) << 1` for odd precision and
+    * `acc = spread(lat) | spread(lon) << 1` for even — and the base-32
+    * string is one `conv` + `translate` (conv's 0-9A-V digits mapped
+    * onto the geohash alphabet), so the interleave appears EXACTLY ONCE
+    * in the expression tree: naive per-char extraction would re-inline
+    * the whole interleave per character and blow the stage out of
     * whole-stage codegen (PlanSpec asserts it stays in). */
   def geohashCol(lat: Column, lon: Column, precision: Int): Column = {
     require(precision >= 1 && precision <= MaxLevels, s"precision $precision")
@@ -134,7 +138,9 @@ object Geohash {
       floor((lon + 180.0d) / 360.0d * (1L << nlon).toDouble))).cast("long")
     val latQ = least(lit((1L << nlat) - 1), greatest(lit(0L),
       floor((lat + 90.0d) / 180.0d * (1L << nlat).toDouble))).cast("long")
-    val acc = spread30(lonQ).bitwiseOR(shiftleft(spread30(latQ), 1))
+    val acc =
+      if (bits % 2 == 1) spread30(lonQ).bitwiseOR(shiftleft(spread30(latQ), 1))
+      else spread30(latQ).bitwiseOR(shiftleft(spread30(lonQ), 1))
     translate(
       lpad(conv(acc.cast("string"), 10, 32), precision, "0"),
       "0123456789ABCDEFGHIJKLMNOPQRSTUV", Alphabet)

@@ -17,6 +17,11 @@ final case class DedupDecision(doc_id: Long, content_hash: String,
   * exactly as the batch path's `candidatePairs` applies `distinct`. */
 final case class CandidatePair(a: Long, b: Long)
 
+/** One streaming document with event time — the bounded-state dedup's
+  * input (TTL expiry is event-time-driven). */
+final case class TimedDoc(doc_id: Long, text: String,
+                          event_time: java.sql.Timestamp)
+
 private final case class BucketArrival(bucket: String, doc_id: Long)
 
 /** Streaming-ingest deduplication (beyond the reference, like
@@ -56,6 +61,68 @@ object StreamingDedup {
           }
           state.update(keeper)
           out.iterator
+      }
+  }
+
+  /** Exact-dedup verdicts with BOUNDED state — the production form of
+    * [[decisions]] for corpus-lifetime streams where a state entry per
+    * distinct content hash forever would grow the state store to the
+    * size of the corpus hash set:
+    *
+    *   - HOT TIER: state per content hash, expired `ttlMs` after the
+    *     hash's latest event time (EventTimeTimeout — expiry rides the
+    *     stream's own watermark, so reprocessing is deterministic).
+    *   - RECONCILIATION TIER: every arrival stream-static left-joins
+    *     `corpusHashes` (content_hash, keeper) — the compacted batch
+    *     table a periodic job maintains from this stream's own output
+    *     (e.g. `decisions.where(is_first)` appended each compaction
+    *     run). A duplicate arriving AFTER its hash's hot entry expired
+    *     is still verdicted against the original keeper through the
+    *     join; only hashes absent from BOTH tiers count as first.
+    *
+    * State is bounded by the TTL window's distinct-hash count instead of
+    * the corpus's; late duplicates beyond the TTL resolve through the
+    * batch table, which lives in cheap columnar storage instead of the
+    * state store. A doc whose hash expired before the compaction job
+    * recorded it re-enters as first — compaction cadence must beat the
+    * TTL, the documented operational contract. */
+  def decisionsBounded(docs: Dataset[TimedDoc],
+                       corpusHashes: org.apache.spark.sql.DataFrame,
+                       ttlMs: Long,
+                       maxLateness: String = "0 seconds"): Dataset[DedupDecision] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val hashed = docs.map(d => (d.doc_id, md5Hex(d.text), d.event_time))
+      .toDF("doc_id", "content_hash", "event_time")
+      .withWatermark("event_time", maxLateness)
+    val joined = hashed.join(
+        corpusHashes.select(col("content_hash"), col("keeper").as("batch_keeper")),
+        Seq("content_hash"), "left")
+      .select(col("doc_id"), col("content_hash"), col("event_time"),
+        col("batch_keeper"))
+      .as[(Long, String, java.sql.Timestamp, Option[Long])]
+    joined.groupByKey(_._2)
+      .flatMapGroupsWithState[Long, DedupDecision](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (hash: String, it: Iterator[(Long, String, java.sql.Timestamp, Option[Long])],
+         state: GroupState[Long]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val rows = it.toArray.sortBy(_._1)
+            val out = scala.collection.mutable.ArrayBuffer.empty[DedupDecision]
+            var keeper = state.getOption.getOrElse(-1L)
+            rows.foreach { case (id, _, _, batchKeeper) =>
+              if (keeper < 0) keeper = batchKeeper.getOrElse(id)
+              out += DedupDecision(id, hash, id == keeper, keeper)
+            }
+            state.update(keeper)
+            val maxEt = rows.iterator.map(_._3.getTime).max
+            // must exceed the current watermark or Spark rejects it
+            state.setTimeoutTimestamp(
+              math.max(maxEt, state.getCurrentWatermarkMs() + 1L) + ttlMs)
+            out.iterator
+          }
       }
   }
 

@@ -36,4 +36,21 @@ object StreamingPercolate {
         it.map(d => (d.doc_id, d.text))))
       .toDF("query_id", "doc_id")
   }
+
+  /** The NON-broadcast streaming form, for stored-query sets past
+    * broadcast size (millions of saved searches): per micro-batch, run
+    * [[graft.search.Percolate.memoryPercolateJoin]] — the required-term
+    * equi-join prescreen + candidate-only MemoryIndex refine — against
+    * the persisted query TABLE. Percolation is stateless per document,
+    * so `foreachBatch` composition is exact (each batch is an
+    * independent pure function of its rows); `sink` receives each
+    * batch's (query_id, doc_id) alerts with the batch id. */
+  def alertsJoinWriter(docs: Dataset[StreamDoc], queryTab: DataFrame,
+      analyzer: Analyzer = Analyzer.standard)(
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[StreamDoc] =
+    docs.writeStream.foreachBatch { (batch: Dataset[StreamDoc], id: Long) =>
+      sink(graft.search.Percolate.memoryPercolateJoin(
+        batch.toDF(), queryTab, analyzer), id)
+    }
 }

@@ -108,4 +108,72 @@ class CharFilterSpec extends AnyFunSuite {
       PorterStemmer.stem _, ignoreCase = true)
     assert(ic("mICE") === "mouse")
   }
+
+  // ---- HTMLStripCharFilter ----
+
+  test("htmlStrip: inline tags vanish, block tags separate, offsets point at the markup") {
+    val f = CharFilters.htmlStrip()
+    val html = """<div class="x">find <b>jobs</b> here</div>"""
+    val r = f(html)
+    assert(r.text === "\nfind jobs here\n")
+    val tok = CharFilters.wrapTokenizer(f, UAX29Tokenizer.tokenize)
+    val ts = toks(tok, html)
+    // end offsets ABSORB a directly-trailing stripped tag — the reference
+    // contract (HTMLStripCharFilter.cs positions each correction at
+    // output+substitution length with the NEW diff, and BaseCharFilter
+    // applies entries at offset <= off), so "jobs" ends after "</b>"
+    assert(ts === Seq(("find", 15, 19), ("jobs", 23, 31), ("here", 32, 36)))
+    // the corrected span always BEGINS with the token text in the markup
+    ts.foreach { case (term, s, e) => assert(html.substring(s, e).startsWith(term)) }
+  }
+
+  test("htmlStrip: entities decode with exact offsets; bare & and literal < survive") {
+    val f = CharFilters.htmlStrip()
+    val html = "a &amp; b &#65; &#x42; c & d < e &unknown; f"
+    val r = f(html)
+    assert(r.text === "a & b A B c & d < e &unknown; f")
+    // token offsets over the entity-decoded text map back onto the entity
+    val tok = CharFilters.wrapTokenizer(f, UAX29Tokenizer.tokenize)
+    val byTerm = toks(tok, html).map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(byTerm("A") === ((10, 15)), "span covers the whole &#65; entity")
+    assert(html.substring(10, 15) === "&#65;")
+    assert(byTerm("B") === ((16, 22)))
+  }
+
+  test("htmlStrip: script and style vanish with their content") {
+    val f = CharFilters.htmlStrip()
+    val html = "pre<script type=\"a\">var x = '<div>';</script>post<style>a{}</style>end"
+    assert(f(html).text === "pre\npost\nend")
+    val ts = toks(CharFilters.wrapTokenizer(f, UAX29Tokenizer.tokenize), html)
+    ts.foreach { case (term, s, e) => assert(html.substring(s, e).startsWith(term)) }
+  }
+
+  test("htmlStrip: comments, doctype, PI, CDATA markers removed; CDATA content kept") {
+    val f = CharFilters.htmlStrip()
+    val html = "<!DOCTYPE html><?xml v?>a <!-- note --> b <![CDATA[keep<this]]> c"
+    assert(f(html).text === "a  b keep<this c")
+    // 'keep' starts right after the CDATA open marker in the original;
+    // the '<' inside the section is NOT parsed as markup
+    val tok = CharFilters.wrapTokenizer(f, UAX29Tokenizer.tokenize)
+    val byTerm = toks(tok, html).map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(html.substring(byTerm("keep")._1).startsWith("keep"))
+    assert(byTerm.contains("this"), "CDATA content '<this' keeps its text")
+  }
+
+  test("htmlStrip: quoted '>' inside attributes does not close the tag") {
+    val f = CharFilters.htmlStrip()
+    assert(f("""x<a href="a>b" title='c>d'>y</a>z""").text === "xyz")
+  }
+
+  test("htmlStrip: escaped tags pass through verbatim") {
+    val f = CharFilters.htmlStrip(escapedTags = Set("b"))
+    val html = "<div>x <b>y</b></div>"
+    assert(f(html).text === "\nx <b>y</b>\n")
+  }
+
+  test("htmlStrip: unterminated markup degrades to literal text") {
+    val f = CharFilters.htmlStrip()
+    assert(f("a < b and 1<2").text === "a < b and 1<2")
+    assert(f("trailing <div unclosed").text === "trailing <div unclosed")
+  }
 }

@@ -91,4 +91,26 @@ class KStemSpec extends AnyFunSuite {
     assert(f("sorted") === "sorted") // protected
     assert(f("merges") === "merge")
   }
+
+  test("owner-thread guard: a shared instance fails LOUDLY from a second thread") {
+    val shared = new KStemmer(Nil)
+    assert(shared.stem("merges") === "merge") // pins the owner thread
+    @volatile var caught: Throwable = null
+    val t = new Thread(() =>
+      try shared.stem("indexes") catch { case e: Throwable => caught = e })
+    t.start(); t.join()
+    assert(caught != null, "cross-thread use must throw, not corrupt silently")
+    assert(caught.isInstanceOf[IllegalStateException])
+  }
+
+  test("threadLocal factory: one function reference safe across threads") {
+    val stemFn = KStemmer.threadLocal(lexicon)
+    assert(stemFn("merges") === "merge")
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val threads = (1 to 4).map(_ => new Thread(() =>
+      (1 to 50).foreach(_ => results.add(stemFn("indexing")))))
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(results.size === 200)
+    results.forEach(r => assert(r === "index"))
+  }
 }

@@ -29,7 +29,7 @@ class ClusterSpec extends AnyFunSuite {
       20L -> 20L, 30L -> 20L, 40L -> 40L, 41L -> 40L))
   }
 
-  test("connected components: long path needs diameter rounds and converges") {
+  test("connected components: long path converges (star contraction, O(log n))") {
     // path 10-9-8-...-1 with labels propagating from the far end — the
     // worst case for min-label propagation at this size.
     val path = (1L until 10L).map(i => i -> (i + 1))
@@ -38,10 +38,26 @@ class ClusterSpec extends AnyFunSuite {
     assert(labels.keySet === (1L to 10L).toSet)
   }
 
+  test("connected components: 1001-node chain (diameter 1000 >> maxIter) converges") {
+    // The adversarial shape that made min-label propagation throw: a
+    // path graph needs diameter rounds under label propagation but only
+    // O(log n) large-star/small-star rounds. 1001 nodes, diameter 1000,
+    // default maxIter 50 — converges with room to spare, all labeled 1.
+    val path = (1L until 1001L).map(i => i -> (i + 1))
+    val labels = cc(path)
+    assert(labels.values.toSet === Set(1L))
+    assert(labels.keySet === (1L to 1001L).toSet)
+  }
+
+  test("connected components: self-loops and isolated pair nodes keep their label") {
+    val labels = cc(Seq(7L -> 7L, 3L -> 4L))
+    assert(labels === Map(7L -> 7L, 3L -> 3L, 4L -> 3L))
+  }
+
   test("connected components: maxIter exhaustion throws instead of lying") {
-    val path = (1L until 10L).map(i => i -> (i + 1))
+    // maxIter=0 can never observe a stable round on a non-empty graph
     intercept[IllegalStateException] {
-      Dedup.connectedComponents(path.toDF("a", "b"), maxIter = 2).collect()
+      Dedup.connectedComponents(Seq(1L -> 2L).toDF("a", "b"), maxIter = 0).collect()
     }
   }
 

@@ -60,7 +60,31 @@ class MultiFieldParserSpec extends AnyFunSuite {
     assert(mf.parse("mer*") == BoolQ(Nil,
       Seq(PrefixQ("mer"), PrefixQ("path:mer")), Nil))
     assert(mf.parse("\"a b\"") == BoolQ(Nil,
-      Seq(PhraseQ(Seq("a", "b")), TermQ("path:a b")), Nil))
+      Seq(PhraseQ(Seq("a", "b"), raw = Some("a b")), TermQ("path:a b")), Nil))
+  }
+
+  test("multi-field — keyword phrase keeps the RAW quoted text (KeywordAnalyzer)") {
+    // A lowercasing/stopping content analyzer must not leak into the
+    // keyword value: "The README" analyzes to ["readme"] for content but
+    // the path branch matches the exact stored value.
+    val mf = new MultiFieldQueryParser(Seq("content", "path"), Analyzer.standard)
+    val q = mf.parse("\"The README\"").asInstanceOf[BoolQ]
+    assert(q.should.contains(TermQ("path:The README")))
+    // hand-built PhraseQ without raw still rewrites from analyzed terms
+    assert(MultiFieldQueryParser.prefixField(PhraseQ(Seq("a", "b")), "path")
+      .contains(TermQ("path:a b")))
+  }
+
+  test("multi-field — inexpressible MUST clause fails the whole field branch") {
+    // Dropping a required clause would broaden the branch; the rewrite
+    // must return None for the whole BoolQ instead.
+    val inexpressible = MatchAllQ()
+    val q = BoolQ(Seq(TermQ("a"), inexpressible), Seq(TermQ("b")), Nil)
+    assert(MultiFieldQueryParser.prefixField(q, "path").isEmpty)
+    // SHOULD/MUST_NOT drops still narrow-or-keep: fine to drop
+    val q2 = BoolQ(Seq(TermQ("a")), Seq(inexpressible, TermQ("b")), Nil)
+    assert(MultiFieldQueryParser.prefixField(q2, "path")
+      .contains(BoolQ(Seq(TermQ("path:a")), Seq(TermQ("path:b")), Nil)))
   }
 
   test("multi-field statics — parseEach and parseWithFlags") {

@@ -33,10 +33,10 @@ class QueryParserSpec extends AnyFunSuite {
   }
 
   test("quoted phrase with slop; stopwords analyzed out of phrase text") {
-    assert(p.parse("\"state machine\"") === PhraseQ(Seq("state", "machine")))
-    assert(p.parse("\"state machine\"~2") === PhraseQ(Seq("state", "machine"), 2))
+    assert(p.parse("\"state machine\"") === PhraseQ(Seq("state", "machine"), raw = Some("state machine")))
+    assert(p.parse("\"state machine\"~2") === PhraseQ(Seq("state", "machine"), 2, raw = Some("state machine")))
     // "of" is a stopword: analyzed phrase keeps remaining tokens
-    assert(p.parse("\"state of machine\"") === PhraseQ(Seq("state", "machine")))
+    assert(p.parse("\"state of machine\"") === PhraseQ(Seq("state", "machine"), raw = Some("state of machine")))
   }
 
   test("stopword-only clause vanishes") {

@@ -101,4 +101,23 @@ class GeohashSpec extends AnyFunSuite {
       assert(gh == Geohash.encode(lat, lon, 7), s"($lat,$lon)")
     }
   }
+
+  test("geohash column matches the scalar encoder at EVERY precision (parity)") {
+    // Even precisions flip which Morton lane holds lon (bits = 5*p even
+    // ⇒ the packed LSB is a lat bit): regression for the lane-swap bug
+    // that corrupted every even-precision column hash.
+    val spark = graft.SparkTestSession.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val pts = Seq((57.64911, 10.40744), (48.8588, 2.32), (-33.86, 151.20),
+      (0.0, 0.0), (89.9, 179.9), (-89.9, -179.9), (40.71, -74.0),
+      (35.68, 139.69), (-1.29, 36.82), (51.5, -0.12)).toDF("lat", "lon")
+    (1 to 12).foreach { p =>
+      val got = pts.withColumn("gh", Geohash.geohashCol(col("lat"), col("lon"), p))
+        .collect().map(r => (r.getDouble(0), r.getDouble(1), r.getString(2)))
+      got.foreach { case (lat, lon, gh) =>
+        assert(gh == Geohash.encode(lat, lon, p), s"precision=$p ($lat,$lon)")
+      }
+    }
+  }
 }

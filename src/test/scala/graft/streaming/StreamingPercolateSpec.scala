@@ -52,4 +52,44 @@ class StreamingPercolateSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toSet
     assert(batch === all)
   }
+
+  test("join path ≡ broadcast path with broadcast joins DISABLED") {
+    import spark.implicits._
+    // a query with no required terms (pure disjunction over multi-term
+    // leaves) exercises the unprescreenable fallback
+    val withDisj = stored :+ (5L -> BoolQ(
+      should = Seq(PrefixQ("compan"), TermQ("irrelevant"))))
+    val docs = (batch1 ++ batch2).toDF("doc_id", "text")
+    val qtab = Percolate.queryTable(spark, withDisj)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joinPath = Percolate.memoryPercolateJoin(
+        docs, qtab, graft.analysis.Analyzer.standard)
+        .as[(Long, Long)].collect().toSet
+      val bcPath = Percolate.memoryPercolate(
+        docs, withDisj, graft.analysis.Analyzer.standard)
+        .as[(Long, Long)].collect().toSet
+      assert(joinPath === bcPath)
+      assert(joinPath.contains((5L, 2L)), "disjunction query fires via fallback")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("streaming join path (foreachBatch) fires the same alerts per batch") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val qtab = Percolate.queryTable(spark, stored)
+    val mem = MemoryStream[StreamDoc]
+    val got = scala.collection.mutable.Set.empty[(Long, Long)]
+    val q = StreamingPercolate.alertsJoinWriter(mem.toDS(), qtab) {
+      (alerts, _) => got ++= alerts.as[(Long, Long)].collect()
+    }.trigger(Trigger.ProcessingTime(0)).start()
+    mem.addData(batch1)
+    q.processAllAvailable()
+    assert(got.toSet === Set((1L, 0L), (2L, 0L), (3L, 1L)))
+    mem.addData(batch2)
+    q.processAllAvailable()
+    q.stop()
+    assert(got.toSet === Set((1L, 0L), (2L, 0L), (3L, 1L), (4L, 2L)))
+  }
 }
