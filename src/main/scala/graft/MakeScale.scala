@@ -48,8 +48,8 @@ object MakeScale {
     docs.crossJoin(copies)
       .select(($"copy" * nDocs + $"doc_id").as("doc_id"),
         rotateWords($"text", $"copy").as("text"),
-        $"lang", $"source", $"n_chars", $"copy")
-      .drop("copy")
+        $"lang", $"source")
+      .withColumn("n_chars", length($"text").cast("long"))
       .repartition(32)
       .write.mode("overwrite").parquet(s"$dst/documents.parquet")
 
@@ -69,16 +69,33 @@ object MakeScale {
     }
   }
 
-  /** Rotate a space-separated text left by `k mod nWords` words — one
-    * codegen'd Column (split/slice/concat), no UDF. */
+  /** Rotate a space-separated text left by `k mod nWords` words, then
+    * substitute every 4th word (by a copy-dependent stride) with a
+    * copy-tagged token from a 50-token synthetic vocabulary — one
+    * codegen'd Column (split/slice/transform/concat), no UDF.
+    *
+    * The substitution is what keeps the scaled corpus dedup-realistic:
+    * rotation alone leaves every copy a NEAR-DUP of its original
+    * (3-shingle Jaccard ≈ 0.9), so at ×100 every doc has 99 near-dups
+    * and any pair-generating dedup family is forced quadratic by the
+    * DATA — the pair list itself is the output. With ~25% of words
+    * replaced, shingle survival is 0.75³ ≈ 0.42 → Jaccard ≈ 0.27,
+    * below the 0.35 gate threshold, so dup density stays realistic and
+    * dedup scales linearly. Copy 0 is the original text unchanged. */
   private def rotateWords(text: org.apache.spark.sql.Column,
       k: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     val words = split(text, " ")
     val n = size(words)
     val r = (k % greatest(n, lit(1))).cast("int")
-    when(r === 0, text).otherwise(
-      concat_ws(" ",
-        concat(slice(words, r + 1, n - r), slice(words, lit(1), r))))
+    val rotated =
+      when(r === 0, words).otherwise(
+        concat(slice(words, r + 1, n - r), slice(words, lit(1), r)))
+    val substituted = when(k === 0, rotated).otherwise(
+      zip_with(rotated, sequence(lit(0), n - 1),
+        (w, i) => when((i * 31 + k * 17) % 4 === 0,
+          concat(lit("w"), ((k * 13 + i) % 50).cast("string")))
+          .otherwise(w)))
+    concat_ws(" ", substituted)
   }
 
   /** Rotate an array left by `k mod len` positions (norm-preserving). */

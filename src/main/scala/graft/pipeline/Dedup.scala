@@ -93,14 +93,17 @@ object Dedup {
   }
 
   /** LSH band buckets: (doc_id, band, key). Docs sharing a bucket in any
-    * band are candidate near-duplicates. */
+    * band are candidate near-duplicates. ONE pass over the signatures —
+    * an explode of per-band structs, NOT a band-count union: a union of
+    * N selects re-evaluates the whole signature lineage N times (the
+    * sf1 gate measured the union form at ~16x the work). */
   def lshBuckets(sigs: DataFrame): DataFrame = {
-    val perBand = (0 until NumBands).map { b =>
+    val bands = (0 until NumBands).map { b =>
       val cols = (0 until RowsPerBand).map(r => col(s"h${b * RowsPerBand + r}"))
-      sigs.select(col("doc_id"), lit(b).as("band"),
-        concat_ws(",", cols: _*).as("key"))
+      struct(lit(b).as("band"), concat_ws(",", cols: _*).as("key"))
     }
-    perBand.reduce(_ union _)
+    sigs.select(col("doc_id"), explode(array(bands: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
   }
 
   /** Candidate pairs (a < b) sharing any LSH bucket. The bucket join is
@@ -118,9 +121,16 @@ object Dedup {
   /** Exact shingle-set Jaccard for given pairs. */
   def pairJaccard(pairs: DataFrame, ds: DataFrame): DataFrame = {
     val sizes = ds.groupBy(col("doc_id")).agg(count("*").as("sz"))
-    val common = ds.select(col("doc_id").as("a"), col("s"))
-      .join(ds.select(col("doc_id").as("b"), col("s")), "s")
-      .where(col("a") < col("b"))
+    // candidate-restricted intersection: expand each pair by its a-side
+    // shingles, then equi-join the b side on (b, s). Cost is
+    // |pairs| x shingles-per-doc. The tempting alternative — aggregate
+    // the ds-on-ds self-join by (a, b) FIRST and join pairs after — is
+    // O(sum df^2) over shingle document frequencies, quadratic in
+    // cluster size for every common shingle whether or not any
+    // candidate needs it (measured 38 GB of spill at the sf1 gate).
+    val common = pairs
+      .join(ds.select(col("doc_id").as("a"), col("s")), "a")
+      .join(ds.select(col("doc_id").as("b"), col("s")), Seq("b", "s"))
       .groupBy(col("a"), col("b")).agg(count("*").as("common"))
     pairs.join(common, Seq("a", "b"))
       .join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("sz", "na"), "a")
@@ -133,9 +143,15 @@ object Dedup {
   /** Full parity MinHash-LSH near-dup pipeline: doc pairs with
     * LSH-candidate status AND exact Jaccard >= minJaccard. */
   def minhashNearDups(docs: DataFrame, minJaccard: Double = 0.35): DataFrame = {
-    val ds = docShingles(docs)
+    // ds feeds the dictionary, the signatures AND the exact-Jaccard
+    // confirm; sigs feeds both sides of the candidate self-join —
+    // materialize each once (signatures are 16 longs/doc; shingles one
+    // row per doc-shingle) instead of re-running the explode/dict/agg
+    // lineage per consumer (the sf1 gate measured the unchecked form at
+    // ~30x the single-pass cost).
+    val ds = docShingles(docs).localCheckpoint(true)
     val dict = shingleDict(ds)
-    val sigs = minhashSignatures(ds, dict)
+    val sigs = minhashSignatures(ds, dict).localCheckpoint(true)
     val cands = candidatePairs(lshBuckets(sigs))
     pairJaccard(cands, ds).where(col("jac") >= minJaccard)
   }
@@ -196,8 +212,8 @@ object Dedup {
   /** LSH candidates scored by the 1-bit estimator (parity dictionary
     * path — the gated form; prod swaps in [[minhashSignaturesProd]]). */
   def minhashBbitPairs(docs: DataFrame): DataFrame = {
-    val ds = docShingles(docs)
-    val sigs = minhashSignatures(ds, shingleDict(ds))
+    val ds = docShingles(docs).localCheckpoint(true)
+    val sigs = minhashSignatures(ds, shingleDict(ds)).localCheckpoint(true)
     bbitAgreement(candidatePairs(lshBuckets(sigs)), sigs)
   }
 
@@ -211,8 +227,9 @@ object Dedup {
   }
 
   def minhashNearDupsProd(docs: DataFrame, minJaccard: Double = 0.35): DataFrame = {
-    val ds = docShingles(docs)
-    val cands = candidatePairs(lshBuckets(minhashSignaturesProd(ds)))
+    val ds = docShingles(docs).localCheckpoint(true)
+    val sigs = minhashSignaturesProd(ds).localCheckpoint(true)
+    val cands = candidatePairs(lshBuckets(sigs))
     pairJaccard(cands, ds).where(col("jac") >= minJaccard)
   }
 
@@ -229,9 +246,9 @@ object Dedup {
     * re-shingled and re-hashed. */
   def minhashNearDupsIncremental(oldDocs: DataFrame, newDocs: DataFrame,
                                  minJaccard: Double = 0.35): DataFrame = {
-    val ds = docShingles(oldDocs.union(newDocs))
+    val ds = docShingles(oldDocs.union(newDocs)).localCheckpoint(true)
     val dict = shingleDict(ds)
-    val buckets = lshBuckets(minhashSignatures(ds, dict))
+    val buckets = lshBuckets(minhashSignatures(ds, dict)).localCheckpoint(true)
     val newBuckets = buckets
       .join(newDocs.select(col("doc_id")), Seq("doc_id"), "left_semi")
     val x = buckets.select(col("band"), col("key"), col("doc_id").as("u"))

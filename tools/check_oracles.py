@@ -10,10 +10,16 @@ sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft-verify"
 
 con = duckdb.connect()
+# big-sf runs: cap memory and let DuckDB spill instead of getting OOM-killed
+con.execute("SET memory_limit='20GB'")
+os.makedirs('/tmp/duck_spill', exist_ok=True)
+con.execute("SET temp_directory='/tmp/duck_spill'")
 for t in ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]:
     p = f"{sf}/{t}.parquet"
-    if os.path.exists(p):
+    if os.path.isdir(p):  # Spark-written table dir (e.g. MakeScale output)
+        p = f"{p}/*.parquet"
+    if glob.glob(p) or os.path.exists(p):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
 oracles = json.load(open(f"{out}/oracle_sql.json"))
