@@ -120,6 +120,10 @@ object Dedup {
 
   /** Exact shingle-set Jaccard for given pairs. */
   def pairJaccard(pairs: DataFrame, ds: DataFrame): DataFrame = {
+    // `pairs` is referenced twice below (intersection expansion + final
+    // join): materialize it once so candidate GENERATION (the bucket
+    // self-join upstream) doesn't run twice
+    val p = pairs.localCheckpoint(true)
     val sizes = ds.groupBy(col("doc_id")).agg(count("*").as("sz"))
     // candidate-restricted intersection: expand each pair by its a-side
     // shingles, then equi-join the b side on (b, s). Cost is
@@ -128,11 +132,11 @@ object Dedup {
     // O(sum df^2) over shingle document frequencies, quadratic in
     // cluster size for every common shingle whether or not any
     // candidate needs it (measured 38 GB of spill at the sf1 gate).
-    val common = pairs
+    val common = p
       .join(ds.select(col("doc_id").as("a"), col("s")), "a")
       .join(ds.select(col("doc_id").as("b"), col("s")), Seq("b", "s"))
       .groupBy(col("a"), col("b")).agg(count("*").as("common"))
-    pairs.join(common, Seq("a", "b"))
+    p.join(common, Seq("a", "b"))
       .join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("sz", "na"), "a")
       .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("sz", "nb"), "b")
       .select(col("a"), col("b"),
