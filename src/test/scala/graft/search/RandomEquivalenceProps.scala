@@ -145,4 +145,102 @@ class RandomEquivalenceProps extends AnyFunSuite {
       }
     }
   }
+
+  // ---- cross-feature configs the single-config loop can't reach ----
+
+  for (seed <- Seq(7, 23)) {
+    test(s"random equivalence: NRT two-generation union reader, seed=$seed") {
+      import spark.implicits._
+      val r = new scala.util.Random(seed)
+      val docs = randCorpus(r, 30 + r.nextInt(20))
+      val root = SparkTestSession.tmpDir(s"graft-randeq-nrt-$seed-")
+      val cut = docs.size / 2
+      val an = Analyzer.standard
+      graft.streaming.StreamingIndexer.appendBatch(spark,
+        spark.createDataset(docs.take(cut)), root, batchId = 0,
+        numPartitions = 2, analyzerFor = _ => an, indexPositions = true)
+      graft.streaming.StreamingIndexer.appendBatch(spark,
+        spark.createDataset(docs.drop(cut)), root, batchId = 1,
+        numPartitions = 2, analyzerFor = _ => an, indexPositions = true)
+      val gens = graft.streaming.StreamingIndexer.generations(spark, root)
+        .map(g => graft.streaming.StreamingIndexer.genDir(root, g))
+      val searcher = new Searcher(IndexReader.multi(spark, gens))
+      // generation docIdBases are cumulative, so global docIds follow the
+      // per-batch path order = the docs list order
+      val mems = docs.map(d => MemoryIndex.fromText(d.content, an))
+      def memSet(q: Query): Set[Long] =
+        mems.zipWithIndex.collect { case (m, i) if m.matches(q) => i.toLong }.toSet
+      (1 to 10).foreach { i =>
+        val q = randQuery(r, 2, positions = true)
+        val got = searcher.search(q, docs.size + 1).map(_.docId).toSet
+        assert(got === memSet(q),
+          s"NRT DIVERGENCE seed=$seed case=$i q=$q")
+      }
+      (1 to 2).foreach { i =>
+        val q = randQuery(r, 2, positions = true)
+        val k = 1 + r.nextInt(docs.size)
+        assert(searcher.search(q, k).toSeq === searcher.searchOracle(q, k).toSeq,
+          s"NRT HEAP≠ORACLE seed=$seed case=$i k=$k q=$q")
+      }
+    }
+
+    test(s"random equivalence: deletes applied, seed=$seed") {
+      import spark.implicits._
+      val r = new scala.util.Random(seed * 31)
+      val docs = randCorpus(r, 30 + r.nextInt(20))
+      val dir = SparkTestSession.tmpDir(s"graft-randeq-del-$seed-")
+      val an = Analyzer.standard
+      IndexBuilder.build(spark, spark.createDataset(docs), dir,
+        numPartitions = 2, analyzerFor = _ => an, indexPositions = true)
+      val deleted = vocab(r.nextInt(vocab.size))
+      graft.build.Deletes.deleteByTerm(spark, dir, deleted)
+      val searcher = new Searcher(new IndexReader(spark, dir))
+      val mems = docs.map(d => MemoryIndex.fromText(d.content, an))
+      val live = mems.zipWithIndex.collect {
+        case (m, i) if !m.contains(deleted) => i
+      }.toSet
+      def memSet(q: Query): Set[Long] =
+        mems.zipWithIndex.collect {
+          case (m, i) if live(i) && m.matches(q) => i.toLong
+        }.toSet
+      (1 to 10).foreach { i =>
+        val q = randQuery(r, 2, positions = true)
+        val got = searcher.search(q, docs.size + 1).map(_.docId).toSet
+        assert(got === memSet(q),
+          s"DELETES DIVERGENCE seed=$seed deleted=$deleted case=$i q=$q")
+      }
+    }
+  }
+
+  test("random equivalence: sorted (docId-reassigned) index — counts + laws + heap") {
+    // sortBy REASSIGNS docIds in sort-key order, so per-doc id parity
+    // doesn't apply; the invariants that survive the renumbering: match
+    // COUNT parity, the boolean algebra laws, heap ≡ oracle.
+    import spark.implicits._
+    val r = new scala.util.Random(99)
+    val docs = randCorpus(r, 40)
+    val dir = SparkTestSession.tmpDir("graft-randeq-sortsrc-")
+    val sorted = SparkTestSession.tmpDir("graft-randeq-sorted-")
+    val an = Analyzer.standard
+    IndexBuilder.build(spark, spark.createDataset(docs), dir,
+      numPartitions = 2, analyzerFor = _ => an)
+    graft.build.IndexSorter.sortBy(spark, dir, sorted, "tokenCount", numPartitions = 2)
+    val plain = new Searcher(new IndexReader(spark, dir))
+    val srt = new Searcher(new IndexReader(spark, sorted))
+    (1 to 10).foreach { i =>
+      val q = randQuery(r, 2, positions = false)
+      val a = plain.search(q, docs.size + 1)
+      val b = srt.search(q, docs.size + 1)
+      assert(a.length === b.length, s"SORTED COUNT DIVERGENCE case=$i q=$q")
+      // scores are docId-independent → the sorted multiset must match
+      assert(a.map(_.score).sorted.toSeq === b.map(_.score).sorted.toSeq,
+        s"SORTED SCORE-SET DIVERGENCE case=$i q=$q")
+    }
+    (1 to 3).foreach { i =>
+      val q = randQuery(r, 2, positions = false)
+      val k = 1 + r.nextInt(docs.size)
+      assert(srt.search(q, k).toSeq === srt.searchOracle(q, k).toSeq,
+        s"SORTED HEAP≠ORACLE case=$i k=$k q=$q")
+    }
+  }
 }
