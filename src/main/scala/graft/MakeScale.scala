@@ -57,7 +57,7 @@ object MakeScale {
     val nVec = emb.count()
     emb.crossJoin(copies)
       .select(($"copy" * nVec + $"vec_id").as("vec_id"),
-        rotateArray($"embedding", $"copy").as("embedding"),
+        decorrelate(rotateArray($"embedding", $"copy"), $"copy").as("embedding"),
         $"label")
       .repartition(32)
       .write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
@@ -106,4 +106,18 @@ object MakeScale {
     when(r === 0, arr).otherwise(
       concat(slice(arr, r + 1, n - r), slice(arr, lit(1), r)))
   }
+
+  /** Per-copy deterministic SIGN FLIPS (norm-preserving): rotation alone
+    * repeats every `dim` copies — copies c and c+dim would be EXACT
+    * duplicate vectors, giving every vector ~copies/dim exact twins and
+    * collapsing whole LSH/IVF cells into duplicate clusters (the first
+    * sf1 run burned 36 CPU-minutes per task in the resulting pair join).
+    * Flipping signs by a per-(copy, position) pseudo-random parity makes
+    * distinct copies ~orthogonal in expectation while copy 0 stays the
+    * original exactly. */
+  private def decorrelate(arr: org.apache.spark.sql.Column,
+      k: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(k === 0, arr).otherwise(
+      zip_with(arr, sequence(lit(0), size(arr) - 1),
+        (x, i) => when((k * 37 + i * 61) % 97 % 2 === 0, x).otherwise(-x)))
 }

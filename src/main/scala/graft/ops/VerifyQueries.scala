@@ -1060,6 +1060,35 @@ object VerifyQueries {
       |FROM q JOIN joined ON contains(joined.s, ' ' || q.w1 || ' ' || q.w2 || ' ')
       |GROUP BY q.query_id ORDER BY query_id""".stripMargin
 
+  /** The NON-broadcast percolation path through the SAME contract as
+    * [[qPercolatePhrase]]: the stored queries live in a serialized
+    * (query_id, qbytes) TABLE, candidates come from the required-term
+    * equi-join prescreen, and only candidates get the MemoryIndex
+    * refine — the million-saved-search scale shape, gated against the
+    * identical oracle (the two paths are proven equivalent in
+    * StreamingPercolateSpec with broadcast joins disabled; this entry
+    * makes the driver gate exercise the join path END-TO-END). */
+  def qPercolateJoin(spark: SparkSession, sf: String): DataFrame = {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val qdefs = docs
+      .withColumn("ts", expr("regexp_extract_all(lower(text), '[a-z0-9_]+', 0)"))
+      .where(size(col("ts")) >= 4)
+      .select(col("doc_id"), element_at(col("ts"), 3).as("w1"),
+        element_at(col("ts"), 4).as("w2"))
+      .orderBy("doc_id").limit(40)
+      .collect() // stats-sized driver pull (the 40 stored queries)
+    val stored: Seq[(Long, graft.search.Query)] = qdefs.toIndexedSeq.map { r =>
+      (r.getLong(0),
+        graft.search.PhraseQ(Seq(r.getString(1), r.getString(2))): graft.search.Query)
+    }
+    val qtab = graft.search.Percolate.queryTable(spark, stored)
+    graft.search.Percolate
+      .memoryPercolateJoin(docs, qtab, graft.analysis.Analyzer.sqlParity)
+      .groupBy("query_id").agg(count(lit(1)).as("n_matches"))
+      .orderBy("query_id")
+  }
+
   /** DuplicateFilter (reference: Lucene.Net.Sandbox/Queries/
     * DuplicateFilter.cs, default KM_USE_LAST_OCCURRENCE): of the docs
     * matching 'merge', keep only those that are the LAST docId carrying
@@ -3442,6 +3471,7 @@ object VerifyQueries {
     "q_spatial_args" -> qSpatialArgs _,
     "q_percolate" -> qPercolate _,
     "q_percolate_phrase" -> qPercolatePhrase _,
+    "q_percolate_join" -> qPercolateJoin _,
     "q_duplicate_filter" -> qDuplicateFilter _,
     "q_slow_fuzzy" -> qSlowFuzzy _,
     "q_sortedset_sort" -> qSortedSetSort _,
@@ -3574,6 +3604,7 @@ object VerifyQueries {
     "q_spatial_args" -> oSpatialArgs,
     "q_percolate" -> oPercolate,
     "q_percolate_phrase" -> oPercolatePhrase,
+    "q_percolate_join" -> oPercolatePhrase,
     "q_duplicate_filter" -> oDuplicateFilter,
     "q_slow_fuzzy" -> oSlowFuzzy,
     "q_sortedset_sort" -> oSortedSetSort,
