@@ -23,14 +23,25 @@ object Similarity {
   val Dims = 64
   val NumPlanes = 8
 
-  /** Double-precision dot product of two array columns, sequential
-    * (element order) summation — deterministic. */
+  /** Double-precision dot product of two [[Dims]]-length array columns —
+    * UNROLLED into a plain arithmetic expression tree (64 multiply-adds)
+    * so it runs inside whole-stage codegen. The tempting
+    * `aggregate(zip_with(...))` form is evaluated by the INTERPRETER per
+    * row (Spark higher-order functions never enter codegen); at the sf1
+    * gate that overhead alone burned ~36 CPU-minutes per task in the
+    * bucket pair joins. Same summation order as the old HOF form
+    * (ascending element index, left fold), so values are IEEE-identical
+    * and every DuckDB oracle is unchanged. Contract: both arrays are
+    * exactly [[Dims]] long (the embeddings table shape). */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    (1 to Dims).map(i =>
+      element_at(a, i).cast("double") * element_at(b, i).cast("double"))
+      .reduce(_ + _)
 
   def l2norm(a: Column): Column =
-    sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
+    sqrt((1 to Dims).map { i =>
+      val v = element_at(a, i).cast("double"); v * v
+    }.reduce(_ + _))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
 
@@ -40,12 +51,16 @@ object Similarity {
   def planeSign(b: Int, i: Column): Column =
     when((i * 37 + lit(b * 61)) % 5 < 2, lit(1.0)).otherwise(lit(-1.0))
 
-  /** Sign-LSH bucket id (0..2^NumPlanes-1) of an embedding column. */
+  /** Sign-LSH bucket id (0..2^NumPlanes-1) of an embedding column —
+    * unrolled like [[dot]]: the per-plane projection is a constant-sign
+    * sum, so each plane is 64 codegen'd multiply-adds with ±1 literals
+    * (same ascending-index order as the HOF form → identical values). */
   def lshBucket(v: Column): Column = {
     val bits = (0 until NumPlanes).map { b =>
-      val d = aggregate(zip_with(v, sequence(lit(1), lit(Dims)),
-        (x, i) => x.cast("double") * planeSign(b, i)),
-        lit(0.0), (acc, x) => acc + x)
+      val d = (1 to Dims).map { i =>
+        val sgn = if ((i * 37 + b * 61) % 5 < 2) 1.0 else -1.0
+        element_at(v, i).cast("double") * lit(sgn)
+      }.reduce(_ + _)
       when(d >= 0, lit(1L << b)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)
@@ -163,11 +178,14 @@ object Similarity {
   def ivfAssign(vecs: DataFrame, codebook: Seq[(Int, Array[Double])]): DataFrame = {
     require(codebook.nonEmpty, "empty codebook")
     val d2s = codebook.sortBy(_._1).map { case (cell, cent) =>
-      val c = typedLit(cent.toSeq)
-      cell -> aggregate(
-        zip_with(col("embedding"), c,
-          (x, cc) => (x.cast("double") - cc) * (x.cast("double") - cc)),
-        lit(0.0), (acc, v) => acc + v)
+      // unrolled like [[dot]] — centroid elements become literals, the
+      // per-cell distance stays inside whole-stage codegen. Unroll over
+      // the CENTROID's length, not Dims: this assigner also serves PQ
+      // sub-space codebooks and arbitrary-dim k-means inputs.
+      cell -> (1 to cent.length).map { i =>
+        val d = element_at(col("embedding"), i).cast("double") - lit(cent(i - 1))
+        d * d
+      }.reduce(_ + _)
     }
     val minD = if (d2s.length == 1) d2s.head._2 else least(d2s.map(_._2): _*)
     val cellCol = d2s.foldRight(lit(null).cast("int"): Column) {

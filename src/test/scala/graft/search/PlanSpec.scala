@@ -304,6 +304,23 @@ class PlanSpec extends AnyFunSuite {
     }.isEmpty, "decompound plans a window")
   }
 
+  test("embedding dot/norm/LSH stay OUT of interpreted higher-order functions") {
+    import graft.ops.PipelineQueries
+    // zip_with/aggregate never enter whole-stage codegen — the sf1 gate
+    // measured the interpreted form at ~36 CPU-minutes per task in the
+    // bucket pair joins. The unrolled fixed-Dims arithmetic must keep
+    // these plans HOF-free.
+    val sf = "/root/testdata/sf0.001"
+    for (name <- Seq("q_dedup_embedding_lsh", "q_ann_brute", "q_ann_lsh",
+        "q_kmeans")) {
+      val plan = PipelineQueries.queries(name)(spark, sf)
+        .queryExecution.optimizedPlan.toString
+      assert(!plan.contains("zip_with(") && !plan.contains("aggregate("),
+        s"$name still plans an interpreted higher-order function:\n" +
+          plan.take(2000))
+    }
+  }
+
   test("PQ ADC scan is join-free and map-only down to the bounded top-k") {
     import graft.ops.PipelineQueries
     // Codebooks and the query LUT are literal-inlined: the scoring scan
