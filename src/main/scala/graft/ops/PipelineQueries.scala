@@ -496,7 +496,7 @@ object PipelineQueries {
     s"""WITH $DimsCte, $NormsCte, planes AS (
        |  SELECT CAST(unnest(range(${Similarity.NumPlanes})) AS INT) AS b
        |), signs AS (
-       |  SELECT b, i, CASE WHEN (i*37 + b*61) % 5 < 2 THEN 1.0e0 ELSE -1.0e0 END AS sgn
+       |  SELECT b, i, CASE WHEN (i*37 + b*89) % 103 % 2 = 0 THEN 1.0e0 ELSE -1.0e0 END AS sgn
        |  FROM planes, dims
        |), bdots AS (
        |  SELECT e.vec_id, s.b, sum(CAST(e.embedding[s.i] AS DOUBLE) * s.sgn) AS d
@@ -561,7 +561,7 @@ object PipelineQueries {
     s"""WITH $DimsCte, $NormsCte, planes AS (
        |  SELECT CAST(unnest(range(${Similarity.NumPlanes})) AS INT) AS b
        |), signs AS (
-       |  SELECT b, i, CASE WHEN (i*37 + b*61) % 5 < 2 THEN 1.0e0 ELSE -1.0e0 END AS sgn
+       |  SELECT b, i, CASE WHEN (i*37 + b*89) % 103 % 2 = 0 THEN 1.0e0 ELSE -1.0e0 END AS sgn
        |  FROM planes, dims
        |), bdots AS (
        |  SELECT e.vec_id, s.b, sum(CAST(e.embedding[s.i] AS DOUBLE) * s.sgn) AS d

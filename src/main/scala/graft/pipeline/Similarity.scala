@@ -46,21 +46,34 @@ object Similarity {
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
 
   /** Deterministic ±1 hyperplane coefficient for (plane b, 1-based dim i):
-    * +1 iff (i*37 + b*61) mod 5 ∈ {0, 1}. Public fixture — reproducible in
-    * plain SQL by any engine. */
+    * +1 iff ((i*37 + b*89) mod 103) mod 2 == 0. Public fixture —
+    * reproducible in plain SQL by any engine. The previous
+    * `(i*37 + b*61) mod 5 < 2` form was FULL-RANK-DEFICIENT in b:
+    * 61 ≡ 1 (mod 5), so planes b and b+5 had IDENTICAL coefficients —
+    * only 5 distinct hyperplanes existed no matter how many were
+    * requested, capping the bucket space at 2^5 = 32 forever (the sf1
+    * gate measured 32 occupied buckets with a 15,630-vector hot bucket
+    * and a 2.45-billion-row pair space). mod 103 (odd prime, coprime to
+    * the strides) gives pairwise-distinct, ~unbiased patterns for the
+    * whole b < 32 family (mod 97 left two chance collisions):
+    * the same 200k vectors spread over 8,229 buckets at 16 planes. */
   def planeSign(b: Int, i: Column): Column =
-    when((i * 37 + lit(b * 61)) % 5 < 2, lit(1.0)).otherwise(lit(-1.0))
+    when((i * 37 + lit(b * 89)) % 103 % 2 === 0, lit(1.0)).otherwise(lit(-1.0))
 
-  /** Sign-LSH bucket id (0..2^NumPlanes-1) of an embedding column —
-    * unrolled like [[dot]]: the per-plane projection is a constant-sign
-    * sum, so each plane is 64 codegen'd multiply-adds with ±1 literals
-    * (same ascending-index order as the HOF form → identical values). */
-  def lshBucket(v: Column): Column = {
-    val bits = (0 until NumPlanes).map { b =>
-      val d = (1 to Dims).map { i =>
-        val sgn = if ((i * 37 + b * 61) % 5 < 2) 1.0 else -1.0
-        element_at(v, i).cast("double") * lit(sgn)
-      }.reduce(_ + _)
+  /** Sign-LSH bucket id (0..2^NumPlanes-1) of an embedding column. The
+    * per-plane projections stay in the compact aggregate/zip_with form
+    * ON PURPOSE: unrolling nPlanes × Dims multiply-adds into one
+    * expression overflows Janino's method limit inside whole-stage
+    * codegen (where expression splitting is disabled) and the WHOLE
+    * stage silently degrades to interpreted execution — worse than the
+    * HOF interpreter loop. Bucketing is O(N·planes·d) map work run once
+    * per corpus; the pair-JOIN hot path is where the unrolled [[dot]]
+    * matters and fits codegen. */
+  def lshBucket(v: Column, nPlanes: Int = NumPlanes): Column = {
+    val bits = (0 until nPlanes).map { b =>
+      val d = aggregate(zip_with(v, sequence(lit(1), lit(Dims)),
+        (x, i) => x.cast("double") * planeSign(b, i)),
+        lit(0.0), (acc, x) => acc + x)
       when(d >= 0, lit(1L << b)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)
@@ -178,20 +191,42 @@ object Similarity {
   def ivfAssign(vecs: DataFrame, codebook: Seq[(Int, Array[Double])]): DataFrame = {
     require(codebook.nonEmpty, "empty codebook")
     val d2s = codebook.sortBy(_._1).map { case (cell, cent) =>
-      // unrolled like [[dot]] — centroid elements become literals, the
-      // per-cell distance stays inside whole-stage codegen. Unroll over
-      // the CENTROID's length, not Dims: this assigner also serves PQ
-      // sub-space codebooks and arbitrary-dim k-means inputs.
-      cell -> (1 to cent.length).map { i =>
-        val d = element_at(col("embedding"), i).cast("double") - lit(cent(i - 1))
-        d * d
-      }.reduce(_ + _)
+      // compact HOF distance (centroid inlined as a literal array): at
+      // production k, unrolling k × d subtract-squares overflows the
+      // whole-stage method limit (no expression splitting inside WSCG)
+      // and the stage falls back to interpreted anyway — the HOF form is
+      // the smaller interpreted program. Assignment is O(N·k·d) map
+      // work; the argmin below is what must avoid re-inlining it.
+      val c = typedLit(cent.toSeq)
+      cell -> aggregate(
+        zip_with(col("embedding"), c,
+          (x, cc) => (x.cast("double") - cc) * (x.cast("double") - cc)),
+        lit(0.0), (acc, v) => acc + v)
     }
-    val minD = if (d2s.length == 1) d2s.head._2 else least(d2s.map(_._2): _*)
-    val cellCol = d2s.foldRight(lit(null).cast("int"): Column) {
-      case ((cell, d2), els) => when(d2 === minD, lit(cell)).otherwise(els)
-    }
-    vecs.select(col("vec_id"), col("embedding"), cellCol.as("cell"), minD.as("d2"))
+    // array-based argmin: each per-cell distance expression appears
+    // EXACTLY ONCE (CreateArray codegen splits elements into sub-methods)
+    // — the least(...) + per-cell when-chain form re-inlined every
+    // distance k+2 times and overflowed Janino's method limit at k=4,
+    // silently degrading the whole stage to interpreted execution.
+    // array_position's first-match is the same ascending-cell tie-break
+    // the when-chain had; cell ids are dense 0..k-1 after sortBy.
+    val cellIds = d2s.map(_._1)
+    require(cellIds == cellIds.indices.toSeq,
+      s"cells must be dense 0..k-1, got $cellIds")
+    val dArr = array(d2s.map(_._2): _*)
+    // the distances appear ONCE, in an array (CreateArray codegen splits
+    // its elements across methods); the argmin is array_min +
+    // array_position over the materialized COLUMN — first match =
+    // ascending-cell tie-break, exactly the old when-chain's. The former
+    // least(...) + per-cell when-chain re-inlined every distance k+2
+    // times: at k=4 it overflowed Janino's method limit (silent
+    // interpreted fallback), at k≈45 the expression tree OOM'd the
+    // driver outright.
+    vecs.select(col("vec_id"), col("embedding"), dArr.as("_d2s"))
+      .select(col("vec_id"), col("embedding"),
+        (array_position(col("_d2s"), array_min(col("_d2s"))) - 1)
+          .cast("int").as("cell"),
+        array_min(col("_d2s")).as("d2"))
   }
 
   /** Lloyd's k-means codebook trainer — the real trainer behind the IVF
@@ -455,10 +490,13 @@ object Similarity {
     val cb = kmeansCodebook(vecs, k, iters)
     val assigned = ivfAssign(vecs, cb)
       .select(col("vec_id"), col("embedding"), col("cell"))
-    val a = assigned.select(col("cell"), col("vec_id").as("a"), col("embedding").as("ea"))
-    val b = assigned.select(col("cell"), col("vec_id").as("b"), col("embedding").as("eb"))
+    val withN = assigned.withColumn("nrm", l2norm(col("embedding")))
+    val a = withN.select(col("cell"), col("vec_id").as("a"),
+      col("embedding").as("ea"), col("nrm").as("na"))
+    val b = withN.select(col("cell"), col("vec_id").as("b"),
+      col("embedding").as("eb"), col("nrm").as("nb"))
     val dropped = a.join(b, "cell").where(col("a") < col("b"))
-      .where(cosine(col("ea"), col("eb")) >= minCos)
+      .where(dot(col("ea"), col("eb")) / (col("na") * col("nb")) >= minCos)
       .select(col("b").as("vec_id")).distinct()
       .withColumn("dropFlag", lit(true))
     assigned.join(dropped, Seq("vec_id"), "left_outer")
@@ -468,13 +506,26 @@ object Similarity {
 
   /** Bucketed near-duplicate pairs — the scale path: candidates only
     * within a bucket. */
-  def cosinePairsBucketed(vecs: DataFrame, minCos: Double): DataFrame = {
+  def cosinePairsBucketed(vecs: DataFrame, minCos: Double,
+      nPlanes: Int = NumPlanes): DataFrame = {
+    // nPlanes is the corpus-size knob: bucket count must outgrow the
+    // corpus's directional clustering or hot buckets turn the pair join
+    // quadratic — 8 planes is the gate fixture; the 200k-vector sf1 run
+    // uses 16 (8,229 buckets, pair space 2.45B → 426M rows).
+    // norms computed ONCE per vector on the map side: the join predicate
+    // is then only the 64-term dot — the full unrolled cosine (192 terms
+    // + null checks) overflows Janino's method limit inside the join's
+    // doConsume and silently falls back to interpreted execution
     val withB = vecs.select(col("vec_id"), col("embedding"),
-      lshBucket(col("embedding")).as("bucket"))
-    val a = withB.select(col("bucket"), col("vec_id").as("a"), col("embedding").as("ea"))
-    val b = withB.select(col("bucket"), col("vec_id").as("b"), col("embedding").as("eb"))
+      lshBucket(col("embedding"), nPlanes).as("bucket"),
+      l2norm(col("embedding")).as("nrm"))
+    val a = withB.select(col("bucket"), col("vec_id").as("a"),
+      col("embedding").as("ea"), col("nrm").as("na"))
+    val b = withB.select(col("bucket"), col("vec_id").as("b"),
+      col("embedding").as("eb"), col("nrm").as("nb"))
     a.join(b, "bucket").where(col("a") < col("b"))
-      .select(col("a"), col("b"), cosine(col("ea"), col("eb")).as("cos"))
+      .select(col("a"), col("b"),
+        (dot(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cos"))
       .where(col("cos") >= minCos)
   }
 }

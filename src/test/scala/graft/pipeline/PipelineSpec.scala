@@ -179,6 +179,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(pairs.contains((0L, 10L)))
   }
 
+  test("hyperplane family is FULL-RANK: every requested plane is distinct") {
+    // regression for the (i*37 + b*61) % 5 fixture, where 61 ≡ 1 (mod 5)
+    // made planes b and b+5 coefficient-identical — only 5 distinct
+    // hyperplanes existed, capping the bucket space at 2^5 and leaving a
+    // 2.45-billion-row pair space at the sf1 gate.
+    def pattern(b: Int): Seq[Double] =
+      (1 to Similarity.Dims).map(i =>
+        if ((i * 37 + b * 89) % 103 % 2 == 0) 1.0 else -1.0)
+    val pats = (0 until 32).map(pattern)
+    assert(pats.distinct.size === 32, "duplicate hyperplanes in the family")
+    // roughly unbiased: each plane's +1 fraction within [0.3, 0.7]
+    pats.foreach { p =>
+      val pos = p.count(_ > 0).toDouble / p.size
+      assert(pos > 0.3 && pos < 0.7, s"biased plane: $pos")
+    }
+  }
+
   test("semDedup: the perturbed twin is dropped, its lower-id twin kept, clusters from the trainer") {
     // vec 10 = vec 0 with one component nudged: cos ~ 1 AND L2-near, so
     // k-means (an L2 clusterer — a SCALED copy would land elsewhere) puts

@@ -304,21 +304,41 @@ class PlanSpec extends AnyFunSuite {
     }.isEmpty, "decompound plans a window")
   }
 
-  test("embedding dot/norm/LSH stay OUT of interpreted higher-order functions") {
+  test("embedding pair-JOIN expressions stay OUT of interpreted higher-order functions") {
     import graft.ops.PipelineQueries
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, Project}
     // zip_with/aggregate never enter whole-stage codegen — the sf1 gate
     // measured the interpreted form at ~36 CPU-minutes per task in the
-    // bucket pair joins. The unrolled fixed-Dims arithmetic must keep
-    // these plans HOF-free.
+    // bucket pair joins. The HOT PATH — everything evaluated per
+    // candidate PAIR (join conditions, post-join filters/projections) —
+    // must be the unrolled codegen-able arithmetic. Map-side stages
+    // (bucket assignment, IVF distances) deliberately KEEP the compact
+    // HOF form: unrolling them overflows the whole-stage method limit
+    // (no expression splitting inside WSCG) and degrades the whole
+    // stage to interpreted — they are O(N) work, not O(pairs).
     val sf = "/root/testdata/sf0.001"
-    for (name <- Seq("q_dedup_embedding_lsh", "q_ann_brute", "q_ann_lsh",
-        "q_kmeans")) {
-      val plan = PipelineQueries.queries(name)(spark, sf)
-        .queryExecution.optimizedPlan.toString
-      assert(!plan.contains("zip_with(") && !plan.contains("aggregate("),
-        s"$name still plans an interpreted higher-order function:\n" +
-          plan.take(2000))
+    def hofFree(exprs: Seq[String], ctx: String): Unit = exprs.foreach { e =>
+      assert(!e.contains("zip_with") && !e.contains("aggregate("),
+        s"$ctx evaluates a higher-order function PER PAIR: ${e.take(400)}")
     }
+    for (name <- Seq("q_dedup_embedding_lsh", "q_semdedup")) {
+      val plan = PipelineQueries.queries(name)(spark, sf)
+        .queryExecution.optimizedPlan
+      plan.foreach {
+        case j: Join =>
+          hofFree(j.condition.map(_.sql).toSeq, s"$name join condition")
+        case p @ Project(list, _: Join) =>
+          hofFree(list.map(_.sql), s"$name post-join projection")
+        case f @ Filter(cond, _: Join) =>
+          hofFree(Seq(cond.sql), s"$name post-join filter")
+        case _ =>
+      }
+    }
+    // brute-force scoring (no bucket stage) stays HOF-free end-to-end
+    val brute = PipelineQueries.queries("q_ann_brute")(spark, sf)
+      .queryExecution.optimizedPlan.toString
+    assert(!brute.contains("zip_with(") && !brute.contains("aggregate("),
+      "q_ann_brute plans a higher-order function")
   }
 
   test("PQ ADC scan is join-free and map-only down to the bounded top-k") {
